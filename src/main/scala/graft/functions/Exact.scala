@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Engine-portable, order-independent aggregates over double columns.
+  *
+  * A plain `sum(double)` is evaluated in partition/merge order, so two
+  * engines (or two runs with different partitioning) can disagree in the
+  * last few ulps. For oracle-hash parity (and run-to-run determinism at any
+  * cluster size) we instead cast each VALUE to an exact DECIMAL(18,4),
+  * sum exactly (order-independent), and cast the final total back to
+  * double. DuckDB mirror:
+  *   CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+  *
+  * The per-value decimal quantization (4 fractional digits) is itself
+  * deterministic: both engines round the same IEEE double to the same
+  * decimal. Inputs here are money/quantity-like values with <= 2 real
+  * fractional digits, so no information is lost.
+  */
+object Exact {
+  private val Dec = DecimalType(18, 4)
+
+  /** Exact sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Exact sum of an elementwise product of two double columns. */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast(Dec) * b.cast(Dec)).cast("double")
+
+  /** Exact mean of a double column (exact sum / count), as double. */
+  def davg(c: Column): Column = sum(c.cast(Dec)).cast("double") / count(c)
+
+  /** SQL fragment mirrors, for building DuckDB oracle text. */
+  def sqlDsum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlDsumProd(a: String, b: String): String =
+    s"CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlDavg(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x)"
+}

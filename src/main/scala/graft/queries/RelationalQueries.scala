@@ -1,0 +1,405 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Relational operator surface (SURVEY.md §2.3-§2.8, §2.11) mapped onto the
+  * driver's testdata tables. Each query has a DuckDB oracle with identical
+  * column names and deterministic (order-independent, engine-portable)
+  * values.
+  *
+  * Scale notes (100 TB design):
+  *  - Aggregations are plain `groupBy().agg()` — Catalyst plans partial
+  *    (map-side) + final hash aggregation automatically; one shuffle on the
+  *    group key, no driver-side state.
+  *  - Dimension-side joins (`part`, filtered whitelists) are explicitly
+  *    `broadcast()` — no shuffle of the fact table.
+  *  - Filters sit directly on the scan so parquet row-group pruning and
+  *    predicate pushdown apply (`PushedFilters` in explain).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01: full-table multi-aggregate pricing summary (A1 rich form; the
+    * flagship query). Reference shape: group-by counts/sums of
+    * taar_lite_guid_ranking.py:17-29 widened to several measures. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .where($"l_shipdate" <= lit("2001-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsumProd($"l_extendedprice", lit(1.0) - $"l_discount").as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${sqlDsum("l_quantity")} AS sum_qty,
+       | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       | ${sqlDsumProd("l_extendedprice", "CAST(1.0 AS DOUBLE) - l_discount")} AS sum_disc_price,
+       | ${sqlDavg("l_quantity")} AS avg_qty,
+       | COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: group-by count on a single date partition (A1 + F3 — the exact
+    * shape of taar_lite_guid_ranking.py:17-29: per-key client counts on one
+    * submission_date). */
+  def q02EventCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .where(to_date($"ts") === lit("2024-01-15").cast("date"))
+      .groupBy($"event_type")
+      .agg(count($"user_id").as("n_clients"))
+      .orderBy($"event_type")
+  }
+
+  val q02Sql: String =
+    """SELECT event_type, COUNT(user_id) AS n_clients
+      |FROM events
+      |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q03: distinct over a trailing date range (A2 + F4 — the opt-out
+    * deletion_request scan, taar_profile_bigtable.py:197-202). */
+  def q03DistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = lit("2024-01-28").cast("date")
+    Tables.events(s, dir)
+      .where(to_date($"ts").between(date_sub(d, 7), d))
+      .select($"user_id").distinct()
+      .orderBy($"user_id")
+  }
+
+  val q03Sql: String =
+    """SELECT DISTINCT user_id
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-28' - INTERVAL 7 DAY AND DATE '2024-01-28'
+      |ORDER BY user_id""".stripMargin
+
+  /** q04: conjunctive multi-predicate filter + exact revenue (F6 whitelist
+    * conjunction shape, taar_amowhitelist.py:70-97; TPC-H Q6 flavor).
+    * All predicates sit on the scan → parquet pushdown. */
+  def q04FilteredRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+             $"l_discount".between(0.05, 0.07) &&
+             $"l_quantity" < 24)
+      .agg(dsumProd($"l_extendedprice", $"l_discount").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q04Sql: String =
+    s"""SELECT ${sqlDsumProd("l_extendedprice", "l_discount")} AS revenue,
+       | COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  /** q05: whitelist semi-join (J4, taar_utils.py:79-107 — keep only rows
+    * whose key is in a small whitelist). Whitelist side is broadcast: at
+    * 100 TB the fact table never shuffles. */
+  def q05SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val whitelist = Tables.part(s, dir)
+      .where($"p_brand" === "Brand#1").select($"p_partkey")
+    Tables.lineitem(s, dir)
+      .join(broadcast(whitelist), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_suppkey")
+  }
+
+  val q05Sql: String =
+    s"""SELECT l_suppkey, COUNT(*) AS n_items, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+       |GROUP BY l_suppkey
+       |ORDER BY l_suppkey""".stripMargin
+
+  /** q06: anti-join (J3, the Bigtable opt-out delete,
+    * taar_profile_bigtable.py:193-223 — rows whose key appears in the
+    * delete set are dropped). */
+  def q06AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q07: enrichment left-outer join + null-coalesce defaults (J1 + P3,
+    * taar_amodump.py:192-209 merge + taar_profile_bigtable.py:236-246
+    * defaults). */
+  def q07LeftOuterEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orderStats = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_spend"))
+    Tables.customer(s, dir)
+      .join(orderStats, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey",
+              coalesce($"n_orders", lit(0L)).as("n_orders"),
+              coalesce($"total_spend", lit(0.0)).as("total_spend"))
+      .orderBy($"c_custkey")
+  }
+
+  val q07Sql: String =
+    s"""SELECT c_custkey,
+       | COALESCE(n_orders, 0) AS n_orders,
+       | COALESCE(total_spend, CAST(0.0 AS DOUBLE)) AS total_spend
+       |FROM customer
+       |LEFT JOIN (
+       |  SELECT o_custkey, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total_spend
+       |  FROM orders GROUP BY o_custkey
+       |) o ON c_custkey = o_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** q08: per-group top-k via window rank (O3, the taar_locale
+    * top10_dict.json shape — README.md:102-105). Deterministic tie-break on
+    * the key column. */
+  def q08TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  val q08Sql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders
+      |)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** q09: pairwise co-occurrence counts (§2.11 taar_lite
+    * guid_coinstallation — distinct (client, guid) self-joined on client
+    * with a.guid < b.guid, counted per pair; README.md:108-113).
+    * At scale: the distinct projection is tiny relative to the fact table;
+    * the self-join shuffles on user_id once, and AQE handles skewed users. */
+  def q09PairCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ue = Tables.events(s, dir)
+      .select($"user_id", $"event_type").distinct()
+    ue.as("a").join(ue.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("et_a"), $"b.event_type".as("et_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"et_a", $"et_b")
+  }
+
+  val q09Sql: String =
+    """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT a.event_type AS et_a, b.event_type AS et_b, COUNT(*) AS n_users
+      |FROM ue a JOIN ue b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY a.event_type, b.event_type
+      |ORDER BY et_a, et_b""".stripMargin
+
+  /** q10: tumbling-window aggregation (the batch face of the streaming
+    * extension — `window(ts, "1 day")`; SURVEY.md §2.10). */
+  def q10TumblingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 day"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("bucket"), $"n_events", $"sum_value")
+      .orderBy($"bucket")
+  }
+
+  val q10Sql: String =
+    s"""SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+       | COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  /** q11: sha-256 row-key hashing (P5, taar_utils.py:110-116 — the Bigtable
+    * row key). Spark's built-in `sha2` is codegen'd; no UDF. */
+  def q11Sha2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey", sha2($"c_name", 256).as("key_hash"))
+      .orderBy($"c_custkey")
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, sha256(c_name) AS key_hash
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q12: JSON field extraction + safe cast + arithmetic (P10 + P2 —
+    * `SAFE_CAST(x * 3600 AS int64)` of taar_profile_bigtable.py:78 over a
+    * JSON props payload). try_cast returns null on malformed input instead
+    * of failing the job (X6 permissive-parse semantics). */
+  def q12JsonTryCast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        (expr("try_cast(get_json_object(props, '$.k') AS bigint)") * 3600L)
+          .as("k_seconds"))
+      .orderBy($"event_id")
+  }
+
+  val q12Sql: String =
+    """SELECT event_id,
+      | TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 3600 AS k_seconds
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q13: URL build + parse-back (P8, taar_amodump.py:106-110,199-200 —
+    * format URLs, then recover the key from the URL by split; exercises
+    * element_at with negative indices = O2 positional selection). */
+  def q13UrlBuildParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        concat(lit("https://host/api/"), $"source", lit("/"),
+               $"doc_id".cast("string")).as("url"))
+      .withColumn("parsed_id", element_at(split($"url", "/"), -1).cast("long"))
+      .withColumn("parsed_source", element_at(split($"url", "/"), -2))
+      .orderBy($"doc_id")
+  }
+
+  val q13Sql: String =
+    """SELECT doc_id, url,
+      | CAST(string_split(url, '/')[-1] AS BIGINT) AS parsed_id,
+      | string_split(url, '/')[-2] AS parsed_source
+      |FROM (
+      |  SELECT doc_id,
+      |    concat('https://host/api/', source, '/', CAST(doc_id AS VARCHAR)) AS url
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q14: data-quality gate aggregate (A5 + F12, the ShortWhitelistError
+    * count guard of taar_update_whitelist.py:70-73 as a single-row audit). */
+  def q14QualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct($"user_id").as("n_users"),
+           min($"ts").as("min_ts"),
+           max($"ts").as("max_ts"))
+  }
+
+  val q14Sql: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+      | MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      |FROM events""".stripMargin
+
+  /** q15: EXISTS over an array of structs via higher-order function (F8,
+    * taar_utils.py:86-97 — `any(f.is_webextension for f in files)`).
+    * Built here by collecting order lines into an array and applying
+    * `exists`; semantically equal to a grouped HAVING max(...). */
+  def q15HofExists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(collect_list(struct($"l_discount", $"l_quantity")).as("items"))
+      .where(exists($"items", i => i("l_discount") >= 0.09))
+      .select($"l_orderkey")
+      .orderBy($"l_orderkey")
+  }
+
+  val q15Sql: String =
+    """SELECT l_orderkey
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |HAVING MAX(l_discount) >= 0.09
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** q16: positional first/last element per group (O2, `results[-1]` /
+    * `files[0]` of taar_amodump.py:201, taar_amowhitelist.py:84).
+    * (l_orderkey, l_linenumber) is NOT unique in the data, so the ordering
+    * key is the composite l_linenumber*1e8 + l_partkey — deterministic
+    * across engines (ties only between identical partkey values). */
+  def q16FirstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = $"l_linenumber".cast("long") * 100000000L + $"l_partkey"
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(min_by($"l_partkey", ord).as("first_part"),
+           max_by($"l_partkey", ord).as("last_part"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q16Sql: String =
+    """SELECT l_orderkey,
+      | arg_min(l_partkey, CAST(l_linenumber AS BIGINT)*100000000 + l_partkey) AS first_part,
+      | arg_max(l_partkey, CAST(l_linenumber AS BIGINT)*100000000 + l_partkey) AS last_part,
+      | COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary"   -> (q01PricingSummary _),
+    "q02_event_counts"      -> (q02EventCounts _),
+    "q03_distinct_users"    -> (q03DistinctUsers _),
+    "q04_filtered_revenue"  -> (q04FilteredRevenue _),
+    "q05_semi_join"         -> (q05SemiJoin _),
+    "q06_anti_join"         -> (q06AntiJoin _),
+    "q07_left_outer_enrich" -> (q07LeftOuterEnrich _),
+    "q08_topk_per_group"    -> (q08TopKPerGroup _),
+    "q09_pair_cooccurrence" -> (q09PairCooccurrence _),
+    "q10_tumbling_window"   -> (q10TumblingWindow _),
+    "q11_sha2"              -> (q11Sha2 _),
+    "q12_json_trycast"      -> (q12JsonTryCast _),
+    "q13_url_build_parse"   -> (q13UrlBuildParse _),
+    "q14_quality_gate"      -> (q14QualityGate _),
+    "q15_hof_exists"        -> (q15HofExists _),
+    "q16_first_last"        -> (q16FirstLast _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary"   -> q01Sql,
+    "q02_event_counts"      -> q02Sql,
+    "q03_distinct_users"    -> q03Sql,
+    "q04_filtered_revenue"  -> q04Sql,
+    "q05_semi_join"         -> q05Sql,
+    "q06_anti_join"         -> q06Sql,
+    "q07_left_outer_enrich" -> q07Sql,
+    "q08_topk_per_group"    -> q08Sql,
+    "q09_pair_cooccurrence" -> q09Sql,
+    "q10_tumbling_window"   -> q10Sql,
+    "q11_sha2"              -> q11Sql,
+    "q12_json_trycast"      -> q12Sql,
+    "q13_url_build_parse"   -> q13Sql,
+    "q14_quality_gate"      -> q14Sql,
+    "q15_hof_exists"        -> q15Sql,
+    "q16_first_last"        -> q16Sql,
+  )
+}
