@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Document deduplication for a training-data pipeline: exact (hash
+  * group-by), MinHash signatures, MinHash+LSH banding with exact n-gram
+  * Jaccard verification, SimHash fingerprints, and an order-sensitive
+  * rolling fingerprint.
+  *
+  * Portability contract with the DuckDB oracle: all hashing is md5-based.
+  * MinHash uses the LEXICOGRAPHIC MIN over md5 hex strings (a valid
+  * min-hash family — md5 is uniform over hex strings), which both engines
+  * compute identically without any integer-parsing tricks. SimHash and the
+  * rolling fingerprint parse the first 8 md5 hex chars to a 32-bit int
+  * (Spark: conv(); oracle: an explicit hex polynomial).
+  *
+  * Scale design:
+  *  - Signatures/fingerprints are PER-ROW HOF chains — map-only, no
+  *    shuffle, no UDF; at 100 TB they run at scan speed.
+  *  - LSH banding shuffles only (doc_id, band_hash) pairs — 4 small rows
+  *    per document, not the text. The band self-join groups only true
+  *    collision buckets; with 4-row bands the collision probability for
+  *    unrelated docs is ~j^4, so candidate volume stays near the true
+  *    near-dup count. Jaccard verification joins the (tiny) candidate set
+  *    back to the shingle arrays.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumHashes = 16
+  val NumBands  = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+  val JaccardThreshold = 0.8
+
+  // ---- shared building blocks (Spark side) ----
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct 3-token shingles of `text` (empty when < 3 tokens). */
+  def shingles(c: Column): Column = {
+    val t = toks(c)
+    val n = size(t)
+    val sh = array_distinct(transform(sequence(lit(1), n - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    when(n >= 3, sh).otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash j over a shingle array: min md5("j:" + shingle). */
+  def minhash(sh: Column, j: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))
+
+  /** First 8 md5 hex chars of a token as a 32-bit unsigned value in a long. */
+  def h32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  // ---- shared building blocks (oracle SQL side) ----
+
+  private val ShinglesSql =
+    """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      | list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+      | ELSE [] END""".stripMargin.replace("\n", " ")
+
+  /** Hex polynomial: parse the first 8 chars of md5(expr) as a base-16 int. */
+  private def sqlH32(expr: String): String =
+    (1 to 8).map { k =>
+      val w = math.pow(16, 8 - k).toLong
+      s"(CAST(strpos('0123456789abcdef', substr(md5($expr), $k, 1)) AS BIGINT) - 1) * ${w}"
+    }.mkString("(", " + ", ")")
+
+  // ---- q24: exact dedup ----
+
+  /** Exact dedup via content-hash group-by: every hash group keeps its
+    * minimum doc_id (the "keeper"); n_copies > 1 marks duplicates.
+    * At 100 TB: one shuffle on a 128-bit hash — perfectly distributed. */
+  def q24DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper_id")
+  }
+
+  val q24Sql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keeper_id""".stripMargin
+
+  // ---- q25: minhash signatures ----
+
+  def q25MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mhCols = (0 until NumHashes).map(j => minhash($"shingles", j).as(s"mh_$j"))
+    Tables.documents(s, dir)
+      .select($"doc_id", shingles($"text").as("shingles"))
+      .select($"doc_id" +: mhCols: _*)
+      .orderBy($"doc_id")
+  }
+
+  val q25Sql: String = {
+    val mh = (0 until NumHashes).map(j =>
+      s"list_min(list_transform(shingles, s -> md5('$j:' || s))) AS mh_$j").mkString(",\n ")
+    s"""SELECT doc_id,
+       | $mh
+       |FROM (SELECT doc_id, $ShinglesSql AS shingles FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q26: LSH candidate pairs + exact Jaccard verification ----
+
+  def q26MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", shingles($"text").as("shingles"))
+    val mhCols = (0 until NumHashes).map(j => minhash($"shingles", j).as(s"mh_$j"))
+    val sig = docs.select($"doc_id" +: mhCols: _*)
+    val bandCol = array((0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band_id"), md5(concat(parts: _*)).as("bh"))
+    }: _*)
+    val bl = sig.select($"doc_id", explode(bandCol).as("band"))
+      .select($"doc_id", $"band.band_id", $"band.bh")
+    val cand = bl.as("a").join(bl.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    cand
+      .join(docs.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(docs.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sa.shingles", $"sb.shingles")).cast("double") /
+          size(array_distinct(concat($"sa.shingles", $"sb.shingles"))).cast("double"))
+          .as("jaccard"))
+      .where($"jaccard" >= JaccardThreshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q26Sql: String = {
+    val mh = (0 until NumHashes).map(j =>
+      s"list_min(list_transform(shingles, s -> md5('$j:' || s))) AS mh_$j").mkString(", ")
+    val bandSel = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band_id, md5($parts) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM documents),
+       |sig AS (SELECT doc_id, $mh FROM sh),
+       |bl AS ($bandSel),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bl a JOIN bl b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q27: simhash-32 fingerprints ----
+
+  def q27Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hs = transform(array_distinct(toks($"text")), t => h32(t))
+    val withHs = Tables.documents(s, dir).select($"doc_id", hs.as("hs"))
+    val fp = (0 until 32).map { i =>
+      val nSet = size(filter($"hs", h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      // bit i is 1 iff more set than unset among token hashes
+      when(nSet * 2 > size($"hs"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withHs.select($"doc_id", fp.as("simhash32")).orderBy($"doc_id")
+  }
+
+  val q27Sql: String = {
+    val terms = (0 until 32).map { i =>
+      val w = 1L << i
+      s"CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) > len(hs) THEN ${w} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($terms AS BIGINT) AS simhash32
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')), t -> ${sqlH32("t")}) AS hs
+       |  FROM documents
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q28: order-sensitive rolling fingerprint ----
+
+  def q28RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val weighted = transform(sequence(lit(1), size(t)), i =>
+      i.cast("long") * h32(element_at(t, i)))
+    val fp = aggregate(weighted, lit(0L), (acc, x) => acc + x) % 2147483647L
+    Tables.documents(s, dir)
+      .select($"doc_id", fp.as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val q28Sql: String =
+    s"""SELECT doc_id,
+       | CAST(list_sum(list_transform(generate_series(1, len(string_split(text, ' '))),
+       |   i -> CAST(i AS BIGINT) * ${sqlH32("string_split(text, ' ')[i]")})) AS BIGINT)
+       |   % 2147483647 AS fingerprint
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q24_dedup_exact"         -> (q24DedupExact _),
+    "q25_minhash_sig"         -> (q25MinhashSig _),
+    "q26_minhash_pairs"       -> (q26MinhashPairs _),
+    "q27_simhash"             -> (q27Simhash _),
+    "q28_rolling_fingerprint" -> (q28RollingFingerprint _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_dedup_exact"         -> q24Sql,
+    "q25_minhash_sig"         -> q25Sql,
+    "q26_minhash_pairs"       -> q26Sql,
+    "q27_simhash"             -> q27Sql,
+    "q28_rolling_fingerprint" -> q28Sql,
+  )
+}

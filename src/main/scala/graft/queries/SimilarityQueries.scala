@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Engine-portability: cosine is computed with one explicit formula —
+  * dot/(sqrt(na)*sqrt(nb)) — in BOTH the Spark HOF chain and the oracle
+  * SQL, over double-cast elements, accumulated in array order. The ranking
+  * key is the cosine ROUNDED to 6 decimals with a vec_id tie-break, so an
+  * ulp-level disagreement between engines cannot flip ranks; float inputs
+  * make the true gap between distinct cosines >> 1e-6.
+  *
+  * Scale design:
+  *  - Brute-force top-k: the query set is broadcast; the corpus is scanned
+  *    map-side only (one shuffle for the per-query top-k). k rows per
+  *    query survive the partial Window — with TopKPerGroup at 1000
+  *    executors this is a per-partition heap + single merge.
+  *  - IVF: centroids from the `label` column (k-means assignment stand-in);
+  *    probe only the nearest bucket → corpus-scan cost / n_buckets.
+  *  - Near-dup: blocked on `label` so the quadratic term is bounded per
+  *    block; at 100 TB blocks come from LSH/IVF assignment, same shape.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val TopK = 5
+  val NumQueries = 5       // vec_id < 5 are the query vectors
+  /** The synthetic embeddings have max within-cluster cosine ~0.47, so the
+    * "near-dup" cut sits at 0.35 to exercise a non-trivial result set. */
+  val NearDupThreshold = 0.35
+
+  // ---- Spark-side vector primitives (HOFs; codegen'd, no UDF) ----
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  // ---- oracle-side mirrors ----
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def sqlNorm2(a: String): String =
+    s"list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+  private def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlNorm2(a)}) * sqrt(${sqlNorm2(b)})))"
+
+  /** q30: brute-force cosine top-k for a broadcast query set (the exact
+    * baseline every ANN variant is measured against). */
+  def q30KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val sim6 = round(cosine($"qe", $"embedding"), 6)
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), sim6.as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  val q30Sql: String = {
+    val cos = sqlCosine("q.embedding", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, round($cos, 6) AS sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** q31: embedding-cosine near-duplicate pairs, blocked by cluster label
+    * (bounded quadratic per block), over a deterministic 1/4 audit sample
+    * of each side (X1 sampling shape) so the pairwise term stays bounded
+    * as the corpus scales. */
+  def q31EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .where($"vec_id" % 4 === 0)
+      .select($"vec_id", $"label", $"embedding")
+    emb.as("a").join(emb.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.label".as("label"), $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        round(cosine($"a.embedding", $"b.embedding"), 6).as("sim"))
+      .where($"sim" >= NearDupThreshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q31Sql: String = {
+    val cos = sqlCosine("a.embedding", "b.embedding")
+    s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round($cos, 6) AS sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+       |  AND round($cos, 6) >= $NearDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** q32: IVF-style ANN — elementwise-mean centroid per label bucket, probe
+    * the single nearest bucket per query, exact search inside it. Oracle
+    * mirrors the centroid computation via positional unnest. */
+  def q32IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val dim = 64
+    // elementwise mean per label: per-position sums + count in ONE shuffle
+    val sums = (0 until dim).map(i =>
+      sum(element_at($"embedding", i + 1).cast("double")).as(s"s_$i"))
+    val aggCols = sums :+ count(lit(1)).as("s_cnt")
+    val cents = emb.groupBy($"label")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select($"label".as("c_label"), array((0 until dim).map(i =>
+        col(s"s_$i") / col("s_cnt")): _*).as("centroid"))
+    val queries = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    // nearest centroid per query (centroids are tiny: broadcast)
+    val wq = Window.partitionBy($"query_id")
+      .orderBy(round(cosine($"qe", $"centroid"), 6).desc, $"c_label".asc)
+    val probe = queries.join(broadcast(cents), lit(true))
+      .withColumn("crn", row_number().over(wq)).where($"crn" === 1)
+      .select($"query_id", $"qe", $"c_label".as("bucket"))
+    // exact search within the probed bucket only
+    val sim6 = round(cosine($"qe", $"embedding"), 6)
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    Tables.embeddings(s, dir).join(broadcast(probe),
+        $"label" === $"bucket" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"), sim6.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  val q32Sql: String = {
+    val cosQC = sqlCosine("q.qe", "c.centroid")
+    val cosQE = sqlCosine("p.qe", "e.embedding")
+    s"""WITH pos AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT label AS c_label, list(CAST(sv AS DOUBLE) ORDER BY i) AS centroid
+       |  FROM (SELECT label, i, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS sv
+       |        FROM pos GROUP BY label, i)
+       |  GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       |probe AS (
+       |  SELECT query_id, qe, c_label AS bucket FROM (
+       |    SELECT q.query_id, q.qe, c.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY round($cosQC, 6) DESC, c.c_label ASC) AS crn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE crn = 1)
+       |SELECT query_id, bucket, neighbor_id, sim, rn FROM (
+       |  SELECT p.query_id, p.bucket, e.vec_id AS neighbor_id,
+       |    round($cosQE, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY round($cosQE, 6) DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings e JOIN probe p ON e.label = p.bucket AND e.vec_id <> p.query_id)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q30_knn_bruteforce"    -> (q30KnnBruteForce _),
+    "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
+    "q32_ivf_ann"           -> (q32IvfAnn _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_knn_bruteforce"    -> q30Sql,
+    "q31_embedding_neardup" -> q31Sql,
+    "q32_ivf_ann"           -> q32Sql,
+  )
+}
