@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Zlib
+
+/** K4/K5 — the wide-row KV store sink (Bigtable in the reference; a
+  * parquet KV table `key: string, payload: binary` here, the
+  * connector-free parity layout from SURVEY.md §2.2).
+  *
+  * Row key = hex sha256 of the client id (taar_profile_bigtable.py:304-306,
+  * taar_utils.py:110-116); payload = zlib(JSON of the full row)
+  * (taar_profile_bigtable.py:322-327).
+  *
+  * Scale design: the projection (sha2 + to_json + zlib_compress) is one
+  * whole-stage-codegen map over the input — no shuffle; the write
+  * parallelism is the input partitioning. Deletes are a broadcast
+  * anti-join on the (small) opt-out set, rewriting only the KV table —
+  * the reference's Beam delete pipeline collapses to one line.
+  */
+object KvSink {
+
+  /** Build the KV frame: key = sha256(idCol), payload = zlib(json(row)). */
+  def toKv(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+    df.select(
+      sha2(col(idCol).cast("string"), 256).as("key"),
+      Zlib.compressCol(spark,
+        to_json(struct(df.columns.map(col): _*)).cast("binary")).as("payload"))
+
+  def write(spark: SparkSession, df: DataFrame, idCol: String, path: String): Unit =
+    toKv(spark, df, idCol).write.mode("overwrite").parquet(path)
+
+  /** K5 — opt-out delete: drop every key whose source id appears in
+    * `optOutIds` (anti-join; taar_profile_bigtable.py:193-223, :332-339). */
+  def deleteOptOuts(spark: SparkSession, kvPath: String, optOutIds: DataFrame,
+      idCol: String): Unit = {
+    val keys = optOutIds.select(sha2(col(idCol).cast("string"), 256).as("key")).distinct()
+    val kv = spark.read.parquet(kvPath)
+    val kept = kv.join(broadcast(keys), Seq("key"), "left_anti")
+    // rewrite via temp path (can't overwrite a path being read)
+    val tmp = kvPath + ".tmp_delete"
+    kept.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(kvPath),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(kvPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(kvPath))
+  }
+
+  /** Decode a KV payload back to JSON text (consumer side / tests). */
+  def decodePayload(spark: SparkSession, kv: DataFrame): DataFrame =
+    kv.select(col("key"),
+      Zlib.decompressCol(spark, col("payload")).cast("string").as("json"))
+}

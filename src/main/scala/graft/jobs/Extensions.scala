@@ -1,0 +1,45 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.11 — the declared-only PySpark jobs (README.md:94-113), as generic
+  * reusable operators (the testdata-bound instances are
+  * RelationalQueries q08/q09). */
+
+/** taar_locale — top-k addons per locale (README.md:102-105). */
+object LocaleTopK {
+  def transform(installs: DataFrame, localeCol: String, guidCol: String,
+      k: Int = 10): DataFrame = {
+    val counts = installs.groupBy(col(localeCol), col(guidCol))
+      .agg(count(lit(1)).as("n_installs"))
+    val w = Window.partitionBy(col(localeCol))
+      .orderBy(col("n_installs").desc, col(guidCol).asc)
+    counts.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
+
+/** taar_lite — pairwise guid coinstallation counts (README.md:108-113):
+  * distinct (client, guid), self-join on client with guid_a < guid_b,
+  * count per pair.
+  *
+  * Scale: the distinct projection is the only pass over the raw events;
+  * the self-join shuffles on client. Heavy-hitter clients (thousands of
+  * addons) would square — `maxPerClient` caps the contribution per client
+  * (standard pair-mining guard); AQE skew-join handles residual skew. */
+object Coinstall {
+  def transform(clientAddons: DataFrame, clientCol: String, guidCol: String,
+      maxPerClient: Int = 200): DataFrame = {
+    val ca = clientAddons.select(col(clientCol).as("client"), col(guidCol).as("guid"))
+      .distinct()
+    val capped = ca
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("client"))))
+      .where(col("n") <= maxPerClient)
+      .drop("n")
+    capped.as("a").join(capped.as("b"),
+        col("a.client") === col("b.client") && col("a.guid") < col("b.guid"))
+      .groupBy(col("a.guid").as("guid_a"), col("b.guid").as("guid_b"))
+      .agg(count(lit(1)).as("n_clients"))
+  }
+}

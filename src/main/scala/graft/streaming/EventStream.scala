@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** Structured Streaming extension (SURVEY.md §2.10 — the reference is
+  * batch-only; this is the streaming face of the same daily-rollup
+  * computation, for incremental instead of re-run-the-day processing).
+  *
+  * `readStream` over the events layout → watermarked tumbling-window
+  * aggregate. The aggregation expressions are IDENTICAL to the batch
+  * query (RelationalQueries.q10TumblingWindow), so a backfill (batch) and
+  * the live stream produce the same rows — the lambda-architecture
+  * equivalence is tested in StreamingSpec.
+  *
+  * Scale: stateful window agg with a watermark bounds state to
+  * (windows in flight × event types); late data beyond 1 day is dropped
+  * deterministically.
+  */
+object EventStream {
+
+  /** Open a DIRECTORY of event part-files as a stream (files appearing in
+    * the directory become micro-batches — the production drop-dir layout).
+    * Schema must be pinned for readStream; ts arrives as nanos-long (see
+    * Tables.events) and is normalized here. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-day windows, 1-day watermark; same measures as q10. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("n_events"), col("sum_value"))
+
+  /** Run the stream to completion against a bounded input (test path). */
+  def runBounded(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = dailyRollup(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{JsonArtifact, KvSink}
+import graft.jobs._
+
+class JobsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val asOf = LocalDate.parse("2024-06-01")
+
+  test("UpdateWhitelist: validity filter + distinct + sort + guard (F9/A4/O1/F12)") {
+    val editorial = Seq("b@x", "a@x", "b@x", null, "null", "").toDF("guid")
+    val out = UpdateWhitelist.transform(editorial).as[String].collect()
+    assert(out.toSeq == Seq("a@x", "b@x")) // sorted, distinct, invalid dropped
+    val err = intercept[UpdateWhitelist.ShortWhitelistError] {
+      UpdateWhitelist.run(editorial, tmpDir("uw"), asOf)
+    }
+    assert(err.getMessage.contains("2 < 100"))
+    // allowShort bypasses the guard (--allow-shortlist)
+    val res = UpdateWhitelist.run(editorial, tmpDir("uw2"), asOf, allowShort = true)
+    assert(res.count() == 2)
+  }
+
+  test("GuidRanking: date-partition filter + group-by count (A1/F3)") {
+    val addons = Seq(
+      ("2024-06-01", "g1", "c1"), ("2024-06-01", "g1", "c2"),
+      ("2024-06-01", "g2", "c1"), ("2024-06-02", "g1", "c3"))
+      .toDF("submission_date", "addon_id", "client_id")
+    val out = GuidRanking.transform(addons, "addon_id", "client_id",
+        "submission_date", "2024-06-01")
+      .orderBy("guid").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("g1", 2L), ("g2", 1L)))
+  }
+
+  test("AmoDump: left-outer enrichment + F10 inner-filter (J1/J2/F10)") {
+    val addons = Seq(("a@x", 10L), ("b@x", 20L), ("c@x", 30L)).toDF("guid", "weekly_downloads")
+    val versions = Seq(("a@x", "2020-01-01"), ("c@x", "2021-05-05")).toDF("guid", "first_create_date")
+    val out = AmoDump.transform(addons, versions).orderBy("guid").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a@x", "c@x")) // b@x dropped (no version)
+    assert(out.map(r => r.getAs[String]("first_create_date")).toSeq ==
+      Seq("2020-01-01", "2021-05-05"))
+  }
+
+  test("JsonArtifact: dual write, latest == dated snapshot bytes, bz2 roundtrip (K1)") {
+    val df = Seq(("a@x", 1L), ("b@x", 2L)).toDF("guid", "n").orderBy("guid")
+    val dir = tmpDir("artifact")
+    val (latest, dated) = JsonArtifact.writeKeyedObject(df, "guid", dir, "test.json", asOf)
+    assert(latest.endsWith("test.json.bz2") && dated.endsWith("test.json.20240601.bz2"))
+    val lb = JsonArtifact.readBzip2(latest, df)
+    val db = JsonArtifact.readBzip2(dated, df)
+    assert(java.util.Arrays.equals(lb, db))
+    val body = new String(lb, "UTF-8")
+    assert(body == """{"a@x": {"guid":"a@x","n":1}, "b@x": {"guid":"b@x","n":2}}""")
+  }
+
+  test("KvSink: sha256 row keys, zlib payload roundtrip, opt-out delete (K4/K5/P5/P6/J3)") {
+    val profiles = Seq(("client1", "de", 5L), ("client2", "en", 7L))
+      .toDF("client_id", "locale", "total_uri")
+    val kvPath = tmpDir("kv") + "/kv"
+    KvSink.write(spark, profiles, "client_id", kvPath)
+
+    val kv = spark.read.parquet(kvPath)
+    assert(kv.columns.toSeq == Seq("key", "payload"))
+    // key = hex sha256 (taar_utils.py:110-116)
+    val expectedKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("client1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(kv.select("key").as[String].collect().toSet.contains(expectedKey))
+    // payload decodes back to the full-row JSON
+    val decoded = KvSink.decodePayload(spark, kv)
+      .where(col("key") === expectedKey).select("json").as[String].head()
+    assert(decoded == """{"client_id":"client1","locale":"de","total_uri":5}""")
+
+    // K5: delete client1 via opt-out anti-join
+    KvSink.deleteOptOuts(spark, kvPath, Seq("client1").toDF("client_id"), "client_id")
+    val after = spark.read.parquet(kvPath)
+    assert(after.count() == 1)
+    assert(!after.select("key").as[String].collect().contains(expectedKey))
+  }
+
+  test("ProfileEtl extract: P1 rename + P2 try_cast + F1 size>0 + F3 date (Q1 stage 1)") {
+    val clients = Seq(
+      ("2024-06-01", "c1", "Berlin", 2.5, "de", "Linux", Seq("a@x"), Some(3L)),
+      ("2024-06-01", "c2", "Paris", 1.0, "fr", "Mac", Seq.empty[String], None),  // F1: no addons
+      ("2024-06-02", "c3", "Rome", 4.0, "it", "Win", Seq("b@x"), Some(1L)))     // F3: wrong date
+      .toDF("submission_date", "client_id", "city", "subsession_hours_sum",
+        "locale", "os", "active_addons", "places_bookmarks_count_mean")
+      .withColumn("scalar_parent_browser_engagement_tab_open_event_count_sum", lit(null).cast("long"))
+      .withColumn("scalar_parent_browser_engagement_total_uri_count_sum", lit(7L))
+      .withColumn("scalar_parent_browser_engagement_unique_domains_count_mean", lit(2L))
+    val out = ProfileEtl.extract(clients, "2024-06-01", sampleRate = 1.0)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("client_id") == "c1")
+    assert(r.getAs[String]("geo_city") == "Berlin")
+    assert(r.getAs[Long]("subsession_length") == 9000L) // 2.5h * 3600
+    assert(r.getAs[Long]("tab_open_count") == 0L)       // P3 null default
+    assert(r.getAs[Long]("total_uri") == 7L)
+  }
+
+  test("LocaleTopK: rank per locale with deterministic ties") {
+    val installs = Seq(
+      ("de", "g1"), ("de", "g1"), ("de", "g2"), ("de", "g3"), ("de", "g3"),
+      ("fr", "g9")).toDF("locale", "guid")
+    val out = LocaleTopK.transform(installs, "locale", "guid", k = 2)
+      .orderBy("locale", "rank").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSeq ==
+      Seq(("de", "g1", 1), ("de", "g3", 2), ("fr", "g9", 1)))
+  }
+
+  test("Coinstall: pair counts with a.guid < b.guid") {
+    val ca = Seq(("c1", "a"), ("c1", "b"), ("c1", "c"), ("c2", "a"), ("c2", "b"))
+      .toDF("client", "guid")
+    val out = Coinstall.transform(ca, "client", "guid")
+      .orderBy("guid_a", "guid_b").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+}
