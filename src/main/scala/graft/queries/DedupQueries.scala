@@ -40,14 +40,16 @@ object DedupQueries {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Distinct 3-token shingles of `text` (empty when < 3 tokens). */
-  def shingles(c: Column): Column = {
-    val t = toks(c)
-    val n = size(t)
-    val sh = array_distinct(transform(sequence(lit(1), n - 2), i =>
-      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-    when(n >= 3, sh).otherwise(array().cast("array<string>"))
-  }
+  /** Distinct 3-token shingles of `text` (empty when < 3 tokens).
+    * The token array is `bind`-bound so the text is tokenized ONCE per
+    * row, not once per shingle (see graft.functions.Cols). */
+  def shingles(c: Column): Column =
+    graft.functions.Cols.bind(toks(c)) { t =>
+      val n = size(t)
+      val sh = array_distinct(transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      when(n >= 3, sh).otherwise(array().cast("array<string>"))
+    }
 
   /** MinHash j over a shingle array: min md5("j:" + shingle). */
   def minhash(sh: Column, j: Int): Column =
@@ -93,12 +95,28 @@ object DedupQueries {
 
   // ---- q25: minhash signatures ----
 
+  /** MinHash signatures via the exploded distinct-shingle path: hash each
+    * DISTINCT shingle once (NumHashes md5s) instead of every occurrence —
+    * in a repetitive corpus orders of magnitude less hashing than the
+    * per-row HOF form, for one well-distributed shuffle on the shingle
+    * key. explode_outer + left joins keep shingle-less docs (null sig,
+    * matching the oracle's list_min([]) = NULL). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+    val hashCols = (0 until NumHashes).map(j =>
+      md5(concat(lit(s"$j:"), col("sh"))).as(s"h_$j"))
+    val shingleHashes = occ.select(col("sh")).where(col("sh").isNotNull).distinct()
+      .select(col("sh") +: hashCols: _*)
+    val minCols = (0 until NumHashes).map(j => min(col(s"h_$j")).as(s"mh_$j"))
+    occ.join(shingleHashes, Seq("sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+  }
+
   def q25MinhashSig(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val mhCols = (0 until NumHashes).map(j => minhash($"shingles", j).as(s"mh_$j"))
-    Tables.documents(s, dir)
-      .select($"doc_id", shingles($"text").as("shingles"))
-      .select($"doc_id" +: mhCols: _*)
+    minhashSignatures(
+      Tables.documents(s, dir).select($"doc_id", shingles($"text").as("shingles")))
       .orderBy($"doc_id")
   }
 
@@ -117,8 +135,7 @@ object DedupQueries {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", shingles($"text").as("shingles"))
-    val mhCols = (0 until NumHashes).map(j => minhash($"shingles", j).as(s"mh_$j"))
-    val sig = docs.select($"doc_id" +: mhCols: _*)
+    val sig = minhashSignatures(docs)
     val bandCol = array((0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
       struct(lit(b).as("band_id"), md5(concat(parts: _*)).as("bh"))
@@ -167,14 +184,17 @@ object DedupQueries {
 
   def q27Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hs = transform(array_distinct(toks($"text")), t => h32(t))
-    val withHs = Tables.documents(s, dir).select($"doc_id", hs.as("hs"))
-    val fp = (0 until 32).map { i =>
-      val nSet = size(filter($"hs", h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
-      // bit i is 1 iff more set than unset among token hashes
-      when(nSet * 2 > size($"hs"), lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withHs.select($"doc_id", fp.as("simhash32")).orderBy($"doc_id")
+    // bind: token hashes computed once per row, then 32 bit-filters read
+    // the bound array (without bind, each filter re-hashes every token)
+    val fp = graft.functions.Cols.bind(
+        transform(array_distinct(toks($"text")), t => h32(t))) { hs =>
+      (0 until 32).map { i =>
+        val nSet = size(filter(hs, h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+        // bit i is 1 iff more set than unset among token hashes
+        when(nSet * 2 > size(hs), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    Tables.documents(s, dir).select($"doc_id", fp.as("simhash32")).orderBy($"doc_id")
   }
 
   val q27Sql: String = {
@@ -195,10 +215,11 @@ object DedupQueries {
 
   def q28RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val t = toks($"text")
-    val weighted = transform(sequence(lit(1), size(t)), i =>
-      i.cast("long") * h32(element_at(t, i)))
-    val fp = aggregate(weighted, lit(0L), (acc, x) => acc + x) % 2147483647L
+    val fp = graft.functions.Cols.bind(toks($"text")) { t =>
+      val weighted = transform(sequence(lit(1), size(t)), i =>
+        i.cast("long") * h32(element_at(t, i)))
+      aggregate(weighted, lit(0L), (acc, x) => acc + x) % 2147483647L
+    }
     Tables.documents(s, dir)
       .select($"doc_id", fp.as("fingerprint"))
       .orderBy($"doc_id")

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.KvSink
+import graft.operators.Multimodal
+
+/** Non-SQL-expressible operators surfaced through the correctness gate as
+  * rows-only checks (no oracleSql entry → the driver records a weaker
+  * rows>0 check; value-level semantics are pinned by ScalaTests instead). */
+object EtlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q40 — X1/F2: seeded Bernoulli sample (the profile pipeline's
+    * RAND() < rate at the scan, taar_profile_bigtable.py:90). Seeded for
+    * run-to-run determinism; not oracle-matchable because DuckDB's PRNG
+    * differs. */
+  def q40BernoulliSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .sample(withReplacement = false, 0.1, seed = 42L)
+      .select($"event_id", $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** q41 — K4/P5/P6: the KV-store projection (sha256 key + zlib(JSON)
+    * payload) over the customer table; zlib has no DuckDB counterpart. */
+  def q41KvEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kv = KvSink.toKv(s, Tables.customer(s, dir), "c_custkey")
+    kv.select($"key", length($"payload").as("payload_len")).orderBy($"key")
+  }
+
+  /** q42 — multimodal: binary payload + metadata + partition-wise decode
+    * stub (schema/batching real, codec faked — see Multimodal). */
+  def q42MultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFeatures(s, Tables.documents(s, dir))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q40_bernoulli_sample"    -> (q40BernoulliSample _),
+    "q41_kv_encode"           -> (q41KvEncode _),
+    "q42_multimodal_features" -> (q42MultimodalFeatures _),
+  )
+
+  /** Intentionally empty: these are the rows-only checks. */
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.DedupQueries
+
+/** Ad-hoc stage profiler for the dedup pipeline (dev tool). */
+object Profile {
+  def time(name: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"[profile] ${(System.nanoTime() - t0) / 1e9}%8.2f  $name")
+  }
+
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    // edge probe: a doc with <3 tokens must survive the exploded
+    // signature path with a null signature (explode_outer + left join)
+    val tiny = Seq((1L, "only two"), (2L, "a b c d e")).toDF("doc_id", "text")
+      .select($"doc_id", DedupQueries.shingles($"text").as("shingles"))
+    val tinySig = DedupQueries.minhashSignatures(tiny)
+    println(s"[profile] empty-shingle probe rows=${tinySig.count()} " +
+      s"nullsig=${tinySig.where($"mh_0".isNull).count()}")
+
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", DedupQueries.shingles($"text").as("shingles"))
+
+    time("shingle arrays only")(noop(docs))
+    time("shingle arrays x2")(noop(docs.unionAll(docs)))
+    val occ = docs.select($"doc_id", explode($"shingles").as("sh"))
+    time("explode occurrences")(noop(occ))
+    println(s"[profile] occurrences=${occ.count()} distinct=${occ.select("sh").distinct().count()}")
+    val hashCols = (0 until DedupQueries.NumHashes).map(j =>
+      md5(concat(lit(s"$j:"), $"sh")).as(s"h_$j"))
+    val shHash = occ.select($"sh").distinct().select($"sh" +: hashCols: _*)
+    time("distinct shingle hashes")(noop(shHash))
+    val minCols = (0 until DedupQueries.NumHashes).map(j => min(col(s"h_$j")).as(s"mh_$j"))
+    val sig = occ.join(shHash, "sh").groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    time("sig (join+groupBy)")(noop(sig))
+    time("old per-row HOF sig")(noop(graft.queries.DedupQueries.q25MinhashSig(spark, dir)))
+    time("full q26")(noop(DedupQueries.q26MinhashPairs(spark, dir)))
+    spark.stop()
+  }
+}
