@@ -1,0 +1,111 @@
+package graft.cli
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.jobs._
+
+/** One main per job (SURVEY.md §3: every reference job is a click CLI;
+  * options mirrored as --flags). Inputs are paths to JSON/parquet tables
+  * (the fixture-backed stand-ins for the HTTP/BQ sources).
+  *
+  * Usage examples:
+  *   runMain graft.cli.AmoWhitelistCli --input dump.json --prefix out/ --date 2026-08-12
+  *   runMain graft.cli.GuidRankingCli --input addons.parquet --guid-col addon_id \
+  *     --client-col client_id --date-col submission_date --date 2024-01-15 --prefix out/
+  */
+object Cli {
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Read a table by extension: .json (incl. .json.bz2) or parquet. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    if (path.contains(".json")) spark.read.option("multiLine", "true").json(path)
+    else spark.read.parquet(path)
+
+  def date(opts: Map[String, String]): LocalDate =
+    LocalDate.parse(opts.getOrElse("date", LocalDate.now().toString))
+}
+
+object AmoWhitelistCli {
+  def main(args: Array[String]): Unit = {
+    val o = Cli.parseArgs(args)
+    val spark = Cli.session()
+    val r = AmoWhitelist.run(Cli.readTable(spark, o("input")), o("prefix"), Cli.date(o))
+    println(s"whitelist=${r.whitelist.count()} featured=${r.featured.count()} " +
+      s"featured_whitelist=${r.featuredWhitelist.count()}")
+    spark.stop()
+  }
+}
+
+object UpdateWhitelistCli {
+  def main(args: Array[String]): Unit = {
+    val o = Cli.parseArgs(args)
+    val spark = Cli.session()
+    val out = UpdateWhitelist.run(Cli.readTable(spark, o("input")), o("prefix"),
+      Cli.date(o), allowShort = o.get("allow-shortlist").contains("true"),
+      guidCol = o.getOrElse("guid-col", "guid"))
+    println(s"guids=${out.count()}")
+    spark.stop()
+  }
+}
+
+object GuidRankingCli {
+  def main(args: Array[String]): Unit = {
+    val o = Cli.parseArgs(args)
+    val spark = Cli.session()
+    val out = GuidRanking.run(Cli.readTable(spark, o("input")),
+      o.getOrElse("guid-col", "addon_id"), o.getOrElse("client-col", "client_id"),
+      o.getOrElse("date-col", "submission_date"), o("date"), o("prefix"), Cli.date(o))
+    println(s"guids=${out.count()}")
+    spark.stop()
+  }
+}
+
+object AmoDumpCli {
+  def main(args: Array[String]): Unit = {
+    val o = Cli.parseArgs(args)
+    val spark = Cli.session()
+    val out = AmoDump.run(Cli.readTable(spark, o("addons")),
+      Cli.readTable(spark, o("versions")), o("prefix"), Cli.date(o))
+    println(s"addons=${out.count()}")
+    spark.stop()
+  }
+}
+
+/** Five-stage profile pipeline; --stage selects like the reference's
+  * switch (fill-bq/bq-to-gcs/gcs-to-bigtable collapse into extract+load). */
+object ProfileEtlCli {
+  def main(args: Array[String]): Unit = {
+    val o = Cli.parseArgs(args)
+    val spark = Cli.session()
+    o.getOrElse("stage", "all") match {
+      case "extract" | "all" =>
+        val profiles = ProfileEtl.extract(Cli.readTable(spark, o("clients")),
+          o("date"), o.getOrElse("sample-rate", "0.0001").toDouble)
+        ProfileEtl.loadKv(spark, profiles, o("kv-path"))
+        println(s"kv_rows=${spark.read.parquet(o("kv-path")).count()}")
+      case "delete-opt-out" =>
+        ProfileEtl.deleteOptOuts(spark, o("kv-path"),
+          Cli.readTable(spark, o("deletions")), o("date"),
+          o.getOrElse("delete-opt-out-days", "28").toInt)
+        println(s"kv_rows=${spark.read.parquet(o("kv-path")).count()}")
+      case s => sys.error(s"unknown --stage $s")
+    }
+    spark.stop()
+  }
+}

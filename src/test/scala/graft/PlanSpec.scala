@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries._
+
+/** Plan-level assertions: the properties that matter at 100 TB —
+  * predicate/column pushdown to the parquet scan, broadcast joins where a
+  * side is small, absence of shuffles in map-only operators. These pin
+  * the PLAN, not just the result, so a regression that silently
+  * introduces a shuffle or breaks pushdown fails CI. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q04: all filter predicates push down to the parquet scan") {
+    val scans = RelationalQueries.q04FilteredRevenue(spark, sf0001)
+      .queryExecution.sparkPlan.collect { // pre-AQE: scans are visible
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    // shipdate range + discount + quantity all pushed (untruncated)
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_discount,0.07)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+  }
+
+  test("q01: scan reads only referenced columns (column pruning)") {
+    val p = plan(RelationalQueries.q01PricingSummary(spark, sf0001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema) // unused col pruned
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q05: whitelist side is broadcast (no fact-table shuffle join)") {
+    val p = plan(RelationalQueries.q05SemiJoin(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q30: query side is broadcast (corpus never shuffles for scoring)") {
+    val p = plan(SimilarityQueries.q30KnnBruteForce(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("map-only operators have no Exchange before the final sort") {
+    // text analysis + fingerprints are pure projections; the only
+    // exchange allowed is the one introduced by the final orderBy.
+    for (q <- Seq(TextQueries.q20TextStats _, TextQueries.q21TextQuality _,
+                  TextQueries.q22LangId _, DedupQueries.q27Simhash _,
+                  DedupQueries.q28RollingFingerprint _)) {
+      val df = q(spark, sf0001)
+      val noSort = df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+      }
+      assert(noSort.nonEmpty) // orderBy present (determinism)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // exactly the range-partitioning exchange of the final sort
+      assert(exchanges.size <= 1,
+        s"unexpected shuffles: ${exchanges.mkString("\n")}")
+    }
+  }
+
+  test("q02: date-partition filter reaches the scan") {
+    val p = plan(RelationalQueries.q02EventCounts(spark, sf0001))
+    assert(p.contains("PushedFilters") || p.contains("Filter"), p)
+  }
+}
