@@ -78,6 +78,21 @@ object E2eDemo {
     try { UpdateWhitelist.run(Seq("a@x").toDF("guid"), s"$out/uw", asOf); println("[demo] BAD no guard") }
     catch { case e: UpdateWhitelist.ShortWhitelistError => println(s"[demo] OK shortlist_guard: ${e.getMessage}") }
 
+    // Paginated-source ingestion (S1): pages → raw rows → typed marshal
+    val pagesDir = s"$out/pages"
+    new java.io.File(pagesDir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$pagesDir/page-0.jsonl"),
+      "{\"guid\":\"p0@x\",\"weekly_downloads\":10}\n{\"guid\":\"p1@x\",\"weekly_downloads\":20}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$pagesDir/page-1.jsonl"),
+      "{\"guid\":\"p2@x\",\"weekly_downloads\":30,\"junk\":1}")
+    val paged = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", pagesDir).load()
+    val typed = paged.select(from_json($"value",
+        org.apache.spark.sql.types.StructType.fromDDL("guid STRING, weekly_downloads BIGINT")).as("r"))
+      .select($"r.*")
+    println(s"[demo] OK paged_source partitions=${paged.rdd.getNumPartitions} " +
+      s"rows=${typed.count()} guids=${typed.orderBy("guid").select("guid").as[String].collect().mkString(",")}")
+
     // Streaming rollup over a staged drop-dir
     val streamDir = s"$out/events_stream"
     new java.io.File(streamDir).mkdirs()
