@@ -42,4 +42,28 @@ object Coinstall {
       .groupBy(col("a.guid").as("guid_a"), col("b.guid").as("guid_b"))
       .agg(count(lit(1)).as("n_clients"))
   }
+
+  /** Salted variant for skewed PAIR distributions: when a handful of
+    * guid pairs dominate (power-law popularity), the final pair-count
+    * groupBy concentrates on few reducers. Salting splits each pair's
+    * count across `salts` sub-keys (random-ish salt from the client id —
+    * deterministic, no rand()), aggregates, then merges the sub-counts:
+    * two short shuffles instead of one hot one. Results are identical to
+    * the unsalted transform (proven in ExtensionsSpec). */
+  def transformSalted(clientAddons: DataFrame, clientCol: String, guidCol: String,
+      maxPerClient: Int = 200, salts: Int = 8): DataFrame = {
+    val ca = clientAddons.select(col(clientCol).as("client"), col(guidCol).as("guid"))
+      .distinct()
+    val capped = ca
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("client"))))
+      .where(col("n") <= maxPerClient)
+      .drop("n")
+    val salted = capped.withColumn("salt", pmod(hash(col("client")), lit(salts)))
+    salted.as("a").join(salted.as("b"),
+        col("a.client") === col("b.client") && col("a.guid") < col("b.guid"))
+      .groupBy(col("a.guid").as("guid_a"), col("b.guid").as("guid_b"), col("a.salt").as("salt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("guid_a"), col("guid_b"))
+      .agg(sum(col("c")).as("n_clients"))
+  }
 }

@@ -365,7 +365,57 @@ object RelationalQueries {
       |GROUP BY l_orderkey
       |ORDER BY l_orderkey""".stripMargin
 
+  /** q17: sessionization — split each user's event stream at >30-minute
+    * gaps via lag + conditional running sum (the classic batch
+    * sessionize; the streaming face lives in graft.streaming). Exercises
+    * ordered analytic windows (lag, running sum) beyond rank. */
+  def q17Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val newSession = when(
+      $"ts".cast("long") - lag($"ts", 1).over(byUser).cast("long") > 1800, 1
+    ).otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum($"new_s")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"),
+           count(lit(1)).as("n_events"),
+           dsum($"value").as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val q17Sql: String =
+    s"""SELECT user_id, session_id, MIN(ts) AS session_start,
+       | COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+       |FROM (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM (
+       |    SELECT user_id, event_id, ts, value,
+       |      CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+       |           THEN 1 ELSE 0 END AS new_s
+       |    FROM events))
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** q18: HLL approximate distinct (the "novel sketch" slot) next to the
+    * exact count — rows-only vs the oracle (sketch impls differ across
+    * engines); the relative-error contract is pinned in a ScalaTest. */
+  def q18ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+           countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q17_sessionize"        -> (q17Sessionize _),
+    "q18_approx_distinct"   -> (q18ApproxDistinct _),
     "q01_pricing_summary"   -> (q01PricingSummary _),
     "q02_event_counts"      -> (q02EventCounts _),
     "q03_distinct_users"    -> (q03DistinctUsers _),
@@ -385,6 +435,7 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q17_sessionize"        -> q17Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_event_counts"      -> q02Sql,
     "q03_distinct_users"    -> q03Sql,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Coinstall
+import graft.queries.RelationalQueries
+import graft.streaming.StatefulCounts
+
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted coinstall == unsalted coinstall (values identical, shuffle split)") {
+    val ca = Tables.events(spark, sf0001)
+      .select($"user_id".as("client"), $"event_type".as("guid"))
+    val plain = Coinstall.transform(ca, "client", "guid")
+      .orderBy("guid_a", "guid_b").collect()
+    val salted = Coinstall.transformSalted(ca, "client", "guid", salts = 4)
+      .orderBy("guid_a", "guid_b").collect()
+    assert(plain.sameElements(salted))
+    assert(plain.nonEmpty)
+  }
+
+  test("HLL approx distinct within declared 1% rsd of exact (3 sigma)") {
+    val rows = RelationalQueries.q18ApproxDistinct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.03,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("stateful streaming running counts == batch per-user totals") {
+    val dir = tmpDir("events_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = StatefulCounts.runBounded(spark, dir, "state_counts")
+      .orderBy("user_id").collect()
+    val batch = Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .orderBy("user_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getLong(1) == b.getLong(1))
+      assert(math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-6)
+    }
+  }
+}
