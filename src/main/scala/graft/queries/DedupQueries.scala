@@ -59,6 +59,12 @@ object DedupQueries {
   def h32(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")
 
+  /** First 15 md5 hex chars as a 60-bit value in a long — the numeric
+    * minhash domain (8-byte signatures instead of 32-char strings:
+    * smaller shuffle rows, long min-agg instead of string compare). */
+  def h60(c: Column): Column =
+    conv(substring(c, 1, 15), 16, 10).cast("long")
+
   // ---- shared building blocks (oracle SQL side) ----
 
   private val ShinglesSql =
@@ -73,6 +79,28 @@ object DedupQueries {
       val w = math.pow(16, 8 - k).toLong
       s"(CAST(strpos('0123456789abcdef', substr(md5($expr), $k, 1)) AS BIGINT) - 1) * ${w}"
     }.mkString("(", " + ", ")")
+
+  /** Same for the first 15 chars of an ALREADY-hex string column (60 bits). */
+  private def sqlH60(hexCol: String): String =
+    (1 to 15).map { k =>
+      val w = math.pow(16, 15 - k).toLong
+      s"(CAST(strpos('0123456789abcdef', substr($hexCol, $k, 1)) AS BIGINT) - 1) * ${w}"
+    }.mkString("(", " + ", ")")
+
+  /** Shared oracle CTEs: shingles → occurrences → distinct-shingle numeric
+    * hashes → per-doc min signature (mirrors minhashSignatures). */
+  private def sqlSigCtes: String = {
+    val hashes = (0 until NumHashes).map(j =>
+      s"${sqlH60(s"md5('$j:' || s)")} AS h_$j").mkString(", ")
+    val mins = (0 until NumHashes).map(j => s"MIN(h_$j) AS mh_$j").mkString(", ")
+    s"""sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM documents),
+       |occ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hashes AS (SELECT s, $hashes FROM (SELECT DISTINCT s FROM occ)),
+       |sig AS (
+       |  SELECT occ.doc_id, $mins
+       |  FROM occ JOIN hashes USING (s)
+       |  GROUP BY occ.doc_id)""".stripMargin
+  }
 
   // ---- q24: exact dedup ----
 
@@ -104,7 +132,7 @@ object DedupQueries {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
     val hashCols = (0 until NumHashes).map(j =>
-      md5(concat(lit(s"$j:"), col("sh"))).as(s"h_$j"))
+      h60(md5(concat(lit(s"$j:"), col("sh")))).as(s"h_$j"))
     val shingleHashes = occ.select(col("sh")).where(col("sh").isNotNull).distinct()
       .select(col("sh") +: hashCols: _*)
     val minCols = (0 until NumHashes).map(j => min(col(s"h_$j")).as(s"mh_$j"))
@@ -121,12 +149,12 @@ object DedupQueries {
   }
 
   val q25Sql: String = {
-    val mh = (0 until NumHashes).map(j =>
-      s"list_min(list_transform(shingles, s -> md5('$j:' || s))) AS mh_$j").mkString(",\n ")
-    s"""SELECT doc_id,
-       | $mh
-       |FROM (SELECT doc_id, $ShinglesSql AS shingles FROM documents)
-       |ORDER BY doc_id""".stripMargin
+    val mh = (0 until NumHashes).map(j => s"sig.mh_$j").mkString(", ")
+    s"""WITH $sqlSigCtes
+       |SELECT d.doc_id, $mh
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN sig ON sig.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // ---- q26: LSH candidate pairs + exact Jaccard verification ----
@@ -138,7 +166,8 @@ object DedupQueries {
     val sig = minhashSignatures(docs)
     val bandCol = array((0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
-      struct(lit(b).as("band_id"), md5(concat(parts: _*)).as("bh"))
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(":", parts.map(_.cast("string")): _*)).as("bh"))
     }: _*)
     val bl = sig.select($"doc_id", explode(bandCol).as("band"))
       .select($"doc_id", $"band.band_id", $"band.bh")
@@ -158,14 +187,12 @@ object DedupQueries {
   }
 
   val q26Sql: String = {
-    val mh = (0 until NumHashes).map(j =>
-      s"list_min(list_transform(shingles, s -> md5('$j:' || s))) AS mh_$j").mkString(", ")
     val bandSel = (0 until NumBands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || ")
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band_id, md5($parts) AS bh FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM documents),
-       |sig AS (SELECT doc_id, $mh FROM sh),
+    s"""WITH $sqlSigCtes,
        |bl AS ($bandSel),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -101,6 +101,11 @@ object E2eDemo {
     val rollup = EventStream.runBounded(spark, streamDir, "demo_rollup")
     println(s"[demo] OK streaming_rollup windows=${rollup.count()}")
 
+    // Stateful per-user running totals (mapGroupsWithState)
+    val stateCounts = graft.streaming.StatefulCounts.runBounded(spark, streamDir, "demo_state")
+    val batchUsers = graft.Tables.events(spark, sf).select($"user_id").distinct().count()
+    println(s"[demo] OK stateful_counts users=${stateCounts.count()} (batch distinct=$batchUsers)")
+
     println(s"[demo] DONE out=$out")
     spark.stop()
   }

@@ -21,13 +21,16 @@ class ExtensionsSpec extends SparkSuite {
   }
 
   test("HLL approx distinct within declared 1% rsd of exact (3 sigma)") {
-    val rows = RelationalQueries.q18ApproxDistinct(spark, sf0001).collect()
+    val approx = RelationalQueries.q18ApproxDistinct(spark, sf0001)
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    val rows = approx.join(exact, "l_returnflag").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.03,
-        s"approx $approx vs exact $exact")
+      val a = r.getAs[Long]("approx_parts").toDouble
+      val e = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(a - e) / e <= 0.03, s"approx $a vs exact $e")
     }
   }
 
