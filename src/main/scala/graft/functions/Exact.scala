@@ -32,11 +32,19 @@ object Exact {
   /** Exact mean of a double column (exact sum / count), as double. */
   def davg(c: Column): Column = sum(c.cast(Dec)).cast("double") / count(c)
 
-  /** SQL fragment mirrors, for building DuckDB oracle text. */
+  /** SQL fragment mirrors, for building DuckDB oracle text.
+    *
+    * The decimal→double cast goes THROUGH a VARCHAR: DuckDB's direct
+    * decimal→double conversion can be 1 ulp off the correctly-rounded
+    * value (observed at sf0.1: 4883105738.0862 vs ...086201), while its
+    * string→double parse is correctly rounded — matching Spark's
+    * BigDecimal.doubleValue. */
+  private def decToDouble(sum: String): String =
+    s"CAST(CAST($sum AS VARCHAR) AS DOUBLE)"
   def sqlDsum(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+    decToDouble(s"SUM(CAST($x AS DECIMAL(18,4)))")
   def sqlDsumProd(a: String, b: String): String =
-    s"CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS DOUBLE)"
+    decToDouble(s"SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4)))")
   def sqlDavg(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x)"
+    decToDouble(s"SUM(CAST($x AS DECIMAL(18,4)))") + s" / COUNT($x)"
 }

@@ -414,9 +414,35 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** q19: set operations — INTERSECT / UNION (distinct) / EXCEPT over
+    * event-type user cohorts (§2.8: the reference only dedups; full set
+    * algebra is table-stakes engine surface). */
+  def q19SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def cohort(t: String) = ev.where($"event_type" === t).select($"user_id")
+    cohort("purchase").intersect(cohort("error"))
+      .union(cohort("signup")).distinct()
+      .except(cohort("click"))
+      .orderBy($"user_id")
+  }
+
+  val q19Sql: String =
+    """SELECT user_id FROM (
+      |  SELECT user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'purchase'
+      |    INTERSECT
+      |    SELECT user_id FROM events WHERE event_type = 'error')
+      |  UNION
+      |  SELECT user_id FROM events WHERE event_type = 'signup')
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'click'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_sessionize"        -> (q17Sessionize _),
     "q18_approx_distinct"   -> (q18ApproxDistinct _),
+    "q19_set_ops"           -> (q19SetOps _),
     "q01_pricing_summary"   -> (q01PricingSummary _),
     "q02_event_counts"      -> (q02EventCounts _),
     "q03_distinct_users"    -> (q03DistinctUsers _),
@@ -437,6 +463,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q17_sessionize"        -> q17Sql,
+    "q19_set_ops"           -> q19Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_event_counts"      -> q02Sql,
     "q03_distinct_users"    -> q03Sql,

@@ -65,6 +65,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q08: window top-k uses WindowGroupLimit (per-partition heap before shuffle)") {
+    // Catalyst rewrites rank-filter windows into partial+final group
+    // limits: each partition keeps only k rows per key before the
+    // exchange — the property that makes top-k-per-group viable at 100 TB.
+    val p = plan(RelationalQueries.q08TopKPerGroup(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q02: date-partition filter reaches the scan") {
     val p = plan(RelationalQueries.q02EventCounts(spark, sf0001))
     assert(p.contains("PushedFilters") || p.contains("Filter"), p)
