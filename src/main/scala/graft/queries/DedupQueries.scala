@@ -11,11 +11,11 @@ import graft.Tables
   * rolling fingerprint.
   *
   * Portability contract with the DuckDB oracle: all hashing is md5-based.
-  * MinHash uses the LEXICOGRAPHIC MIN over md5 hex strings (a valid
-  * min-hash family — md5 is uniform over hex strings), which both engines
-  * compute identically without any integer-parsing tricks. SimHash and the
-  * rolling fingerprint parse the first 8 md5 hex chars to a 32-bit int
-  * (Spark: conv(); oracle: an explicit hex polynomial).
+  * MinHash uses the MIN over 60-bit integers parsed from the first 15 md5
+  * hex chars (a valid min-hash family — md5 is uniform), computed
+  * identically on both engines (Spark: conv(); oracle: an explicit hex
+  * polynomial). SimHash and the rolling fingerprint use the same trick at
+  * 32 bits.
   *
   * Scale design:
   *  - Signatures/fingerprints are PER-ROW HOF chains — map-only, no

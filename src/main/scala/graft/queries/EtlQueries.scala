@@ -40,10 +40,24 @@ object EtlQueries {
     Multimodal.mediaFeatures(s, Tables.documents(s, dir))
       .orderBy(col("media_id"))
 
+  /** q43 — Space-Saving heavy-hitter tokens (typed Aggregator sketch):
+    * constant memory per group, partial-agg friendly; estimates carry
+    * their error bound. Rows-only (sketch internals are engine-specific);
+    * the exactness/overestimate contracts are pinned in SketchSpec. */
+  def q43HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w")).as[String]
+    words.select(new graft.functions.SpaceSaving(16).toColumn).toDF("hh")
+      .select(explode($"hh").as("e"))
+      .select($"e._1".as("token"), $"e._2".as("est_count"), $"e._3".as("max_error"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_bernoulli_sample"    -> (q40BernoulliSample _),
     "q41_kv_encode"           -> (q41KvEncode _),
     "q42_multimodal_features" -> (q42MultimodalFeatures _),
+    "q43_heavy_hitters"       -> (q43HeavyHitters _),
   )
 
   /** Intentionally empty: these are the rows-only checks. */

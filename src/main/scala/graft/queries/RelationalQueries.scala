@@ -421,9 +421,13 @@ object RelationalQueries {
     import s.implicits._
     val ev = Tables.events(s, dir)
     def cohort(t: String) = ev.where($"event_type" === t).select($"user_id")
+    // except-cohort is value-conditioned (rare) so the result is
+    // non-trivial at every scale factor
+    val bigSpenders = ev.where($"event_type" === "purchase" && $"value" > 195)
+      .select($"user_id")
     cohort("purchase").intersect(cohort("error"))
       .union(cohort("signup")).distinct()
-      .except(cohort("click"))
+      .except(bigSpenders)
       .orderBy($"user_id")
   }
 
@@ -436,7 +440,7 @@ object RelationalQueries {
       |  UNION
       |  SELECT user_id FROM events WHERE event_type = 'signup')
       |EXCEPT
-      |SELECT user_id FROM events WHERE event_type = 'click'
+      |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 195
       |ORDER BY user_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
