@@ -1,0 +1,33 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support: pre-shuffle fact tables ONCE at write time so
+  * every subsequent equi-join/aggregation on the bucket key runs with no
+  * exchange (SURVEY.md §2 "Partitioning & shuffle": co-located joins via
+  * bucketing).
+  *
+  * At 100 TB this is the difference between shuffling the fact table per
+  * query and shuffling it once per ingest: a nightly-loaded lineitem
+  * bucketed by orderkey joins orders bucket-to-bucket on every downstream
+  * query. Bucket counts should be sized so a bucket fits an executor
+  * core's working set (~128-512 MB of rows).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (and sorted) managed table. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — planner emits a
+    * SortMergeJoin with NO shuffle on either side. */
+  def cotableJoin(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+}

@@ -56,12 +56,8 @@ class PlanSpec extends SparkSuite {
         case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
       }
       assert(noSort.nonEmpty) // orderBy present (determinism)
-      val exchanges = df.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
       // exactly the range-partitioning exchange of the final sort
-      assert(exchanges.size <= 1,
-        s"unexpected shuffles: ${exchanges.mkString("\n")}")
+      assert(countShuffles(q(spark, sf0001)) <= 1)
     }
   }
 

@@ -18,4 +18,26 @@ trait SparkSuite extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Count shuffle exchanges with AQE disabled (AQE wraps the executed
+    * plan in AdaptiveSparkPlanExec, hiding children from collect;
+    * sparkPlan is pre-EnsureRequirements and has no exchanges at all). */
+  def countShuffles(mkDf: => org.apache.spark.sql.DataFrame): Int = {
+    var n = -1
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      n = mkDf.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    }
+    n
+  }
 }
