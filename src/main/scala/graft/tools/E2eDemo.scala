@@ -106,6 +106,14 @@ object E2eDemo {
     val batchUsers = graft.Tables.events(spark, sf).select($"user_id").distinct().count()
     println(s"[demo] OK stateful_counts users=${stateCounts.count()} (batch distinct=$batchUsers)")
 
+    // taar_similarity artifacts: donors + likelihood-ratio curves
+    val sim = graft.jobs.SimilarityJob.run(
+      graft.Tables.embeddings(spark, sf), s"$out/similarity", asOf)
+    println(s"[demo] OK similarity donors=${sim.donors.count()} " +
+      "lr=" + new String(JsonArtifact.readBzip2(
+        s"$out/similarity/lr_curves.json.bz2", sim.lrCurves), "UTF-8").linesIterator
+        .take(2).mkString(" / "))
+
     println(s"[demo] DONE out=$out")
     spark.stop()
   }

@@ -51,7 +51,21 @@ object Profile {
     val minCols = (0 until DedupQueries.NumHashes).map(j => min(col(s"h_$j")).as(s"mh_$j"))
     val sig = occ.join(shHash, "sh").groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
     time("sig (join+groupBy)")(noop(sig))
-    time("old per-row HOF sig")(noop(graft.queries.DedupQueries.q25MinhashSig(spark, dir)))
+    time("exploded sig (current q25)")(noop(graft.queries.DedupQueries.q25MinhashSig(spark, dir)))
+    // candidate: map-only per-row sig — all 16 minhashes inside ONE bind
+    // lambda, emitted as a single array column (HOFs are CodegenFallback:
+    // no CSE, so the array must be materialized in its own projection)
+    val mhArr = graft.functions.Cols.bind(DedupQueries.shingles($"text")) { sh =>
+      array((0 until DedupQueries.NumHashes).map { j =>
+        array_min(transform(sh, s =>
+          DedupQueries.h60(md5(concat(lit(s"$j:"), s)))))
+      }: _*)
+    }
+    val perRow = Tables.documents(spark, dir)
+      .select($"doc_id", mhArr.as("mhs"))
+    val extracted = perRow.select(($"doc_id" +:
+      (0 until DedupQueries.NumHashes).map(j => element_at($"mhs", j + 1).as(s"mh_$j"))): _*)
+    time("per-row bind-array sig")(noop(extracted))
     time("full q26")(noop(DedupQueries.q26MinhashPairs(spark, dir)))
     spark.stop()
   }
