@@ -443,7 +443,58 @@ object RelationalQueries {
       |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 195
       |ORDER BY user_id""".stripMargin
 
+  /** q44: as-of join — each purchase picks up the user's latest signup
+    * value at or before the purchase time (graft.operators.AsOfJoin:
+    * union+window, ONE shuffle; oracle = DuckDB's native ASOF LEFT JOIN). */
+  def q44AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val signups = ev.where($"event_type" === "signup")
+      .select($"user_id", $"ts".as("s_ts"), $"value".as("signup_value"))
+    graft.operators.AsOfJoin
+      .asOf(purchases, signups, "user_id", "ts", "s_ts", Seq("signup_value"))
+      .orderBy($"event_id")
+  }
+
+  val q44Sql: String =
+    """SELECT p.user_id, p.ts, p.event_id, s.signup_value
+      |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |  (SELECT user_id, ts, value AS signup_value FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** q45: range (band) join — events bucketed into value bands via an
+    * inequality join against a broadcast band table (small side broadcast
+    * → BroadcastNestedLoopJoin; no shuffle of the fact side). */
+  def q45RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("band_00_050", 0.0, 50.0), ("band_05_100", 50.0, 100.0),
+      ("band_10_150", 100.0, 150.0), ("band_15_200", 150.0, 200.0),
+      ("band_20_inf", 200.0, 1e18)).toDF("band", "lo", "hi")
+    Tables.events(s, dir)
+      .join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"band")
+  }
+
+  val q45Sql: String =
+    s"""SELECT b.band, COUNT(*) AS n_events, ${sqlDsum("e.value")} AS sum_value
+       |FROM events e JOIN (VALUES
+       |  ('band_00_050', 0.0, 50.0), ('band_05_100', 50.0, 100.0),
+       |  ('band_10_150', 100.0, 150.0), ('band_15_200', 150.0, 200.0),
+       |  ('band_20_inf', 200.0, 1e18)) b(band, lo, hi)
+       |  ON e.value >= b.lo AND e.value < b.hi
+       |GROUP BY b.band
+       |ORDER BY b.band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q44_asof_join"         -> (q44AsOfJoin _),
+    "q45_range_join"        -> (q45RangeJoin _),
     "q17_sessionize"        -> (q17Sessionize _),
     "q18_approx_distinct"   -> (q18ApproxDistinct _),
     "q19_set_ops"           -> (q19SetOps _),
@@ -468,6 +519,8 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q17_sessionize"        -> q17Sql,
     "q19_set_ops"           -> q19Sql,
+    "q44_asof_join"         -> q44Sql,
+    "q45_range_join"        -> q45Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_event_counts"      -> q02Sql,
     "q03_distinct_users"    -> q03Sql,
