@@ -492,7 +492,90 @@ object RelationalQueries {
        |GROUP BY b.band
        |ORDER BY b.band""".stripMargin
 
+  /** q46: pivot — daily event counts reshaped to one column per event
+    * type. The oracle uses portable FILTER aggregation (identical
+    * semantics to Spark's pivot with a pinned column list — pinning
+    * avoids the extra distinct-values job at scale). */
+  def q46Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy($"day")
+  }
+
+  val q46Sql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      | COUNT(*) FILTER (event_type = 'click') AS click,
+      | COUNT(*) FILTER (event_type = 'error') AS error,
+      | COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      | COUNT(*) FILTER (event_type = 'signup') AS signup,
+      | COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day""".stripMargin
+
+  /** q47: exact interpolated percentiles (median / p90) — Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the linear-
+    * interpolation definition, so exact values hash-match. */
+  def q47Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+           expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q47Sql: String =
+    """SELECT o_orderpriority,
+      | quantile_cont(o_totalprice, 0.5) AS median_price,
+      | quantile_cont(o_totalprice, 0.9) AS p90_price,
+      | COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q48: portable statistics from exact decimal moments — stddev/variance
+    * accumulated natively differ across engines in the last ulps, so both
+    * sides derive them from EXACT sums (n, Σx, Σx²) with the identical
+    * final double formula: var = (Σx² - (Σx)²/n) / n. */
+  def q48MomentStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sx = dsum($"l_quantity")
+    val sx2 = dsumProd($"l_quantity", $"l_quantity")
+    val n = count(lit(1)).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(((sx2 - sx * sx / n) / n).as("var_pop"),
+           sqrt((sx2 - sx * sx / n) / n).as("stddev_pop"),
+           (sx / n).as("mean_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q48Sql: String = {
+    val sx = sqlDsum("l_quantity")
+    val sx2 = sqlDsumProd("l_quantity", "l_quantity")
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    s"""SELECT l_returnflag,
+       | (($sx2 - $sx * $sx / $n) / $n) AS var_pop,
+       | sqrt(($sx2 - $sx * $sx / $n) / $n) AS stddev_pop,
+       | ($sx / $n) AS mean_qty,
+       | COUNT(*) AS n_rows
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_pivot"             -> (q46Pivot _),
+    "q47_percentiles"       -> (q47Percentiles _),
+    "q48_moment_stats"      -> (q48MomentStats _),
     "q44_asof_join"         -> (q44AsOfJoin _),
     "q45_range_join"        -> (q45RangeJoin _),
     "q17_sessionize"        -> (q17Sessionize _),
@@ -521,6 +604,9 @@ object RelationalQueries {
     "q19_set_ops"           -> q19Sql,
     "q44_asof_join"         -> q44Sql,
     "q45_range_join"        -> q45Sql,
+    "q46_pivot"             -> q46Sql,
+    "q47_percentiles"       -> q47Sql,
+    "q48_moment_stats"      -> q48Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_event_counts"      -> q02Sql,
     "q03_distinct_users"    -> q03Sql,

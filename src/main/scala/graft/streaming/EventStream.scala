@@ -43,6 +43,13 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("bucket"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: watermarked dropDuplicates on the id — the
+    * incremental face of q24's batch hash-dedup (a new file landing with
+    * re-delivered events emits only first-seen ids; state for ids older
+    * than the watermark is reclaimed). */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", "2 days").dropDuplicates(idCol, "ts")
+
   /** Run the stream to completion against a bounded input (test path). */
   def runBounded(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val q = dailyRollup(readEvents(spark, dir))
