@@ -260,7 +260,40 @@ object DedupQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q49: near-dup clusters (pairs → connected components) ----
+
+  /** Transitive closure of the LSH near-dup pairs: every involved doc is
+    * labeled with the min doc_id of its component (the keeper). The
+    * production dedup pipeline drops every doc where doc_id != cluster_id. */
+  def q49DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q26MinhashPairs(s, dir).select($"doc_a", $"doc_b")
+    graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("comp", "cluster_id")
+      .orderBy($"doc_id")
+  }
+
+  val q49Sql: String = {
+    // recursive closure over the same pair set: comp = min reachable id
+    val pairsSql = q26Sql.linesIterator.toSeq.dropRight(1) // strip ORDER BY
+      .mkString("\n")
+    s"""WITH RECURSIVE pr AS (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |walk(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u)
+       |SELECT u AS doc_id, MIN(r) AS cluster_id
+       |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_dedup_clusters"      -> (q49DedupClusters _),
     "q24_dedup_exact"         -> (q24DedupExact _),
     "q25_minhash_sig"         -> (q25MinhashSig _),
     "q26_minhash_pairs"       -> (q26MinhashPairs _),
@@ -269,6 +302,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q49_dedup_clusters"      -> q49Sql,
     "q24_dedup_exact"         -> q24Sql,
     "q25_minhash_sig"         -> q25Sql,
     "q26_minhash_pairs"       -> q26Sql,
