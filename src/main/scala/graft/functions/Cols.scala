@@ -22,8 +22,4 @@ object Cols {
   /** let x = value in body(x) — value evaluated once per row. */
   def bind(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), x => body(x)), 1)
-
-  /** Two-value form. */
-  def bind2(a: Column, b: Column)(body: (Column, Column) => Column): Column =
-    element_at(zip_with(array(a), array(b), (x, y) => body(x, y)), 1)
 }

@@ -51,10 +51,6 @@ object DedupQueries {
       when(n >= 3, sh).otherwise(array().cast("array<string>"))
     }
 
-  /** MinHash j over a shingle array: min md5("j:" + shingle). */
-  def minhash(sh: Column, j: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))
-
   /** First 8 md5 hex chars of a token as a 32-bit unsigned value in a long. */
   def h32(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")

@@ -67,6 +67,16 @@ object Profile {
       (0 until DedupQueries.NumHashes).map(j => element_at($"mhs", j + 1).as(s"mh_$j"))): _*)
     time("per-row bind-array sig")(noop(extracted))
     time("full q26")(noop(DedupQueries.q26MinhashPairs(spark, dir)))
+
+    // scaling experiment: 10x-unioned corpus (distinct doc_ids) through
+    // the signature pipeline — measures how the dedup path scales with
+    // corpus size at fixed distinct-shingle vocabulary
+    val base = Tables.documents(spark, dir)
+    val x10 = (0 until 10).map(i =>
+      base.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+      .select($"doc_id", DedupQueries.shingles($"text").as("shingles"))
+    time("sig pipeline on 10x corpus")(noop(DedupQueries.minhashSignatures(x10)))
     spark.stop()
   }
 }
