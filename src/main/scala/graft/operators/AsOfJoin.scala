@@ -32,6 +32,11 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, stateCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    require(stateCols.intersect(leftCols).isEmpty,
+      s"state columns collide with left columns: ${stateCols.intersect(leftCols).mkString(", ")}")
+    // NOTE: among right rows with IDENTICAL (key, ts) the carried state is
+    // frame-order dependent — make rightTs unique per key for determinism
+    // (DuckDB's ASOF JOIN has the same ambiguity).
     // tag: 0 = state (sorts first at equal ts → inclusive), 1 = event
     val l = left.select(
       (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:

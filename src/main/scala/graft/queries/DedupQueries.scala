@@ -18,8 +18,10 @@ import graft.Tables
   * 32 bits.
   *
   * Scale design:
-  *  - Signatures/fingerprints are PER-ROW HOF chains — map-only, no
-  *    shuffle, no UDF; at 100 TB they run at scan speed.
+  *  - SimHash / rolling fingerprints are PER-ROW HOF chains — map-only,
+  *    no shuffle, no UDF; MinHash signatures instead hash each DISTINCT
+  *    shingle once (explode+join+min-agg; measured faster than the
+  *    map-only form because HOFs are interpreted — see tools/Profile).
   *  - LSH banding shuffles only (doc_id, band_hash) pairs — 4 small rows
   *    per document, not the text. The band self-join groups only true
   *    collision buckets; with 4-row bands the collision probability for

@@ -1,0 +1,33 @@
+package graft
+
+class GraftSqlSpec extends SparkSuite {
+
+  test("SQL text surface: same plan space as the DataFrame API") {
+    val viaSql = GraftSql.sql(spark, sf0001,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect()
+    val viaDf = graft.queries.RelationalQueries.q01PricingSummary(spark, sf0001)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order").collect()
+    assert(viaSql.sameElements(viaDf))
+  }
+
+  test("custom zlib functions callable from SQL") {
+    GraftSql.register(spark, sf0001)
+    val out = spark.sql(
+      """SELECT CAST(zlib_decompress(zlib_compress(CAST(c_name AS BINARY))) AS STRING) AS rt,
+        |       c_name FROM customer ORDER BY c_custkey LIMIT 5""".stripMargin)
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("events view carries the normalized microsecond timestamps") {
+    GraftSql.register(spark, sf0001)
+    val t = spark.sql("SELECT typeof(ts) FROM events LIMIT 1").collect()(0).getString(0)
+    assert(t == "timestamp")
+  }
+}
