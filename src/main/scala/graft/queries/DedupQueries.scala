@@ -53,15 +53,17 @@ object DedupQueries {
       when(n >= 3, sh).otherwise(array().cast("array<string>"))
     }
 
-  /** First 8 md5 hex chars of a token as a 32-bit unsigned value in a long. */
-  def h32(t: Column): Column =
-    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+  /** First 8 md5 hex chars of a token as a 32-bit unsigned value in a
+    * long (native Md5Prefix64 expression — one digest call, no hex
+    * string; identical values to conv(substring(md5,1,8),16,10)). */
+  def h32(s: SparkSession, t: Column): Column =
+    graft.functions.Md5Prefix64(s, t.cast("binary"), 8)
 
   /** First 15 md5 hex chars as a 60-bit value in a long — the numeric
     * minhash domain (8-byte signatures instead of 32-char strings:
     * smaller shuffle rows, long min-agg instead of string compare). */
-  def h60(c: Column): Column =
-    conv(substring(c, 1, 15), 16, 10).cast("long")
+  def h60(s: SparkSession, c: Column): Column =
+    graft.functions.Md5Prefix64(s, c.cast("binary"), 15)
 
   // ---- shared building blocks (oracle SQL side) ----
 
@@ -130,7 +132,7 @@ object DedupQueries {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
     val hashCols = (0 until NumHashes).map(j =>
-      h60(md5(concat(lit(s"$j:"), col("sh")))).as(s"h_$j"))
+      h60(docs.sparkSession, concat(lit(s"$j:"), col("sh"))).as(s"h_$j"))
     val shingleHashes = occ.select(col("sh")).where(col("sh").isNotNull).distinct()
       .select(col("sh") +: hashCols: _*)
     val minCols = (0 until NumHashes).map(j => min(col(s"h_$j")).as(s"mh_$j"))
@@ -212,7 +214,7 @@ object DedupQueries {
     // bind: token hashes computed once per row, then 32 bit-filters read
     // the bound array (without bind, each filter re-hashes every token)
     val fp = graft.functions.Cols.bind(
-        transform(array_distinct(toks($"text")), t => h32(t))) { hs =>
+        transform(array_distinct(toks($"text")), t => h32(s, t))) { hs =>
       (0 until 32).map { i =>
         val nSet = size(filter(hs, h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
         // bit i is 1 iff more set than unset among token hashes
@@ -242,7 +244,7 @@ object DedupQueries {
     import s.implicits._
     val fp = graft.functions.Cols.bind(toks($"text")) { t =>
       val weighted = transform(sequence(lit(1), size(t)), i =>
-        i.cast("long") * h32(element_at(t, i)))
+        i.cast("long") * h32(s, element_at(t, i)))
       aggregate(weighted, lit(0L), (acc, x) => acc + x) % 2147483647L
     }
     Tables.documents(s, dir)

@@ -45,7 +45,7 @@ object Profile {
     time("explode occurrences")(noop(occ))
     println(s"[profile] occurrences=${occ.count()} distinct=${occ.select("sh").distinct().count()}")
     val hashCols = (0 until DedupQueries.NumHashes).map(j =>
-      md5(concat(lit(s"$j:"), $"sh")).as(s"h_$j"))
+      DedupQueries.h60(spark, concat(lit(s"$j:"), $"sh")).as(s"h_$j"))
     val shHash = occ.select($"sh").distinct().select($"sh" +: hashCols: _*)
     time("distinct shingle hashes")(noop(shHash))
     val minCols = (0 until DedupQueries.NumHashes).map(j => min(col(s"h_$j")).as(s"mh_$j"))
@@ -57,8 +57,8 @@ object Profile {
     // no CSE, so the array must be materialized in its own projection)
     val mhArr = graft.functions.Cols.bind(DedupQueries.shingles($"text")) { sh =>
       array((0 until DedupQueries.NumHashes).map { j =>
-        array_min(transform(sh, s =>
-          DedupQueries.h60(md5(concat(lit(s"$j:"), s)))))
+        array_min(transform(sh, t =>
+          DedupQueries.h60(spark, concat(lit(s"$j:"), t))))
       }: _*)
     }
     val perRow = Tables.documents(spark, dir)
@@ -77,6 +77,16 @@ object Profile {
       .reduce(_ unionByName _)
       .select($"doc_id", DedupQueries.shingles($"text").as("shingles"))
     time("sig pipeline on 10x corpus")(noop(DedupQueries.minhashSignatures(x10)))
+    val mhArr10 = graft.functions.Cols.bind($"shingles") { sh =>
+      array((0 until DedupQueries.NumHashes).map { j =>
+        array_min(transform(sh, t =>
+          DedupQueries.h60(spark, concat(lit(s"$j:"), t))))
+      }: _*)
+    }
+    time("per-row sig on 10x corpus")(noop(
+      x10.select($"doc_id", mhArr10.as("mhs"))
+        .select(($"doc_id" +: (0 until DedupQueries.NumHashes)
+          .map(j => element_at($"mhs", j + 1).as(s"mh_$j"))): _*)))
     spark.stop()
   }
 }
