@@ -572,7 +572,32 @@ object RelationalQueries {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** q50: latest-per-key compaction (the CDC/upsert pattern: among many
+    * versions of a key, keep the newest). WindowGroupLimit applies, so
+    * each partition keeps one row per key before the shuffle. */
+  def q50LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"ts".as("last_ts"), $"event_type".as("last_event"),
+        $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  val q50Sql: String =
+    """SELECT user_id, ts AS last_ts, event_type AS last_event, value AS last_value
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q50_latest_per_key"    -> (q50LatestPerKey _),
     "q46_pivot"             -> (q46Pivot _),
     "q47_percentiles"       -> (q47Percentiles _),
     "q48_moment_stats"      -> (q48MomentStats _),
@@ -605,6 +630,7 @@ object RelationalQueries {
     "q44_asof_join"         -> q44Sql,
     "q45_range_join"        -> q45Sql,
     "q46_pivot"             -> q46Sql,
+    "q50_latest_per_key"    -> q50Sql,
     "q47_percentiles"       -> q47Sql,
     "q48_moment_stats"      -> q48Sql,
     "q01_pricing_summary"   -> q01Sql,
