@@ -380,14 +380,19 @@ object RelationalQueries {
       .withColumn("session_id", sum($"new_s")
         .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"user_id", $"session_id")
-      .agg(min($"ts").as("session_start"),
+      .agg(unix_micros(min($"ts")).as("session_start_us"),
            count(lit(1)).as("n_events"),
            dsum($"value").as("sum_value"))
       .orderBy($"user_id", $"session_id")
   }
 
+  // session_id: DuckDB's windowed SUM yields HUGEINT — CAST to BIGINT so a
+  // type-sensitive hasher sees the same integer type Spark emits.
+  // session_start: emitted as BIGINT epoch-microseconds on both sides —
+  // integers canonicalize identically across engines, timestamps may not.
   val q17Sql: String =
-    s"""SELECT user_id, session_id, MIN(ts) AS session_start,
+    s"""SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       | CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
        | COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
        |FROM (
        |  SELECT user_id, ts, value,

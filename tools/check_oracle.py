@@ -10,6 +10,7 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -47,6 +48,8 @@ def main():
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue  # filtered Verify run — only check dumped queries
         sql = oracles[name]
         try:
             got_cols, got = table_rows(
