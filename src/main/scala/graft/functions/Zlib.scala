@@ -71,10 +71,14 @@ object Zlib {
     val buf = new Array[Byte](4096)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      // n==0 with finished=true is the normal end of an empty payload;
-      // n==0 while more input is still needed means a truncated stream.
-      if (n == 0 && !inf.finished() && inf.needsInput())
-        throw new java.util.zip.DataFormatException("truncated zlib input")
+      // Any zero-progress iteration that isn't the end of the stream is
+      // fatal — truncated input, or a stream demanding a preset dictionary
+      // (needsDictionary), which would otherwise spin this loop forever on
+      // corrupt/adversarial payloads.
+      if (n == 0 && !inf.finished())
+        throw new java.util.zip.DataFormatException(
+          if (inf.needsDictionary()) "zlib stream requires a preset dictionary"
+          else "truncated zlib input")
       out.write(buf, 0, n)
     }
     inf.end()

@@ -39,9 +39,13 @@ object JsonArtifact {
     * Key order = incoming row order (callers sort by key for determinism). */
   def writeKeyedObject(df: DataFrame, keyCol: String, prefix: String, fname: String,
       asOf: LocalDate): (String, String) = {
-    val rows = df.toJSON.collect()
-    val keys = df.select(keyCol).collect().map(_.get(0).toString)
-    val body = keys.zip(rows)
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    // ONE action: key and record come from the same row, so a
+    // nondeterministic recompute between two collects can't mis-zip them.
+    val kj = df.select(col(keyCol).cast("string"),
+        to_json(struct(df.columns.map(col): _*)))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val body = kj
       .map { case (k, r) => "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\": " + r }
       .mkString("{", ", ", "}")
     writeBytes(df, body.getBytes(StandardCharsets.UTF_8), prefix, fname, asOf)

@@ -21,12 +21,22 @@ import graft.functions.Zlib
   */
 object KvSink {
 
-  /** Build the KV frame: key = sha256(idCol), payload = zlib(json(row)). */
-  def toKv(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+  /** Build the KV frame: key = sha256(idCol), payload = zlib(json(row)).
+    *
+    * The payload carries the HASHED id, not the raw one — the reference
+    * pseudonymizes the client id before it ever reaches the store
+    * (taar_profile_bigtable.py:304-306 hashes, :318-327 serializes the
+    * hashed dict), so the raw id must not survive inside the JSON either. */
+  def toKv(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val fields = df.columns.map {
+      case c if c == idCol => sha2(col(c).cast("string"), 256).as(c)
+      case c               => col(c)
+    }
     df.select(
       sha2(col(idCol).cast("string"), 256).as("key"),
       Zlib.compressCol(spark,
-        to_json(struct(df.columns.map(col): _*)).cast("binary")).as("payload"))
+        to_json(struct(fields: _*)).cast("binary")).as("payload"))
+  }
 
   def write(spark: SparkSession, df: DataFrame, idCol: String, path: String): Unit =
     toKv(spark, df, idCol).write.mode("overwrite").parquet(path)

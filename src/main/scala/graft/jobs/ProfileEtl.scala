@@ -37,17 +37,22 @@ object ProfileEtl {
       .select(
         col("client_id"),
         col("city").as("geo_city"),
-        expr("try_cast(subsession_hours_sum * 3600 AS bigint)").as("subsession_length"),
+        // int(x or 0) in the reference (taar_profile_bigtable.py:312-320):
+        // null → 0 and float → truncated int, so the payload field is
+        // always present and integer-typed.
+        coalesce(expr("try_cast(subsession_hours_sum * 3600 AS bigint)"), lit(0L))
+          .as("subsession_length"),
         col("locale"),
         col("os"),
         col("active_addons"),
-        coalesce(col("places_bookmarks_count_mean"), lit(0L)).as("bookmark_count"),
-        coalesce(col("scalar_parent_browser_engagement_tab_open_event_count_sum"), lit(0L))
-          .as("tab_open_count"),
-        coalesce(col("scalar_parent_browser_engagement_total_uri_count_sum"), lit(0L))
-          .as("total_uri"),
-        coalesce(col("scalar_parent_browser_engagement_unique_domains_count_mean"), lit(0L))
-          .as("unique_tlds"))
+        coalesce(col("places_bookmarks_count_mean").cast("bigint"), lit(0L))
+          .as("bookmark_count"),
+        coalesce(col("scalar_parent_browser_engagement_tab_open_event_count_sum")
+          .cast("bigint"), lit(0L)).as("tab_open_count"),
+        coalesce(col("scalar_parent_browser_engagement_total_uri_count_sum")
+          .cast("bigint"), lit(0L)).as("total_uri"),
+        coalesce(col("scalar_parent_browser_engagement_unique_domains_count_mean")
+          .cast("bigint"), lit(0L)).as("unique_tlds"))
 
   /** Stage 2 — KV load (K4): key sha256(client_id), payload zlib(JSON). */
   def loadKv(spark: SparkSession, profiles: DataFrame, kvPath: String): Unit =

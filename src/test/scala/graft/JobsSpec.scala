@@ -70,10 +70,13 @@ class JobsSpec extends SparkSuite {
     val expectedKey = java.security.MessageDigest.getInstance("SHA-256")
       .digest("client1".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(kv.select("key").as[String].collect().toSet.contains(expectedKey))
-    // payload decodes back to the full-row JSON
+    // payload decodes back to the full-row JSON, with the id PSEUDONYMIZED
+    // (the reference hashes client_id before serializing the payload,
+    // taar_profile_bigtable.py:304-327 — the raw id never reaches the store)
     val decoded = KvSink.decodePayload(spark, kv)
       .where(col("key") === expectedKey).select("json").as[String].head()
-    assert(decoded == """{"client_id":"client1","locale":"de","total_uri":5}""")
+    assert(decoded == s"""{"client_id":"$expectedKey","locale":"de","total_uri":5}""")
+    assert(!decoded.contains("client1"))
 
     // K5: delete client1 via opt-out anti-join
     KvSink.deleteOptOuts(spark, kvPath, Seq("client1").toDF("client_id"), "client_id")
@@ -84,23 +87,31 @@ class JobsSpec extends SparkSuite {
 
   test("ProfileEtl extract: P1 rename + P2 try_cast + F1 size>0 + F3 date (Q1 stage 1)") {
     val clients = Seq(
-      ("2024-06-01", "c1", "Berlin", 2.5, "de", "Linux", Seq("a@x"), Some(3L)),
-      ("2024-06-01", "c2", "Paris", 1.0, "fr", "Mac", Seq.empty[String], None),  // F1: no addons
-      ("2024-06-02", "c3", "Rome", 4.0, "it", "Win", Seq("b@x"), Some(1L)))     // F3: wrong date
+      ("2024-06-01", "c1", "Berlin", Some(2.5), "de", "Linux", Seq("a@x"), Some(3.7)),
+      ("2024-06-01", "c2", "Paris", Some(1.0), "fr", "Mac", Seq.empty[String], None), // F1: no addons
+      ("2024-06-02", "c3", "Rome", Some(4.0), "it", "Win", Seq("b@x"), Some(1.0)),    // F3: wrong date
+      ("2024-06-01", "c4", "Oslo", None, "no", "Linux", Seq("c@x"), None))            // nulls → 0
       .toDF("submission_date", "client_id", "city", "subsession_hours_sum",
         "locale", "os", "active_addons", "places_bookmarks_count_mean")
       .withColumn("scalar_parent_browser_engagement_tab_open_event_count_sum", lit(null).cast("long"))
       .withColumn("scalar_parent_browser_engagement_total_uri_count_sum", lit(7L))
       .withColumn("scalar_parent_browser_engagement_unique_domains_count_mean", lit(2L))
     val out = ProfileEtl.extract(clients, "2024-06-01", sampleRate = 1.0)
-    val rows = out.collect()
-    assert(rows.length == 1)
+    val rows = out.orderBy("client_id").collect()
+    assert(rows.length == 2)
     val r = rows.head
     assert(r.getAs[String]("client_id") == "c1")
     assert(r.getAs[String]("geo_city") == "Berlin")
     assert(r.getAs[Long]("subsession_length") == 9000L) // 2.5h * 3600
     assert(r.getAs[Long]("tab_open_count") == 0L)       // P3 null default
     assert(r.getAs[Long]("total_uri") == 7L)
+    assert(r.getAs[Long]("bookmark_count") == 3L)       // int(3.7) truncates, ref int() coercion
+    // the reference's int(x or 0): nulls land as 0, never absent from the payload
+    val c4 = rows(1)
+    assert(c4.getAs[Long]("subsession_length") == 0L)
+    assert(c4.getAs[Long]("bookmark_count") == 0L)
+    // and none of the int-coerced fields can go missing from the payload JSON
+    assert(out.schema("subsession_length").dataType.typeName == "long")
   }
 
   test("LocaleTopK: rank per locale with deterministic ties") {

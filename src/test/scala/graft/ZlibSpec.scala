@@ -31,6 +31,17 @@ class ZlibSpec extends SparkSuite {
     assert(!out(0).isNullAt(0))
   }
 
+  test("corrupt/truncated payloads fail fast instead of spinning") {
+    // truncated stream: valid header, body cut off mid-block
+    val full = Zlib.compress(("graft" * 1000).getBytes("UTF-8"))
+    val truncated = full.take(full.length / 2)
+    intercept[java.util.zip.DataFormatException](Zlib.decompress(truncated))
+    // FDICT stream (preset-dictionary demand) must throw, not loop forever:
+    // CMF 0x78, FLG with bit 5 set + check bits making (CMF*256+FLG) % 31 == 0
+    val fdict = Array[Byte](0x78.toByte, 0xbb.toByte, 0, 0, 0, 1, 0, 0, 0, 0)
+    intercept[java.util.zip.DataFormatException](Zlib.decompress(fdict))
+  }
+
   test("interpreted eval matches codegen result") {
     val data = "payload δ".getBytes("UTF-8")
     val viaHelper = Zlib.compress(data)
