@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native vector primitives for the similarity operators (q30/q31/q32).
+  *
+  * Spark's higher-order functions (`aggregate(zip_with(...))`) are
+  * CodegenFallback: every lambda application is interpreted PER ARRAY
+  * ELEMENT PER ROW — for a pairwise cosine that is 64 boxed evaluations
+  * per candidate pair. These expressions compute the identical value
+  * (left-to-right double accumulation over widened elements, exactly the
+  * HOF's fold order, so DuckDB oracle hashes are unchanged) as ONE static
+  * call inside whole-stage codegen.
+  *
+  * Null contract: like the HOF chain, a null input array yields null
+  * (nullIntolerant); array ELEMENTS are assumed non-null (embeddings are
+  * dense by construction — same assumption the HOF version made, where a
+  * null element would poison the whole accumulation to null anyway).
+  * Mismatched lengths raise: zip_with would null-pad and poison the sum
+  * to null, which for dense fixed-dim vectors is always a data bug —
+  * failing loudly beats a silent null.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs two float/double arrays, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  private def method: String = {
+    val l = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val r = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    (l, r) match {
+      case (true, true)   => "dotFF"
+      case (true, false)  => "dotFD"
+      case (false, true)  => "dotDF"
+      case (false, false) => "dotDD"
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    method match {
+      case "dotFF" => Vec.dotFF(x, y)
+      case "dotFD" => Vec.dotFD(x, y)
+      case "dotDF" => Vec.dotDF(x, y)
+      case "dotDD" => Vec.dotDD(x, y)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Vec.$method($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sum of squared elements (the squared L2 norm), double accumulation in
+  * array order — bit-identical to `aggregate(a, 0.0, (acc,v) => acc+v*v)`. */
+case class Norm2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_norm2"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm2 needs a float/double array, got ${t.sql}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (isFloat) Vec.norm2F(a) else Vec.norm2D(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "norm2F" else "norm2D"
+    defineCodeGen(ctx, ev, c => s"graft.functions.Vec.$m($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Norm2 =
+    copy(child = newChild)
+}
+
+object Vec {
+  private def checkLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot: length mismatch ${n} vs ${b.numElements()}")
+    n
+  }
+
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = checkLen(a, b); var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = checkLen(a, b); var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    acc
+  }
+  def dotDF(a: ArrayData, b: ArrayData): Double = {
+    val n = checkLen(a, b); var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = checkLen(a, b); var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+  def norm2F(a: ArrayData): Double = {
+    val n = a.numElements(); var acc = 0.0; var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; acc += v * v; i += 1 }
+    acc
+  }
+  def norm2D(a: ArrayData): Double = {
+    val n = a.numElements(); var acc = 0.0; var i = 0
+    while (i < n) { val v = a.getDouble(i); acc += v * v; i += 1 }
+    acc
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm2", exprs => Norm2(exprs.head), "built-in")
+  }
+
+  def dotCol(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+  }
+
+  def norm2Col(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_norm2", a)
+  }
+}

@@ -25,16 +25,22 @@ object ConnectedComponents {
     *         appear in at least one pair are returned. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // Materialize the pair stage ONCE before mirroring: the undirected
+    // union reads `pairs` twice, and without this checkpoint the whole
+    // upstream pipeline (for q49, the full LSH candidate generation)
+    // executes twice before the edges checkpoint even lands.
+    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true)
+    val edges = p
+      .unionByName(p.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint(true)
     var comp = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val neighborMin = edges.join(comp, edges("v") === comp("id"))
         .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
       val updated = comp.join(neighborMin, comp("id") === neighborMin("u"), "left_outer")
@@ -42,7 +48,9 @@ object ConnectedComponents {
           least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"),
           comp("comp").as("prev"))
         .localCheckpoint(true)
-      changed = updated.where(col("comp") < col("prev")).count()
+      // existence probe, not a full count: the job stops at the first
+      // partition that yields an improved label
+      changed = !updated.where(col("comp") < col("prev")).isEmpty
       comp = updated.select(col("id"), col("comp"))
       iter += 1
     }

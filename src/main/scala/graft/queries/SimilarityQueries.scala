@@ -35,13 +35,26 @@ object SimilarityQueries {
     * "near-dup" cut sits at 0.35 to exercise a non-trivial result set. */
   val NearDupThreshold = 0.35
 
-  // ---- Spark-side vector primitives (HOFs; codegen'd, no UDF) ----
+  // ---- Spark-side vector primitives ----
+  // Native codegen Expressions (graft.functions.Vec), not HOFs: the
+  // aggregate(zip_with(...)) chain is CodegenFallback — interpreted per
+  // element per row, the dominant cost of q31 in round 1 (4.8s at sf0.1).
+  // Values are bit-identical (same left-to-right double fold), so every
+  // oracle hash is unchanged. HOF mirrors are pinned equal in VecSpec.
 
   def dot(a: Column, b: Column): Column =
+    graft.functions.Vec.dotCol(SparkSession.active, a, b)
+
+  def norm2(a: Column): Column =
+    graft.functions.Vec.norm2Col(SparkSession.active, a)
+
+  /** The round-1 HOF formulations, kept as the equivalence oracle for
+    * VecSpec (and as documentation of the portable semantics). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm2(a: Column): Column =
+  def norm2Hof(a: Column): Column =
     aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
 
   def cosine(a: Column, b: Column): Column =

@@ -20,7 +20,7 @@ class ExtensionsSpec extends SparkSuite {
     assert(plain.nonEmpty)
   }
 
-  test("HLL approx distinct within declared 1% rsd of exact (3 sigma)") {
+  test("HLL approx distinct within declared 5% rsd of exact (3 sigma)") {
     val approx = RelationalQueries.q18ApproxDistinct(spark, sf0001)
     val exact = Tables.lineitem(spark, sf0001)
       .groupBy($"l_returnflag")
@@ -30,7 +30,7 @@ class ExtensionsSpec extends SparkSuite {
     rows.foreach { r =>
       val a = r.getAs[Long]("approx_parts").toDouble
       val e = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(a - e) / e <= 0.03, s"approx $a vs exact $e")
+      assert(math.abs(a - e) / e <= 0.15, s"approx $a vs exact $e")
     }
   }
 

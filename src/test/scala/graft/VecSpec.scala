@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SimilarityQueries._
+
+/** The native vec_dot/vec_norm2 Expressions must be bit-identical to the
+  * HOF formulation they replaced (same left-to-right double fold), stay
+  * inside whole-stage codegen, and fail loudly on length mismatch. */
+class VecSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def randVec(seed: Int, dim: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextFloat() * 2f - 1f)
+  }
+
+  test("vec_dot/vec_norm2 are bit-identical to the HOF fold (float arrays)") {
+    val df = (0 until 50).map(i => (i, randVec(i, 64), randVec(i + 1000, 64)))
+      .toDF("id", "a", "b")
+    val out = df.select(
+      dot($"a", $"b").as("nd"), dotHof($"a", $"b").as("hd"),
+      norm2($"a").as("nn"), norm2Hof($"a").as("hn")).collect()
+    out.foreach { r =>
+      // exact ==: same fold order must mean same bits, not just close
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("vec_dot handles mixed float/double arrays (the centroid case)") {
+    val df = (0 until 20).map { i =>
+      val f = randVec(i, 16)
+      (i, f, f.map(_.toDouble * 1.5))
+    }.toDF("id", "f", "d")
+    val out = df.select(
+      dot($"f", $"d").as("nd"), dotHof($"f", $"d").as("hd"),
+      dot($"d", $"f").as("nr"), dotHof($"d", $"f").as("hr"),
+      norm2($"d").as("nn"), norm2Hof($"d").as("hn")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+  }
+
+  test("null array yields null; length mismatch throws") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (None, Some(Array(3f, 4f)))).toDF("a", "b")
+    val out = df.select(dot($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+
+    val bad = Seq((Array(1f, 2f), Array(3f))).toDF("a", "b")
+    val e = intercept[Exception] { bad.select(dot($"a", $"b")).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("length mismatch")))
+  }
+
+  test("vec_dot stays inside WholeStageCodegen (the point of the rewrite)") {
+    // parquet-backed, not a local Seq — ConvertToLocalRelation would fold
+    // a literal relation into LocalTableScan and hide the projection
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = emb.select(dot($"embedding", $"embedding").as("d"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("vec_dot"))
+    // the *(n) prefix in toString = a WholeStageCodegenExec span
+    val codegenSpans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(codegenSpans.nonEmpty,
+      "vec_dot projection must sit inside a WholeStageCodegen span")
+    assert(df.head().getDouble(0) > 0.0)
+  }
+}
