@@ -159,31 +159,68 @@ object DedupQueries {
 
   // ---- q26: LSH candidate pairs + exact Jaccard verification ----
 
-  def q26MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", shingles($"text").as("shingles"))
-    val sig = minhashSignatures(docs)
+  /** (doc_id, band_id, bh) band labels from a signature frame — 4 small
+    * rows per document, never the text. */
+  def bandLabels(sig: DataFrame): DataFrame = {
     val bandCol = array((0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
       struct(lit(b).as("band_id"),
         md5(concat_ws(":", parts.map(_.cast("string")): _*)).as("bh"))
     }: _*)
-    val bl = sig.select($"doc_id", explode(bandCol).as("band"))
-      .select($"doc_id", $"band.band_id", $"band.bh")
-    val cand = bl.as("a").join(bl.as("b"),
-        $"a.band_id" === $"b.band_id" && $"a.bh" === $"b.bh" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    sig.select(col("doc_id"), explode(bandCol).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.bh"))
+  }
+
+  /** LSH candidate pairs from band labels.
+    *
+    * salts <= 1: plain self-join on (band_id, bh) — the default; AQE skew
+    * split is the runtime backstop for a moderately hot band.
+    *
+    * salts > 1: skew-hardened self-join — deterministic salt on the A
+    * side (doc_id mod salts) and replication of the B side across all
+    * salts, so a pathological band bucket (e.g. a corpus with thousands
+    * of copies of one document: every copy shares all 4 band hashes)
+    * spreads over `salts` reducers instead of hanging one. Each true
+    * pair still meets exactly once per band (at A's salt), so values are
+    * IDENTICAL to the plain join (LshSkewSpec pins this and the bucket
+    * distribution). Cost: B-side rows × salts — pay it when a hot key is
+    * expected; the coinstall salting in jobs/Extensions is the same
+    * pattern. */
+  def lshCandidates(bl: DataFrame, salts: Int = 0): DataFrame = {
+    val cand = if (salts <= 1) {
+      bl.as("a").join(bl.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+    } else {
+      val a = bl.withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
+      val b = bl.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      a.as("a").join(b.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+            col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
+    }
+    cand.select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard over the candidate set (tiny vs the corpus). */
+  def jaccardVerify(cand: DataFrame, docs: DataFrame): DataFrame =
     cand
-      .join(docs.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(docs.as("sb"), $"doc_b" === $"sb.doc_id")
-      .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sa.shingles", $"sb.shingles")).cast("double") /
-          size(array_distinct(concat($"sa.shingles", $"sb.shingles"))).cast("double"))
+      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
+          size(array_distinct(concat(col("sa.shingles"), col("sb.shingles")))).cast("double"))
           .as("jaccard"))
-      .where($"jaccard" >= JaccardThreshold)
-      .orderBy($"doc_a", $"doc_b")
+      .where(col("jaccard") >= JaccardThreshold)
+
+  /** Full MinHash+LSH near-dup pipeline over any (doc_id, shingles) frame. */
+  def minhashPairsOn(docs: DataFrame, salts: Int = 0): DataFrame =
+    jaccardVerify(lshCandidates(bandLabels(minhashSignatures(docs)), salts), docs)
+
+  def q26MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", shingles($"text").as("shingles"))
+    minhashPairsOn(docs).orderBy($"doc_a", $"doc_b")
   }
 
   val q26Sql: String = {

@@ -605,7 +605,42 @@ object RelationalQueries {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** q51: CDC MERGE/upsert — fold a change stream (orders as synthetic
+    * CDC events on the customer snapshot: latest order updates the
+    * balance; a latest 'F' order deletes the customer) into the base via
+    * operators.ApplyChanges (latest-per-key + full-outer merge + delete
+    * filter as one operator). */
+  def q51ApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+    val changes = Tables.orders(s, dir).select(
+      $"o_custkey".as("c_custkey"),
+      when($"o_orderstatus" === "F", lit("D")).otherwise(lit("U")).as("op"),
+      $"o_orderdate", $"o_orderkey",
+      $"o_totalprice".as("c_acctbal"))
+    graft.operators.ApplyChanges(base, changes, Seq("c_custkey"),
+        Seq($"o_orderdate", $"o_orderkey"), "op", "D")
+      .select($"c_custkey", $"c_name", $"c_acctbal".as("balance"))
+      .orderBy($"c_custkey")
+  }
+
+  val q51Sql: String =
+    """WITH latest AS (
+      |  SELECT * FROM (
+      |    SELECT o_custkey AS c_custkey, o_totalprice,
+      |      CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(c.c_custkey, l.c_custkey) AS c_custkey, c.c_name,
+      |  COALESCE(l.o_totalprice, c.c_acctbal) AS balance
+      |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.c_custkey
+      |WHERE l.op IS NULL OR l.op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q51_apply_changes"     -> (q51ApplyChanges _),
     "q50_latest_per_key"    -> (q50LatestPerKey _),
     "q46_pivot"             -> (q46Pivot _),
     "q47_percentiles"       -> (q47Percentiles _),
@@ -634,6 +669,7 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q51_apply_changes"     -> q51Sql,
     "q17_sessionize"        -> q17Sql,
     "q19_set_ops"           -> q19Sql,
     "q44_asof_join"         -> q44Sql,

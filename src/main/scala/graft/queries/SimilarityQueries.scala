@@ -134,10 +134,13 @@ object SimilarityQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** q32: IVF-style ANN — elementwise-mean centroid per label bucket, probe
-    * the single nearest bucket per query, exact search inside it. Oracle
-    * mirrors the centroid computation via positional unnest. */
-  def q32IvfAnn(s: SparkSession, dir: String): DataFrame = {
+  /** IVF-style ANN, multiprobe: elementwise-mean centroid per label
+    * bucket, probe the `nprobe` nearest buckets per query, exact search
+    * inside the probed buckets, global top-k across them. Scan cost ∝
+    * nprobe/n_buckets of the corpus; recall is tunable — at nprobe =
+    * n_buckets this provably equals the q30 brute force (IvfRecallSpec
+    * pins both ends). */
+  def ivfAnn(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val dim = 64
@@ -151,13 +154,13 @@ object SimilarityQueries {
         col(s"s_$i") / col("s_cnt")): _*).as("centroid"))
     val queries = emb.where($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    // nearest centroid per query (centroids are tiny: broadcast)
+    // nprobe nearest centroids per query (centroids are tiny: broadcast)
     val wq = Window.partitionBy($"query_id")
       .orderBy(round(cosine($"qe", $"centroid"), 6).desc, $"c_label".asc)
     val probe = queries.join(broadcast(cents), lit(true))
-      .withColumn("crn", row_number().over(wq)).where($"crn" === 1)
+      .withColumn("crn", row_number().over(wq)).where($"crn" <= nprobe)
       .select($"query_id", $"qe", $"c_label".as("bucket"))
-    // exact search within the probed bucket only
+    // exact search within the probed buckets only; one global top-k merge
     val sim6 = round(cosine($"qe", $"embedding"), 6)
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
     Tables.embeddings(s, dir).join(broadcast(probe),
@@ -167,6 +170,11 @@ object SimilarityQueries {
       .where($"rn" <= TopK)
       .orderBy($"query_id", $"rn")
   }
+
+  /** q32: the oracle-checked IVF entry at nprobe=1 (the SQL mirror probes
+    * a single bucket; multiprobe recall lives in IvfRecallSpec). */
+  def q32IvfAnn(s: SparkSession, dir: String): DataFrame =
+    ivfAnn(s, dir, nprobe = 1)
 
   val q32Sql: String = {
     val cosQC = sqlCosine("q.qe", "c.centroid")

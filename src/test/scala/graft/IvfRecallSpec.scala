@@ -43,4 +43,30 @@ class IvfRecallSpec extends SparkSuite {
       assert(got == expect, s"query $qid bucket $bucket: $got vs $expect")
     }
   }
+
+  test("multiprobe: recall@5 vs brute force is monotone in nprobe; nprobe=all == q30") {
+    val bf = SimilarityQueries.q30KnnBruteForce(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val nBuckets = Tables.embeddings(spark, sf0001)
+      .select($"label").distinct().count().toInt
+
+    def recallAt(nprobe: Int): Double = {
+      val ivf = SimilarityQueries.ivfAnn(spark, sf0001, nprobe)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val rs = bf.map { case (q, truth) =>
+        ivf.get(q).map(got => (got & truth).size.toDouble / truth.size).getOrElse(0.0) }
+      rs.sum / rs.size
+    }
+
+    val recalls = Seq(1, 2, 4, nBuckets).map(np => np -> recallAt(np))
+    info(s"recall@5 by nprobe: ${recalls.map { case (n, r) => s"$n -> ${"%.2f".format(r)}" }.mkString(", ")}")
+    // monotone non-decreasing in nprobe
+    recalls.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall must not drop: nprobe $n1=$r1 vs $n2=$r2") }
+    // probing every bucket IS brute force — recall exactly 1
+    assert(recalls.last._2 == 1.0,
+      s"nprobe=$nBuckets (all buckets) must reproduce q30, got ${recalls.last._2}")
+  }
 }
