@@ -28,6 +28,16 @@ object Liveness {
     }
   }
 
+  /** The production probe (F9/F11 + X5): GET of the per-key URL
+    * (`{guid}` replaced, URL-encoded) returns 2xx within `timeoutMs`.
+    * Serializable: the shared HTTP client lives per-JVM in
+    * graft.sources.Http, so this closure captures only two strings. */
+  def httpProbe(urlTemplate: String, timeoutMs: Int): String => Boolean =
+    guid => graft.sources.Http.ok(
+      urlTemplate.replace("{guid}",
+        java.net.URLEncoder.encode(guid, java.nio.charset.StandardCharsets.UTF_8)),
+      timeoutMs)
+
   def filterLiveDf(df: DataFrame, guidCol: String, probe: String => Boolean): DataFrame = {
     import df.sparkSession.implicits._
     val live = filterLive(df.select(guidCol).as[String], probe)

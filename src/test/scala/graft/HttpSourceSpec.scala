@@ -1,0 +1,118 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.duration._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Liveness
+import graft.sources.Http
+
+/** Exercises the live HTTP ingestion path (X4 retry-once, X5 per-request
+  * timeout, S1 paged fetch, F11 liveness probe) against a loopback stub
+  * server — no egress, fully deterministic. */
+class HttpSourceSpec extends SparkSuite with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val slowHits = new AtomicInteger(0)
+  private val flakyHits = new AtomicInteger(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // S1: three pages of JSONL, ?page=N
+    server.createContext("/addons", (ex: HttpExchange) => {
+      val page = ex.getRequestURI.getQuery.stripPrefix("page=").toInt
+      val body = (1 to 2)
+        .map(i => s"""{"guid":"g${page}_$i@x","downloads":${page * 10 + i}}""")
+        .mkString("\n")
+      respond(ex, 200, body)
+    })
+    // X4: first hit fails with 503, second succeeds
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      if (flakyHits.incrementAndGet() == 1) respond(ex, 503, "")
+      else respond(ex, 200, "recovered")
+    })
+    // X5: always slower than the client timeout
+    server.createContext("/slow", (ex: HttpExchange) => {
+      slowHits.incrementAndGet()
+      Thread.sleep(1500)
+      respond(ex, 200, "too late")
+    })
+    // F11: alive for even-numbered guids only
+    server.createContext("/check", (ex: HttpExchange) => {
+      val guid = ex.getRequestURI.getPath.stripPrefix("/check/")
+      if (guid.matches("g[02468]@x")) respond(ex, 200, "ok")
+      else respond(ex, 404, "")
+    })
+    // concurrent handler threads: a sleeping /slow exchange must not
+    // serialize the retry attempt behind it
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    super.beforeAll()
+  }
+
+  override def afterAll(): Unit = {
+    try super.afterAll() finally if (server != null) server.stop(0)
+  }
+
+  test("S1: paged URL mode plans one partition per page and fetches in executors") {
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("url", s"$base/addons?page={page}")
+      .option("pages", "3")
+      .option("timeoutMs", "5000")
+      .load()
+    assert(df.rdd.getNumPartitions == 3)
+    val rows = df.orderBy("page", "value").collect()
+    assert(rows.length == 6)
+    assert(rows.head.getInt(0) == 1 && rows.head.getString(1).contains("g1_1@x"))
+    // downstream typed projection (P4 marshal pattern) still applies
+    val typed = df.selectExpr("from_json(value, 'guid STRING, downloads INT') AS r")
+      .select($"r.guid", $"r.downloads").orderBy($"r.downloads")
+    assert(typed.count() == 6)
+  }
+
+  test("X4: one transient failure is absorbed by retry-once; hit count == 2") {
+    flakyHits.set(0)
+    assert(Http.get(s"$base/flaky", timeoutMs = 5000) == "recovered")
+    assert(flakyHits.get() == 2)
+  }
+
+  test("X5: per-request timeout fires, retry happens once, then the error surfaces") {
+    slowHits.set(0)
+    val e = intercept[java.io.IOException] {
+      Http.get(s"$base/slow", timeoutMs = 200)
+    }
+    assert(e.getMessage.contains("failed after 2 attempts"))
+    // initial attempt + exactly one retry (poll: the server thread may
+    // register the second hit a beat after the client gives up on it)
+    val deadline = System.nanoTime() + 2.seconds.toNanos
+    while (slowHits.get() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(slowHits.get() == 2)
+  }
+
+  test("F11: executor-side liveness probe keeps only live guids") {
+    val guids = (0 until 10).map(i => s"g$i@x").toDS()
+    val live = Liveness.filterLive(guids,
+        Liveness.httpProbe(s"$base/check/{guid}", timeoutMs = 5000))
+      .collect().sorted
+    assert(live.toSeq == Seq("g0@x", "g2@x", "g4@x", "g6@x", "g8@x"))
+    // and a dead SERVER yields none (probe never throws)
+    val none = Liveness.filterLiveDriverSide(Seq("g0@x"),
+      Liveness.httpProbe("http://127.0.0.1:1/check/{guid}", timeoutMs = 300))
+    assert(none.isEmpty)
+  }
+}
