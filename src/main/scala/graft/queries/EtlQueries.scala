@@ -34,8 +34,11 @@ object EtlQueries {
     kv.select($"key", length($"payload").as("payload_len")).orderBy($"key")
   }
 
-  /** q42 — multimodal: binary payload + metadata + partition-wise decode
-    * stub (schema/batching real, codec faked — see Multimodal). */
+  /** q42 — multimodal: binary payload + metadata + partition-wise
+    * type-dispatched decode (REAL JDK codecs for image/audio; the
+    * synthetic corpus is text so these rows take the text branch —
+    * MultimodalSpec exercises the image/audio branches on generated
+    * PNG/WAV bytes). */
   def q42MultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatures(s, Tables.documents(s, dir))
       .orderBy(col("media_id"))

@@ -1,5 +1,10 @@
 package graft
 
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
@@ -7,12 +12,68 @@ import graft.operators.Multimodal
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    pcm.indices.foreach(i => pcm(i) = ((i * 7) & 0xff).toByte)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   test("media table schema: binary payload + typed metadata struct") {
     val media = Multimodal.toMediaTable(Tables.documents(spark, sf0001))
     val f = media.schema("payload")
     assert(f.dataType == org.apache.spark.sql.types.BinaryType)
     val meta = media.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(meta.fieldNames.toSeq == Seq("media_type", "source", "declared_len"))
+  }
+
+  test("REAL codecs: ImageIO decodes PNG dims, javax.sound decodes WAV params") {
+    val media = Seq(
+      (1L, pngBytes(32, 16), "image/png"),
+      (2L, pngBytes(7, 9), "image/png"),
+      (3L, wavBytes(16000, 1, 1600), "audio/wav"),
+      (4L, wavBytes(44100, 2, 441), "audio/wav"),
+      (5L, "just some text".getBytes("UTF-8"), "text/plain"),
+      (6L, Array[Byte](1, 2, 3), "image/png")) // corrupt: not a PNG
+      .toDF("media_id", "payload", "mt")
+      .select($"media_id", $"payload",
+        struct($"mt".as("media_type"), lit("test").as("source"),
+          lit(0L).as("declared_len")).as("meta"))
+    val out = Multimodal.extractFeatures(spark, media)
+      .select($"media_id", $"features.*").orderBy($"media_id").collect()
+
+    val img1 = out(0)
+    assert(img1.getAs[String]("kind") == "image")
+    assert(img1.getAs[Int]("width") == 32 && img1.getAs[Int]("height") == 16)
+    assert(img1.getAs[String]("format") == "png")
+    val img2 = out(1)
+    assert(img2.getAs[Int]("width") == 7 && img2.getAs[Int]("height") == 9)
+
+    val wav1 = out(2)
+    assert(wav1.getAs[String]("kind") == "audio")
+    assert(wav1.getAs[Int]("sample_rate") == 16000)
+    assert(wav1.getAs[Int]("channels") == 1)
+    assert(wav1.getAs[Long]("frames") == 1600L)
+    val wav2 = out(3)
+    assert(wav2.getAs[Int]("sample_rate") == 44100 && wav2.getAs[Int]("channels") == 2)
+
+    assert(out(4).getAs[String]("kind") == "text")
+    assert(out(4).getAs[Long]("n_bytes") == 14L)
+    // corrupt bytes degrade, never throw (PERMISSIVE / X6)
+    assert(out(5).getAs[String]("kind") == "unknown")
+    assert(out(5).getAs[String]("format") == "corrupt")
   }
 
   test("feature extraction is 1:1, deterministic, and prunes the payload") {
@@ -24,14 +85,14 @@ class MultimodalSpec extends SparkSuite {
     val a = feats.orderBy("media_id").collect()
     val b = Multimodal.mediaFeatures(spark, docs.repartition(7)).orderBy("media_id").collect()
     assert(a.sameElements(b))
-    // n_bytes equals the UTF-8 byte length of the text
+    // the synthetic corpus is text: the text branch is the honest one
     val one = docs.where($"doc_id" === 0).select($"text").as[String].head()
     val f0 = feats.where($"media_id" === 0).head()
+    assert(f0.getAs[String]("kind") == "text")
     assert(f0.getAs[Long]("n_bytes") == one.getBytes("UTF-8").length.toLong)
-    assert(Set("png", "jpg").contains(f0.getAs[String]("format")))
   }
 
-  test("decode stub is partition-local (no shuffle in the plan)") {
+  test("decode is partition-local (no shuffle in the plan)") {
     val media = Multimodal.toMediaTable(Tables.documents(spark, sf0001))
     val plan = Multimodal.extractFeatures(spark, media)
       .queryExecution.executedPlan.toString
