@@ -639,7 +639,80 @@ object RelationalQueries {
       |WHERE l.op IS NULL OR l.op <> 'D'
       |ORDER BY c_custkey""".stripMargin
 
+  /** q52: ROLLUP — hierarchical subtotals in one pass (Spark expands
+    * grouping sets into a single Expand + hash agg, not N scans).
+    * Subtotal rows surface as 'ALL' via coalesce so both engines emit
+    * identical strings and no null-ordering divergence can bite. */
+  def q52Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n_rows", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val q52Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** q53: the analytic-window suite beyond rank/lag — ntile buckets,
+    * lead deltas, percent_rank/cume_dist (rounded to 6 so float repr
+    * can't flip the hash), all over one user-ordered window. */
+  def q53WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gap = $"ts".cast("long") - lag($"ts", 1).over(w).cast("long")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        ntile(4).over(w).as("quartile"),
+        coalesce(gap, lit(0L)).as("gap_s"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        (coalesce(lead($"value", 1).over(w), lit(0.0)) - $"value").as("next_delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q53Sql: String =
+    """SELECT user_id, event_id,
+      |  NTILE(4) OVER w AS quartile,
+      |  COALESCE(CAST(floor(epoch(ts)) AS BIGINT)
+      |    - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT), 0) AS gap_s,
+      |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  round(CUME_DIST() OVER w, 6) AS cdist,
+      |  COALESCE(LEAD(value, 1) OVER w, 0.0) - value AS next_delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** q54: UNPIVOT/melt — wide metrics to long (id, metric, val) form,
+    * the feature-table reshape; map-only (Expand node, no shuffle). */
+  def q54Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey", $"p_size".cast("double").as("p_size"), $"p_retailprice")
+      .unpivot(Array($"p_partkey"), Array($"p_size", $"p_retailprice"),
+        "metric", "val")
+      .orderBy($"p_partkey", $"metric")
+  }
+
+  val q54Sql: String =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_rollup"            -> (q52Rollup _),
+    "q53_window_analytics"  -> (q53WindowAnalytics _),
+    "q54_unpivot"           -> (q54Unpivot _),
     "q51_apply_changes"     -> (q51ApplyChanges _),
     "q50_latest_per_key"    -> (q50LatestPerKey _),
     "q46_pivot"             -> (q46Pivot _),
@@ -669,6 +742,9 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q52_rollup"            -> q52Sql,
+    "q53_window_analytics"  -> q53Sql,
+    "q54_unpivot"           -> q54Sql,
     "q51_apply_changes"     -> q51Sql,
     "q17_sessionize"        -> q17Sql,
     "q19_set_ops"           -> q19Sql,

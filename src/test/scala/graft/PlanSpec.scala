@@ -73,4 +73,22 @@ class PlanSpec extends SparkSuite {
     val p = plan(RelationalQueries.q02EventCounts(spark, sf0001))
     assert(p.contains("PushedFilters") || p.contains("Filter"), p)
   }
+
+  test("q52: rollup is ONE Expand + hash agg, not N scans") {
+    val qe = RelationalQueries.q52Rollup(spark, sf0001).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"rollup must not rescan per grouping set: ${scans.size}")
+    assert(qe.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty)
+    // one agg shuffle + the final sort
+    assert(countShuffles(RelationalQueries.q52Rollup(spark, sf0001)) <= 2)
+  }
+
+  test("q54: unpivot is map-only (Expand, no shuffle before the final sort)") {
+    assert(countShuffles(RelationalQueries.q54Unpivot(spark, sf0001)) <= 1)
+    val qe = RelationalQueries.q54Unpivot(spark, sf0001).queryExecution
+    assert(qe.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty)
+  }
 }
