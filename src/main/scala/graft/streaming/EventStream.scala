@@ -50,6 +50,41 @@ object EventStream {
   def dedupStream(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "2 days").dropDuplicates(idCol, "ts")
 
+  /** Gap-based session windows — the STREAMING face of q17's batch
+    * sessionize, via native `session_window` state merging.
+    *
+    * Gap calibration: q17 splits when the gap in WHOLE SECONDS exceeds
+    * 1800 (`ts.cast(long)` floors to seconds), i.e. same session iff
+    * t' < t + 1801s on truncated timestamps. `session_window` keeps
+    * events together iff t' < t + gap — so second-truncated ts + a
+    * 1801-second gap reproduces q17's boundary EXACTLY (StreamingSpec
+    * asserts per-user session equality against the batch query).
+    *
+    * Scale: session state is partitioned by user and merged by the
+    * streaming aggregation operator; the watermark bounds state to
+    * sessions still open within the lateness horizon. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withColumn("tss", date_trunc("second", col("ts")))
+      .withWatermark("tss", "1 day")
+      .groupBy(col("user_id"), session_window(col("tss"), "1801 seconds"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Drive sessionize to completion on a bounded drop-dir (test path). */
+  def runBoundedSessions(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = sessionize(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the stream to completion against a bounded input (test path). */
   def runBounded(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val q = dailyRollup(readEvents(spark, dir))

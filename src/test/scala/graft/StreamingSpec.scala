@@ -38,4 +38,23 @@ class StreamingSpec extends SparkSuite {
       assert(s.getDouble(2) == b.getDouble(2)) // exact decimal-sum → bitwise equal
     }
   }
+
+  test("streaming session_window == batch q17 sessionize on the same input") {
+    val dir = tmpDir("events_sessions")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // per user: multiset of (n_events, sum_value) over sessions — the
+    // session CONTENT, independent of timestamp representation
+    def sessionsByUser(rows: Array[org.apache.spark.sql.Row],
+        nIdx: Int, vIdx: Int, uIdx: Int): Map[Long, Seq[(Long, Double)]] =
+      rows.groupBy(_.getLong(uIdx)).map { case (u, rs) =>
+        u -> rs.map(r => (r.getLong(nIdx), r.getDouble(vIdx))).toSeq.sorted }
+    val streamed = EventStream.runBoundedSessions(spark, dir, "stream_sessions")
+      .select("user_id", "n_events", "sum_value").collect()
+    val batch = RelationalQueries.q17Sessionize(spark, sf0001)
+      .select("user_id", "n_events", "sum_value").collect()
+    assert(streamed.length == batch.length) // same number of sessions overall
+    assert(sessionsByUser(streamed, 1, 2, 0) == sessionsByUser(batch, 1, 2, 0))
+  }
 }
