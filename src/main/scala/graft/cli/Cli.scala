@@ -52,13 +52,20 @@ object AmoWhitelistCli {
   }
 }
 
+/** `--validate-guids-url http://host/check/{guid}` turns on the opt-in
+  * per-guid liveness probe (the reference's `--validate-guids`,
+  * taar_update_whitelist.py:64-67); `--probe-timeout-ms` bounds each
+  * request (X5). Off by default, exactly like the reference. */
 object UpdateWhitelistCli {
   def main(args: Array[String]): Unit = {
     val o = Cli.parseArgs(args)
     val spark = Cli.session()
+    val probe = o.get("validate-guids-url").map(url =>
+      graft.operators.Liveness.httpProbe(url,
+        o.getOrElse("probe-timeout-ms", "5000").toInt))
     val out = UpdateWhitelist.run(Cli.readTable(spark, o("input")), o("prefix"),
       Cli.date(o), allowShort = o.get("allow-shortlist").contains("true"),
-      guidCol = o.getOrElse("guid-col", "guid"))
+      guidCol = o.getOrElse("guid-col", "guid"), probe = probe)
     println(s"guids=${out.count()}")
     spark.stop()
   }

@@ -26,10 +26,19 @@ object UpdateWhitelist {
       .orderBy("guid")
 
   /** Full job with the F12 floor guard (allowShort mirrors
-    * `--allow-shortlist`, taar_update_whitelist.py:70-73). */
+    * `--allow-shortlist`, taar_update_whitelist.py:70-73) and the
+    * OPT-IN remote liveness probe (F11, mirrors `--validate-guids`,
+    * taar_update_whitelist.py:64-67): when `probe` is set, only guids it
+    * accepts survive — executor-side fan-out, probe failures = dead. */
   def run(editorial: DataFrame, prefix: String, asOf: LocalDate,
-      allowShort: Boolean = false, guidCol: String = "guid"): DataFrame = {
-    val result = transform(editorial, guidCol)
+      allowShort: Boolean = false, guidCol: String = "guid",
+      probe: Option[String => Boolean] = None): DataFrame = {
+    val valid = transform(editorial, guidCol)
+    val result = probe match {
+      case Some(p) =>
+        graft.operators.Liveness.filterLiveDf(valid, "guid", p).orderBy("guid")
+      case None => valid
+    }
     val n = result.count()
     if (n < MinCount && !allowShort) throw new ShortWhitelistError(n.toInt, MinCount)
     JsonArtifact.writeRows(result, prefix, "only_guids_top_200.json", asOf)

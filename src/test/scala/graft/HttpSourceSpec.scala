@@ -104,6 +104,14 @@ class HttpSourceSpec extends SparkSuite with BeforeAndAfterAll {
     assert(slowHits.get() == 2)
   }
 
+  test("opt-in --validate-guids path: UpdateWhitelist keeps only live guids") {
+    val editorial = (0 until 10).map(i => s"g$i@x").toDF("guid")
+    val out = graft.jobs.UpdateWhitelist.run(editorial, tmpDir("uwv"),
+      java.time.LocalDate.parse("2024-06-01"), allowShort = true,
+      probe = Some(Liveness.httpProbe(s"$base/check/{guid}", timeoutMs = 5000)))
+    assert(out.as[String].collect().toSeq == Seq("g0@x", "g2@x", "g4@x", "g6@x", "g8@x"))
+  }
+
   test("F11: executor-side liveness probe keeps only live guids") {
     val guids = (0 until 10).map(i => s"g$i@x").toDS()
     val live = Liveness.filterLive(guids,
