@@ -19,6 +19,8 @@ object GraftSql {
       df.createOrReplaceTempView(n)
     }
     graft.functions.Zlib.register(spark)
+    graft.functions.Vec.register(spark)
+    graft.functions.Md5Prefix64.register(spark)
   }
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {

@@ -34,6 +34,35 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("approx_percentile tracks exact percentile within its accuracy bound") {
+    // the 100 TB path for q47: exact percentile sorts each group in
+    // memory; the sketch (KLL-style) is the form that survives groups
+    // larger than an executor. Pin that at accuracy=10000 the sketch
+    // stays within 1% relative error of the exact rank statistic.
+    // the sketch's contract is RANK accuracy (returns a real element
+    // within rank error n/accuracy of the target), not value-space
+    // closeness to the interpolated exact percentile — so assert on the
+    // rank of the returned element within its group
+    val approx = Tables.orders(spark, sf0001)
+      .groupBy($"o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("m"),
+           expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"))
+      .collect()
+    assert(approx.nonEmpty)
+    val groups = Tables.orders(spark, sf0001)
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)]
+      .collect().groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+    def rankOf(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    approx.foreach { r =>
+      val sorted = groups(r.getString(0))
+      assert(math.abs(rankOf(sorted, r.getDouble(1)) - 0.5) <= 0.02,
+        s"median rank off: ${rankOf(sorted, r.getDouble(1))}")
+      assert(math.abs(rankOf(sorted, r.getDouble(2)) - 0.9) <= 0.02,
+        s"p90 rank off: ${rankOf(sorted, r.getDouble(2))}")
+    }
+  }
+
   test("stateful streaming running counts == batch per-user totals") {
     val dir = tmpDir("events_state")
     java.nio.file.Files.copy(

@@ -30,4 +30,16 @@ class GraftSqlSpec extends SparkSuite {
     val t = spark.sql("SELECT typeof(ts) FROM events LIMIT 1").collect()(0).getString(0)
     assert(t == "timestamp")
   }
+
+  test("native vector and hash functions callable from SQL") {
+    GraftSql.register(spark, sf0001)
+    val r = spark.sql(
+      """SELECT vec_dot(embedding, embedding) AS d, vec_norm2(embedding) AS n,
+        |       md5_prefix64(CAST(CAST(vec_id AS STRING) AS BINARY), 8) AS h
+        |FROM embeddings ORDER BY vec_id LIMIT 3""".stripMargin).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1)) // dot(x,x) == norm2(x), bitwise
+      assert(row.getLong(2) >= 0L && row.getLong(2) <= 0xffffffffL)
+    }
+  }
 }
