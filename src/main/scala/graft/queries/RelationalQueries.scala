@@ -663,6 +663,28 @@ object RelationalQueries {
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q55: CUBE — all grouping-set combinations (4 sets here) in the same
+    * single-scan Expand+agg plan as q52's rollup. */
+  def q55Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_extendedprice").as("sum_price"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n_rows", $"sum_price")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val q55Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS n_rows, ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
   /** q53: the analytic-window suite beyond rank/lag — ntile buckets,
     * lead deltas, percent_rank/cume_dist (rounded to 6 so float repr
     * can't flip the hash), all over one user-ordered window. */
@@ -711,6 +733,7 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
     "q52_rollup"            -> (q52Rollup _),
+    "q55_cube"              -> (q55Cube _),
     "q53_window_analytics"  -> (q53WindowAnalytics _),
     "q54_unpivot"           -> (q54Unpivot _),
     "q51_apply_changes"     -> (q51ApplyChanges _),
@@ -743,6 +766,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q52_rollup"            -> q52Sql,
+    "q55_cube"              -> q55Sql,
     "q53_window_analytics"  -> q53Sql,
     "q54_unpivot"           -> q54Sql,
     "q51_apply_changes"     -> q51Sql,

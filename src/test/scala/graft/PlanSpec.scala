@@ -91,4 +91,32 @@ class PlanSpec extends SparkSuite {
     assert(qe.sparkPlan.collect {
       case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // at 100 TB the selective-dimension shuffle join wants a runtime
+    // bloom filter on the fact scan (Catalyst's InjectRuntimeFilter);
+    // thresholds are sized for clusters, so pin the behavior with them
+    // lowered and broadcast disabled (broadcast joins don't need it)
+    import org.apache.spark.sql.functions.col
+    def join() = {
+      val li = Tables.lineitem(spark, sf0001)
+      val ord = Tables.orders(spark, sf0001)
+        .where(col("o_orderpriority") === "1-URGENT")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey")).select(col("l_orderkey"))
+    }
+    var withFilter = -1L
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = join().queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), s"no runtime bloom filter injected:\n$plan")
+      withFilter = join().count()
+    }
+    // control: same values with the rewrite off
+    withSQLConf("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+      assert(join().count() == withFilter)
+    }
+  }
 }
