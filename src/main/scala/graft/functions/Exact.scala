@@ -25,6 +25,13 @@ object Exact {
   /** Exact sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** The cast half of [[dsum]], for pre-projecting BELOW an Expand
+    * (grouping sets evaluate agg inputs once per grouping set per row;
+    * pre-casting does the decimal conversion once per source row).
+    * `dsumPre(decCol(x)) == dsum(x)` exactly. */
+  def decCol(c: Column): Column = c.cast(Dec)
+  def dsumPre(c: Column): Column = sum(c).cast("double")
+
   /** Exact sum of an elementwise product of two double columns. */
   def dsumProd(a: Column, b: Column): Column =
     sum(a.cast(Dec) * b.cast(Dec)).cast("double")

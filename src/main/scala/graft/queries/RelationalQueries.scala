@@ -646,8 +646,9 @@ object RelationalQueries {
   def q52Rollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
+      .withColumn("qty_dec", decCol($"l_quantity")) // cast below the Expand
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), dsumPre($"qty_dec").as("sum_qty"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
@@ -668,8 +669,9 @@ object RelationalQueries {
   def q55Cube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
+      .withColumn("price_dec", decCol($"l_extendedprice")) // cast below the Expand
       .cube($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n_rows"), dsum($"l_extendedprice").as("sum_price"))
+      .agg(count(lit(1)).as("n_rows"), dsumPre($"price_dec").as("sum_price"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
