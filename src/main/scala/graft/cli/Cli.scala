@@ -23,7 +23,7 @@ object Cli {
 
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    SparkSession.builder()
+    SparkSession.builder().withExtensions(new graft.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -58,10 +58,16 @@ object Md5Prefix64 {
     v
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix64", exprs => Md5Prefix64(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+  /** Idempotent: a no-op when already installed (by
+    * [[graft.GraftExtensions]] at session build, or by a prior call). */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("md5_prefix64")))
+      reg.createOrReplaceTempFunction(
+        "md5_prefix64", exprs => Md5Prefix64(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+  }
 
   def apply(spark: SparkSession, c: Column, nibbles: Int): Column = {
     register(spark)

@@ -136,11 +136,17 @@ object Vec {
     acc
   }
 
+  /** Idempotent: a no-op when the function already exists (installed by
+    * [[graft.GraftExtensions]] at session build, or by a prior call). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_norm2", exprs => Norm2(exprs.head), "built-in")
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("vec_norm2")))
+      reg.createOrReplaceTempFunction(
+        "vec_norm2", exprs => Norm2(exprs.head), "built-in")
   }
 
   def dotCol(spark: SparkSession, a: Column, b: Column): Column = {

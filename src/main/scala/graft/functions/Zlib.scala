@@ -89,10 +89,14 @@ object Zlib {
     * `call_function` keeps us on the public Column surface (Spark 4 hides
     * the Expression-backed Column constructor). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zlib_compress", exprs => ZlibCompress(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zlib_decompress", exprs => ZlibDecompress(exprs.head), "built-in")
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("zlib_compress")))
+      reg.createOrReplaceTempFunction(
+        "zlib_compress", exprs => ZlibCompress(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("zlib_decompress")))
+      reg.createOrReplaceTempFunction(
+        "zlib_decompress", exprs => ZlibDecompress(exprs.head), "built-in")
   }
 
   def compressCol(spark: SparkSession, c: Column): Column = {

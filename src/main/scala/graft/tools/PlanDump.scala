@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 /** Dump executed plans of selected queries (dev tool). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().withExtensions(new graft.GraftExtensions).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

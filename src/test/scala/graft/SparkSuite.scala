@@ -12,6 +12,9 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // string-form registration = the cluster deployment path; every suite
+    // exercises it (vs .withExtensions, the programmatic face)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"

@@ -16,31 +16,37 @@ class VecSpec extends SparkSuite {
   }
 
   test("vec_dot/vec_norm2 are bit-identical to the HOF fold (float arrays)") {
-    val df = (0 until 50).map(i => (i, randVec(i, 64), randVec(i + 1000, 64)))
-      .toDF("id", "a", "b")
-    val out = df.select(
-      dot($"a", $"b").as("nd"), dotHof($"a", $"b").as("hd"),
-      norm2($"a").as("nn"), norm2Hof($"a").as("hn")).collect()
-    out.foreach { r =>
-      // exact ==: same fold order must mean same bits, not just close
-      assert(r.getDouble(0) == r.getDouble(1))
-      assert(r.getDouble(2) == r.getDouble(3))
+    // VecRewrite OFF: otherwise the "HOF" side is silently rewritten to the
+    // native expression and this comparison proves nothing
+    withSQLConf("spark.graft.rewriteVecHof" -> "false") {
+      val df = (0 until 50).map(i => (i, randVec(i, 64), randVec(i + 1000, 64)))
+        .toDF("id", "a", "b")
+      val out = df.select(
+        dot($"a", $"b").as("nd"), dotHof($"a", $"b").as("hd"),
+        norm2($"a").as("nn"), norm2Hof($"a").as("hn")).collect()
+      out.foreach { r =>
+        // exact ==: same fold order must mean same bits, not just close
+        assert(r.getDouble(0) == r.getDouble(1))
+        assert(r.getDouble(2) == r.getDouble(3))
+      }
     }
   }
 
   test("vec_dot handles mixed float/double arrays (the centroid case)") {
-    val df = (0 until 20).map { i =>
-      val f = randVec(i, 16)
-      (i, f, f.map(_.toDouble * 1.5))
-    }.toDF("id", "f", "d")
-    val out = df.select(
-      dot($"f", $"d").as("nd"), dotHof($"f", $"d").as("hd"),
-      dot($"d", $"f").as("nr"), dotHof($"d", $"f").as("hr"),
-      norm2($"d").as("nn"), norm2Hof($"d").as("hn")).collect()
-    out.foreach { r =>
-      assert(r.getDouble(0) == r.getDouble(1))
-      assert(r.getDouble(2) == r.getDouble(3))
-      assert(r.getDouble(4) == r.getDouble(5))
+    withSQLConf("spark.graft.rewriteVecHof" -> "false") {
+      val df = (0 until 20).map { i =>
+        val f = randVec(i, 16)
+        (i, f, f.map(_.toDouble * 1.5))
+      }.toDF("id", "f", "d")
+      val out = df.select(
+        dot($"f", $"d").as("nd"), dotHof($"f", $"d").as("hd"),
+        dot($"d", $"f").as("nr"), dotHof($"d", $"f").as("hr"),
+        norm2($"d").as("nn"), norm2Hof($"d").as("hn")).collect()
+      out.foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1))
+        assert(r.getDouble(2) == r.getDouble(3))
+        assert(r.getDouble(4) == r.getDouble(5))
+      }
     }
   }
 
