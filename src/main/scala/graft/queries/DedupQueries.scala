@@ -73,8 +73,10 @@ object DedupQueries {
       |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
       | ELSE [] END""".stripMargin.replace("\n", " ")
 
-  /** Hex polynomial: parse the first 8 chars of md5(expr) as a base-16 int. */
-  private def sqlH32(expr: String): String =
+  /** Hex polynomial: parse the first 8 chars of md5(expr) as a base-16 int
+    * (the oracle-side mirror of [[graft.functions.Md5Prefix64]]; shared
+    * with TextQueries' deterministic split). */
+  def sqlH32(expr: String): String =
     (1 to 8).map { k =>
       val w = math.pow(16, 8 - k).toLong
       s"(CAST(strpos('0123456789abcdef', substr(md5($expr), $k, 1)) AS BIGINT) - 1) * ${w}"
@@ -297,6 +299,60 @@ object DedupQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q29: exact n-gram Jaccard via inverted shingle index ----
+
+  /** Pairing shingles with document frequency above this are excluded from
+    * CANDIDATE GENERATION (verification still uses the full shingle sets).
+    * This is the standard stop-shingle bound for postings-list joins: the
+    * worst posting list contributes at most cap·(cap−1)/2 candidate pairs,
+    * so a ubiquitous shingle cannot explode the self-join. A pair is missed
+    * only if EVERY shared shingle is hotter than the cap — for near-dups
+    * (Jaccard ≥ 0.8, i.e. sharing almost all shingles) that requires the
+    * whole document to be made of corpus-wide boilerplate. */
+  val PairingDfCap = 16
+
+  /** q29: exact n-gram (3-token shingle) Jaccard near-dup pairs computed
+    * from an inverted index — the hash-free alternative to MinHash+LSH
+    * (q26): no signatures, no probabilistic recall; candidates come from
+    * shared rare shingles, then exact verification.
+    *
+    * Scale design: the shuffle key is the shingle (uniform by content);
+    * the quadratic term is bounded per key by [[PairingDfCap]]. The df
+    * filter itself is one partial-aggregated count over the postings.
+    * Candidate dedup happens BEFORE the verify join back to the (heavy)
+    * shingle arrays, so each surviving pair fetches its sets once. */
+  def q29NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", shingles($"text").as("shingles"))
+    val occ = docs.select($"doc_id", explode($"shingles").as("sh"))
+    val rare = occ.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .where($"df" <= PairingDfCap).select($"sh")
+    val postings = occ.join(rare, Seq("sh"))
+    val cand = postings.as("a")
+      .join(postings.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand, docs).orderBy($"doc_a", $"doc_b")
+  }
+
+  val q29Sql: String =
+    s"""WITH sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM documents),
+       |occ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |rare AS (SELECT s FROM occ GROUP BY s HAVING COUNT(*) <= $PairingDfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM occ a JOIN rare r ON a.s = r.s
+       |  JOIN occ b ON b.s = a.s AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- q49: near-dup clusters (pairs → connected components) ----
 
   /** Transitive closure of the LSH near-dup pairs: every involved doc is
@@ -334,6 +390,7 @@ object DedupQueries {
     "q24_dedup_exact"         -> (q24DedupExact _),
     "q25_minhash_sig"         -> (q25MinhashSig _),
     "q26_minhash_pairs"       -> (q26MinhashPairs _),
+    "q29_ngram_jaccard"       -> (q29NgramJaccard _),
     "q27_simhash"             -> (q27Simhash _),
     "q28_rolling_fingerprint" -> (q28RollingFingerprint _),
   )
@@ -343,6 +400,7 @@ object DedupQueries {
     "q24_dedup_exact"         -> q24Sql,
     "q25_minhash_sig"         -> q25Sql,
     "q26_minhash_pairs"       -> q26Sql,
+    "q29_ngram_jaccard"       -> q29Sql,
     "q27_simhash"             -> q27Sql,
     "q28_rolling_fingerprint" -> q28Sql,
   )

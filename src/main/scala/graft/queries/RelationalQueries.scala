@@ -245,6 +245,42 @@ object RelationalQueries {
        |GROUP BY 1
        |ORDER BY bucket""".stripMargin
 
+  /** q58: sliding (hopping) window aggregation — 10-minute windows every
+    * 5 minutes over the event stream, the overlap-window face of q10's
+    * tumbling buckets. Spark's `window(ts, len, slide)` expands each event
+    * into its len/slide = 2 covering windows map-side (a projection, not a
+    * join), then one hash aggregation on the window start.
+    *
+    * Output is BIGINT epoch-seconds, not a timestamp (the q17 lesson:
+    * integers canonicalize identically across engines). The same
+    * expression runs unchanged under `readStream` with a watermark —
+    * StreamingSpec's tumbling face generalizes. */
+  def q58SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "600 seconds", "300 seconds"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select(unix_seconds($"window.start").as("window_start_s"),
+        $"n_events", $"sum_value")
+      .orderBy($"window_start_s")
+  }
+
+  // Oracle: every event belongs to exactly length/hop = 2 windows — the
+  // hop-aligned bucket of its timestamp and the one before. unnest of the
+  // two candidate starts mirrors Spark's map-side window expansion.
+  val q58Sql: String =
+    s"""WITH e AS (SELECT epoch_us(ts) AS t_us, value FROM events),
+       |w AS (
+       |  SELECT unnest([(t_us // 300000000) * 300000000,
+       |                 (t_us // 300000000) * 300000000 - 300000000]) AS ws_us,
+       |         value
+       |  FROM e)
+       |SELECT ws_us // 1000000 AS window_start_s,
+       | COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+       |FROM w
+       |GROUP BY ws_us
+       |ORDER BY window_start_s""".stripMargin
+
   /** q11: sha-256 row-key hashing (P5, taar_utils.py:110-116 — the Bigtable
     * row key). Spark's built-in `sha2` is codegen'd; no UDF. */
   def q11Sha2(s: SparkSession, dir: String): DataFrame = {
@@ -758,6 +794,7 @@ object RelationalQueries {
     "q08_topk_per_group"    -> (q08TopKPerGroup _),
     "q09_pair_cooccurrence" -> (q09PairCooccurrence _),
     "q10_tumbling_window"   -> (q10TumblingWindow _),
+    "q58_sliding_window"    -> (q58SlidingWindow _),
     "q11_sha2"              -> (q11Sha2 _),
     "q12_json_trycast"      -> (q12JsonTryCast _),
     "q13_url_build_parse"   -> (q13UrlBuildParse _),
@@ -790,6 +827,7 @@ object RelationalQueries {
     "q08_topk_per_group"    -> q08Sql,
     "q09_pair_cooccurrence" -> q09Sql,
     "q10_tumbling_window"   -> q10Sql,
+    "q58_sliding_window"    -> q58Sql,
     "q11_sha2"              -> q11Sql,
     "q12_json_trycast"      -> q12Sql,
     "q13_url_build_parse"   -> q13Sql,

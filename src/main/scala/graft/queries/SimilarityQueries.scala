@@ -140,18 +140,23 @@ object SimilarityQueries {
     * nprobe/n_buckets of the corpus; recall is tunable — at nprobe =
     * n_buckets this provably equals the q30 brute force (IvfRecallSpec
     * pins both ends). */
+  /** Elementwise-mean centroid per `label`: per-position partial sums +
+    * count in ONE shuffle, k×dim cells out (shared by q32 IVF and the q59
+    * Lloyd step). Column names: (c_label, centroid). */
+  def labelCentroids(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s_$i"))
+    val aggCols = sums :+ count(lit(1)).as("s_cnt")
+    emb.groupBy(col("label"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("label").as("c_label"), array((0 until dim).map(i =>
+        col(s"s_$i") / col("s_cnt")): _*).as("centroid"))
+  }
+
   def ivfAnn(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val dim = 64
-    // elementwise mean per label: per-position sums + count in ONE shuffle
-    val sums = (0 until dim).map(i =>
-      sum(element_at($"embedding", i + 1).cast("double")).as(s"s_$i"))
-    val aggCols = sums :+ count(lit(1)).as("s_cnt")
-    val cents = emb.groupBy($"label")
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select($"label".as("c_label"), array((0 until dim).map(i =>
-        col(s"s_$i") / col("s_cnt")): _*).as("centroid"))
+    val cents = labelCentroids(emb)
     val queries = emb.where($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     // nprobe nearest centroids per query (centroids are tiny: broadcast)
@@ -205,15 +210,69 @@ object SimilarityQueries {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  // ---- q59: k-means Lloyd assignment step ----
+
+  /** q59: one Lloyd iteration over the embedding corpus — recompute the
+    * elementwise-mean centroid of every current `label` bucket, then
+    * reassign EVERY vector to its nearest centroid by cosine. This is the
+    * clustering step a data-curation pipeline iterates to build the IVF
+    * buckets q32 probes (and the taar_similarity donor-clustering shape).
+    *
+    * Scale design: centroids are ONE shuffle (per-position partial sums,
+    * k×dim cells); the assignment is a broadcast cross join (k centroids ×
+    * corpus, map-side) with a row_number top-1 that WindowGroupLimit
+    * collapses to a per-partition argmax — the corpus never reshuffles.
+    * Determinism: ranking and output use round(cosine, 6) with a label
+    * tie-break; raw float sums never surface (the q30-q32 recipe).
+    * `moved` marks vectors whose assignment changed — SUM(moved) is the
+    * convergence metric a driver loop would watch. */
+  def q59KmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = labelCentroids(emb)
+    val w = Window.partitionBy($"vec_id")
+      .orderBy(round(cosine($"embedding", $"centroid"), 6).desc, $"c_label".asc)
+    emb.join(broadcast(cents), lit(true))
+      .withColumn("crn", row_number().over(w)).where($"crn" === 1)
+      .select($"vec_id", $"label",
+        $"c_label".as("new_label"),
+        round(cosine($"embedding", $"centroid"), 6).as("sim"),
+        ($"c_label" =!= $"label").cast("int").as("moved"))
+      .orderBy($"vec_id")
+  }
+
+  val q59Sql: String = {
+    val cos = sqlCosine("e.embedding", "c.centroid")
+    s"""WITH pos AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT label AS c_label, list(CAST(sv AS DOUBLE) ORDER BY i) AS centroid
+       |  FROM (SELECT label, i, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS sv
+       |        FROM pos GROUP BY label, i)
+       |  GROUP BY label)
+       |SELECT vec_id, label, new_label, sim, moved FROM (
+       |  SELECT e.vec_id, e.label, c.c_label AS new_label,
+       |    round($cos, 6) AS sim,
+       |    CAST(c.c_label <> e.label AS INT) AS moved,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round($cos, 6) DESC, c.c_label ASC) AS crn
+       |  FROM embeddings e CROSS JOIN cents c)
+       |WHERE crn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_knn_bruteforce"    -> (q30KnnBruteForce _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q32_ivf_ann"           -> (q32IvfAnn _),
+    "q59_kmeans_assign"     -> (q59KmeansAssign _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q30_knn_bruteforce"    -> q30Sql,
     "q31_embedding_neardup" -> q31Sql,
     "q32_ivf_ann"           -> q32Sql,
+    "q59_kmeans_assign"     -> q59Sql,
   )
 }

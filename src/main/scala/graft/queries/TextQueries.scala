@@ -151,11 +151,114 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q56: deterministic stratified train/val/test split ----
+
+  /** q56: content-addressed dataset split — every document lands in
+    * train/val/test by `md5(doc_id) mod 100` (80/10/10), reported as
+    * per-(lang, split) counts. The hash assignment is the point: it is
+    * STABLE under corpus growth (a document's split never changes when
+    * neighbors are added/removed — row_number-based splits reshuffle
+    * everything) and needs no global sort or driver state.
+    *
+    * Scale: map-only hash + one partial-aggregated count; the result is
+    * strata × 3 rows. This is how a 100 TB corpus gets split: no sampling
+    * pass, no persisted assignment table. */
+  /** The per-document split assignment: a pure function of the id, so a
+    * document's split survives corpus growth/shrinkage (row_number splits
+    * reshuffle on any change) — pinned in PipelineQueriesSpec. */
+  def splitAssign(s: SparkSession, id: Column): Column = {
+    val bucket = pmod(
+      graft.functions.Md5Prefix64(s, id.cast("string").cast("binary"), 8),
+      lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  def q56StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = splitAssign(s, $"doc_id")
+    Tables.documents(s, dir)
+      .select($"lang", split.as("split"), $"n_chars")
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang", $"split")
+  }
+
+  val q56Sql: String = {
+    val bucket = s"(${DedupQueries.sqlH32("CAST(doc_id AS VARCHAR)")} % 100)"
+    s"""SELECT lang,
+       | CASE WHEN $bucket < 80 THEN 'train'
+       |      WHEN $bucket < 90 THEN 'val'
+       |      ELSE 'test' END AS split,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY lang, split""".stripMargin
+  }
+
+  // ---- q57: TF-IDF top terms per document ----
+
+  val TfIdfTopK = 3
+
+  /** q57: corpus-weighted term scoring — smoothed TF-IDF
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn formulation) with the
+    * top-[[TfIdfTopK]] terms per document.
+    *
+    * Scale design: term frequencies are one shuffle on (doc_id, term);
+    * document frequencies aggregate THAT result (vocabulary-sized, ≪
+    * corpus) and come back as a broadcast join, so the corpus-sized side
+    * never reshuffles for the idf lookup. The corpus size N joins as a
+    * broadcast single row (no driver-side count). Top-k is a row_number
+    * window → WindowGroupLimit pushes the limit into the partial sort.
+    *
+    * Determinism: the ranking and output key is round(tfidf, 6) with a
+    * term tie-break (the float-similarity recipe), so an ulp-level ln()
+    * disagreement between engines cannot flip ranks. */
+  def q57TfIdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select($"doc_id", explode(toks($"text")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term", $"tf", $"df",
+        round($"tf" * (log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0)), 6)
+          .as("tfidf_r"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"tfidf_r".desc, $"term")))
+      .where($"rnk" <= TfIdfTopK)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"tfidf_r")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val q57Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf_r
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, rnk, term, tf, df, tfidf_r
+       |FROM ranked WHERE rnk <= $TfIdfTopK
+       |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_text_stats"        -> (q20TextStats _),
     "q21_text_quality"      -> (q21TextQuality _),
     "q22_lang_id"           -> (q22LangId _),
     "q23_token_regex_count" -> (q23TokenRegexCount _),
+    "q56_stratified_split"  -> (q56StratifiedSplit _),
+    "q57_tfidf_topterms"    -> (q57TfIdf _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -163,5 +266,7 @@ object TextQueries {
     "q21_text_quality"      -> q21Sql,
     "q22_lang_id"           -> q22Sql,
     "q23_token_regex_count" -> q23Sql,
+    "q56_stratified_split"  -> q56Sql,
+    "q57_tfidf_topterms"    -> q57Sql,
   )
 }
