@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-import graft.functions.{DotProduct, Md5Prefix64, Norm2, ZlibCompress, ZlibDecompress}
+import graft.functions.{Codec, DotProduct, Md5Prefix64, Norm2, PayloadCompress, PayloadDecompress, ZlibCompress, ZlibDecompress}
 
 /** Session extension entry point — the deployment-shaped way to install
   * this library's native expressions and optimizer rules on a cluster:
@@ -20,7 +20,8 @@ import graft.functions.{DotProduct, Md5Prefix64, Norm2, ZlibCompress, ZlibDecomp
   * GraftExtensions)`. Installs:
   *
   *  - the native functions (`vec_dot`, `vec_norm2`, `md5_prefix64`,
-  *    `zlib_compress`, `zlib_decompress`) as session-registry functions —
+  *    `zlib_compress`, `zlib_decompress`, `payload_compress`,
+  *    `payload_decompress`) as session-registry functions —
   *    available to `spark.sql` text and `call_function` without any
   *    per-query temp registration;
   *  - [[VecRewrite]], an optimizer rule that rewrites the declarative
@@ -46,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("zlib_decompress"),
       new ExpressionInfo(classOf[ZlibDecompress].getName, "zlib_decompress"),
       (exprs: Seq[Expression]) => ZlibDecompress(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("payload_compress"),
+      new ExpressionInfo(classOf[PayloadCompress].getName, "payload_compress"),
+      (exprs: Seq[Expression]) => PayloadCompress(exprs.head, Codec.codecArg(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("payload_decompress"),
+      new ExpressionInfo(classOf[PayloadDecompress].getName, "payload_decompress"),
+      (exprs: Seq[Expression]) => PayloadDecompress(exprs.head, Codec.codecArg(exprs(1)))))
     ext.injectOptimizerRule(_ => VecRewrite)
   }
 }

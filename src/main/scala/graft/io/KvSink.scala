@@ -27,19 +27,23 @@ object KvSink {
     * pseudonymizes the client id before it ever reaches the store
     * (taar_profile_bigtable.py:304-306 hashes, :318-327 serializes the
     * hashed dict), so the raw id must not survive inside the JSON either. */
-  def toKv(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+  def toKv(spark: SparkSession, df: DataFrame, idCol: String,
+      codec: String = "zlib"): DataFrame = {
     val fields = df.columns.map {
       case c if c == idCol => sha2(col(c).cast("string"), 256).as(c)
       case c               => col(c)
     }
-    df.select(
-      sha2(col(idCol).cast("string"), 256).as("key"),
-      Zlib.compressCol(spark,
-        to_json(struct(fields: _*)).cast("binary")).as("payload"))
+    val json = to_json(struct(fields: _*)).cast("binary")
+    val payload =
+      if (codec == "zlib") Zlib.compressCol(spark, json) // reference format
+      else graft.functions.Codec.compressCol(spark, json, codec)
+    df.select(sha2(col(idCol).cast("string"), 256).as("key"),
+      payload.as("payload"))
   }
 
-  def write(spark: SparkSession, df: DataFrame, idCol: String, path: String): Unit =
-    toKv(spark, df, idCol).write.mode("overwrite").parquet(path)
+  def write(spark: SparkSession, df: DataFrame, idCol: String, path: String,
+      codec: String = "zlib"): Unit =
+    toKv(spark, df, idCol, codec).write.mode("overwrite").parquet(path)
 
   /** K5 — opt-out delete: drop every key whose source id appears in
     * `optOutIds` (anti-join; taar_profile_bigtable.py:193-223, :332-339). */
@@ -58,7 +62,11 @@ object KvSink {
   }
 
   /** Decode a KV payload back to JSON text (consumer side / tests). */
-  def decodePayload(spark: SparkSession, kv: DataFrame): DataFrame =
-    kv.select(col("key"),
-      Zlib.decompressCol(spark, col("payload")).cast("string").as("json"))
+  def decodePayload(spark: SparkSession, kv: DataFrame,
+      codec: String = "zlib"): DataFrame = {
+    val json =
+      if (codec == "zlib") Zlib.decompressCol(spark, col("payload"))
+      else graft.functions.Codec.decompressCol(spark, col("payload"), codec)
+    kv.select(col("key"), json.cast("string").as("json"))
+  }
 }

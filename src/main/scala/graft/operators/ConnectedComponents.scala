@@ -56,4 +56,75 @@ object ConnectedComponents {
     }
     comp
   }
+
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — the GraphFrames/GraphX production algorithm).
+    *
+    * Min-label propagation ([[components]]) needs O(diameter) rounds — a
+    * chain of 10k re-posted near-duplicates means 10k shuffles. The star
+    * operations contract long paths doubly-logarithmically: O(log² n)
+    * rounds on ANY graph shape, each round one groupBy-join shuffle pair
+    * over the current edge set:
+    *
+    *  - large-star: every node links its LARGER neighbors to its smallest
+    *    neighbor-or-self (keeps edge count bounded: only smaller→larger
+    *    edges are rewritten);
+    *  - small-star: every node links its smaller neighbors and itself to
+    *    the minimum among them.
+    *
+    * The fixpoint is a forest of depth-1 stars rooted at each component's
+    * minimum id — the same labeling `components` converges to
+    * (StarCcSpec pins equality on random graphs and a 512-node path).
+    * Use this variant when the pair graph can contain long chains or
+    * billions of edges; min-label when diameters are known-tiny. */
+  def componentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // canonical directed edges big→small, self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      und.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is already big→small; every group's neighbors are all smaller
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixpoint test on the canonical distinct edge sets
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    // fixpoint edges are depth-1 stars root←member; roots label themselves
+    // (least() skips the null min for unmatched roots)
+    nodes.join(edges, nodes("id") === edges("u"), "left_outer")
+      .groupBy(col("id")).agg(min(col("v")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
+  }
 }

@@ -72,6 +72,44 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join — last-touch attribution: every purchase
+    * joins the SAME user's clicks from the preceding 30 minutes. Both
+    * sides carry watermarks and the join condition carries the time bound,
+    * so the state store can evict clicks older than watermark+30min —
+    * without the interval, stream-stream join state grows forever.
+    *
+    * The same expression tree runs as a plain batch self-join (the spec
+    * pins batch == streaming row sets on a bounded input). */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
+  /** Drive attributionJoin to completion on a bounded drop-dir (test path). */
+  def runBoundedAttribution(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = attributionJoin(readEvents(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive sessionize to completion on a bounded drop-dir (test path). */
   def runBoundedSessions(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val q = sessionize(readEvents(spark, dir))

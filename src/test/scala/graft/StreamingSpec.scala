@@ -57,4 +57,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.length == batch.length) // same number of sessions overall
     assert(sessionsByUser(streamed, 1, 2, 0) == sessionsByUser(batch, 1, 2, 0))
   }
+
+  test("stream-stream interval join == the same join run as a batch self-join") {
+    val dir = tmpDir("events_attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events_attr.parquet"))
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(1), r.getLong(2))).toSet // (purchase_id, click_id)
+    val streamed = EventStream.runBoundedAttribution(spark, dir, "stream_attr")
+      .collect()
+    val batch = EventStream.attributionJoin(Tables.events(spark, sf0001))
+      .collect()
+    assert(batch.nonEmpty, "fixture must produce attribution pairs")
+    assert(pairs(streamed) == pairs(batch))
+  }
 }
