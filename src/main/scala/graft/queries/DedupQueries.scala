@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -334,31 +335,39 @@ object DedupQueries {
     *    perturb CANDIDATE generation (emitted values are verified on raw
     *    shingle sets); collision odds stay negligible up to ~10^8 distinct
     *    shingles — beyond that, widen to two longs or accept the
-    *    vanishing false-negative rate (documented tradeoff).
+    *    vanishing false-negative rate (documented tradeoff);
+    *  - the shingle HOF (the per-row cost center) runs over the corpus
+    *    ONCE: `n_sh` rides the explode map-side, document frequency is a
+    *    windowed count over the single sh-partitioned exchange (which the
+    *    self-join then REUSES for both sides), and verification
+    *    re-shingles only the candidate docs (hundreds, via a broadcast
+    *    semi-join) — never the corpus. The candidate pair set is
+    *    localCheckpoint'ed so its two consumers don't replay the pairing
+    *    pipeline. At extreme df skew the windowed count sorts hot
+    *    postings before dropping them; if that ever dominates, trade it
+    *    back to a groupBy+join (second corpus pass, no sort).
     *
     * The oracle is the unoptimized ground truth (string keys, no prune),
     * so the gate proves these optimizations drop nothing. */
   def q29NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // one corpus-wide shingle pass: n_sh travels with each occurrence
+    val occ = Tables.documents(s, dir)
       .select($"doc_id", shingles($"text").as("shingles"))
-    // pairing works on 60-bit shingle hashes (8-byte shuffle keys instead
-    // of ~100-char strings — the q25 signature trick); the oracle hashes
-    // identically, and the final verification is on the raw shingle SETS,
-    // so even a hash collision cannot corrupt an emitted value
-    val occ = docs.select($"doc_id", explode($"shingles").as("sh_raw"))
-      .select($"doc_id", h60(s, $"sh_raw").as("sh"))
-    val rareKeys = occ.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .where($"df" <= PairingDfCap).select($"sh")
-    // only rare occurrences flow downstream; hot postings never re-join
-    val rare = occ.join(rareKeys, Seq("sh"))
-    // per-doc totals: n_sh map-side from the array length, hot count by
-    // difference — no join against the full vocabulary
-    val nRare = rare.groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
-    val stats = docs.select($"doc_id", size($"shingles").cast("long").as("n_sh"))
-      .join(nRare, Seq("doc_id"), "left_outer")
-      .select($"doc_id", $"n_sh",
-        ($"n_sh" - coalesce($"n_rare", lit(0L))).as("n_hot"))
+      .select($"doc_id", size($"shingles").cast("long").as("n_sh"),
+        explode($"shingles").as("sh_raw"))
+      .select($"doc_id", $"n_sh", h60(s, $"sh_raw").as("sh"))
+    // df filter as a windowed count: one sh-keyed shuffle, no second
+    // corpus scan; only rare occurrences survive
+    val rare = occ
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .where($"df" <= PairingDfCap)
+      .select($"doc_id", $"n_sh", $"sh")
+    // per-doc totals: rare count by aggregation, hot count by difference —
+    // no join against the full vocabulary, no re-shingling
+    val stats = rare.groupBy($"doc_id").agg(
+        max($"n_sh").as("n_sh"), count(lit(1)).as("n_rare"))
+      .select($"doc_id", $"n_sh", ($"n_sh" - $"n_rare").as("n_hot"))
     val shared = rare.as("a")
       .join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -371,7 +380,14 @@ object DedupQueries {
       .where(iMax.cast("double") /
         ($"sa.n_sh" + $"sb.n_sh" - iMax).cast("double") >= JaccardThreshold)
       .select($"doc_a", $"doc_b")
-    jaccardVerify(cand, docs).orderBy($"doc_a", $"doc_b")
+      .localCheckpoint()
+    // verification re-shingles ONLY the surviving docs (broadcast semi-join
+    // prunes the corpus before the HOF runs)
+    val candIds = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val docsV = Tables.documents(s, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select($"doc_id", shingles($"text").as("shingles"))
+    jaccardVerify(cand, docsV).orderBy($"doc_a", $"doc_b")
   }
 
   // Deliberately SIMPLER than the Spark plan: plain string pairing keys,
