@@ -441,7 +441,50 @@ object DedupQueries {
        |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q61: benchmark decontamination ----
+
+  /** Holdout membership: every [[DecontamMod]]-th doc plays the benchmark
+    * set; the rest are the training corpus being decontaminated. */
+  val DecontamMod = 97
+
+  /** q61: training-set decontamination — flag every training document that
+    * shares at least one 3-token shingle with the benchmark/holdout set,
+    * with the count of overlapping shingles (shingle sets are distinct per
+    * doc, so the count is a true set-overlap size). In a real pipeline the
+    * flagged docs are dropped before training; emitting (doc_id, n_overlap)
+    * keeps the result auditable and oracle-checkable.
+    *
+    * Scale design: the benchmark shingle set is ~1/[[DecontamMod]] of the
+    * corpus and deduplicated before use, so it BROADCASTS; the training
+    * side is a map-only explode that never shuffles until the final
+    * doc_id count (partial-aggregated). A benchmark too large to
+    * broadcast degrades gracefully to a shuffle hash join on the shingle
+    * — the same uniform-by-content key q29 pairs on. */
+  def q61Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", shingles($"text").as("shingles"))
+    val bench = docs.where($"doc_id" % DecontamMod === 0)
+      .select(explode($"shingles").as("sh")).distinct()
+    docs.where($"doc_id" % DecontamMod =!= 0)
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy($"doc_id")
+  }
+
+  val q61Sql: String =
+    s"""WITH sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM documents),
+       |occ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |bench AS (SELECT DISTINCT s FROM occ WHERE doc_id % $DecontamMod = 0)
+       |SELECT o.doc_id, COUNT(*) AS n_overlap
+       |FROM occ o JOIN bench b ON o.s = b.s
+       |WHERE o.doc_id % $DecontamMod <> 0
+       |GROUP BY o.doc_id
+       |ORDER BY o.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q61_decontaminate"       -> (q61Decontaminate _),
     "q49_dedup_clusters"      -> (q49DedupClusters _),
     "q24_dedup_exact"         -> (q24DedupExact _),
     "q25_minhash_sig"         -> (q25MinhashSig _),
@@ -452,6 +495,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q61_decontaminate"       -> q61Sql,
     "q49_dedup_clusters"      -> q49Sql,
     "q24_dedup_exact"         -> q24Sql,
     "q25_minhash_sig"         -> q25Sql,

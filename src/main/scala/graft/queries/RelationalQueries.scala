@@ -769,7 +769,88 @@ object RelationalQueries {
       |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
       |ORDER BY p_partkey, metric""".stripMargin
 
+  // ---- q60: ordered conversion funnel over first-touch timestamps ----
+
+  /** q60: first-touch funnel view → click → purchase. A user reaches a
+    * stage iff their FIRST event of that type happened strictly after
+    * their first event of the previous stage (classic first-touch funnel
+    * semantics — later out-of-order repeats don't resurrect a stage).
+    *
+    * Scale design: one shuffle on user_id with map-side partial min's
+    * (conditional `min(when(...))` aggregates), then a single global
+    * 1-row reduce for the stage counts. No window, no self-join — the
+    * events table is read once, map-only until the user_id exchange. */
+  def q60Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstTouch = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+    val s2 = $"t_view".isNotNull && $"t_click" > $"t_view"
+    firstTouch
+      .select(
+        when($"t_view".isNotNull, 1L).otherwise(0L).as("s1"),
+        when(s2, 1L).otherwise(0L).as("s2"),
+        when(s2 && $"t_purchase" > $"t_click", 1L).otherwise(0L).as("s3"))
+      .agg(
+        sum($"s1").as("users_view"),
+        sum($"s2").as("users_click_after_view"),
+        sum($"s3").as("users_purchase_after_click"))
+  }
+
+  val q60Sql: String =
+    """WITH ft AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS users_view,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS users_click_after_view,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+      |       AND t_purchase > t_click THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS users_purchase_after_click
+      |FROM ft""".stripMargin
+
+  // ---- q62: correlated subqueries (Catalyst decorrelation) ----
+
+  /** q62: orders priced at more than 1.5× their customer's average order,
+    * restricted to orders with at least one returned line — a correlated
+    * SCALAR subquery (twice) plus a correlated EXISTS, the query shapes
+    * Catalyst's RewriteCorrelatedScalarSubquery / RewritePredicateSubquery
+    * rewrite into aggregate+join plans (no per-row subquery execution;
+    * DecorrelateSpec pins the plan).
+    *
+    * The 1.5× test is done in exact integer/decimal arithmetic —
+    * `2·price·cnt > 3·sum` instead of `price > 1.5·sum/cnt` — so both
+    * engines compare identical exact values (DuckDB's AVG over decimals
+    * returns double; SUM does not). The same ANSI SQL text runs on Spark
+    * (temp views) and DuckDB (the oracle) verbatim. */
+  val q62Sql: String =
+    """SELECT o.o_orderkey, o.o_custkey
+      |FROM orders o
+      |WHERE 2 * CAST(o.o_totalprice AS DECIMAL(18,4)) *
+      |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+      |      3 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+      |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  def q62CorrelatedSubq(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(q62Sql)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q60_funnel"            -> (q60Funnel _),
+    "q62_correlated_subq"   -> (q62CorrelatedSubq _),
     "q52_rollup"            -> (q52Rollup _),
     "q55_cube"              -> (q55Cube _),
     "q53_window_analytics"  -> (q53WindowAnalytics _),
@@ -804,6 +885,8 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_funnel"            -> q60Sql,
+    "q62_correlated_subq"   -> q62Sql,
     "q52_rollup"            -> q52Sql,
     "q55_cube"              -> q55Sql,
     "q53_window_analytics"  -> q53Sql,

@@ -252,7 +252,176 @@ object TextQueries {
        |FROM ranked WHERE rnk <= $TfIdfTopK
        |ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- q63: tokenizer vocabulary build ----
+
+  /** q63: vocabulary construction for a tokenizer — corpus-wide token
+    * counts with dense ids assigned by (count desc, token asc). This is
+    * the counting pass of WordPiece/BPE-style vocab building (the corpus
+    * statistics; merges would iterate on top of these counts).
+    *
+    * Scale design: one shuffle on the token (uniform by content, partial
+    * map-side counts), after which the frame is VOCABULARY-sized — the
+    * global row_number window runs on thousands of rows, not the corpus,
+    * so its single window task is fine at any corpus size. */
+  def q63VocabBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy($"cnt".desc, $"token")) - 1).cast("long"))
+      .orderBy($"token_id")
+  }
+
+  val q63Sql: String =
+    """WITH c AS (
+      |  SELECT t AS token, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY 1)
+      |SELECT token, cnt,
+      |  ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS token_id
+      |FROM c ORDER BY token_id""".stripMargin
+
+  // ---- q64: BM25 relevance scoring ----
+
+  /** Fixed query terms: one rare discriminative token and two common ones
+    * (chosen from the corpus vocabulary). */
+  val Bm25Terms = Seq("dup", "data", "vector")
+  val Bm25K1 = 1.2
+  val Bm25B  = 0.75
+  val Bm25TopK = 20
+
+  /** q64: BM25 document ranking for a fixed multi-term query, top-k docs.
+    *
+    * Uses the RATIONAL idf `(N − df + 0.5)/(df + 0.5)` (BM25's idf without
+    * the log): every input is an integer count, so the score is a fixed
+    * dag of IEEE divisions/multiplications that both engines evaluate
+    * identically — no ln() whose last ulp could differ between libm
+    * implementations. The per-term scores are summed in FIXED term order
+    * (explicit conditional aggregates, not an unordered SUM over rows),
+    * and ranking still goes through round(score, 6) with a doc_id
+    * tie-break (the float-similarity recipe), belt and braces.
+    *
+    * Scale design: term frequencies shuffle once on (doc_id, term) but
+    * only for the 3 query terms (the filter sits on the exploded scan, so
+    * 99%+ of tokens never leave the map side); df and avgdl are
+    * vocabulary/constant-sized broadcasts; top-k is orderBy+limit =
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def q64Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val dl = docs.select($"doc_id", size(toks($"text")).cast("long").as("dl"))
+    // corpus constants as a broadcast 1-row frame (no driver-side collect)
+    val consts = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(toks($"text")).cast("long")).as("total_dl"))
+    val tf = docs
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .where($"term".isin(Bm25Terms.map(x => x: Any): _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scoredTerm = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(consts))
+      .select($"doc_id", $"term",
+        // rational idf · saturated tf, parenthesization fixed on both sides
+        ((($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+          (($"tf" * lit(Bm25K1 + 1.0)) /
+            ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+              lit(Bm25B) * ($"dl".cast("double") /
+                ($"total_dl".cast("double") / $"n".cast("double")))))))
+          .as("s"))
+    // fixed-order cross-term sum: one conditional aggregate per term
+    val perDoc = scoredTerm.groupBy($"doc_id").agg(
+      Bm25Terms.map(t => coalesce(max(when($"term" === t, $"s")), lit(0.0)))
+        .reduceLeft(_ + _).as("score"))
+    perDoc
+      .select($"doc_id", round($"score", 6).as("score_r"))
+      .orderBy($"score_r".desc, $"doc_id")
+      .limit(Bm25TopK)
+  }
+
+  val q64Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val termSum = Bm25Terms
+      .map(t => s"COALESCE(MAX(CASE WHEN term = '$t' THEN s END), 0.0)")
+      .mkString(" + ")
+    s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+       |            FROM documents),
+       |consts AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, t AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+       |  WHERE t IN $termList GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  -- float literals carry an e0 exponent so DuckDB parses them as
+       |  -- DOUBLE (a bare 0.5 would be DECIMAL there, double on Spark)
+       |  SELECT tf.doc_id, tf.term,
+       |    (((consts.n - df.df + 0.5e0) / (df.df + 0.5e0)) *
+       |      ((tf.tf * ${Bm25K1 + 1.0}e0) /
+       |        (tf.tf + ${Bm25K1}e0 * (${1.0 - Bm25B}e0 +
+       |          ${Bm25B}e0 * (CAST(dl.dl AS DOUBLE) /
+       |            (CAST(consts.total_dl AS DOUBLE) / CAST(consts.n AS DOUBLE))))))) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN consts JOIN dl ON dl.doc_id = tf.doc_id)
+       |SELECT doc_id, ROUND($termSum, 6) AS score_r
+       |FROM st GROUP BY doc_id
+       |ORDER BY score_r DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ---- q65: sequence packing (concatenate-and-chunk) ----
+
+  /** Context-window size, in tokens, for q65 packing. */
+  val PackChunk = 512L
+
+  /** q65: concatenate-and-chunk sequence packing — the standard LLM
+    * training-data layout: documents are laid end-to-end in doc_id order
+    * and cut into fixed [[PackChunk]]-token windows; each doc learns its
+    * global token offset, its first chunk, and whether it straddles a
+    * chunk boundary.
+    *
+    * The global running offset comes from [[graft.operators.PrefixSum]] —
+    * the two-pass distributed scan — NOT from an unpartitioned
+    * `Window.orderBy` (a single-task bottleneck at scale; the operator's
+    * scaladoc spells out the contrast, PrefixSumSpec pins equivalence to
+    * the window spelling). Everything after the scan is map-only integer
+    * arithmetic. */
+  def q65ChunkPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksPerDoc = Tables.documents(s, dir)
+      .select($"doc_id", size(toks($"text")).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum
+      .exclusiveScan(toksPerDoc, "doc_id", "n_tokens", "offset")
+      .select($"doc_id", $"n_tokens", $"offset",
+        expr(s"offset div $PackChunk").as("chunk_id"),
+        expr(s"(offset + n_tokens - 1) div $PackChunk").as("end_chunk"))
+      .withColumn("spans_chunks",
+        ($"end_chunk" > $"chunk_id").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val q65Sql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS "offset"
+       |  FROM t)
+       |SELECT doc_id, n_tokens, "offset",
+       |  "offset" // $PackChunk AS chunk_id,
+       |  ("offset" + n_tokens - 1) // $PackChunk AS end_chunk,
+       |  CAST(("offset" + n_tokens - 1) // $PackChunk > "offset" // $PackChunk
+       |       AS INT) AS spans_chunks
+       |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q63_vocab_build"       -> (q63VocabBuild _),
+    "q64_bm25"              -> (q64Bm25 _),
+    "q65_chunk_pack"        -> (q65ChunkPack _),
     "q20_text_stats"        -> (q20TextStats _),
     "q21_text_quality"      -> (q21TextQuality _),
     "q22_lang_id"           -> (q22LangId _),
@@ -262,6 +431,9 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q63_vocab_build"       -> q63Sql,
+    "q64_bm25"              -> q64Sql,
+    "q65_chunk_pack"        -> q65Sql,
     "q20_text_stats"        -> q20Sql,
     "q21_text_quality"      -> q21Sql,
     "q22_lang_id"           -> q22Sql,

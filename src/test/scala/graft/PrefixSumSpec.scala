@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+
+/** The two-pass distributed scan must agree exactly with the declarative
+  * (single-task) window spelling, on data that actually spans partitions
+  * and arrives unsorted. */
+class PrefixSumSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("exclusiveScan equals the unpartitioned-window spelling") {
+    // unsorted input with duplicated values and a zero, across 4 partitions
+    val df = Seq(
+      (7L, 3L), (1L, 10L), (4L, 0L), (9L, 5L), (2L, 2L),
+      (8L, 2L), (3L, 7L), (6L, 1L), (5L, 4L), (10L, 6L))
+      .toDF("k", "v").repartition(4)
+    val got = PrefixSum.exclusiveScan(df, "k", "v", "off", numPartitions = 4)
+      .select($"k", $"off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df
+      .withColumn("off", coalesce(
+        sum($"v").over(Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"k", $"off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    assert(got(1L) === 0L)           // first key gets the identity offset
+    assert(got(10L) === 34L)         // last offset = total minus its own value
+  }
+
+  test("scan output preserves global key order within and across partitions") {
+    val df = (1 to 1000).map(i => (i.toLong * 7 % 1009, 1L)).toDF("k", "v")
+    val rows = PrefixSum.exclusiveScan(df, "k", "v", "off", numPartitions = 8)
+      .select($"k", $"off").collect()
+    // offsets of a unit-valued column in key order are 0,1,2,...
+    val byKey = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(byKey.toSeq === (0L until 1000L))
+  }
+
+  test("empty partitions and empty input are safe") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(PrefixSum.exclusiveScan(empty, "k", "v", "off").count() === 0)
+    // fewer rows than partitions → most partitions empty
+    val tiny = Seq((1L, 5L), (2L, 6L)).toDF("k", "v")
+    val got = PrefixSum.exclusiveScan(tiny, "k", "v", "off", numPartitions = 16)
+      .select($"k", $"off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L))
+  }
+}
