@@ -817,6 +817,43 @@ object RelationalQueries {
       |       AS BIGINT) AS users_purchase_after_click
       |FROM ft""".stripMargin
 
+  // ---- q67: event path mining (consecutive-trigram extraction) ----
+
+  val PathTopK = 10
+
+  /** q67: most common 3-step behavioral paths — consecutive event-type
+    * trigrams per user in time order, counted corpus-wide, top-10.
+    *
+    * Scale design: one shuffle on user_id for the lead() window (per-user
+    * event sequences are small and bounded), one shuffle on the trigram
+    * string for the count (partial map-side), and the top-k is
+    * orderBy+limit = TakeOrderedAndProject (per-partition heaps).
+    * Ordering ties are impossible: (ts, event_id) is unique per user. */
+  def q67PathMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .where($"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"path")
+      .limit(PathTopK)
+  }
+
+  val q67Sql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+       |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+       |  FROM events)
+       |SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS cnt
+       |FROM seq WHERE e3 IS NOT NULL
+       |GROUP BY 1 ORDER BY cnt DESC, path LIMIT $PathTopK""".stripMargin
+
   // ---- q62: correlated subqueries (Catalyst decorrelation) ----
 
   /** q62: orders priced at more than 1.5× their customer's average order,
@@ -850,6 +887,7 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
     "q60_funnel"            -> (q60Funnel _),
+    "q67_path_mining"       -> (q67PathMining _),
     "q62_correlated_subq"   -> (q62CorrelatedSubq _),
     "q52_rollup"            -> (q52Rollup _),
     "q55_cube"              -> (q55Cube _),
@@ -886,6 +924,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q60_funnel"            -> q60Sql,
+    "q67_path_mining"       -> q67Sql,
     "q62_correlated_subq"   -> q62Sql,
     "q52_rollup"            -> q52Sql,
     "q55_cube"              -> q55Sql,
