@@ -54,6 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PayloadDecompress].getName, "payload_decompress"),
       (exprs: Seq[Expression]) => PayloadDecompress(exprs.head, Codec.codecArg(exprs(1)))))
     ext.injectOptimizerRule(_ => VecRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.PrefixSumStrategy)
   }
 }
 

@@ -382,18 +382,21 @@ object TextQueries {
     * global token offset, its first chunk, and whether it straddles a
     * chunk boundary.
     *
-    * The global running offset comes from [[graft.operators.PrefixSum]] —
-    * the two-pass distributed scan — NOT from an unpartitioned
-    * `Window.orderBy` (a single-task bottleneck at scale; the operator's
-    * scaladoc spells out the contrast, PrefixSumSpec pins equivalence to
-    * the window spelling). Everything after the scan is map-only integer
+    * The global running offset comes from the custom Catalyst operator
+    * [[graft.plans.PrefixSumPlan]] (logical node + injected strategy +
+    * PrefixSumExec, whose requiredChildDistribution makes
+    * EnsureRequirements plant the parallel range-partition + sort) — NOT
+    * from an unpartitioned `Window.orderBy` (a single-task bottleneck at
+    * scale). `operators/PrefixSum` is the extension-free RDD spelling of
+    * the same two-pass scan; PrefixSumSpec pins both equal to the window
+    * spelling. Everything after the scan is map-only integer
     * arithmetic. */
   def q65ChunkPack(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toksPerDoc = Tables.documents(s, dir)
       .select($"doc_id", size(toks($"text")).cast("long").as("n_tokens"))
-    graft.operators.PrefixSum
-      .exclusiveScan(toksPerDoc, "doc_id", "n_tokens", "offset")
+    graft.plans.PrefixSumPlan
+      .scan(toksPerDoc, "doc_id", "n_tokens", "offset")
       .select($"doc_id", $"n_tokens", $"offset",
         expr(s"offset div $PackChunk").as("chunk_id"),
         expr(s"(offset + n_tokens - 1) div $PackChunk").as("end_chunk"))

@@ -38,6 +38,46 @@ class PrefixSumSpec extends SparkSuite {
     assert(byKey.toSeq === (0L until 1000L))
   }
 
+  test("custom-plan scan: values equal the window spelling") {
+    val df = (1 to 500).map(i => ((i * 13 % 503).toLong, (i % 7).toLong))
+      .toDF("k", "v")
+    val got = plans.PrefixSumPlan.scan(df, "k", "v", "off")
+      .select($"k", $"off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df
+      .withColumn("off", coalesce(
+        sum($"v").over(Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"k", $"off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
+  test("custom-plan scan: PrefixSumExec + RANGE partitioning, not one window task") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", lit(1L).as("one"))
+    val scanned = plans.PrefixSumPlan.scan(df, "l_orderkey", "one", "off")
+    // AQE wraps the plan (collect can't traverse AdaptiveSparkPlanExec),
+    // so assert on the rendered tree: our exec node with the
+    // EnsureRequirements-planted range exchange directly below it —
+    // the parallel shape, not a single-partition window
+    val planStr = scanned.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PrefixSum "), planStr)
+    assert(planStr.contains("rangepartitioning"), planStr)
+    assert(!planStr.contains("SinglePartition"), planStr)
+    // and downstream code sees the appended column like any other
+    val n = scanned.where($"off" >= 0).count()
+    assert(n === df.count())
+  }
+
+  test("custom-plan scan composes under further transforms") {
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("k", "v")
+    val out = plans.PrefixSumPlan.scan(df, "k", "v", "off")
+      .where($"k" > 1L)
+      .select($"k", ($"off" * 10L).as("off10"))
+      .orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((2L, 20L), (3L, 50L)))
+  }
+
   test("empty partitions and empty input are safe") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
     assert(PrefixSum.exclusiveScan(empty, "k", "v", "off").count() === 0)
