@@ -28,11 +28,15 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    spark.readStream
+    val df = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // driver-generated files carry TIMESTAMP(NANOS) (read as long);
+    // re-staged files are already µs timestamps — normalize only the former
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
   }
 
   /** Tumbling 1-day windows, 1-day watermark; same measures as q10. */
@@ -95,6 +99,56 @@ object EventStream {
         col("click_ts") <= col("purchase_ts"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
+  /** Streaming CDC upsert into the KV store (`sources/KvStoreSource`) via
+    * foreachBatch — the incremental face of the reference's daily
+    * Bigtable re-publish: instead of rebuilding the whole table per day,
+    * each micro-batch folds its latest-per-key rows into the persisted
+    * snapshot.
+    *
+    * The merge is COMMUTATIVE and IDEMPOTENT — union the decoded snapshot
+    * with the batch and keep the max (version, value) struct per key — so
+    * replayed or reordered micro-batches converge to the same state (the
+    * foreachBatch at-least-once contract needs exactly this). Storage
+    * atomicity comes from the KV sink's DSv2 truncate + rename-on-commit
+    * protocol.
+    *
+    * Scale: per batch, one shuffle on the key for the merge agg; the
+    * snapshot read is a full scan, so at warehouse scale the snapshot
+    * would be key-bucketed (io.Bucketing) to make the merge
+    * zero-exchange, and compaction would run on a schedule instead of
+    * per-batch. */
+  def kvUpsertBatch(kvDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import org.apache.spark.sql.Row
+    val payloadJson = to_json(struct(col("ver"), col("value")))
+    val latestOfBatch = batch
+      .select(col("user_id").cast("string").as("key"),
+        unix_micros(col("ts")).as("ver"), col("value"))
+    val existing: DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(kvDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        graft.io.KvSink.decodePayload(s,
+            s.read.format("graft.sources.KvStoreSource").option("path", kvDir).load())
+          .select(col("key"),
+            from_json(col("json"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "ver BIGINT, value DOUBLE")).as("r"))
+          .select(col("key"), col("r.ver").as("ver"), col("r.value").as("value"))
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, ver BIGINT, value DOUBLE"))
+    }
+    existing.union(latestOfBatch)
+      .groupBy(col("key"))
+      .agg(max(struct(col("ver"), col("value"))).as("m"))
+      .select(col("key"), col("m.ver").as("ver"), col("m.value").as("value"))
+      .select(col("key"), graft.functions.Zlib.compressCol(s,
+        payloadJson.cast("binary")).as("payload"))
+      .write.format("graft.sources.KvStoreSource")
+      .option("path", kvDir).mode("overwrite").save()
   }
 
   /** Drive attributionJoin to completion on a bounded drop-dir (test path). */

@@ -58,6 +58,49 @@ class StreamingSpec extends SparkSuite {
     assert(sessionsByUser(streamed, 1, 2, 0) == sessionsByUser(batch, 1, 2, 0))
   }
 
+  test("foreachBatch KV upsert: incremental micro-batches + a replay converge to batch latest-per-key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("events_upsert")
+    val kvDir = tmpDir("kv_upsert") + "/store"
+    // two half-corpora as separate micro-batches, plus a REPLAY of the
+    // first half (at-least-once delivery); the commutative merge must
+    // absorb all three into the same final state
+    val ev = Tables.events(spark, sf0001)
+    ev.where($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/half_a")
+    ev.where($"event_id" % 2 =!= 0).coalesce(1).write.parquet(s"$dir/half_b")
+    for ((src, dst) <- Seq("half_a" -> "b1.parquet", "half_b" -> "b2.parquet",
+        "half_a" -> "b3_replay.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val q = EventStream.readEvents(spark, s"$dir/*.parquet")
+      .writeStream
+      .foreachBatch(EventStream.kvUpsertBatch(kvDir) _)
+      .option("checkpointLocation", tmpDir("kv_upsert_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // decode the final store
+    val got = graft.io.KvSink.decodePayload(spark,
+        spark.read.format("graft.sources.KvStoreSource").option("path", kvDir).load())
+      .select($"key",
+        from_json($"json", org.apache.spark.sql.types.StructType.fromDDL(
+          "ver BIGINT, value DOUBLE")).as("r"))
+      .select($"key".cast("long").as("user_id"), $"r.ver".as("ver"), $"r.value".as("value"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // batch ground truth: latest (ts,value) per user over the whole corpus
+    val want = ev
+      .groupBy($"user_id")
+      .agg(max(struct(unix_micros($"ts").as("ver"), $"value")).as("m"))
+      .select($"user_id", $"m.ver", $"m.value")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("stream-stream interval join == the same join run as a batch self-join") {
     val dir = tmpDir("events_attr")
     java.nio.file.Files.copy(
