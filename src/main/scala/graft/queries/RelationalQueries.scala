@@ -854,6 +854,57 @@ object RelationalQueries {
        |FROM seq WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT $PathTopK""".stripMargin
 
+  // ---- q68: six-table star join (TPC-H Q5 shape) ----
+
+  /** q68: revenue per nation for one region and a 2-year order window,
+    * across customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
+    * with the co-nationality constraint — the classic snowflake probe of
+    * join ordering and broadcast planning.
+    *
+    * Scale design: the date filter sits ON the orders scan (pushed to
+    * parquet), the three true dimensions (supplier, nation, region) are
+    * explicit broadcasts — no shuffle for them at any fact size — while
+    * orders⋈customer and lineitem⋈orders stay shuffle joins keyed on
+    * their natural keys (AQE picks broadcast when a side turns out tiny
+    * post-filter). Revenue goes through the exact decimal path so the
+    * result is partitioning-independent. */
+  def q68StarJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .where($"o_orderdate" >= lit("1996-01-01").cast("date") &&
+        $"o_orderdate" < lit("1998-01-01").cast("date"))
+    val cust = Tables.customer(s, dir)
+    val li   = Tables.lineitem(s, dir)
+    val sup  = Tables.supplier(s, dir)
+    val nat  = Tables.nation(s, dir)
+    val reg  = Tables.region(s, dir).where($"r_name" === "ASIA")
+    li
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsumProd($"l_extendedprice", lit(1.0) - $"l_discount").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q68Sql: String =
+    s"""SELECT n_name,
+       | ${sqlDsumProd("l_extendedprice", "CAST(1.0 AS DOUBLE) - l_discount")} AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= DATE '1996-01-01'
+       |  AND o_orderdate <  DATE '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
   // ---- q62: correlated subqueries (Catalyst decorrelation) ----
 
   /** q62: orders priced at more than 1.5× their customer's average order,
@@ -888,6 +939,7 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     "q60_funnel"            -> (q60Funnel _),
     "q67_path_mining"       -> (q67PathMining _),
+    "q68_star_join"         -> (q68StarJoin _),
     "q62_correlated_subq"   -> (q62CorrelatedSubq _),
     "q52_rollup"            -> (q52Rollup _),
     "q55_cube"              -> (q55Cube _),
@@ -925,6 +977,7 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q60_funnel"            -> q60Sql,
     "q67_path_mining"       -> q67Sql,
+    "q68_star_join"         -> q68Sql,
     "q62_correlated_subq"   -> q62Sql,
     "q52_rollup"            -> q52Sql,
     "q55_cube"              -> q55Sql,
