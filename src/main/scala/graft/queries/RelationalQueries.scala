@@ -905,6 +905,44 @@ object RelationalQueries {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---- q69: Z-order cell histogram (space-filling-curve layout) ----
+
+  /** Grid resolution for q69: 10 bits per dimension (1024×1024 grid),
+    * aggregated to 2¹²-key cells (256 cells). */
+  val ZBits = 10
+  val ZCellShift = 12
+
+  /** q69: the layout-clustering histogram — Morton-encode each lineitem's
+    * (partkey, suppkey) grid position and aggregate per z-cell. This is
+    * the statistics pass a Z-ORDER WRITE runs before choosing range
+    * boundaries (see `functions/Zorder`; ZorderSpec pins the
+    * 2-D-box → few-cells pruning property on a partitioned layout).
+    *
+    * Scale design: the z key is a static codegen'd shift/mask expression
+    * tree (no UDF, no custom Expression — tier-a composition), the
+    * aggregation is one shuffle on 256 cells with map-side partials. */
+  def q69ZorderCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Zorder
+    val z = Zorder.key(pmod($"l_partkey", lit(1024L)),
+      pmod($"l_suppkey", lit(1024L)), ZBits)
+    Tables.lineitem(s, dir)
+      .select((z / lit(1L << ZCellShift)).cast("long").as("z_cell"),
+        $"l_quantity")
+      .groupBy($"z_cell")
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"z_cell")
+  }
+
+  val q69Sql: String = {
+    val z = graft.functions.Zorder.keySql(
+      "l_partkey % 1024", "l_suppkey % 1024", ZBits)
+    s"""SELECT ($z) // ${1L << ZCellShift} AS z_cell,
+       |  COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- q62: correlated subqueries (Catalyst decorrelation) ----
 
   /** q62: orders priced at more than 1.5× their customer's average order,
@@ -940,6 +978,7 @@ object RelationalQueries {
     "q60_funnel"            -> (q60Funnel _),
     "q67_path_mining"       -> (q67PathMining _),
     "q68_star_join"         -> (q68StarJoin _),
+    "q69_zorder_cells"      -> (q69ZorderCells _),
     "q62_correlated_subq"   -> (q62CorrelatedSubq _),
     "q52_rollup"            -> (q52Rollup _),
     "q55_cube"              -> (q55Cube _),
@@ -978,6 +1017,7 @@ object RelationalQueries {
     "q60_funnel"            -> q60Sql,
     "q67_path_mining"       -> q67Sql,
     "q68_star_join"         -> q68Sql,
+    "q69_zorder_cells"      -> q69Sql,
     "q62_correlated_subq"   -> q62Sql,
     "q52_rollup"            -> q52Sql,
     "q55_cube"              -> q55Sql,
