@@ -29,25 +29,43 @@ object GraphQueries {
     * rounding at all). */
   private val ContribDec = DecimalType(18, 12)
 
+  /** Orders with more parts than this are EXCLUDED from edge generation —
+    * the same guard the coinstall job puts on per-client baskets: a
+    * pathological basket of 10⁵ items would otherwise mint 10¹⁰ pairs.
+    * Far above any real basket here (max 13 at sf0.1); the exclusion is
+    * deterministic and mirrored in the oracle. */
+  val MaxBasket = 64
+
   /** q66: one PageRank iteration from the uniform start (r₀ = 1) over the
     * part co-purchase graph: r₁(v) = 0.15 + 0.85 · Σ_{u∈N(v)} 1/deg(u).
     *
-    * Scale design: the edge list is built once from a per-order self-join
-    * (bounded: ≤ a few dozen parts per order → ≤ ~10² pairs per order, no
-    * quadratic blowup), degrees and neighbor sums are each ONE shuffle on
-    * the node key with map-side partial aggregation, and the arithmetic
-    * is exact decimal so the result is bit-stable at any cluster size.
-    * Further iterations would repeat the same single-shuffle join+agg
-    * with the ranks frame checkpointed per round (the CC pattern). */
+    * Scale design: edge generation is ONE shuffle — collect_set the
+    * basket per order (map-side partial), cap it at [[MaxBasket]], and
+    * mint the ≤ n·(n−1)/2 pairs map-side with a bounded HOF over the
+    * sorted basket (no per-order self-join, which would shuffle the
+    * distinct item list twice more). Degrees and neighbor sums are each
+    * one shuffle on the node key with map-side partials, and the
+    * arithmetic is exact decimal so the result is bit-stable at any
+    * cluster size. Further iterations would repeat the same
+    * single-shuffle join+agg with the ranks frame checkpointed per round
+    * (the CC pattern). The oracle builds the same capped graph by
+    * unoptimized self-join — proving the HOF pairing drops nothing. */
   def q66PagerankStep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("ps"))
+      .where(size($"ps") <= MaxBasket && size($"ps") >= 2)
+    // pairs minted map-side: for i < j emit (ps[i], ps[j]); the basket is
+    // bind-bound so the interpreted HOF walks one materialized array
+    val pairExpr = graft.functions.Cols.bind($"ps") { ps =>
+      flatten(transform(sequence(lit(1), size(ps) - 1), i =>
+        transform(sequence(lit(0), i - 1), j =>
+          struct(element_at(ps, j + 1).as("u"), element_at(ps, i + 1).as("v")))))
+    }
+    val pairs = baskets
+      .select(explode(pairExpr).as("p"))
+      .select($"p.u", $"p.v")
       .distinct()
     // undirected: mirror once, then every per-node stat is one groupBy
     val edges = pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
@@ -71,9 +89,12 @@ object GraphQueries {
     * BigDecimal.doubleValue — is. */
   val q66Sql: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |elig AS (SELECT l_orderkey FROM li GROUP BY 1
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxBasket),
+       |lie AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN elig USING (l_orderkey)),
        |pairs AS (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-       |  FROM li a JOIN li b
+       |  FROM lie a JOIN lie b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
        |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
