@@ -371,6 +371,103 @@ object TextQueries {
        |ORDER BY score_r DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ---- q70: feature hashing (the hashing trick) ----
+
+  /** Dimensionality of the hashed feature space. */
+  val HashBuckets = 64L
+
+  /** q70: hashing-trick featurization — every token maps to
+    * `md5_32(token) mod [[HashBuckets]]`, giving each document a fixed-
+    * width sparse count vector regardless of vocabulary size (the
+    * standard trick when the vocab is unbounded or unknown upfront:
+    * no dictionary to build, ship, or broadcast).
+    *
+    * Scale design: map-only until the (doc_id, bucket) count (one
+    * shuffle, partial map-side); the hash is the native Md5Prefix64
+    * codegen expression. Emitted as (doc_id, bucket, n) COO triples —
+    * the layout a trainer's sparse-matrix loader wants.
+    *
+    * Portability: md5 is the cross-engine hash contract (same as
+    * q25/q56); the oracle parses the same 8 hex chars. */
+  def q70FeatureHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("token"))
+      .select($"doc_id",
+        pmod(DedupQueries.h32(s, $"token"), lit(HashBuckets)).as("bucket"))
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  val q70Sql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |SELECT doc_id, (${DedupQueries.sqlH32("token")}) % $HashBuckets AS bucket,
+       |  COUNT(*) AS n
+       |FROM occ
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, bucket""".stripMargin
+
+  // ---- q71: bigram language-model counts ----
+
+  val BigramTopK = 3
+
+  /** q71: bigram LM table — per leading token, the top-[[BigramTopK]]
+    * continuations with counts and conditional probability (count-based
+    * MLE). Consecutive-token bigrams keep their multiplicity (unlike
+    * dedup shingles: an LM counts occurrences, not set membership).
+    *
+    * Scale design: bigram minting is map-only (bind-bound HOF over one
+    * tokenization), counts are one shuffle on the bigram, the per-w1
+    * totals reaggregate the (already tiny) bigram table, and the top-k
+    * is a WindowGroupLimit-compacted row_number. The conditional
+    * probability is a single long/long IEEE division — deterministic in
+    * both engines without rounding tricks. */
+  def q71BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = graft.functions.Cols.bind(toks($"text")) { t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val counts = Tables.documents(s, dir)
+      .select(explode(bigrams).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      .select(split($"bg", " ").getItem(0).as("w1"),
+        split($"bg", " ").getItem(1).as("w2"), $"cnt")
+    val totals = counts.groupBy($"w1").agg(sum($"cnt").as("total"))
+    counts
+      .join(totals, Seq("w1"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"w1").orderBy($"cnt".desc, $"w2")))
+      .where($"rnk" <= BigramTopK)
+      .select($"w1", $"rnk".cast("long").as("rnk"), $"w2", $"cnt",
+        ($"cnt".cast("double") / $"total".cast("double")).as("prob"))
+      .orderBy($"w1", $"rnk")
+  }
+
+  val q71Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM toks WHERE len(t) >= 2),
+       |counts AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+       |    COUNT(*) AS cnt
+       |  FROM bg GROUP BY 1, 2),
+       |totals AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS total FROM counts GROUP BY 1),
+       |ranked AS (
+       |  SELECT c.w1, c.w2, c.cnt, t.total,
+       |    ROW_NUMBER() OVER (PARTITION BY c.w1 ORDER BY c.cnt DESC, c.w2) AS rnk
+       |  FROM counts c JOIN totals t USING (w1))
+       |SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2, cnt,
+       |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+       |FROM ranked WHERE rnk <= $BigramTopK
+       |ORDER BY w1, rnk""".stripMargin
+
   // ---- q65: sequence packing (concatenate-and-chunk) ----
 
   /** Context-window size, in tokens, for q65 packing. */
@@ -425,6 +522,8 @@ object TextQueries {
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
+    "q70_feature_hash"      -> (q70FeatureHash _),
+    "q71_bigram_lm"         -> (q71BigramLm _),
     "q20_text_stats"        -> (q20TextStats _),
     "q21_text_quality"      -> (q21TextQuality _),
     "q22_lang_id"           -> (q22LangId _),
@@ -437,6 +536,8 @@ object TextQueries {
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,
+    "q70_feature_hash"      -> q70Sql,
+    "q71_bigram_lm"         -> q71Sql,
     "q20_text_stats"        -> q20Sql,
     "q21_text_quality"      -> q21Sql,
     "q22_lang_id"           -> q22Sql,
