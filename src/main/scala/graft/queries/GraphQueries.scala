@@ -50,7 +50,10 @@ object GraphQueries {
     * single-shuffle join+agg with the ranks frame checkpointed per round
     * (the CC pattern). The oracle builds the same capped graph by
     * unoptimized self-join — proving the HOF pairing drops nothing. */
-  def q66PagerankStep(s: SparkSession, dir: String): DataFrame = {
+  /** Mirrored (u, v) edge list of the capped co-purchase graph — shared
+    * by q66 and q72. One shuffle: collect_set baskets, cap, mint pairs
+    * map-side with a bind-bound HOF, distinct, mirror. */
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val baskets = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
@@ -68,7 +71,12 @@ object GraphQueries {
       .select($"p.u", $"p.v")
       .distinct()
     // undirected: mirror once, then every per-node stat is one groupBy
-    val edges = pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+    pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+  }
+
+  def q66PagerankStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = copurchaseEdges(s, dir)
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
     val contrib = deg.select($"u",
       (lit(1.0) / $"deg").cast(ContribDec).as("c"))
@@ -107,11 +115,83 @@ object GraphQueries {
        |GROUP BY e.v
        |ORDER BY l_partkey""".stripMargin
 
+  /** Iterations for q72. */
+  val PrIters = 3
+
+  /** q72: PageRank run for [[PrIters]] iterations — the iterative-numeric
+    * workload shape (loop of join+aggregate with per-round lineage
+    * truncation, the ConnectedComponents pattern).
+    *
+    * Determinism across engines AND iterations: ranks live as doubles
+    * (fixed-order `0.15 + 0.85·x` IEEE arithmetic, identical on both
+    * engines), while the order-sensitive part — the neighbor SUM — runs
+    * over contributions quantized to INTEGER PICOUNITS with an explicit
+    * `floor(x·1e12 + 0.5)` (every step a correctly-rounded IEEE op, so
+    * both engines produce the same integer; a double→DECIMAL cast here
+    * would hand tie-breaking to engine-specific rounding, which diverged
+    * by 1 ulp at sf0.01). Integer sums are exact and order-independent;
+    * the final BIGINT→double cast and /1e12 are correctly rounded in
+    * both engines. The oracle is the same recurrence UNROLLED into
+    * chained CTEs.
+    *
+    * Scale design: the edge list is localCheckpoint'ed once and reused
+    * every round; each iteration is one node-keyed shuffle (contrib join
+    * is a broadcast at dimension sizes); ranks are checkpointed per round
+    * so the plan stays O(1) deep regardless of iteration count. */
+  def q72PagerankIters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = copurchaseEdges(s, dir).localCheckpoint()
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var ranks = deg.select($"u", lit(1.0).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ranks.join(deg, Seq("u"))
+        .select($"u",
+          floor(($"r" / $"deg") * lit(1.0e12) + lit(0.5)).as("c"))
+      ranks = edges.join(contrib, Seq("u"))
+        .groupBy($"v")
+        .agg(sum($"c").as("ns"))
+        .select($"v".as("u"),
+          (lit(0.15) + lit(0.85) * ($"ns".cast("double") / lit(1.0e12))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select($"u".as("l_partkey"), $"r".as("rank")).orderBy($"l_partkey")
+  }
+
+  val q72Sql: String = {
+    val graph =
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |elig AS (SELECT l_orderkey FROM li GROUP BY 1
+         |         HAVING COUNT(*) BETWEEN 2 AND $MaxBasket),
+         |lie AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN elig USING (l_orderkey)),
+         |pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lie a JOIN lie b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+         |r0 AS (SELECT u, 1.0e0 AS r FROM deg)""".stripMargin
+    val iters = (0 until PrIters).map { i =>
+      s"""c$i AS (
+         |  SELECT r$i.u,
+         |    CAST(FLOOR((r$i.r / deg.deg) * 1.0e12 + 0.5e0) AS BIGINT) AS c
+         |  FROM r$i JOIN deg USING (u)),
+         |r${i + 1} AS (
+         |  SELECT e.v AS u,
+         |    0.15e0 + 0.85e0 *
+         |      (CAST(CAST(SUM(c.c) AS BIGINT) AS DOUBLE) / 1.0e12) AS r
+         |  FROM edges e JOIN c$i c ON c.u = e.u GROUP BY e.v)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$graph$iters
+       |SELECT u AS l_partkey, r AS rank FROM r$PrIters ORDER BY l_partkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q66_pagerank_step" -> (q66PagerankStep _),
+    "q66_pagerank_step"  -> (q66PagerankStep _),
+    "q72_pagerank_iters" -> (q72PagerankIters _),
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q66_pagerank_step" -> q66Sql,
+    "q66_pagerank_step"  -> q66Sql,
+    "q72_pagerank_iters" -> q72Sql,
   )
 }
