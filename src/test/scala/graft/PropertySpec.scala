@@ -68,6 +68,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("iterated PageRank (q72) is bitwise partitioning-invariant") {
+    // the q72 determinism contract: integer-picounit contribution sums +
+    // fixed-order IEEE rank arithmetic ⇒ identical doubles at ANY
+    // parallelism. Run the whole query under two shuffle widths.
+    def run(parts: String): Map[Long, Double] = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.queries.GraphQueries.q72PagerankIters(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    val a = run("2")
+    val b = run("7")
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(b(k)), s"node $k")
+    }
+  }
+
   test("K1 dual write: latest and dated artifact are byte-identical for arbitrary content") {
     forAll(Gen.listOfN(5, asciiStr.suchThat(s => s.nonEmpty && !s.contains("\\"))), n = 10) { keys =>
         val df = keys.distinct.sorted.zipWithIndex.toDF("guid", "n")
