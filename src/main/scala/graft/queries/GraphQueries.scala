@@ -55,6 +55,13 @@ object GraphQueries {
     * map-side with a bind-bound HOF, distinct, mirror. */
   def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val pairs = copurchasePairs(s, dir)
+    pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+  }
+
+  /** The distinct u<v pair set (half the edge list). */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val baskets = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
       .agg(array_sort(collect_set($"l_partkey")).as("ps"))
@@ -66,12 +73,10 @@ object GraphQueries {
         transform(sequence(lit(0), i - 1), j =>
           struct(element_at(ps, j + 1).as("u"), element_at(ps, i + 1).as("v")))))
     }
-    val pairs = baskets
+    baskets
       .select(explode(pairExpr).as("p"))
       .select($"p.u", $"p.v")
       .distinct()
-    // undirected: mirror once, then every per-node stat is one groupBy
-    pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
   }
 
   def q66PagerankStep(s: SparkSession, dir: String): DataFrame = {
@@ -140,7 +145,9 @@ object GraphQueries {
     * so the plan stays O(1) deep regardless of iteration count. */
   def q72PagerankIters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = copurchaseEdges(s, dir).localCheckpoint()
+    // checkpoint the HALF-sized pair set; the mirror is a free map over it
+    val pairs = copurchasePairs(s, dir).localCheckpoint()
+    val edges = pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = deg.select($"u", lit(1.0).as("r"))
     for (_ <- 1 to PrIters) {
@@ -152,7 +159,10 @@ object GraphQueries {
         .agg(sum($"c").as("ns"))
         .select($"v".as("u"),
           (lit(0.15) + lit(0.85) * ($"ns".cast("double") / lit(1.0e12))).as("r"))
-        .localCheckpoint()
+        // LAZY checkpoint: lineage still truncates per round (the many-
+        // iteration requirement), but materialization folds into the next
+        // action instead of costing a dedicated job per round
+        .localCheckpoint(eager = false)
     }
     ranks.select($"u".as("l_partkey"), $"r".as("rank")).orderBy($"l_partkey")
   }
