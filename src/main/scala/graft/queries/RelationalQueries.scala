@@ -854,6 +854,60 @@ object RelationalQueries {
        |FROM seq WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT $PathTopK""".stripMargin
 
+  // ---- q73: time-series resample + forward fill ----
+
+  /** q73: per-user daily resample — build the complete daily spine from
+    * each user's first to last active day, left-join the observed daily
+    * totals, and FORWARD-FILL gaps with the last observation
+    * (`last(ignoreNulls)` running window — the same carry-state idiom the
+    * as-of join composes on). Gap days keep a NULL observed value plus
+    * the filled carry and a gap flag, so downstream consumers can tell
+    * measured from imputed.
+    *
+    * Scale design: the daily aggregate is one shuffle; the spine explode
+    * is map-side over per-user (first, last) bounds — rows grow by span
+    * days, not events²; the fill window shuffles once on user_id with
+    * per-user state = one running value. Observed values go through the
+    * exact decimal sum so the fill carries engine-identical doubles. */
+  def q73ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(dsum($"value").as("day_value"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select($"user_id",
+        explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(daily, Seq("user_id", "d"), "left_outer")
+      .select($"user_id", $"d", $"day_value",
+        last($"day_value", ignoreNulls = true).over(w).as("filled"),
+        $"day_value".isNull.cast("int").as("is_gap"))
+      .orderBy($"user_id", $"d")
+  }
+
+  val q73Sql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    ${sqlDsum("value")} AS day_value
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d
+       |  FROM (SELECT user_id, MIN(d) mn, MAX(d) mx FROM daily GROUP BY 1)),
+       |j AS (
+       |  SELECT s.user_id, s.d, daily.day_value
+       |  FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d)
+       |SELECT user_id, d, day_value,
+       |  LAST_VALUE(day_value IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       |  CAST(day_value IS NULL AS INT) AS is_gap
+       |FROM j
+       |ORDER BY user_id, d""".stripMargin
+
   // ---- q68: six-table star join (TPC-H Q5 shape) ----
 
   /** q68: revenue per nation for one region and a 2-year order window,
@@ -979,6 +1033,7 @@ object RelationalQueries {
     "q67_path_mining"       -> (q67PathMining _),
     "q68_star_join"         -> (q68StarJoin _),
     "q69_zorder_cells"      -> (q69ZorderCells _),
+    "q73_resample_ffill"    -> (q73ResampleFfill _),
     "q62_correlated_subq"   -> (q62CorrelatedSubq _),
     "q52_rollup"            -> (q52Rollup _),
     "q55_cube"              -> (q55Cube _),
@@ -1018,6 +1073,7 @@ object RelationalQueries {
     "q67_path_mining"       -> q67Sql,
     "q68_star_join"         -> q68Sql,
     "q69_zorder_cells"      -> q69Sql,
+    "q73_resample_ffill"    -> q73Sql,
     "q62_correlated_subq"   -> q62Sql,
     "q52_rollup"            -> q52Sql,
     "q55_cube"              -> q55Sql,
