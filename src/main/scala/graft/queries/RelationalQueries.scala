@@ -854,6 +854,49 @@ object RelationalQueries {
        |FROM seq WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT $PathTopK""".stripMargin
 
+  // ---- q74: data-quality audit (expectations pass) ----
+
+  /** q74: the constraint-validation pass a pipeline runs before training
+    * or publishing — one audit row of expectation metrics over lineitem:
+    * row count, null counts, range violations (quantity ≤ 0, discount
+    * outside [0,1]), candidate-key duplicate count, and the observed
+    * date span. Nonzero violation cells gate the run (compare F12's
+    * count-threshold guard); emitting the metrics row keeps the gate
+    * auditable.
+    *
+    * Scale design: every conditional metric folds into ONE partial-
+    * aggregated scan; the only second shuffle is the distinct candidate
+    * key count (expand-free: count_distinct of a struct). No row leaves
+    * the executors — the audit row is the whole result. */
+  def q74DataQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count($"l_shipdate")).as("null_shipdate"),
+      (count(lit(1)) - count($"l_quantity")).as("null_quantity"),
+      sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("bad_quantity"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L).otherwise(0L))
+        .as("bad_discount"),
+      (count(lit(1)) -
+        count_distinct(struct($"l_orderkey", $"l_linenumber"))).as("dup_keys"),
+      to_date(min($"l_shipdate")).as("min_ship"),
+      to_date(max($"l_shipdate")).as("max_ship"))
+  }
+
+  val q74Sql: String =
+    """SELECT
+      |  COUNT(*) AS n_rows,
+      |  COUNT(*) - COUNT(l_shipdate) AS null_shipdate,
+      |  COUNT(*) - COUNT(l_quantity) AS null_quantity,
+      |  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS bad_quantity,
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS bad_discount,
+      |  COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys,
+      |  CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+      |  CAST(MAX(l_shipdate) AS DATE) AS max_ship
+      |FROM lineitem""".stripMargin
+
   // ---- q73: time-series resample + forward fill ----
 
   /** q73: per-user daily resample — build the complete daily spine from
@@ -1034,6 +1077,7 @@ object RelationalQueries {
     "q68_star_join"         -> (q68StarJoin _),
     "q69_zorder_cells"      -> (q69ZorderCells _),
     "q73_resample_ffill"    -> (q73ResampleFfill _),
+    "q74_data_quality"      -> (q74DataQuality _),
     "q62_correlated_subq"   -> (q62CorrelatedSubq _),
     "q52_rollup"            -> (q52Rollup _),
     "q55_cube"              -> (q55Cube _),
@@ -1074,6 +1118,7 @@ object RelationalQueries {
     "q68_star_join"         -> q68Sql,
     "q69_zorder_cells"      -> q69Sql,
     "q73_resample_ffill"    -> q73Sql,
+    "q74_data_quality"      -> q74Sql,
     "q62_correlated_subq"   -> q62Sql,
     "q52_rollup"            -> q52Sql,
     "q55_cube"              -> q55Sql,
