@@ -854,6 +854,44 @@ object RelationalQueries {
        |FROM seq WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT $PathTopK""".stripMargin
 
+  // ---- q75: weekly cohort retention ----
+
+  /** q75: the cohort-retention matrix — users grouped by first-activity
+    * week, each cell counting how many of a cohort were active `offset`
+    * weeks later. The product-analytics standard for "do users come
+    * back", and a shape (self-referential temporal grouping) none of the
+    * other queries cover.
+    *
+    * Scale design: activity is first reduced to DISTINCT (user, week) —
+    * events collapse by ~weekly frequency before anything else — the
+    * cohort frame reaggregates that reduced set, joins back keyed on
+    * user_id (broadcast-able: one row per user), and the matrix agg
+    * shuffles (cohort, offset) cells only. */
+  def q75CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uw = Tables.events(s, dir)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
+      .distinct()
+    val cohort = uw.groupBy($"user_id").agg(min($"w").as("cohort_week"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy($"cohort_week",
+        expr("datediff(w, cohort_week) div 7").as("week_offset"))
+      .agg(count_distinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q75Sql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(w) AS cohort_week FROM uw GROUP BY 1)
+      |SELECT c.cohort_week,
+      |  CAST((uw.w - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT uw.user_id) AS n_users
+      |FROM uw JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   // ---- q74: data-quality audit (expectations pass) ----
 
   /** q74: the constraint-validation pass a pipeline runs before training
@@ -1078,6 +1116,7 @@ object RelationalQueries {
     "q69_zorder_cells"      -> (q69ZorderCells _),
     "q73_resample_ffill"    -> (q73ResampleFfill _),
     "q74_data_quality"      -> (q74DataQuality _),
+    "q75_cohort_retention"  -> (q75CohortRetention _),
     "q62_correlated_subq"   -> (q62CorrelatedSubq _),
     "q52_rollup"            -> (q52Rollup _),
     "q55_cube"              -> (q55Cube _),
@@ -1119,6 +1158,7 @@ object RelationalQueries {
     "q69_zorder_cells"      -> q69Sql,
     "q73_resample_ffill"    -> q73Sql,
     "q74_data_quality"      -> q74Sql,
+    "q75_cohort_retention"  -> q75Sql,
     "q62_correlated_subq"   -> q62Sql,
     "q52_rollup"            -> q52Sql,
     "q55_cube"              -> q55Sql,
