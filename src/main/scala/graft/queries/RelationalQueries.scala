@@ -854,6 +854,47 @@ object RelationalQueries {
        |FROM seq WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT $PathTopK""".stripMargin
 
+  // ---- q76: blocked fuzzy match (entity resolution) ----
+
+  val FuzzyMaxDist = 3
+
+  /** q76: entity resolution over the part-name dictionary — pairs of
+    * DISTINCT names within edit distance [[FuzzyMaxDist]], candidates
+    * blocked on the head noun (last token). The data-cleaning / record-
+    * linkage primitive: find "blue bolt" ≈ "old bolt" without comparing
+    * every name to every name.
+    *
+    * Scale design: names collapse to the DISTINCT dictionary before
+    * anything quadratic (2000 parts → 64 names here; real catalogs
+    * compress similarly), the self-join keys on the blocking token so
+    * candidate pairs grow with block sizes, not dictionary², and the
+    * edit distance (codegen'd built-in — integer result, identical in
+    * both engines) runs only inside blocks. Skew-prone hot blocks would
+    * take the q26 salting treatment. */
+  def q76FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.part(s, dir)
+      .select($"p_name").distinct()
+      .withColumn("noun", element_at(split($"p_name", " "), -1))
+    names.as("a")
+      .join(names.as("b"),
+        col("a.noun") === col("b.noun") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .where($"dist" <= FuzzyMaxDist)
+      .orderBy($"name_a", $"name_b")
+  }
+
+  val q76Sql: String =
+    s"""WITH n AS (
+       |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS noun
+       |  FROM part)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       |FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |ORDER BY name_a, name_b""".stripMargin
+
   // ---- q75: weekly cohort retention ----
 
   /** q75: the cohort-retention matrix — users grouped by first-activity
@@ -1117,6 +1158,7 @@ object RelationalQueries {
     "q73_resample_ffill"    -> (q73ResampleFfill _),
     "q74_data_quality"      -> (q74DataQuality _),
     "q75_cohort_retention"  -> (q75CohortRetention _),
+    "q76_fuzzy_match"       -> (q76FuzzyMatch _),
     "q62_correlated_subq"   -> (q62CorrelatedSubq _),
     "q52_rollup"            -> (q52Rollup _),
     "q55_cube"              -> (q55Cube _),
@@ -1159,6 +1201,7 @@ object RelationalQueries {
     "q73_resample_ffill"    -> q73Sql,
     "q74_data_quality"      -> q74Sql,
     "q75_cohort_retention"  -> q75Sql,
+    "q76_fuzzy_match"       -> q76Sql,
     "q62_correlated_subq"   -> q62Sql,
     "q52_rollup"            -> q52Sql,
     "q55_cube"              -> q55Sql,
