@@ -16,12 +16,20 @@ import org.apache.spark.sql.SparkSession
   * local runs on identical code — run-to-run noise of that size is on the
   * order of the regression gate itself, so one noisy GC pause must not be
   * able to fail a round.
+  *
+  * Truncation-proofing: the result JSON is printed TWICE (a tail-only
+  * capture still holds one complete copy) and also written to
+  * SPARK_GRAFT_BENCH_OUT (default ./bench_result.json) — round 3's
+  * driver capture head-truncated the single 2 KB line and lost q01–q07.
+  * SPARK_GRAFT_ONLY=q66,q72 restricts the run for focused iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = SparkSession.builder().withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,14 +57,22 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.contains)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => runOnce(name, fn)).sorted
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    println(line)
+    println(line)
     spark.stop()
   }
 }

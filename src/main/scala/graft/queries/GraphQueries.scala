@@ -36,20 +36,6 @@ object GraphQueries {
     * deterministic and mirrored in the oracle. */
   val MaxBasket = 64
 
-  /** q66: one PageRank iteration from the uniform start (r₀ = 1) over the
-    * part co-purchase graph: r₁(v) = 0.15 + 0.85 · Σ_{u∈N(v)} 1/deg(u).
-    *
-    * Scale design: edge generation is ONE shuffle — collect_set the
-    * basket per order (map-side partial), cap it at [[MaxBasket]], and
-    * mint the ≤ n·(n−1)/2 pairs map-side with a bounded HOF over the
-    * sorted basket (no per-order self-join, which would shuffle the
-    * distinct item list twice more). Degrees and neighbor sums are each
-    * one shuffle on the node key with map-side partials, and the
-    * arithmetic is exact decimal so the result is bit-stable at any
-    * cluster size. Further iterations would repeat the same
-    * single-shuffle join+agg with the ranks frame checkpointed per round
-    * (the CC pattern). The oracle builds the same capped graph by
-    * unoptimized self-join — proving the HOF pairing drops nothing. */
   /** Mirrored (u, v) edge list of the capped co-purchase graph — shared
     * by q66 and q72. One shuffle: collect_set baskets, cap, mint pairs
     * map-side with a bind-bound HOF, distinct, mirror. */
@@ -57,6 +43,28 @@ object GraphQueries {
     import s.implicits._
     val pairs = copurchasePairs(s, dir)
     pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+  }
+
+  /** Mirrored edge list materialized ONCE, hash-partitioned on `u` —
+    * the canonical layout for every iterative graph/ML loop: the edge
+    * side of each iteration's join is already distributed on the join
+    * key, so EnsureRequirements plants exchanges only under the
+    * node-sized rank/contrib vectors and the edges are NEVER re-shuffled.
+    *
+    * Two-stage materialization: the half-sized distinct pair set is
+    * checkpointed first so the basket→pair pipeline runs exactly once
+    * (not once per union branch — relying on ReuseExchange to dedupe the
+    * branches was the round-3 weakness); the mirror over the local RDD is
+    * then repartitioned on `u` and checkpointed eagerly so the resulting
+    * LogicalRDD carries HashPartitioning(u) for downstream planning. On a
+    * multi-app cluster the same layout is a bucketed table
+    * ([[graft.io.Bucketing]]); localCheckpoint is its in-app equivalent. */
+  def copurchaseEdgesPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = copurchasePairs(s, dir).localCheckpoint()
+    graft.operators.Materialize.checkpointPartitioned(
+      pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+        .repartition($"u"))
   }
 
   /** The distinct u<v pair set (half the edge list). */
@@ -79,14 +87,26 @@ object GraphQueries {
       .distinct()
   }
 
+  /** q66: one PageRank iteration from the uniform start (r₀ = 1) over the
+    * part co-purchase graph: r₁(v) = 0.15 + 0.85 · Σ_{u∈N(v)} 1/deg(u).
+    *
+    * Scale design: the edges come pre-partitioned on `u` from
+    * [[copurchaseEdgesPartitioned]], so the degree aggregation is
+    * shuffle-free, the edges⋈contrib join plants no exchange on either
+    * side (contrib inherits the same partitioning through deg), and the
+    * only shuffle after edge materialization is the node-sized
+    * neighbor-sum aggregation on `v`. The arithmetic is exact decimal so
+    * the result is bit-stable at any cluster size. The oracle builds the
+    * same capped graph by unoptimized self-join — proving the map-side
+    * HOF pairing drops nothing. */
   def q66PagerankStep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = copurchaseEdges(s, dir)
+    val edges = copurchaseEdgesPartitioned(s, dir)
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
     val contrib = deg.select($"u",
       (lit(1.0) / $"deg").cast(ContribDec).as("c"))
     edges
-      .join(contrib, Seq("u"))
+      .join(contrib.hint("shuffle_hash"), Seq("u"))
       .groupBy($"v".as("part"))
       .agg(sum($"c").as("nbr_sum"))
       .select(col("part").as("l_partkey"),
@@ -139,22 +159,34 @@ object GraphQueries {
     * both engines. The oracle is the same recurrence UNROLLED into
     * chained CTEs.
     *
-    * Scale design: the edge list is localCheckpoint'ed once and reused
-    * every round; each iteration is one node-keyed shuffle (contrib join
-    * is a broadcast at dimension sizes); ranks are checkpointed per round
-    * so the plan stays O(1) deep regardless of iteration count. */
+    * Scale design: the mirrored edge list is materialized ONCE
+    * partitioned on `u` ([[copurchaseEdgesPartitioned]]) and reused every
+    * round, so an iteration shuffles only the node-sized neighbor-sum —
+    * the edges never move again (round 3 re-shuffled them per iteration;
+    * at 100 TB the edge shuffle dominates every loop that carries it).
+    * Ranks are checkpointed per round so the plan stays O(1) deep
+    * regardless of iteration count. */
   def q72PagerankIters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // checkpoint the HALF-sized pair set; the mirror is a free map over it
-    val pairs = copurchasePairs(s, dir).localCheckpoint()
-    val edges = pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
-    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edges = copurchaseEdgesPartitioned(s, dir)
+    // deg inherits HashPartitioning(u) from the edges (its agg is
+    // shuffle-free); keep that through its checkpoint so the contrib
+    // join stays exchange-free on the deg side too
+    val deg = graft.operators.Materialize.checkpointPartitioned(
+      edges.groupBy($"u").agg(count(lit(1)).as("deg")))
     var ranks = deg.select($"u", lit(1.0).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = ranks.join(deg, Seq("u"))
         .select($"u",
           floor(($"r" / $"deg") * lit(1.0e12) + lit(0.5)).as("c"))
-      ranks = edges.join(contrib, Seq("u"))
+      // shuffle_hash: both sides are already HashPartitioning(u), so the
+      // join plants no exchange either way — but SMJ would re-SORT the
+      // edge side every iteration (measured 2× the iteration cost).
+      // Hash-building the node-sized contrib shard per partition and
+      // STREAMING the edges is the shape that survives 100 TB: per-
+      // partition build = nodes/numPartitions, the same memory bound any
+      // hash agg over the rank vector already needs.
+      ranks = edges.join(contrib.hint("shuffle_hash"), Seq("u"))
         .groupBy($"v")
         .agg(sum($"c").as("ns"))
         .select($"v".as("u"),

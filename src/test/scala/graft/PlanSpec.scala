@@ -92,6 +92,27 @@ class PlanSpec extends SparkSuite {
       case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty)
   }
 
+  test("pagerank iteration shuffles only the rank vector, never the edges") {
+    // the iterative-graph contract: after the one-time edge
+    // materialization (hash-partitioned on u), an iteration's join sees
+    // both sides already distributed on u — the only exchange in the
+    // whole iteration is the node-sized neighbor-sum on v.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = GraphQueries.copurchaseEdgesPartitioned(spark, sf0001)
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    def iteration(e: org.apache.spark.sql.DataFrame) = {
+      val contrib = deg.select($"u",
+        floor((lit(1.0) / $"deg") * lit(1.0e12) + lit(0.5)).as("c"))
+      e.join(contrib, Seq("u")).groupBy($"v").agg(sum($"c").as("ns"))
+    }
+    // degree agg over the partitioned edges is itself shuffle-free
+    assert(countShuffles(edges.groupBy($"u").agg(count(lit(1)))) == 0)
+    assert(countShuffles(iteration(edges)) == 1)
+    // control: the same iteration over unpartitioned edges re-shuffles them
+    assert(countShuffles(iteration(GraphQueries.copurchaseEdges(spark, sf0001))) >= 2)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // at 100 TB the selective-dimension shuffle join wants a runtime
     // bloom filter on the fact scan (Catalyst's InjectRuntimeFilter);
