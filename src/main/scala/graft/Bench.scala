@@ -17,11 +17,19 @@ import org.apache.spark.sql.SparkSession
   * order of the regression gate itself, so one noisy GC pause must not be
   * able to fail a round.
   *
-  * Truncation-proofing: the result JSON is printed TWICE (a tail-only
-  * capture still holds one complete copy) and also written to
-  * SPARK_GRAFT_BENCH_OUT (default ./bench_result.json) — round 3's
-  * driver capture head-truncated the single 2 KB line and lost q01–q07.
-  * SPARK_GRAFT_ONLY=q66,q72 restricts the run for focused iteration.
+  * Truncation-proofing: the result JSON is printed TWICE — identical
+  * copies, so a tail-only capture of the last ~4 KB still holds one
+  * complete copy (consumers parsing every stdout JSON line must dedupe
+  * or take the LAST line; this duplication is intentional contract, see
+  * README). Seconds are rounded to 3 decimals to keep the line ~2 KB —
+  * round 4's driver tail capture (4 KB) cut the head off a 4.4 KB line.
+  * The line is also written to SPARK_GRAFT_BENCH_OUT (default
+  * ./bench_result.json).
+  *
+  * SPARK_GRAFT_ONLY=q66_pagerank_step,q72_pagerank_iters restricts the
+  * run for focused iteration: tokens match query names EXACTLY (round
+  * 3's substring match made "q6" select q60–q69); unknown tokens warn,
+  * an empty selection is an error, and the selected set is printed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,16 +65,28 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    only.foreach { toks =>
+      val unknown = toks.filterNot(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY tokens matching no query: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      only.forall(_.exists(name.contains)) }
+      only.forall(_.contains(name)) }
+    if (selected.isEmpty) {
+      System.err.println("[bench] SPARK_GRAFT_ONLY selected no queries — aborting")
+      spark.stop()
+      sys.exit(2)
+    }
+    System.err.println(s"[bench] ${selected.size} queries: ${selected.map(_._1).mkString(",")}")
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => runOnce(name, fn)).sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))

@@ -176,27 +176,40 @@ object GraphQueries {
       edges.groupBy($"u").agg(count(lit(1)).as("deg")))
     var ranks = deg.select($"u", lit(1.0).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = ranks.join(deg, Seq("u"))
-        .select($"u",
-          floor(($"r" / $"deg") * lit(1.0e12) + lit(0.5)).as("c"))
-      // shuffle_hash: both sides are already HashPartitioning(u), so the
-      // join plants no exchange either way — but SMJ would re-SORT the
-      // edge side every iteration (measured 2× the iteration cost).
-      // Hash-building the node-sized contrib shard per partition and
-      // STREAMING the edges is the shape that survives 100 TB: per-
-      // partition build = nodes/numPartitions, the same memory bound any
-      // hash agg over the rank vector already needs.
-      ranks = edges.join(contrib.hint("shuffle_hash"), Seq("u"))
-        .groupBy($"v")
-        .agg(sum($"c").as("ns"))
-        .select($"v".as("u"),
-          (lit(0.15) + lit(0.85) * ($"ns".cast("double") / lit(1.0e12))).as("r"))
-        // LAZY checkpoint: lineage still truncates per round (the many-
-        // iteration requirement), but materialization folds into the next
-        // action instead of costing a dedicated job per round
-        .localCheckpoint(eager = false)
+      // lazy partitioned checkpoint: lineage still truncates per round
+      // (the many-iteration requirement) with materialization folded into
+      // the next action — AND the LogicalRDD keeps HashPartitioning(u)
+      // (the neighbor-sum agg partitions on v; the rename-project carries
+      // it through), so iteration N+1's ranks⋈deg join is exchange-free.
+      // A bare localCheckpoint under AQE captured UnknownPartitioning
+      // here and silently re-planted a node-sized exchange per round.
+      ranks = graft.operators.Materialize.checkpointPartitioned(
+        prIteration(edges, deg, ranks), eager = false)
     }
     ranks.select($"u".as("l_partkey"), $"r".as("rank")).orderBy($"l_partkey")
+  }
+
+  /** One PageRank round: r'(v) = 0.15 + 0.85 · Σ_{u∈N(v)} r(u)/deg(u),
+    * contributions quantized to integer picounits (see [[q72PagerankIters]]).
+    *
+    * shuffle_hash: both join inputs are already HashPartitioning(u), so
+    * neither join plants an exchange — but SMJ would re-SORT the edge
+    * side every iteration (measured 2× the iteration cost). Hash-building
+    * the node-sized contrib shard per partition and STREAMING the edges
+    * is the shape that survives 100 TB: per-partition build =
+    * nodes/numPartitions, the same memory bound any hash agg over the
+    * rank vector already needs. Package-visible so PlanSpec can assert
+    * the REAL chained iteration plan carries exactly one exchange. */
+  private[graft] def prIteration(edges: DataFrame, deg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val contrib = ranks.join(deg, Seq("u"))
+      .select($"u", floor(($"r" / $"deg") * lit(1.0e12) + lit(0.5)).as("c"))
+    edges.join(contrib.hint("shuffle_hash"), Seq("u"))
+      .groupBy($"v")
+      .agg(sum($"c").as("ns"))
+      .select($"v".as("u"),
+        (lit(0.15) + lit(0.85) * ($"ns".cast("double") / lit(1.0e12))).as("r"))
   }
 
   val q72Sql: String = {

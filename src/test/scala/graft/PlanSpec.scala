@@ -113,6 +113,33 @@ class PlanSpec extends SparkSuite {
     assert(countShuffles(iteration(GraphQueries.copurchaseEdges(spark, sf0001))) >= 2)
   }
 
+  test("q72 chained iterations: round N's REAL plan carries exactly one exchange") {
+    // the round-4 ADVICE hazard: a bare lazy localCheckpoint under AQE
+    // captures UnknownPartitioning, so every round after the first
+    // silently re-plants a node-sized exchange under ranks⋈deg. Build the
+    // EXACT q72 chain (partitioned lazy checkpoints between rounds) and
+    // assert a later round still plans exchange-free joins: only the
+    // neighbor-sum agg shuffles.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = GraphQueries.copurchaseEdgesPartitioned(spark, sf0001)
+    val deg = graft.operators.Materialize.checkpointPartitioned(
+      edges.groupBy($"u").agg(count(lit(1)).as("deg")))
+    var ranks = deg.select($"u", lit(1.0).as("r"))
+    for (_ <- 1 to 2)
+      ranks = graft.operators.Materialize.checkpointPartitioned(
+        GraphQueries.prIteration(edges, deg, ranks), eager = false)
+    assert(countShuffles(GraphQueries.prIteration(edges, deg, ranks)) == 1)
+    // and the full query's visible tail (last round behind its
+    // checkpoint) plants only the orderBy's range exchange
+    assert(countShuffles(GraphQueries.q72PagerankIters(spark, sf0001)) == 1)
+    // control: the same round-3 plan with the partitioning FORGOTTEN
+    // (same rows, re-wrapped without a declared layout) re-shuffles the
+    // rank side
+    val amnesiac = spark.createDataFrame(ranks.rdd, ranks.schema)
+    assert(countShuffles(GraphQueries.prIteration(edges, deg, amnesiac)) >= 2)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // at 100 TB the selective-dimension shuffle join wants a runtime
     // bloom filter on the fact scan (Catalyst's InjectRuntimeFilter);
