@@ -25,5 +25,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ GraphQueries.oracleSql
+      SimilarityQueries.oracleSql ++ EtlQueries.oracleSql ++ GraphQueries.oracleSql
 }

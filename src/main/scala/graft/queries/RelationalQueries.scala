@@ -442,22 +442,40 @@ object RelationalQueries {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
-  /** q18: HLL approximate distinct (the "novel sketch" slot) — one pass,
-    * no expand/dedup shuffle (that is the point of the sketch; the
-    * exact-count comparison and rsd contract live in ExtensionsSpec).
+  /** q18: HLL approximate distinct (the "novel sketch" slot).
     * rsd = 0.05 (Spark's default): 0.01 forces ~2^17 HLL registers per
     * group per partition, which made this the slowest bench query in
     * round 1 (6.5s) for precision nobody asked for — a cardinality
     * estimate's job is magnitude, not percent accuracy.
-    * Rows-only vs the oracle: sketch impls differ across engines. */
+    *
+    * Oracle-checked as a BOUND (round 5): the estimate itself is
+    * engine-specific, but |hll − exact| ≤ 3·rsd·exact is the sketch's
+    * contract, so Spark computes both the sketch and its exact dual and
+    * emits the per-group verdict; the oracle recomputes the exact side
+    * and asserts the verdict is uniformly true. (Production runs the
+    * sketch WITHOUT the exact-dual expand — that is its point; this is
+    * the verification query. The one-pass production face is pinned in
+    * ExtensionsSpec.) */
   def q18ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val rsd = 0.05
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.05).as("approx_parts"),
+      .agg(approx_count_distinct($"l_partkey", rsd).as("approx_parts"),
+           countDistinct($"l_partkey").as("exact_parts"),
            count(lit(1)).as("n_rows"))
+      .select($"l_returnflag", $"exact_parts", $"n_rows",
+        (abs($"approx_parts" - $"exact_parts").cast("double")
+          <= lit(3 * rsd) * $"exact_parts".cast("double")).as("within_bound"))
       .orderBy($"l_returnflag")
   }
+
+  val q18Sql: String =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       COUNT(*) AS n_rows,
+      |       TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q19: set operations — INTERSECT / UNION (distinct) / EXCEPT over
     * event-type user cohorts (§2.8: the reference only dedups; full set
@@ -1209,6 +1227,7 @@ object RelationalQueries {
     "q54_unpivot"           -> q54Sql,
     "q51_apply_changes"     -> q51Sql,
     "q17_sessionize"        -> q17Sql,
+    "q18_approx_distinct"   -> q18Sql,
     "q19_set_ops"           -> q19Sql,
     "q44_asof_join"         -> q44Sql,
     "q45_range_join"        -> q45Sql,

