@@ -51,9 +51,43 @@ object KvSink {
       idCol: String): Unit = {
     val keys = optOutIds.select(sha2(col(idCol).cast("string"), 256).as("key")).distinct()
     val kv = spark.read.parquet(kvPath)
-    val kept = kv.join(broadcast(keys), Seq("key"), "left_anti")
-    // rewrite via temp path (can't overwrite a path being read)
-    val tmp = kvPath + ".tmp_delete"
+    rewriteInPlace(spark, kvPath, kv.join(broadcast(keys), Seq("key"), "left_anti"))
+  }
+
+  /** GC parity with the reference's Bigtable column-family policy —
+    * union(maxAge 90 days, maxVersions 1), taar_profile_bigtable.py:134-164.
+    * maxVersions=1 already holds structurally (latest-per-key merge in
+    * the upsert path); this pass adds the age half: drop every row whose
+    * payload version timestamp (micros since epoch, field `verField` in
+    * the payload JSON — the upsert path writes `ver`) is older than
+    * `asOfMicros − days`. Rows without a parseable version are KEPT:
+    * age-unknown is not age-exceeded (same asymmetry as Bigtable, where
+    * a cell always has a server timestamp — a payload predating the
+    * version scheme must not be silently destroyed by a GC pass).
+    *
+    * Idempotent: the predicate depends only on payload content and the
+    * caller-supplied `asOfMicros`, so a re-run keeps exactly the same
+    * rows. Scale: one filter scan + rewrite, no shuffle; at warehouse
+    * scale this runs inside the scheduled compaction that the bucketed
+    * snapshot already needs. */
+  def expireOlderThan(spark: SparkSession, kvPath: String, asOfMicros: Long,
+      days: Int = 90, verField: String = "ver", codec: String = "zlib"): Unit = {
+    val cutoff = asOfMicros - days.toLong * 24L * 3600L * 1000000L
+    val kv = spark.read.parquet(kvPath)
+    val json =
+      (if (codec == "zlib") Zlib.decompressCol(spark, col("payload"))
+       else graft.functions.Codec.decompressCol(spark, col("payload"), codec))
+        .cast("string")
+    val ver = get_json_object(json, s"$$.$verField").cast("long")
+    rewriteInPlace(spark, kvPath, kv.where(coalesce(ver >= cutoff, lit(true))))
+  }
+
+  /** Rewrite a KV table in place via temp path + rename (can't overwrite
+    * a path being read; the rename publishes atomically on HDFS-like
+    * filesystems — the same commit shape as the DSv2 connector). */
+  private def rewriteInPlace(spark: SparkSession, kvPath: String,
+      kept: DataFrame): Unit = {
+    val tmp = kvPath + ".tmp_rewrite"
     kept.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(kvPath),
       spark.sparkContext.hadoopConfiguration)

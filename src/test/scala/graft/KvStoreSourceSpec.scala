@@ -55,4 +55,31 @@ class KvStoreSourceSpec extends SparkSuite {
       .option("path", dir).load()
     assert(back.count() == 0)
   }
+
+  test("expireOlderThan drops only age-exceeded rows, keeps unversioned, idempotent") {
+    // GC parity: union(maxAge 90d, maxVersions 1) — the age half
+    val dir = tmpDir("kvexpire") + "/store"
+    val asOf = 1700000000000000L // micros
+    val day = 24L * 3600L * 1000000L
+    val rows = Seq(
+      ("old", asOf - 91L * day),  // beyond 90d → expired
+      ("edge", asOf - 90L * day), // exactly at cutoff → kept (>=)
+      ("new", asOf - 1L * day))   // fresh → kept
+      .toDF("client_id", "ver")
+    KvSink.write(spark, rows, "client_id", dir)
+    // plus one legacy row with no version field: age unknown → kept
+    val legacy = KvSink.toKv(spark, Seq(("legacy", "de")).toDF("client_id", "locale"), "client_id")
+    legacy.write.mode("append").parquet(dir)
+
+    KvSink.expireOlderThan(spark, dir, asOf, days = 90)
+    def keys() = KvSink.decodePayload(spark, spark.read.parquet(dir))
+      .select(get_json_object($"json", "$.client_id").as("cid"))
+      .as[String].collect().toSet
+    val expected = Set("edge", "new", "legacy")
+      .map(id => org.apache.commons.codec.digest.DigestUtils.sha256Hex(id))
+    assert(keys() == expected)
+    // idempotent: re-running with the same asOf changes nothing
+    KvSink.expireOlderThan(spark, dir, asOf, days = 90)
+    assert(keys() == expected)
+  }
 }
