@@ -240,13 +240,137 @@ object GraphQueries {
        |SELECT u AS l_partkey, r AS rank FROM r$PrIters ORDER BY l_partkey""".stripMargin
   }
 
+  /** Shared oracle CTE prefix: the capped co-purchase graph (distinct
+    * pairs, mirrored edges, degrees) — the SQL mirror of
+    * [[copurchasePairs]]/[[copurchaseEdges]]. */
+  private val GraphSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |elig AS (SELECT l_orderkey FROM li GROUP BY 1
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxBasket),
+       |lie AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN elig USING (l_orderkey)),
+       |pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lie a JOIN lie b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u)""".stripMargin
+
+  // ---- q77: triangle counting (degree-ordered orientation) ----
+
+  /** q77: triangle count over the co-purchase graph — the graph-quality
+    * metric (clustering/community structure) and THE canonical skew
+    * showcase: a naive wedge join on raw adjacency mints deg(v)² wedge
+    * candidates at every hub, while orienting each edge from its
+    * lower-(degree, id) endpoint to the higher bounds every out-
+    * neighborhood by O(√m) (Latapy / Chiba–Nishizeki degree-ordering),
+    * so wedge work is Σ outdeg(v)² ≤ m^1.5 REGARDLESS of hub size — the
+    * difference between a 100 TB run finishing and one reducer holding a
+    * celebrity node's square.
+    *
+    * Both the wedge self-join and the closing-edge join are equi-joins
+    * on oriented endpoints (shuffle-partitionable); output is one audit
+    * row (edges, oriented wedges, triangles). */
+  def q77Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = copurchasePairs(s, dir).localCheckpoint()
+    val deg = pairs.select($"u".as("n")).union(pairs.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    // orient: src = lower (degree, id) endpoint
+    val o = pairs
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv").otherwise($"du").as("ddeg"))
+      .localCheckpoint()
+    val w = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    val tri = w.join(o, $"w1" === $"src" && $"w2" === $"dst")
+    // one audit row assembled IN the plan (1-row aggregates cross-joined)
+    // — no driver-side action
+    pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(w.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  val q77Sql: String =
+    s"""$GraphSql,
+       |o AS (
+       |  SELECT CASE WHEN (da.d < db.d OR (da.d = db.d AND p.u < p.v)) THEN p.u ELSE p.v END AS src,
+       |         CASE WHEN (da.d < db.d OR (da.d = db.d AND p.u < p.v)) THEN p.v ELSE p.u END AS dst,
+       |         CASE WHEN (da.d < db.d OR (da.d = db.d AND p.u < p.v)) THEN db.d ELSE da.d END AS ddeg
+       |  FROM pairs p JOIN deg da ON da.node = p.u JOIN deg db ON db.node = p.v),
+       |w AS (
+       |  SELECT o1.dst AS w1, o2.dst AS w2
+       |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+       |   AND (o1.ddeg < o2.ddeg OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)))
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM w JOIN o ON o.src = w.w1 AND o.dst = w.w2) AS n_triangles""".stripMargin
+
+  // ---- q79: BFS k-hop reachability ----
+
+  /** Hop budget and seed predicate for q79. */
+  val BfsHops = 3
+  val BfsSeedMax = 10
+
+  /** q79: multi-source BFS — minimum hop count from a seed set over the
+    * co-purchase graph, [[BfsHops]] rounds (impact analysis / graph
+    * neighborhood expansion; with per-round lineage truncation this is
+    * the ConnectedComponents loop shape applied to distances).
+    *
+    * Scale design: the edge list is materialized ONCE partitioned on `u`
+    * ([[copurchaseEdgesPartitioned]]) so each round shuffles only the
+    * frontier (which the anti-join keeps to NEWLY reached nodes — the
+    * delta, not the closure; the classic BFS-on-MapReduce optimization).
+    * Frontier and visited sets are node-sized. */
+  def q79BfsHops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = copurchaseEdgesPartitioned(s, dir)
+    val seeds = edges.select($"u").where($"u" < BfsSeedMax).distinct()
+      .withColumn("hop", lit(0L))
+    var levels = seeds.localCheckpoint()
+    var frontier = levels
+    for (h <- 1 to BfsHops) {
+      frontier = edges.join(frontier.select($"u"), Seq("u"))
+        .select($"v".as("u")).distinct()
+        .join(levels.select($"u"), Seq("u"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      levels = levels.union(frontier).localCheckpoint()
+    }
+    levels.select($"u".as("l_partkey"), $"hop").orderBy($"l_partkey")
+  }
+
+  val q79Sql: String = {
+    val rounds = (1 to BfsHops).map { h =>
+      val prev = (0 until h).map(i => s"SELECT u FROM h$i").mkString(" UNION ALL ")
+      s"""h$h AS (
+         |  SELECT DISTINCT e.v AS u FROM edges e JOIN h${h - 1} f ON e.u = f.u
+         |  WHERE e.v NOT IN ($prev))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val hops = (0 to BfsHops).map(h => s"SELECT u, CAST($h AS BIGINT) AS hop FROM h$h")
+      .mkString(" UNION ALL ")
+    s"""$GraphSql,
+       |h0 AS (SELECT DISTINCT u FROM edges WHERE u < $BfsSeedMax)$rounds
+       |SELECT u AS l_partkey, hop FROM ($hops) ORDER BY l_partkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q66_pagerank_step"  -> (q66PagerankStep _),
     "q72_pagerank_iters" -> (q72PagerankIters _),
+    "q77_triangle_count" -> (q77Triangles _),
+    "q79_bfs_hops"       -> (q79BfsHops _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q66_pagerank_step"  -> q66Sql,
     "q72_pagerank_iters" -> q72Sql,
+    "q77_triangle_count" -> q77Sql,
+    "q79_bfs_hops"       -> q79Sql,
   )
 }

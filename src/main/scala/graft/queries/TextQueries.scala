@@ -518,7 +518,98 @@ object TextQueries {
        |       AS INT) AS spans_chunks
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // ---- q78: repetition ratio (n-gram duplication quality signal) ----
+
+  /** Word n-gram order for the repetition signal. */
+  val RepGram = 5
+
+  /** q78: per-document repetition ratio — the fraction of word 5-grams
+    * that are repeats of an earlier 5-gram in the same document
+    * (1 − distinct/total). The standard LLM-corpus quality filter for
+    * degenerate/boilerplate text (Rae et al., Gopher §A.1.1: "repetition"
+    * filters; also the C4 "three-sentence dedup" family): high ratio ⇒
+    * looping or templated content.
+    *
+    * Scale design: map-only — the gram array is built and deduped inside
+    * one projection per row (bind-bound so the token array materializes
+    * once), no shuffle before the final sort; at 100 TB this runs at
+    * scan speed alongside the other quality signals (q21). */
+  def q78RepetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = graft.functions.Cols.bind(split($"text", " ")) { t =>
+      val n = size(t)
+      when(n >= RepGram,
+        transform(sequence(lit(1), n - (RepGram - 1)), i =>
+          concat_ws(" ", (0 until RepGram).map(k => element_at(t, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id", grams.as("g"))
+      .select($"doc_id", size($"g").cast("long").as("n_grams"),
+        size(array_distinct($"g")).cast("long").as("n_distinct"))
+      .where($"n_grams" > 0)
+      .select($"doc_id", $"n_grams", $"n_distinct",
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_grams".cast("double"))
+          .as("rep_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val q78Sql: String = {
+    val g = (0 until RepGram).map(k => s"string_split(text, ' ')[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(string_split(text, ' ')) >= $RepGram THEN
+       |      list_transform(generate_series(1, len(string_split(text, ' ')) - ${RepGram - 1}),
+       |        i -> $g)
+       |    ELSE [] END AS g
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(g) AS BIGINT) AS n_grams,
+       |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+       |  1.0e0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE) AS rep_ratio
+       |FROM grams WHERE len(g) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q80: PII redaction (training-data scrubbing) ----
+
+  /** q80: regex PII scrub over the event property payloads — digit runs
+    * (ids, phones, zips) and email-shaped tokens replaced by typed
+    * placeholders, with a per-row hit count for audit. The pre-training
+    * privacy pass every corpus pipeline runs before text reaches a
+    * model; patterns are deliberately RE2-safe (character classes and
+    * counted repetition only) so Spark's Java regex and the oracle agree
+    * symbol-for-symbol.
+    *
+    * Scale design: map-only projection (regexp_replace + extract_all are
+    * codegen'd), no shuffle before the final sort. */
+  def q80PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+"
+    val digits = "[0-9]+"
+    Tables.events(s, dir)
+      .select($"event_id", $"props")
+      .select($"event_id",
+        regexp_replace(regexp_replace($"props", email, "<EMAIL>"), digits, "<NUM>")
+          .as("props_redacted"),
+        (size(regexp_extract_all($"props", lit(email), lit(0))) +
+          size(regexp_extract_all($"props", lit(digits), lit(0))))
+          .cast("long").as("n_hits"))
+      .orderBy($"event_id")
+  }
+
+  val q80Sql: String =
+    """SELECT event_id,
+      |  regexp_replace(regexp_replace(props, '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+      |                 '[0-9]+', '<NUM>', 'g') AS props_redacted,
+      |  CAST(len(regexp_extract_all(props, '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+')) +
+      |       len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q78_repetition_ratio"  -> (q78RepetitionRatio _),
+    "q80_pii_redact"        -> (q80PiiRedact _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -533,6 +624,8 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q78_repetition_ratio"  -> q78Sql,
+    "q80_pii_redact"        -> q80Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,
