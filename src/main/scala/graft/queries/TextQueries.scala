@@ -607,9 +607,46 @@ object TextQueries {
       |       len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- q81: per-source quota capping (corpus balancing) ----
+
+  /** Per-source document quota. */
+  val SourceQuota = 10
+
+  /** q81: deterministic per-source sampling — keep at most [[SourceQuota]]
+    * documents per source, chosen by md5-hash rank. The corpus-balancing
+    * step of every mixture pipeline (cap the crawl-heavy domain so it
+    * can't drown the rest): hash-rank selection is stable across runs,
+    * engines and partitionings — a seeded RNG would be none of those —
+    * and uniform over each source.
+    *
+    * Scale design: rank-filter windows rewrite to WindowGroupLimit
+    * (pinned for q08), so each partition keeps only its top-k per source
+    * before the shuffle — per-reducer state is k rows, immune to a
+    * crawl-dump source with 10⁹ docs. */
+  def q81SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        row_number().over(w).cast("long").as("rk"))
+      .where($"rk" <= SourceQuota)
+      .orderBy($"source", $"rk")
+  }
+
+  val q81Sql: String =
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $SourceQuota ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q78_repetition_ratio"  -> (q78RepetitionRatio _),
     "q80_pii_redact"        -> (q80PiiRedact _),
+    "q81_source_quota"      -> (q81SourceQuota _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -626,6 +663,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "q78_repetition_ratio"  -> q78Sql,
     "q80_pii_redact"        -> q80Sql,
+    "q81_source_quota"      -> q81Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,
