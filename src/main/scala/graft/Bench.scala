@@ -78,11 +78,27 @@ object Bench {
       sys.exit(2)
     }
     System.err.println(s"[bench] ${selected.size} queries: ${selected.map(_._1).mkString(",")}")
+    // Cross-query isolation: graph/CC queries localCheckpoint per-
+    // iteration frames whose blocks otherwise live until the
+    // ContextCleaner happens to GC the RDD references — 74 queries × 3
+    // reps of accumulation produced round 5's phantom q66=14.2s (2.8s in
+    // isolation, same commit). After each query's reps, all cached
+    // frames and checkpoint blocks are dropped deterministically; every
+    // rep rebuilds its frames from scratch, so nothing live is lost.
+    def releaseQueryState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => runOnce(name, fn)).sorted
+      releaseQueryState()
+      // per-rep spread makes an anomalous rep self-diagnosing in logs
+      System.err.println(s"[bench] $name min/med/max = " +
+        s"${sec(times.head)}/${sec(times(times.length / 2))}/${sec(times.last)}")
       name -> times(times.length / 2)
     }
-    def sec(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

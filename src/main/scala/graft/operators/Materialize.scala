@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftShim
 
@@ -12,17 +10,32 @@ object Materialize {
     * `newSession()` shares the SparkContext (and our extensions) but has
     * an ISOLATED SQLConf, so planning a checkpoint there cannot race
     * with — or be observed by — queries planned concurrently in the
-    * user's session (the round-4 conf-flip hazard). The companion's conf
-    * never changes after creation, so the map itself is the only shared
-    * state and ConcurrentHashMap makes its population atomic. */
-  private val planners = new ConcurrentHashMap[SparkSession, SparkSession]()
+    * user's session (the round-4 conf-flip hazard).
+    *
+    * The map is a WeakHashMap keyed on the user session: a companion
+    * must not pin its user session live forever (session-per-request
+    * apps would leak a session pair per request). `newSession()` holds
+    * only the shared SparkContext/SharedState — not its parent — so once
+    * the user session is unreachable the entry (and companion) is
+    * collectable. Planning-relevant runtime confs are re-copied from the
+    * user session on EVERY call (under the companion's lock), so later
+    * user conf changes (e.g. shuffle partitions) are reflected in
+    * checkpoint planning rather than frozen at first use. */
+  private val planners =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  /** Runtime confs that affect checkpoint planning, mirrored per call. */
+  private val MirroredConfs = Seq(
+    "spark.sql.shuffle.partitions",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.session.timeZone")
 
   private def noAqeSession(spark: SparkSession): SparkSession =
-    planners.computeIfAbsent(spark, (s: SparkSession) => {
-      val ns = s.newSession()
-      ns.conf.set("spark.sql.adaptive.enabled", "false")
-      ns
-    })
+    planners.synchronized {
+      var s = planners.get(spark)
+      if (s == null) { s = spark.newSession(); planners.put(spark, s) }
+      s
+    }
 
   /** `localCheckpoint()` that PRESERVES the frame's hash partitioning.
     *
@@ -45,8 +58,17 @@ object Materialize {
     * statically, so laziness does not cost the partitioning capture. */
   def checkpointPartitioned(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    val ckpt = GraftShim.ofRows(noAqeSession(spark), df.queryExecution.analyzed)
-      .localCheckpoint(eager)
+    val ns = noAqeSession(spark)
+    // serialize conf-mirror + plan per companion: two threads of the
+    // same user session must not observe each other's mirrored confs
+    // mid-plan (the companion is per-user-session, so this lock is
+    // uncontended in single-threaded use)
+    val ckpt = ns.synchronized {
+      ns.conf.set("spark.sql.adaptive.enabled", "false")
+      MirroredConfs.foreach(k =>
+        spark.conf.getOption(k).foreach(ns.conf.set(k, _)))
+      GraftShim.ofRows(ns, df.queryExecution.analyzed).localCheckpoint(eager)
+    }
     GraftShim.ofRows(spark, ckpt.queryExecution.analyzed)
   }
 }

@@ -140,6 +140,50 @@ class PlanSpec extends SparkSuite {
     assert(countShuffles(GraphQueries.prIteration(edges, deg, amnesiac)) >= 2)
   }
 
+  test("q77 adjacency-intersection: no wedge rows, exactly 2 equi-joins") {
+    // the round-5 finding: feeding the O(m^1.5) wedge self-join into two
+    // separate aggregates executed it once per branch. The compact-
+    // forward form materializes NO wedge stream at all: the only
+    // equi-joins in the plan are the two adjacency-array pulls (A_u on
+    // src, A_v on dst); wedges come from Σ C(outdeg,2) over adjacency
+    // sizes, so nothing executes twice.
+    var equiJoins = -1
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      equiJoins = GraphQueries.q77Triangles(spark, sf0001)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.nonEmpty => j
+        }.size
+    }
+    assert(equiJoins == 2, s"expected the two adjacency pulls only, got $equiJoins")
+    // control: counts agree with an independent wedge-join computation
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val row = GraphQueries.q77Triangles(spark, sf0001).collect().head
+    val (nE, nW, nT) = (row.getAs[Long]("n_edges"),
+      row.getAs[Long]("n_wedges"), row.getAs[Long]("n_triangles"))
+    assert(nE > 0 && nW > 0 && nT > 0 && nT <= nW)
+    val pairs = GraphQueries.copurchasePairs(spark, sf0001).localCheckpoint()
+    import spark.implicits._
+    val deg = pairs.select($"u".as("n")).union(pairs.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val o = pairs
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv").otherwise($"du").as("ddeg"))
+      .localCheckpoint()
+    val w = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    assert(w.count() == nW)
+    assert(w.join(o, $"w1" === $"src" && $"w2" === $"dst").count() == nT)
+    assert(pairs.count() == nE)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // at 100 TB the selective-dimension shuffle join wants a runtime
     // bloom filter on the fact scan (Catalyst's InjectRuntimeFilter);
