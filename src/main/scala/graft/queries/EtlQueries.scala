@@ -66,18 +66,19 @@ object EtlQueries {
     Multimodal.mediaFeatures(s, Tables.documents(s, dir))
       .orderBy(col("media_id"))
 
-  /** q43 — Space-Saving heavy-hitter tokens (typed Aggregator sketch):
-    * constant memory per group, partial-agg friendly, mergeable across
-    * partitions. The oracle checks the SKETCH GUARANTEE against its
-    * exact dual: every token with true count > n/capacity (64 here) must be in the
-    * sketch, with est ≥ true ≥ est − max_error (Metwally et al.; the
-    * merged-summary form of the bound per Agarwal et al., "Mergeable
-    * Summaries"). Spark computes both the sketch and the exact counts
-    * and emits the per-token verdict; the oracle computes the exact side
-    * and asserts the verdict is uniformly true — a hash match is a
-    * checked bound, not a rows>0 smoke test. (Production runs the
-    * sketch WITHOUT the exact dual — that is its point; this is the
-    * verification query.) */
+  /** q43 — heavy-hitter tokens via the mergeable Misra–Gries sketch
+    * (typed Aggregator): constant memory per group, partial-agg
+    * friendly, and — since round 6 — carrying the merge-proof bound of
+    * Agarwal et al. ("Mergeable Summaries", PODS 2012): under ANY merge
+    * tree, est ≤ true ≤ est + dec with dec ≤ N/(capacity+1), so every
+    * token with true count > N/capacity (capacity = 64 here, and
+    * N/64 > N/65) must be in the sketch. The oracle checks that
+    * guarantee against its exact dual: Spark computes both the sketch
+    * and the exact counts and emits the per-token verdict; the oracle
+    * computes the exact side and asserts the verdict is uniformly true —
+    * a hash match is a checked bound, not a rows>0 smoke test.
+    * (Production runs the sketch WITHOUT the exact dual — that is its
+    * point; this is the verification query.) */
   def q43HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = Tables.documents(s, dir)
@@ -93,8 +94,8 @@ object EtlQueries {
       .join(broadcast(sketch), $"w" === $"token", "left")
       .select($"w".as("token"), $"exact_cnt",
         $"token".isNotNull.as("in_sketch"),
-        ($"token".isNotNull && $"est" >= $"exact_cnt" &&
-          ($"est" - $"err") <= $"exact_cnt").as("bound_ok"))
+        ($"token".isNotNull && $"est" <= $"exact_cnt" &&
+          ($"est" + $"err") >= $"exact_cnt").as("bound_ok"))
       .orderBy($"w")
   }
 
