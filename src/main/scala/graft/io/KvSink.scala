@@ -60,10 +60,16 @@ object KvSink {
     * the upsert path); this pass adds the age half: drop every row whose
     * payload version timestamp (micros since epoch, field `verField` in
     * the payload JSON — the upsert path writes `ver`) is older than
-    * `asOfMicros − days`. Rows without a parseable version are KEPT:
-    * age-unknown is not age-exceeded (same asymmetry as Bigtable, where
-    * a cell always has a server timestamp — a payload predating the
-    * version scheme must not be silently destroyed by a GC pass).
+    * `asOfMicros − days`.
+    *
+    * Rows WITHOUT a parseable version are EXPIRED by default: in
+    * Bigtable every cell carries a server timestamp, so MaxAge bounds
+    * retention of ALL data — an unversioned payload predates the version
+    * scheme and is therefore older than any cutoff; keeping it forever
+    * would be a retention/privacy divergence from the policy this
+    * mirrors (round-5 advice). `keepUnversioned = true` is the explicit
+    * migration-window opt-out for stores that still need legacy payloads
+    * backfilled before the policy bites.
     *
     * Idempotent: the predicate depends only on payload content and the
     * caller-supplied `asOfMicros`, so a re-run keeps exactly the same
@@ -71,7 +77,8 @@ object KvSink {
     * scale this runs inside the scheduled compaction that the bucketed
     * snapshot already needs. */
   def expireOlderThan(spark: SparkSession, kvPath: String, asOfMicros: Long,
-      days: Int = 90, verField: String = "ver", codec: String = "zlib"): Unit = {
+      days: Int = 90, verField: String = "ver", codec: String = "zlib",
+      keepUnversioned: Boolean = false): Unit = {
     val cutoff = asOfMicros - days.toLong * 24L * 3600L * 1000000L
     val kv = spark.read.parquet(kvPath)
     val json =
@@ -79,20 +86,38 @@ object KvSink {
        else graft.functions.Codec.decompressCol(spark, col("payload"), codec))
         .cast("string")
     val ver = get_json_object(json, s"$$.$verField").cast("long")
-    rewriteInPlace(spark, kvPath, kv.where(coalesce(ver >= cutoff, lit(true))))
+    rewriteInPlace(spark, kvPath,
+      kv.where(coalesce(ver >= cutoff, lit(keepUnversioned))))
   }
 
-  /** Rewrite a KV table in place via temp path + rename (can't overwrite
-    * a path being read; the rename publishes atomically on HDFS-like
-    * filesystems — the same commit shape as the DSv2 connector). */
+  /** Rewrite a KV table in place: write to a temp path, step the live
+    * path aside, publish the temp path by rename, then drop the old
+    * data. Every rename's result is CHECKED — and the live data is
+    * deleted only after the new data is live, so no step leaves the
+    * table unrecoverable: a crash or failed rename leaves the previous
+    * contents at the live path or at `<path>.old_rewrite` (restored
+    * automatically on a failed publish). Renames are atomic on
+    * HDFS-like filesystems — the same commit shape as the DSv2
+    * connector. */
   private def rewriteInPlace(spark: SparkSession, kvPath: String,
       kept: DataFrame): Unit = {
-    val tmp = kvPath + ".tmp_rewrite"
-    kept.write.mode("overwrite").parquet(tmp)
+    val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
+    val (tmp, old, live) =
+      (hp(kvPath + ".tmp_rewrite"), hp(kvPath + ".old_rewrite"), hp(kvPath))
+    kept.write.mode("overwrite").parquet(tmp.toString)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(kvPath),
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(kvPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(kvPath))
+    fs.delete(old, true) // leftover from a previously crashed run
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(
+        s"rewrite of $kvPath failed stepping live aside; table untouched")
+    if (!fs.rename(tmp, live)) {
+      val restored = fs.rename(old, live)
+      throw new java.io.IOException(s"rewrite of $kvPath failed publishing; " +
+        (if (restored) "previous contents restored"
+         else s"previous contents preserved at $old"))
+    }
+    fs.delete(old, true)
   }
 
   /** Decode a KV payload back to JSON text (consumer side / tests). */

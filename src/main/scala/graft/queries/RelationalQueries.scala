@@ -878,39 +878,60 @@ object RelationalQueries {
 
   /** q76: entity resolution over the part-name dictionary — pairs of
     * DISTINCT names within edit distance [[FuzzyMaxDist]], candidates
-    * blocked on the head noun (last token). The data-cleaning / record-
-    * linkage primitive: find "blue bolt" ≈ "old bolt" without comparing
-    * every name to every name.
+    * from MULTI-PASS blocking: one pass keyed on the head noun (last
+    * token), one on the first token, candidate sets unioned and deduped.
+    * The data-cleaning / record-linkage primitive: find "blue bolt" ≈
+    * "old bolt" without comparing every name to every name.
+    *
+    * Single-pass head-noun blocking measurably lost 16 of 96 true pairs
+    * at sf0.001 (pairs like "blue bolt" ≈ "blue belt" differ in the
+    * blocking token itself — FuzzyBlockingSpec); the second pass is the
+    * standard recall repair: a true pair is missed only if the names
+    * disagree on BOTH the first and last token, which ≤3 edits rarely
+    * buys. Recall is MEASURED against full-quadratic ground truth
+    * (≥ 0.95 pinned in FuzzyBlockingSpec), not assumed.
     *
     * Scale design: names collapse to the DISTINCT dictionary before
     * anything quadratic (2000 parts → 64 names here; real catalogs
-    * compress similarly), the self-join keys on the blocking token so
-    * candidate pairs grow with block sizes, not dictionary², and the
-    * edit distance (codegen'd built-in — integer result, identical in
-    * both engines) runs only inside blocks. Skew-prone hot blocks would
-    * take the q26 salting treatment. */
+    * compress similarly), each pass's self-join keys on its blocking
+    * token so candidate pairs grow with block sizes, not dictionary²,
+    * and each pass is individually skew-bounded (largest block ≤ ¼
+    * dictionary, also pinned). The edit distance (codegen'd built-in —
+    * integer result, identical in both engines) runs only on deduped
+    * in-block candidates. Skew-prone hot blocks would take the q26
+    * salting treatment. */
   def q76FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val names = Tables.part(s, dir)
       .select($"p_name").distinct()
       .withColumn("noun", element_at(split($"p_name", " "), -1))
-    names.as("a")
+      .withColumn("head", element_at(split($"p_name", " "), 1))
+    def pass(key: String) = names.as("a")
       .join(names.as("b"),
-        col("a.noun") === col("b.noun") && col("a.p_name") < col("b.p_name"))
-      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+        col(s"a.$key") === col(s"b.$key") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+    pass("noun").union(pass("head")).distinct()
+      .select($"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b").cast("long").as("dist"))
       .where($"dist" <= FuzzyMaxDist)
       .orderBy($"name_a", $"name_b")
   }
 
   val q76Sql: String =
     s"""WITH n AS (
-       |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS noun
-       |  FROM part)
-       |SELECT a.p_name AS name_a, b.p_name AS name_b,
-       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-       |FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
-       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS noun,
+       |         string_split(p_name, ' ')[1] AS head
+       |  FROM part),
+       |cand AS (
+       |  SELECT a.p_name AS name_a, b.p_name AS name_b
+       |  FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+       |  UNION
+       |  SELECT a.p_name AS name_a, b.p_name AS name_b
+       |  FROM n a JOIN n b ON a.head = b.head AND a.p_name < b.p_name)
+       |SELECT name_a, name_b,
+       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+       |FROM cand
+       |WHERE levenshtein(name_a, name_b) <= $FuzzyMaxDist
        |ORDER BY name_a, name_b""".stripMargin
 
   // ---- q75: weekly cohort retention ----

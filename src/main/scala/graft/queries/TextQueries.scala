@@ -582,6 +582,12 @@ object TextQueries {
     * counted repetition only) so Spark's Java regex and the oracle agree
     * symbol-for-symbol.
     *
+    * `n_hits` counts ACTUAL replacements: email hits on the original
+    * text, digit hits on the email-redacted INTERMEDIATE — digits inside
+    * an email are replaced once as part of the <EMAIL> hit, so counting
+    * them again on the original would make the audit exceed the number
+    * of redactions performed (round-5 advice).
+    *
     * Scale design: map-only projection (regexp_replace + extract_all are
     * codegen'd), no shuffle before the final sort. */
   def q80PiiRedact(s: SparkSession, dir: String): DataFrame = {
@@ -590,22 +596,26 @@ object TextQueries {
     val digits = "[0-9]+"
     Tables.events(s, dir)
       .select($"event_id", $"props")
+      .select($"event_id", $"props",
+        regexp_replace($"props", email, "<EMAIL>").as("deemailed"))
       .select($"event_id",
-        regexp_replace(regexp_replace($"props", email, "<EMAIL>"), digits, "<NUM>")
-          .as("props_redacted"),
+        regexp_replace($"deemailed", digits, "<NUM>").as("props_redacted"),
         (size(regexp_extract_all($"props", lit(email), lit(0))) +
-          size(regexp_extract_all($"props", lit(digits), lit(0))))
+          size(regexp_extract_all($"deemailed", lit(digits), lit(0))))
           .cast("long").as("n_hits"))
       .orderBy($"event_id")
   }
 
   val q80Sql: String =
-    """SELECT event_id,
-      |  regexp_replace(regexp_replace(props, '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
-      |                 '[0-9]+', '<NUM>', 'g') AS props_redacted,
+    """WITH de AS (
+      |  SELECT event_id, props,
+      |    regexp_replace(props, '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g') AS deemailed
+      |  FROM events)
+      |SELECT event_id,
+      |  regexp_replace(deemailed, '[0-9]+', '<NUM>', 'g') AS props_redacted,
       |  CAST(len(regexp_extract_all(props, '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+')) +
-      |       len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits
-      |FROM events ORDER BY event_id""".stripMargin
+      |       len(regexp_extract_all(deemailed, '[0-9]+')) AS BIGINT) AS n_hits
+      |FROM de ORDER BY event_id""".stripMargin
 
   // ---- q81: per-source quota capping (corpus balancing) ----
 

@@ -56,30 +56,45 @@ class KvStoreSourceSpec extends SparkSuite {
     assert(back.count() == 0)
   }
 
-  test("expireOlderThan drops only age-exceeded rows, keeps unversioned, idempotent") {
-    // GC parity: union(maxAge 90d, maxVersions 1) — the age half
-    val dir = tmpDir("kvexpire") + "/store"
-    val asOf = 1700000000000000L // micros
-    val day = 24L * 3600L * 1000000L
-    val rows = Seq(
-      ("old", asOf - 91L * day),  // beyond 90d → expired
-      ("edge", asOf - 90L * day), // exactly at cutoff → kept (>=)
-      ("new", asOf - 1L * day))   // fresh → kept
-      .toDF("client_id", "ver")
-    KvSink.write(spark, rows, "client_id", dir)
-    // plus one legacy row with no version field: age unknown → kept
-    val legacy = KvSink.toKv(spark, Seq(("legacy", "de")).toDF("client_id", "locale"), "client_id")
-    legacy.write.mode("append").parquet(dir)
-
-    KvSink.expireOlderThan(spark, dir, asOf, days = 90)
-    def keys() = KvSink.decodePayload(spark, spark.read.parquet(dir))
+  test("expireOlderThan: age-exceeded AND unversioned expire by default; migration window keeps legacy; idempotent") {
+    // GC parity: union(maxAge 90d, maxVersions 1) — the age half. In
+    // Bigtable every cell has a server timestamp, so MaxAge bounds ALL
+    // data: an unversioned payload (predating the version scheme) must
+    // expire too, unless the caller opts into the migration window.
+    def freshStore(): String = {
+      val dir = tmpDir("kvexpire") + "/store"
+      val asOf = 1700000000000000L // micros
+      val day = 24L * 3600L * 1000000L
+      val rows = Seq(
+        ("old", asOf - 91L * day),  // beyond 90d → expired
+        ("edge", asOf - 90L * day), // exactly at cutoff → kept (>=)
+        ("new", asOf - 1L * day))   // fresh → kept
+        .toDF("client_id", "ver")
+      KvSink.write(spark, rows, "client_id", dir)
+      // plus one legacy row with no version field
+      val legacy = KvSink.toKv(spark,
+        Seq(("legacy", "de")).toDF("client_id", "locale"), "client_id")
+      legacy.write.mode("append").parquet(dir)
+      dir
+    }
+    val asOf = 1700000000000000L
+    def keys(dir: String) = KvSink.decodePayload(spark, spark.read.parquet(dir))
       .select(get_json_object($"json", "$.client_id").as("cid"))
       .as[String].collect().toSet
-    val expected = Set("edge", "new", "legacy")
-      .map(id => org.apache.commons.codec.digest.DigestUtils.sha256Hex(id))
-    assert(keys() == expected)
+    def sha(ids: String*) = ids.toSet
+      .map((id: String) => org.apache.commons.codec.digest.DigestUtils.sha256Hex(id))
+
+    // default (Bigtable parity): unversioned expires with the aged rows
+    val d1 = freshStore()
+    KvSink.expireOlderThan(spark, d1, asOf, days = 90)
+    assert(keys(d1) == sha("edge", "new"))
     // idempotent: re-running with the same asOf changes nothing
-    KvSink.expireOlderThan(spark, dir, asOf, days = 90)
-    assert(keys() == expected)
+    KvSink.expireOlderThan(spark, d1, asOf, days = 90)
+    assert(keys(d1) == sha("edge", "new"))
+
+    // migration window: keepUnversioned=true retains the legacy row
+    val d2 = freshStore()
+    KvSink.expireOlderThan(spark, d2, asOf, days = 90, keepUnversioned = true)
+    assert(keys(d2) == sha("edge", "new", "legacy"))
   }
 }
