@@ -249,18 +249,26 @@ object DedupQueries {
 
   // ---- q27: simhash-32 fingerprints ----
 
-  def q27Simhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // bind: token hashes computed once per row, then 32 bit-filters read
-    // the bound array (without bind, each filter re-hashes every token)
-    val fp = graft.functions.Cols.bind(
-        transform(array_distinct(toks($"text")), t => h32(s, t))) { hs =>
-      (0 until 32).map { i =>
+  /** SimHash over the distinct-token set of `text`, `bits` wide: token
+    * hashes computed once per row (`bind`), then one bit-filter per
+    * output bit reads the bound array (without bind, each filter would
+    * re-hash every token). `tokenHash` supplies the per-token hash —
+    * 32-bit md5 prefixes for the q27 fingerprint, 60-bit for the q86
+    * Hamming-LSH variant (more bits = lower bit-collision density, which
+    * matters when the pairing threshold is a Hamming DISTANCE). */
+  def simhashBits(tokenHash: Column => Column, bits: Int)(text: Column): Column =
+    graft.functions.Cols.bind(
+        transform(array_distinct(toks(text)), t => tokenHash(t))) { hs =>
+      (0 until bits).map { i =>
         val nSet = size(filter(hs, h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
         // bit i is 1 iff more set than unset among token hashes
         when(nSet * 2 > size(hs), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
+
+  def q27Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = simhashBits(h32(s, _), 32)($"text")
     Tables.documents(s, dir).select($"doc_id", fp.as("simhash32")).orderBy($"doc_id")
   }
 
@@ -483,6 +491,163 @@ object DedupQueries {
        |GROUP BY o.doc_id
        |ORDER BY o.doc_id""".stripMargin
 
+  // ---- q83: corpus-level duplicate n-gram fraction (C4/Dolma filter) ----
+
+  /** n-gram width for the corpus-duplication filter. */
+  val DupGramN = 5
+
+  /** Maximum tolerated fraction of a document's gram occurrences that are
+    * corpus-duplicated before the document is dropped. */
+  val DupFracMax = 0.3
+
+  /** q83: the corpus-duplication quality filter — for every document, the
+    * fraction of its POSITIONAL [[DupGramN]]-gram occurrences whose gram
+    * also appears in at least one OTHER document; documents above
+    * [[DupFracMax]] are flagged for removal. This is the C4/Dolma
+    * "duplicate n-grams across the corpus" signal — it catches boilerplate
+    * and template spam that exact/MinHash dedup (whole-document notions)
+    * never see, because no single pair of documents is a near-duplicate.
+    *
+    * Unlike the distinct [[shingles]] used for Jaccard, grams here keep
+    * POSITION MULTIPLICITY: the metric is "what fraction of this text is
+    * made of corpus-repeated material", so a gram pasted five times
+    * counts five times.
+    *
+    * Scale design (three shuffles, all on uniform or bounded keys):
+    *  1. occurrences pre-aggregate to (doc_id, gram) counts — the shuffle
+    *     key includes doc_id, so even a corpus-wide boilerplate gram
+    *     spreads over all reducers (partial map-side combine);
+    *  2. document frequency aggregates THAT (one row per doc×gram) on the
+    *     gram hash — uniform by content, map-side combined, so a hot gram
+    *     costs one long per mapper;
+    *  3. the df lookup joins back on the gram hash (the df side is
+    *     already partitioned by gram from step 2 — exchange-free on that
+    *     side) and re-aggregates per document. A ubiquitous gram puts
+    *     df(g)=n_docs rows through the join — real but unavoidable mass
+    *     (every such occurrence needs its verdict); AQE's skew split
+    *     handles the reducer imbalance.
+    * Grams travel as 60-bit md5 hashes (8-byte shuffle rows). The oracle
+    * is deliberately UNHASHED (raw gram strings) — the gate proves the
+    * hashed plan loses nothing to collisions. */
+  def q83DupGramFraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gramsCol = graft.functions.Cols.bind(toks($"text")) { t =>
+      val n = size(t)
+      val gs = transform(sequence(lit(1), n - (DupGramN - 1)), i =>
+        concat_ws(" ", (0 until DupGramN).map(k => element_at(t, i + k)): _*))
+      when(n >= DupGramN, gs).otherwise(array().cast("array<string>"))
+    }
+    val occ = Tables.documents(s, dir)
+      .select($"doc_id", explode(gramsCol).as("g_raw"))
+      .select($"doc_id", h60(s, $"g_raw").as("g"))
+    val perDoc = occ.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+    val df = perDoc.groupBy($"g").agg(count(lit(1)).as("df"))
+    perDoc.join(df, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"),
+        sum(when($"df" >= 2, $"cnt").otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_grams", $"n_dup",
+        round($"n_dup".cast("double") / $"n_grams", 6).as("dup_frac"),
+        ($"n_dup".cast("double") / $"n_grams" <= DupFracMax).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q83Sql: String = {
+    val gram = (0 until DupGramN).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, len(tk) - ${DupGramN - 1}),
+       |          i -> $gram)) AS s
+       |      FROM t WHERE len(tk) >= $DupGramN),
+       |pd AS (SELECT doc_id, s, COUNT(*) AS cnt FROM g GROUP BY doc_id, s),
+       |df AS (SELECT s, COUNT(*) AS df FROM pd GROUP BY s),
+       |agg AS (SELECT pd.doc_id, SUM(pd.cnt) AS n_grams,
+       |          SUM(CASE WHEN df.df >= 2 THEN pd.cnt ELSE 0 END) AS n_dup
+       |        FROM pd JOIN df USING (s) GROUP BY pd.doc_id)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_dup AS BIGINT) AS n_dup,
+       |  round(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_frac,
+       |  (CAST(n_dup AS DOUBLE) / n_grams) <= $DupFracMax AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q86: SimHash near-dup pairs via Hamming-LSH banding ----
+
+  /** SimHash width for Hamming pairing (wider than q27's 32-bit
+    * fingerprint: pairing on a DISTANCE needs lower background bit-
+    * collision density — at 32 bits this corpus puts 12% of ALL pairs
+    * within Hamming 3). */
+  val SimBits = 60
+
+  /** Bands for Hamming-LSH: [[SimBits]]/[[NumSimBands]]-bit chunks. */
+  val NumSimBands = 4
+
+  /** Maximum Hamming distance for an emitted near-dup pair. */
+  val HamMax = 1
+
+  /** q86: SimHash near-duplicate PAIRS — the Hamming-space counterpart of
+    * q26's MinHash+LSH (Jaccard space): band each document's [[SimBits]]-
+    * bit simhash into [[NumSimBands]] chunks, bucket-join per (band,
+    * value), verify candidates with an exact popcount. By pigeonhole,
+    * any pair within Hamming distance NumSimBands−1 ≥ [[HamMax]] shares
+    * at least one EXACT band value, so banding is lossless for the
+    * emitted threshold — recall 1.0 by construction, unlike MinHash
+    * banding's probabilistic recall.
+    *
+    * Scale design mirrors q26/q29: the shuffle carries (doc_id, simhash,
+    * band_val) rows — 4 rows of 3 longs per document, never the text;
+    * candidates group only true bucket collisions, and the verification
+    * (`bit_count(xor)`) is a codegen'd two-instruction filter needing no
+    * second corpus pass since the fingerprints ride the bucket rows.
+    * Candidate volume is Σ|bucket|² per band; on a corpus with heavy
+    * template structure (this one: the 32→60 bit widening above is what
+    * keeps buckets subquadratic) the same salting used for hot LSH bands
+    * (q26's LshSkewSpec) applies unchanged if a bucket outgrows a
+    * reducer. The oracle is the unbanded quadratic ground truth — the
+    * gate proves banding drops no pair. */
+  def q86SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bandBits = SimBits / NumSimBands
+    val mask = (1L << bandBits) - 1
+    val sims = Tables.documents(s, dir)
+      .select($"doc_id", simhashBits(h60(s, _), SimBits)($"text").as("sim"))
+    val bands = sims.select($"doc_id", $"sim",
+      posexplode(array((0 until NumSimBands).map(i =>
+        shiftright($"sim", i * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+    cand
+      .select($"doc_a", $"doc_b",
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+      .where($"hamming" <= HamMax)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q86Sql: String = {
+    val terms = (0 until SimBits).map { i =>
+      val w = 1L << i
+      s"CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) > len(hs) THEN ${w} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH sim AS (
+       |  SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM (
+       |    SELECT doc_id,
+       |      list_transform(list_distinct(string_split(text, ' ')),
+       |        t -> ${sqlH60("md5(t)")}) AS hs
+       |    FROM documents))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $HamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_decontaminate"       -> (q61Decontaminate _),
     "q49_dedup_clusters"      -> (q49DedupClusters _),
@@ -492,6 +657,8 @@ object DedupQueries {
     "q29_ngram_jaccard"       -> (q29NgramJaccard _),
     "q27_simhash"             -> (q27Simhash _),
     "q28_rolling_fingerprint" -> (q28RollingFingerprint _),
+    "q83_dup_gram_fraction"   -> (q83DupGramFraction _),
+    "q86_simhash_pairs"       -> (q86SimhashPairs _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -503,5 +670,7 @@ object DedupQueries {
     "q29_ngram_jaccard"       -> q29Sql,
     "q27_simhash"             -> q27Sql,
     "q28_rolling_fingerprint" -> q28Sql,
+    "q83_dup_gram_fraction"   -> q83Sql,
+    "q86_simhash_pairs"       -> q86Sql,
   )
 }

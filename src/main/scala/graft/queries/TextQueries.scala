@@ -653,7 +653,81 @@ object TextQueries {
        |  FROM documents)
        |WHERE rk <= $SourceQuota ORDER BY source, rk""".stripMargin
 
+  // ---- q85: temperature-balanced corpus mixing ----
+
+  /** Temperature exponent α = 1/2: per-language sampling weight ∝ n^α —
+    * the standard multilingual rebalancing (α=1 is proportional/no boost,
+    * α=0 is uniform; 0.5 sits between, boosting low-resource languages). */
+  val MixScale = 10000L
+
+  /** Target sample size as a fraction of the corpus: ½. */
+  private val MixTargetDiv = 2
+
+  /** q85: temperature-balanced mixture sampling — draw a ~half-corpus
+    * sample whose language composition follows p_l ∝ n_l^0.5 instead of
+    * the raw counts, the rebalancing every multilingual training corpus
+    * applies so high-resource languages don't drown the tail. A document
+    * is kept iff `h32(doc_id) / 2³²  <  n_target·w_l / (Σw·n_l)` — the
+    * same content-addressed coin as the q56 split (stable under corpus
+    * growth, no PRNG, no global sort), with the min(1,·) cap implicit
+    * (a rate ≥ 1 makes the right side exceed every 32-bit hash).
+    *
+    * Engine-exact determinism, including of the per-document keep
+    * decision: weights are quantized to integers (`floor(sqrt(n)·10⁴)` —
+    * sqrt and the product are single correctly-rounded IEEE ops, so both
+    * engines floor the same double), and the keep test is cross-
+    * multiplied into pure INTEGER arithmetic — `h·Σw·n_l <
+    * n_target·w_l·2³²` over DECIMAL(38,0)/HUGEINT — so there is no
+    * division and no float rounding anywhere in the decision.
+    *
+    * Scale: two corpus passes, both map-only into partial-aggregated
+    * counts (pass 1: per-language counts, languages×1 rows; pass 2: the
+    * keep filter + per-language sample counts). The language stats and
+    * corpus totals join back as a broadcast of |languages| rows. No
+    * corpus-sized shuffle at any point. */
+  def q85TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
+    val perLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt($"n_docs".cast("double")) * lit(MixScale.toDouble)).cast("long"))
+    val totals = perLang.agg(sum($"n_docs").as("n_corpus"), sum($"w").as("sw"))
+      .select(expr(s"n_corpus div $MixTargetDiv").as("n_target"), $"sw")
+    val stats = broadcast(perLang.crossJoin(broadcast(totals)))
+    val dec = "decimal(38,0)"
+    val h = graft.functions.Md5Prefix64(s, $"doc_id".cast("string").cast("binary"), 8)
+    val kept = docs.join(stats, Seq("lang"))
+      .where(h.cast(dec) * $"sw".cast(dec) * $"n_docs".cast(dec) <
+        $"n_target".cast(dec) * $"w".cast(dec) * lit(4294967296L).cast(dec))
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+    perLang.join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_docs", $"w",
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+        round(coalesce($"n_sampled", lit(0L)).cast("double") / $"n_docs", 6).as("rate6"))
+      .orderBy($"lang")
+  }
+
+  val q85Sql: String = {
+    val h = DedupQueries.sqlH32("CAST(d.doc_id AS VARCHAR)")
+    s"""WITH pl AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixScale.0) AS BIGINT) AS w
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(n_docs) // $MixTargetDiv AS BIGINT) AS n_target,
+       |               CAST(SUM(w) AS BIGINT) AS sw FROM pl),
+       |inc AS (
+       |  SELECT d.lang FROM documents d JOIN pl USING (lang) CROSS JOIN tot
+       |  WHERE CAST($h AS HUGEINT) * sw * pl.n_docs
+       |      < CAST(n_target AS HUGEINT) * pl.w * 4294967296),
+       |ks AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled FROM inc GROUP BY lang)
+       |SELECT pl.lang, pl.n_docs, pl.w,
+       |  COALESCE(ks.n_sampled, 0) AS n_sampled,
+       |  round(CAST(COALESCE(ks.n_sampled, 0) AS DOUBLE) / pl.n_docs, 6) AS rate6
+       |FROM pl LEFT JOIN ks USING (lang)
+       |ORDER BY pl.lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q85_temperature_mix"   -> (q85TemperatureMix _),
     "q78_repetition_ratio"  -> (q78RepetitionRatio _),
     "q80_pii_redact"        -> (q80PiiRedact _),
     "q81_source_quota"      -> (q81SourceQuota _),
@@ -671,6 +745,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q85_temperature_mix"   -> q85Sql,
     "q78_repetition_ratio"  -> q78Sql,
     "q80_pii_redact"        -> q80Sql,
     "q81_source_quota"      -> q81Sql,
