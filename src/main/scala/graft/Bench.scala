@@ -92,8 +92,14 @@ object Bench {
     }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => runOnce(name, fn)).sorted
-      releaseQueryState()
+      // release BETWEEN reps too: rep 1 of the graph queries measured at
+      // its isolated-run time while reps 2-3 ran 2-3× slower against
+      // rep 1's lingering checkpoint blocks — the median then reported
+      // the contaminated number (round-6 finding, same shape as round
+      // 5's cross-query phantom)
+      val times = (1 to reps).map { _ =>
+        val t = runOnce(name, fn); releaseQueryState(); t
+      }.sorted
       // per-rep spread makes an anomalous rep self-diagnosing in logs
       System.err.println(s"[bench] $name min/med/max = " +
         s"${sec(times.head)}/${sec(times(times.length / 2))}/${sec(times.last)}")
