@@ -51,19 +51,25 @@ object GraphQueries {
     * key, so EnsureRequirements plants exchanges only under the
     * node-sized rank/contrib vectors and the edges are NEVER re-shuffled.
     *
-    * Two-stage materialization: the half-sized distinct pair set is
-    * checkpointed first so the basket→pair pipeline runs exactly once
-    * (not once per union branch — relying on ReuseExchange to dedupe the
-    * branches was the round-3 weakness); the mirror over the local RDD is
-    * then repartitioned on `u` and checkpointed eagerly so the resulting
-    * LogicalRDD carries HashPartitioning(u) for downstream planning. On a
-    * multi-app cluster the same layout is a bucketed table
-    * ([[graft.io.Bucketing]]); localCheckpoint is its in-app equivalent. */
+    * Single-pass materialization: the mirror is an explode of each
+    * distinct u<v pair into both orientations — map-side row doubling in
+    * the SAME stage as the pair pipeline, so baskets→pairs→distinct runs
+    * exactly once with no intermediate checkpoint (the earlier two-stage
+    * form eagerly checkpointed the half-sized pair set just to keep a
+    * union from executing the pipeline per branch — one extra job and a
+    * full extra write of the pair set, round-6 removal). The mirrored
+    * rows are repartitioned on `u` and checkpointed eagerly so the
+    * resulting LogicalRDD carries HashPartitioning(u) for downstream
+    * planning. On a multi-app cluster the same layout is a bucketed
+    * table ([[graft.io.Bucketing]]); localCheckpoint is its in-app
+    * equivalent. */
   def copurchaseEdgesPartitioned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = copurchasePairs(s, dir).localCheckpoint()
     graft.operators.Materialize.checkpointPartitioned(
-      pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+      copurchasePairs(s, dir)
+        .select(explode(array(struct($"u", $"v"),
+          struct($"v".as("u"), $"u".as("v")))).as("e"))
+        .select($"e.u", $"e.v")
         .repartition($"u"))
   }
 
@@ -385,12 +391,21 @@ object GraphQueries {
     * carries one (a disconnected pathological graph must not spin). */
   val PrMaxIters = 20
 
-  /** Iterations the loop actually takes at sf0.01 with [[PrEps]] —
-    * measured (delta trajectory: 0.686, 0.046, 4.4e-3, 7.6e-4, 8.7e-5;
-    * the 5th is the first below 1e-4). The oracle unrolls to exactly
-    * this count; a data change that shifts convergence surfaces as an
+  /** Convergence is tested every this-many iterations — the batched stop
+    * check every production convergence loop uses: each test is a driver
+    * sync (the stop decision gates job submission) plus a full replan,
+    * so testing every round doubles the loop's fixed costs to save at
+    * most CheckEvery−1 cheap extra iterations. */
+  val PrCheckEvery = 2
+
+  /** Iterations the loop actually takes at sf0.01 with [[PrEps]] and
+    * [[PrCheckEvery]] — measured (adjacent-delta trajectory: 0.686,
+    * 0.046, 4.4e-3, 7.6e-4, 8.7e-5, 1.6e-5; checks fire at rounds 2, 4,
+    * 6 and the round-6 delta is the first checked one below 1e-4; both
+    * decisive margins are >6×). The oracle unrolls to exactly this
+    * count; a data change that shifts convergence surfaces as an
     * `n_iters` hash mismatch, not a silent pass. */
-  val PrConvergedIters = 5
+  val PrConvergedIters = 6
 
   /** q82: PageRank iterated UNTIL the L∞ rank delta drops below
     * [[PrEps]] — the production form of q72's fixed-iteration loop and
@@ -399,21 +414,25 @@ object GraphQueries {
     *
     * Scale design is q72's (edges materialized once partitioned on `u`,
     * per-round lazy partitioned checkpoints keep every iteration at one
-    * node-sized exchange). The ONLY addition is the convergence test: a
-    * join of consecutive (checkpointed) rank vectors — both sides carry
-    * HashPartitioning(u), so the delta aggregate is exchange-free — and
-    * a 1-row max to the driver per round. That driver round-trip is
-    * inherent to any convergence loop (the stop decision gates the next
-    * job) and is O(1) bytes; the delta action doubles as the
-    * materialization point of the round's lazy checkpoint, so no extra
-    * pass over the data is paid.
+    * node-sized exchange). The ONLY addition is the convergence test,
+    * batched every [[PrCheckEvery]] rounds: the segment's intermediate
+    * rank frames are LAZY checkpoints (lineage truncates, blocks cache
+    * on first compute, no dedicated job), the per-node adjacent delta of
+    * the segment's final two vectors rides the segment frame through an
+    * exchange-free join (everything is HashPartitioning(u)), and one
+    * eager materialization per segment feeds a 1-row max to the driver.
+    * A convergence loop cannot avoid that driver round-trip — the stop
+    * decision gates job submission — but it CAN amortize it: each test
+    * costs a full replan + driver sync, so testing every round doubles
+    * the loop's fixed costs to save at most CheckEvery−1 cheap extra
+    * iterations past the fixed point.
     *
     * Cross-engine determinism of the STOP DECISION itself: ranks are
     * bit-identical doubles on both engines (q72's integer-picounit
     * argument), |r'−r| and max are exact IEEE ops, so the measured
     * delta — and therefore the iteration count — is reproducible
-    * exactly. The oracle re-derives the final two deltas and asserts
-    * the stopping semantics: d_N < ε ≤ d_{N−1}. */
+    * exactly. The oracle re-derives the final two CHECKED deltas and
+    * asserts the stopping semantics: d_N < ε ≤ d_{N−CheckEvery}. */
   def q82PagerankConverge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = copurchaseEdgesPartitioned(s, dir)
@@ -423,18 +442,21 @@ object GraphQueries {
     var iters = 0
     var delta = Double.MaxValue
     while (iters < PrMaxIters && delta >= PrEps) {
-      // per-node delta rides the iteration frame (exchange-free join with
-      // the previous checkpointed ranks), so the round materializes ONCE;
-      // the stop test then reads the max off the just-cached blocks. An
-      // earlier form computed the delta as a separate lazy join and paid
-      // ~2× per round in replanning + partial recompute.
+      // a segment of CheckEvery iterations planned as one unit; only the
+      // second-to-last frame is double-consumed (by the last iteration
+      // and the delta join), and its lazy checkpoint makes both readers
+      // share one computation
+      var cur = ranks
+      for (_ <- 1 until PrCheckEvery)
+        cur = graft.operators.Materialize.checkpointPartitioned(
+          prIteration(edges, deg, cur), eager = false)
       val next = graft.operators.Materialize.checkpointPartitioned(
-        prIteration(edges, deg, ranks).as("n")
-          .join(ranks.select($"u", $"r".as("r_prev")), "u")
+        prIteration(edges, deg, cur).as("n")
+          .join(cur.select($"u", $"r".as("r_prev")), "u")
           .select($"u", $"r", abs($"r" - $"r_prev").as("dr")))
       delta = next.agg(max($"dr")).head.getDouble(0)
       ranks = next.select($"u", $"r")
-      iters += 1
+      iters += PrCheckEvery
     }
     ranks.select($"u".as("l_partkey"), $"r".as("rank"),
         lit(iters.toLong).as("n_iters"),
@@ -461,7 +483,7 @@ object GraphQueries {
        |dlast AS (SELECT MAX(ABS(a.r - b.r)) AS d
        |          FROM r$n a JOIN r${n - 1} b ON a.u = b.u),
        |dprev AS (SELECT MAX(ABS(a.r - b.r)) AS d
-       |          FROM r${n - 1} a JOIN r${n - 2} b ON a.u = b.u)
+       |          FROM r${n - PrCheckEvery} a JOIN r${n - PrCheckEvery - 1} b ON a.u = b.u)
        |SELECT r$n.u AS l_partkey, r$n.r AS rank,
        |  CAST($n AS BIGINT) AS n_iters,
        |  ((SELECT d FROM dlast) < $PrEps AND (SELECT d FROM dprev) >= $PrEps) AS converged,
