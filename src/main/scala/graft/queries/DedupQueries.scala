@@ -513,19 +513,21 @@ object DedupQueries {
     * made of corpus-repeated material", so a gram pasted five times
     * counts five times.
     *
-    * Scale design (three shuffles, all on uniform or bounded keys):
+    * Scale design — ONE corpus pass, three linear shuffles (no branch:
+    * an earlier groupBy-df + join-back form compiled to the explode
+    * pipeline TWICE because canonicalization missed the cross-branch
+    * exchange reuse — the round-3 q29 lesson re-learned):
     *  1. occurrences pre-aggregate to (doc_id, gram) counts — the shuffle
     *     key includes doc_id, so even a corpus-wide boilerplate gram
     *     spreads over all reducers (partial map-side combine);
-    *  2. document frequency aggregates THAT (one row per doc×gram) on the
-    *     gram hash — uniform by content, map-side combined, so a hot gram
-    *     costs one long per mapper;
-    *  3. the df lookup joins back on the gram hash (the df side is
-    *     already partitioned by gram from step 2 — exchange-free on that
-    *     side) and re-aggregates per document. A ubiquitous gram puts
-    *     df(g)=n_docs rows through the join — real but unavoidable mass
-    *     (every such occurrence needs its verdict); AQE's skew split
-    *     handles the reducer imbalance.
+    *  2. document frequency is a windowed count over ONE gram-keyed
+    *     exchange of those (doc, gram) rows — the q29 pattern; a
+    *     ubiquitous gram concentrates its df(g)=n_docs rows in one
+    *     window partition (real, bounded mass: every such row needs the
+    *     verdict anyway; if the hot-partition sort ever dominates, trade
+    *     back to a groupBy+join with an explicit re-analyzed common
+    *     subplan);
+    *  3. per-document re-aggregation on doc_id.
     * Grams travel as 60-bit md5 hashes (8-byte shuffle rows). The oracle
     * is deliberately UNHASHED (raw gram strings) — the gate proves the
     * hashed plan loses nothing to collisions. */
@@ -540,9 +542,8 @@ object DedupQueries {
     val occ = Tables.documents(s, dir)
       .select($"doc_id", explode(gramsCol).as("g_raw"))
       .select($"doc_id", h60(s, $"g_raw").as("g"))
-    val perDoc = occ.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
-    val df = perDoc.groupBy($"g").agg(count(lit(1)).as("df"))
-    perDoc.join(df, Seq("g"))
+    occ.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"g")))
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_grams"),
         sum(when($"df" >= 2, $"cnt").otherwise(0L)).as("n_dup"))
@@ -611,10 +612,14 @@ object DedupQueries {
     val mask = (1L << bandBits) - 1
     val sims = Tables.documents(s, dir)
       .select($"doc_id", simhashBits(h60(s, _), SimBits)($"text").as("sim"))
+    // checkpointed: the simhash HOF — the per-row cost center — must run
+    // over the corpus ONCE, not once per self-join side (exchange reuse
+    // does not dedupe the two branches; measured 2× without this)
     val bands = sims.select($"doc_id", $"sim",
       posexplode(array((0 until NumSimBands).map(i =>
         shiftright($"sim", i * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band_idx", "band_val")))
+      .localCheckpoint()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
