@@ -179,11 +179,83 @@ object EtlQueries {
       |FROM wc, tot WHERE exact_cnt * 64 > total
       |ORDER BY token""".stripMargin
 
+  // ---- q87: Count-Min point-frequency sketch ----
+
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** q87: Count-Min frequency estimates for the heavy-hitter probe set —
+    * the point-frequency member of the sketch family (q18 HLL
+    * cardinality, q43 Misra–Gries heavy hitters). The sketch is built by
+    * the [[graft.functions.CountMin]] typed Aggregator whose merge is
+    * LOSSLESS (elementwise counter add — bit-identical under any
+    * partitioning, CountMinSpec), and its md5-chunk hashing is the
+    * repo's portable convention, so unlike q43 the estimates themselves
+    * are exactly recomputable by DuckDB: this is a VALUE-level oracle
+    * row for a sketch, not a verdict-level one. `within_3eps` uses pure
+    * integer arithmetic ((est−true)·width ≤ 3·n) — no float anywhere.
+    *
+    * Scale: the corpus reduces to one 8·(depth·width+1)-byte sketch via
+    * partial aggregation (items never shuffle); the exact side exists
+    * only to audit the probe set and is the same one shuffle q43 pays. */
+  def q87CmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+    // the case-class output flattens to top-level (counts, n) columns
+    val sketch = words.as[String]
+      .select(new graft.functions.CountMin(CmsDepth, CmsWidth).toColumn)
+      .toDF("counts", "n")
+    val exact = words.groupBy($"w").agg(count(lit(1)).as("exact_cnt"))
+    val total = words.agg(count(lit(1)).as("total"))
+    val est = (0 until CmsDepth).map { d =>
+      element_at($"counts",
+        (lit(d * CmsWidth) +
+          conv(substring(md5($"w".cast("binary")), 8 * d + 1, 8), 16, 10)
+            .cast("long") % CmsWidth).cast("int") + 1)
+    }.reduce(least(_, _))
+    exact.crossJoin(broadcast(total))
+      .where($"exact_cnt" * 64 > $"total")
+      .crossJoin(broadcast(sketch))
+      .select($"w".as("token"), $"exact_cnt", est.as("est"),
+        (est - $"exact_cnt").as("overcount"), $"n",
+        ((est - $"exact_cnt") * CmsWidth <= $"n" * 3).as("within_3eps"))
+      .orderBy($"token")
+  }
+
+  val q87Sql: String = {
+    def chunk(expr: String, d: Int): String =
+      (1 to 8).map { k =>
+        val w = math.pow(16, 8 - k).toLong
+        s"(CAST(strpos('0123456789abcdef', substr(md5($expr), ${8 * d + k}, 1)) AS BIGINT) - 1) * ${w}"
+      }.mkString("(", " + ", ")")
+    val bds = (0 until CmsDepth).map { d =>
+      s"b$d AS (SELECT ${chunk("w", d)} % $CmsWidth AS b, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1)"
+    }.mkString(",\n")
+    val joins = (0 until CmsDepth).map { d =>
+      s"JOIN b$d c$d ON c$d.b = ${chunk("p.w", d)} % $CmsWidth"
+    }.mkString("\n")
+    val est = s"LEAST(${(0 until CmsDepth).map(d => s"c$d.c").mkString(", ")})"
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM words),
+       |probes AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM words GROUP BY w),
+       |$bds
+       |SELECT p.w AS token, p.exact_cnt, $est AS est,
+       |  $est - p.exact_cnt AS overcount, tot.total AS n,
+       |  ($est - p.exact_cnt) * $CmsWidth <= tot.total * 3 AS within_3eps
+       |FROM probes p CROSS JOIN tot
+       |$joins
+       |WHERE p.exact_cnt * 64 > tot.total
+       |ORDER BY token""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_bernoulli_sample"    -> (q40BernoulliSample _),
     "q41_kv_encode"           -> (q41KvEncode _),
     "q42_multimodal_features" -> (q42MultimodalFeatures _),
     "q43_heavy_hitters"       -> (q43HeavyHitters _),
+    "q87_cms_frequency"       -> (q87CmsFrequency _),
   )
 
   /** All four oracle-checked: q41/q43 since round 5, q40/q42 since
@@ -193,5 +265,6 @@ object EtlQueries {
     "q41_kv_encode"           -> q41Sql,
     "q42_multimodal_features" -> q42Sql,
     "q43_heavy_hitters"       -> q43Sql,
+    "q87_cms_frequency"       -> q87Sql,
   )
 }
