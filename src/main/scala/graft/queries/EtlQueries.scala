@@ -159,8 +159,12 @@ object EtlQueries {
       .select(new graft.functions.SpaceSaving(64).toColumn).toDF("hh")
       .select(explode($"hh").as("e"))
       .select($"e._1".as("token"), $"e._2".as("est"), $"e._3".as("err"))
+    // checkpointed vocab-sized counts: `total` and the probe filter both
+    // read it, so the audit costs ONE corpus pass (plan-branch reuse does
+    // not dedupe the explode pipeline — measured 3 scans without this)
     val exact = words.groupBy($"w").agg(count(lit(1)).as("exact_cnt"))
-    val total = words.agg(count(lit(1)).as("total"))
+      .localCheckpoint()
+    val total = exact.agg(sum($"exact_cnt").as("total"))
     exact.crossJoin(broadcast(total))
       .where($"exact_cnt" * 64 > $"total")
       .join(broadcast(sketch), $"w" === $"token", "left")
@@ -206,8 +210,12 @@ object EtlQueries {
     val sketch = words.as[String]
       .select(new graft.functions.CountMin(CmsDepth, CmsWidth).toColumn)
       .toDF("counts", "n")
+    // checkpointed vocab-sized counts: `total` and the probe filter both
+    // read it, so the audit costs ONE corpus pass (plan-branch reuse does
+    // not dedupe the explode pipeline — measured 3 scans without this)
     val exact = words.groupBy($"w").agg(count(lit(1)).as("exact_cnt"))
-    val total = words.agg(count(lit(1)).as("total"))
+      .localCheckpoint()
+    val total = exact.agg(sum($"exact_cnt").as("total"))
     val est = (0 until CmsDepth).map { d =>
       element_at($"counts",
         (lit(d * CmsWidth) +
