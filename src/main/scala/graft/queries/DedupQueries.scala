@@ -94,14 +94,15 @@ object DedupQueries {
     * hashes → per-doc min signature (mirrors minhashSignatures). */
   private def sqlSigCtes: String = {
     val hashes = (0 until NumHashes).map(j =>
-      s"${sqlH60(s"md5('$j:' || s)")} AS h_$j").mkString(", ")
+      s"${sqlH60(s"md5('$j:' || CAST(h AS VARCHAR))")} AS h_$j").mkString(", ")
     val mins = (0 until NumHashes).map(j => s"MIN(h_$j) AS mh_$j").mkString(", ")
     s"""sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM documents),
-       |occ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |hashes AS (SELECT s, $hashes FROM (SELECT DISTINCT s FROM occ)),
+       |occ AS (SELECT doc_id, ${sqlH60("md5(s)")} AS h
+       |        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |hashes AS (SELECT h, $hashes FROM (SELECT DISTINCT h FROM occ)),
        |sig AS (
        |  SELECT occ.doc_id, $mins
-       |  FROM occ JOIN hashes USING (s)
+       |  FROM occ JOIN hashes USING (h)
        |  GROUP BY occ.doc_id)""".stripMargin
   }
 
@@ -131,15 +132,32 @@ object DedupQueries {
     * in a repetitive corpus orders of magnitude less hashing than the
     * per-row HOF form, for one well-distributed shuffle on the shingle
     * key. explode_outer + left joins keep shingle-less docs (null sig,
-    * matching the oracle's list_min([]) = NULL). */
+    * matching the oracle's list_min([]) = NULL).
+    *
+    * Round-6 shape: occurrences are reduced MAP-SIDE to (doc_id,
+    * h60(shingle)) — 16-byte rows, no strings — and CHECKPOINTED, because
+    * the frame has two consumers (the distinct-hash branch and the
+    * signature join) and plan-branch reuse does not dedupe the explode
+    * pipeline: the shingle HOF, the per-row cost center, was measured
+    * running TWICE. Materializing the hashed form costs 16 bytes/
+    * occurrence; materializing the string form would cost the corpus.
+    * The NumHashes minhash functions are md5 chains over the DECIMAL
+    * STRING of the 60-bit key — identical text in both engines, and md5
+    * uniformity composes, so the min-hash family property is preserved.
+    * A 60-bit key collision merges two shingles corpus-wide (never
+    * per-doc inconsistencies); odds stay negligible to ~10⁸ distinct
+    * shingles, the q29 tradeoff. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     val occ = docs.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      .select(col("doc_id"), h60(s, col("sh")).as("h"))
+      .localCheckpoint(false)
     val hashCols = (0 until NumHashes).map(j =>
-      h60(docs.sparkSession, concat(lit(s"$j:"), col("sh"))).as(s"h_$j"))
-    val shingleHashes = occ.select(col("sh")).where(col("sh").isNotNull).distinct()
-      .select(col("sh") +: hashCols: _*)
+      h60(s, concat(lit(s"$j:"), col("h").cast("string"))).as(s"h_$j"))
+    val shingleHashes = occ.select(col("h")).where(col("h").isNotNull).distinct()
+      .select(col("h") +: hashCols: _*)
     val minCols = (0 until NumHashes).map(j => min(col(s"h_$j")).as(s"mh_$j"))
-    occ.join(shingleHashes, Seq("sh"), "left_outer")
+    occ.join(shingleHashes, Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
   }
@@ -215,9 +233,25 @@ object DedupQueries {
           .as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
 
-  /** Full MinHash+LSH near-dup pipeline over any (doc_id, shingles) frame. */
-  def minhashPairsOn(docs: DataFrame, salts: Int = 0): DataFrame =
-    jaccardVerify(lshCandidates(bandLabels(minhashSignatures(docs)), salts), docs)
+  /** Full MinHash+LSH near-dup pipeline over any (doc_id, shingles) frame.
+    *
+    * Checkpoint discipline (round 6, each point MEASURED): the band
+    * self-join's two sides are identical subtrees, and AQE stage reuse
+    * provably dedupes them (checkpointing bl cost +0.4s for nothing —
+    * reverted); the candidate pair set IS checkpointed (two consumers,
+    * re-analyzed branches don't reuse); and verification re-shingles
+    * ONLY candidate docs behind a broadcast semi-join (the q29
+    * discipline) — the verify sides join on different keys (doc_a/doc_b),
+    * so stage reuse can never help there and the old shape ran the
+    * corpus-wide shingle HOF once per side. */
+  def minhashPairsOn(docs: DataFrame, salts: Int = 0): DataFrame = {
+    val bl = bandLabels(minhashSignatures(docs))
+    val cand = lshCandidates(bl, salts).localCheckpoint(false)
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val docsV = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    jaccardVerify(cand, docsV)
+  }
 
   def q26MinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
