@@ -87,6 +87,60 @@ object Profile {
       x10.select($"doc_id", mhArr10.as("mhs"))
         .select(($"doc_id" +: (0 until DedupQueries.NumHashes)
           .map(j => element_at($"mhs", j + 1).as(s"mh_$j"))): _*)))
+
+    // round-6 scaling: the corpus-dup-gram filter (q83 shape) on a 10x
+    // corpus — linear pipeline, so the expectation is ~linear time
+    def dupGramOn(docs10: DataFrame): DataFrame = {
+      val gramsCol = graft.functions.Cols.bind(split($"text", " ")) { t =>
+        val n = size(t)
+        val gs = transform(sequence(lit(1), n - 4), i =>
+          concat_ws(" ", (0 until 5).map(k => element_at(t, i + k)): _*))
+        when(n >= 5, gs).otherwise(array().cast("array<string>"))
+      }
+      val occ10 = docs10.select($"doc_id", explode(gramsCol).as("g_raw"))
+        .select($"doc_id", DedupQueries.h60(spark, $"g_raw").as("g"))
+      occ10.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"g")))
+        .groupBy($"doc_id")
+        .agg(sum($"cnt").as("n_grams"),
+          sum(when($"df" >= 2, $"cnt").otherwise(0L)).as("n_dup"))
+    }
+    time("dup-gram (q83 shape) on 1x")(noop(dupGramOn(base)))
+    val base10 = (0 until 10).map(i =>
+      base.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+    time("dup-gram (q83 shape) on 10x")(noop(dupGramOn(base10)))
+
+    // simhash Hamming-LSH (q86 shape) on a 3x corpus with per-replica
+    // token salt (distinct-ish docs): candidate volume is Σ|bucket|², so
+    // 3x buckets → ~9x candidates — the documented quadratic term
+    def simPairsOn(docs3: DataFrame): DataFrame = {
+      val bands3 = docs3.select($"doc_id",
+        DedupQueries.simhashBits(DedupQueries.h60(spark, _),
+          DedupQueries.SimBits)($"text").as("sim"))
+        .select($"doc_id", $"sim",
+          posexplode(array((0 until DedupQueries.NumSimBands).map(i =>
+            shiftright($"sim", i * 15).bitwiseAND(lit(32767L))): _*))
+            .as(Seq("band_idx", "band_val")))
+        .localCheckpoint()
+      bands3.as("a").join(bands3.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+        .distinct()
+        .select($"doc_a", $"doc_b",
+          expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+        .where($"hamming" <= DedupQueries.HamMax)
+    }
+    time("simhash pairs (q86 shape) on 1x")(noop(simPairsOn(base)))
+    val base3 = (0 until 3).map(i =>
+      base.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"),
+        concat($"text", lit(s" r$i")).as("text")))
+      .reduce(_ unionByName _)
+    time("simhash pairs (q86 shape) on 3x")(noop(simPairsOn(base3)))
     spark.stop()
   }
 }
