@@ -349,21 +349,26 @@ object GraphQueries {
     * ([[copurchaseEdgesPartitioned]]) so each round shuffles only the
     * frontier (which the anti-join keeps to NEWLY reached nodes — the
     * delta, not the closure; the classic BFS-on-MapReduce optimization).
-    * Frontier and visited sets are node-sized. */
+    * Frontier and visited sets are node-sized. Checkpoints are LAZY:
+    * the hop count is fixed (no per-round stop decision), so the whole
+    * loop is ONE action — each round's frontier/levels blocks cache at
+    * first compute and their double consumers read the cache, instead of
+    * 2 dedicated materialization jobs per round (round-6 change; a
+    * convergence-driven BFS would flip to q82's eager-per-segment form). */
   def q79BfsHops(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = copurchaseEdgesPartitioned(s, dir)
     val seeds = edges.select($"u").where($"u" < BfsSeedMax).distinct()
       .withColumn("hop", lit(0L))
-    var levels = seeds.localCheckpoint()
+    var levels = seeds.localCheckpoint(false)
     var frontier = levels
     for (h <- 1 to BfsHops) {
       frontier = edges.join(frontier.select($"u"), Seq("u"))
         .select($"v".as("u")).distinct()
         .join(levels.select($"u"), Seq("u"), "left_anti")
         .withColumn("hop", lit(h.toLong))
-        .localCheckpoint()
-      levels = levels.union(frontier).localCheckpoint()
+        .localCheckpoint(false)
+      levels = levels.union(frontier).localCheckpoint(false)
     }
     levels.select($"u".as("l_partkey"), $"hop").orderBy($"l_partkey")
   }
