@@ -1,0 +1,142 @@
+package graft.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro file export/source (S6/K3 — `taar_profile_bigtable.py:112-132,
+  * 181-184`: the reference exports the BigQuery profile table as a
+  * directory of Avro part files, and the fill job reads that bounded
+  * record stream back).
+  *
+  * The environment ships Avro CORE (avro, avro-mapred) but not the
+  * spark-avro DataSource module, so this is a minimal Spark-native
+  * implementation against the public Avro Java API: executor-side
+  * `DataFileWriter` per partition on the write path (one part file per
+  * partition, written through the Hadoop `FileSystem` so any defaultFS
+  * works), and a file-parallel `DataFileReader` RDD on the read path —
+  * the same distribution model spark-avro uses, minus projection
+  * pushdown (acceptable: the reference's consumer reads every record).
+  *
+  * Type mapping covers the profile export surface: atomic types, arrays,
+  * and nested structs, each wrapped as `union(null, T)` with null
+  * default (BigQuery's Avro export convention — every column nullable).
+  */
+object AvroIo {
+
+  /** Spark schema → Avro record schema (fields as union(null, T)). */
+  def avroSchema(st: StructType, name: String = "row"): Schema = {
+    val fields = st.fields.map { f =>
+      new Schema.Field(f.name, nullable(avroType(f.dataType, s"${name}_${f.name}")),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    val rec = Schema.createRecord(name, null, "graft.avro", false)
+    rec.setFields(fields.toSeq.asJava)
+    rec
+  }
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), s))
+
+  private def avroType(dt: DataType, name: String): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case ArrayType(elem, _) => Schema.createArray(nullable(avroType(elem, name)))
+    case st: StructType => avroSchema(st, name)
+    case other => throw new IllegalArgumentException(
+      s"unsupported type for Avro export: $other")
+  }
+
+  private def toAvro(v: Any, dt: DataType, schema: Schema): Any = (v, dt) match {
+    case (null, _) => null
+    case (r: Row, st: StructType) => record(r, st, unwrap(schema))
+    case (seq: scala.collection.Seq[_], ArrayType(elem, _)) =>
+      val es = unwrap(schema).getElementType
+      seq.map(x => toAvro(x, elem, es)).asJava
+    case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+    case (x, _) => x
+  }
+
+  /** The non-null branch of a union(null, T) (or the schema itself). */
+  private def unwrap(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def record(row: Row, st: StructType, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      rec.put(f.name, toAvro(row.get(i), f.dataType,
+        schema.getField(f.name).schema()))
+    }
+    rec
+  }
+
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (r: GenericRecord, st: StructType) => rowOf(r, st)
+    case (l: java.util.List[_], ArrayType(elem, _)) =>
+      l.asScala.map(x => fromAvro(x, elem)).toSeq
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (x, _) => x
+  }
+
+  private def rowOf(rec: GenericRecord, st: StructType): Row =
+    Row.fromSeq(st.fields.toSeq.map(f => fromAvro(rec.get(f.name), f.dataType)))
+
+  /** K3: write `df` as `<dir>/part-NNNNN.avro`, one file per partition,
+    * records written executor-side (the driver never sees a row). */
+  def write(df: DataFrame, dir: String): Unit = {
+    val st = df.schema
+    val schemaJson = avroSchema(st).toString
+    val files = df.rdd.mapPartitionsWithIndex { case (i, rows) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val fs = FileSystem.get(new java.net.URI(dir), new Configuration())
+      val p = new Path(dir, f"part-$i%05d.avro")
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      val out = fs.create(p, true)
+      w.create(schema, out)
+      var n = 0L
+      rows.foreach { r => w.append(record(r, st, schema)); n += 1 }
+      w.close()
+      Iterator((p.toString, n))
+    }.collect() // KB-sized manifest: (file, row count) per partition
+    require(files.nonEmpty || df.isEmpty, "avro write produced no files")
+  }
+
+  /** S6: read a directory of Avro part files as a DataFrame with the
+    * given schema — one task per file (the reference's bounded record
+    * stream; files are the parallelism unit exactly as in spark-avro). */
+  def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(dir), new Configuration())
+    val files = fs.globStatus(new Path(dir, "part-*.avro"))
+      .map(_.getPath.toString).sorted
+    val rdd = spark.sparkContext
+      .parallelize(files.toSeq, math.max(files.length, 1))
+      .flatMap { f =>
+        val in = new FsInput(new Path(f), new Configuration())
+        val r = DataFileReader.openReader(in,
+          new GenericDatumReader[GenericRecord]())
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (r.hasNext) out += rowOf(r.next(), st)
+        r.close()
+        out
+      }
+    spark.createDataFrame(rdd, st)
+  }
+}
