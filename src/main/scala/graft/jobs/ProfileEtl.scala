@@ -58,6 +58,20 @@ object ProfileEtl {
   def loadKv(spark: SparkSession, profiles: DataFrame, kvPath: String): Unit =
     KvSink.write(spark, profiles, "client_id", kvPath)
 
+  /** Optional Avro interchange hop — the reference's staged form (BQ →
+    * Avro files → Beam load, `taar_profile_bigtable.py:112-132,181-184`).
+    * In a single-engine pipeline stages share the DataFrame and the hop
+    * collapses, but pipelines whose loader runs elsewhere keep the
+    * staged spelling: `exportAvro` writes the part files (K3),
+    * `readAvro` streams them back (S6). AvroIoSpec pins
+    * export→read→loadKv ≡ direct loadKv on the KV table bytes. */
+  def exportAvro(profiles: DataFrame, dir: String): Unit =
+    graft.io.AvroIo.write(profiles, dir)
+
+  def readAvro(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.io.AvroIo.read(spark, dir, schema)
+
   /** Stage 3 — opt-out delete (K5): distinct client ids whose deletion
     * request falls in the trailing `days` window ending at `date`. */
   def deleteOptOuts(spark: SparkSession, kvPath: String, deletions: DataFrame,

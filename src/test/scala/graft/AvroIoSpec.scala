@@ -60,4 +60,29 @@ class AvroIoSpec extends SparkSuite {
     assert(back.count() == cust.count())
     assert(back.exceptAll(cust).isEmpty && cust.exceptAll(back).isEmpty)
   }
+
+  test("profile pipeline staged via Avro produces the identical KV table") {
+    import graft.jobs.ProfileEtl
+    val clients = Seq(
+      ("2024-06-01", "c1", "Berlin", Some(2.5), "de", "Linux", Seq("a@x"), Some(3.7)),
+      ("2024-06-01", "c4", "Oslo", None, "no", "Linux", Seq("c@x"), None))
+      .toDF("submission_date", "client_id", "city", "subsession_hours_sum",
+        "locale", "os", "active_addons", "places_bookmarks_count_mean")
+      .withColumn("scalar_parent_browser_engagement_tab_open_event_count_sum", lit(null).cast("long"))
+      .withColumn("scalar_parent_browser_engagement_total_uri_count_sum", lit(7L))
+      .withColumn("scalar_parent_browser_engagement_unique_domains_count_mean", lit(2L))
+    val profiles = ProfileEtl.extract(clients, "2024-06-01", sampleRate = 1.0)
+    val (direct, staged, avroDir) =
+      (tmpDir("kv_direct"), tmpDir("kv_staged"), tmpDir("avro_hop"))
+    ProfileEtl.loadKv(spark, profiles, direct)
+    ProfileEtl.exportAvro(profiles, avroDir)
+    ProfileEtl.loadKv(spark,
+      ProfileEtl.readAvro(spark, avroDir, profiles.schema), staged)
+    def rows(p: String) = spark.read.parquet(p).orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"),
+        r.getAs[Array[Byte]]("payload").toSeq)).toSeq
+    // key AND compressed payload bytes identical — the interchange hop
+    // is lossless down to the sink representation
+    assert(rows(direct) == rows(staged))
+  }
 }
