@@ -99,21 +99,49 @@ object AvroIo {
   private def rowOf(rec: GenericRecord, st: StructType): Row =
     Row.fromSeq(st.fields.toSeq.map(f => fromAvro(rec.get(f.name), f.dataType)))
 
+  /** The session's Hadoop configuration (spark.hadoop.*, fs.defaultFS,
+    * credentials) flattened to a serializable property list for executor
+    * use — `new Configuration()` on an executor would see only classpath
+    * defaults and break any non-default filesystem. */
+  private def confProps(spark: SparkSession): Array[(String, String)] =
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+
+  private def confOf(props: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** K3: write `df` as `<dir>/part-NNNNN.avro`, one file per partition,
-    * records written executor-side (the driver never sees a row). */
+    * records written executor-side (the driver never sees a row).
+    *
+    * Commit shape: each task writes to a `.tmp` name and renames into
+    * place only after a clean close (a killed attempt leaves no
+    * truncated final file), and pre-existing `part-*.avro` files are
+    * cleared first — a re-export with fewer partitions must not leave
+    * stale part files for `read`'s glob to resurrect. */
   def write(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val props = confProps(spark)
+    val driverFs = FileSystem.get(new java.net.URI(dir), confOf(props))
+    driverFs.mkdirs(new Path(dir))
+    driverFs.globStatus(new Path(dir, "part-*.avro*"))
+      .foreach(f => driverFs.delete(f.getPath, false))
     val st = df.schema
     val schemaJson = avroSchema(st).toString
     val files = df.rdd.mapPartitionsWithIndex { case (i, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
-      val fs = FileSystem.get(new java.net.URI(dir), new Configuration())
+      val fs = FileSystem.get(new java.net.URI(dir), confOf(props))
       val p = new Path(dir, f"part-$i%05d.avro")
+      val tmp = new Path(dir, f"part-$i%05d.avro.tmp-${java.util.UUID.randomUUID}")
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-      val out = fs.create(p, true)
-      w.create(schema, out)
+      w.create(schema, fs.create(tmp, true))
       var n = 0L
       rows.foreach { r => w.append(record(r, st, schema)); n += 1 }
       w.close()
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"avro commit failed renaming $tmp -> $p")
       Iterator((p.toString, n))
     }.collect() // KB-sized manifest: (file, row count) per partition
     require(files.nonEmpty || df.isEmpty, "avro write produced no files")
@@ -121,21 +149,26 @@ object AvroIo {
 
   /** S6: read a directory of Avro part files as a DataFrame with the
     * given schema — one task per file (the reference's bounded record
-    * stream; files are the parallelism unit exactly as in spark-avro). */
+    * stream; files are the parallelism unit exactly as in spark-avro).
+    * Records STREAM through an iterator (constant memory per task); a
+    * directory with no part files is an error, not an empty frame — a
+    * typo'd path must not let a downstream load silently write nothing. */
   def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
-    val fs = FileSystem.get(new java.net.URI(dir), new Configuration())
+    val props = confProps(spark)
+    val fs = FileSystem.get(new java.net.URI(dir), confOf(props))
     val files = fs.globStatus(new Path(dir, "part-*.avro"))
       .map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no Avro part files under $dir")
     val rdd = spark.sparkContext
-      .parallelize(files.toSeq, math.max(files.length, 1))
+      .parallelize(files.toSeq, files.length)
       .flatMap { f =>
-        val in = new FsInput(new Path(f), new Configuration())
+        val in = new FsInput(new Path(f), confOf(props))
         val r = DataFileReader.openReader(in,
           new GenericDatumReader[GenericRecord]())
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        while (r.hasNext) out += rowOf(r.next(), st)
-        r.close()
-        out
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
+          def next(): Row = rowOf(r.next(), st)
+        }
       }
     spark.createDataFrame(rdd, st)
   }

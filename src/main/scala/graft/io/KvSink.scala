@@ -49,6 +49,7 @@ object KvSink {
     * `optOutIds` (anti-join; taar_profile_bigtable.py:193-223, :332-339). */
   def deleteOptOuts(spark: SparkSession, kvPath: String, optOutIds: DataFrame,
       idCol: String): Unit = {
+    recoverInterrupted(spark, kvPath)
     val keys = optOutIds.select(sha2(col(idCol).cast("string"), 256).as("key")).distinct()
     val kv = spark.read.parquet(kvPath)
     rewriteInPlace(spark, kvPath, kv.join(broadcast(keys), Seq("key"), "left_anti"))
@@ -80,6 +81,7 @@ object KvSink {
       days: Int = 90, verField: String = "ver", codec: String = "zlib",
       keepUnversioned: Boolean = false): Unit = {
     val cutoff = asOfMicros - days.toLong * 24L * 3600L * 1000000L
+    recoverInterrupted(spark, kvPath)
     val kv = spark.read.parquet(kvPath)
     val json =
       (if (codec == "zlib") Zlib.decompressCol(spark, col("payload"))
@@ -99,15 +101,35 @@ object KvSink {
     * automatically on a failed publish). Renames are atomic on
     * HDFS-like filesystems — the same commit shape as the DSv2
     * connector. */
+  /** Complete a rewrite that crashed between stepping the live path
+    * aside and publishing: live missing + backup present → the backup IS
+    * the table; restore it before any read. Every rewriting entry point
+    * calls this first, so an interrupted run self-heals on the next one
+    * instead of surfacing as a missing table — and the backup is never
+    * treated as deletable garbage while the live path is absent. */
+  private def recoverInterrupted(spark: SparkSession, kvPath: String): Unit = {
+    val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
+    val (old, live) = (hp(kvPath + ".old_rewrite"), hp(kvPath))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(kvPath),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"found interrupted rewrite of $kvPath (live missing, backup at " +
+          s"$old) but restoring it failed — intervene before rewriting")
+  }
+
   private def rewriteInPlace(spark: SparkSession, kvPath: String,
       kept: DataFrame): Unit = {
+    recoverInterrupted(spark, kvPath)
     val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
     val (tmp, old, live) =
       (hp(kvPath + ".tmp_rewrite"), hp(kvPath + ".old_rewrite"), hp(kvPath))
     kept.write.mode("overwrite").parquet(tmp.toString)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(kvPath),
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(old, true) // leftover from a previously crashed run
+    // after recoverInterrupted, a surviving `old` coexists with a LIVE
+    // table — the leftover of a crash after publish; safe to clear
+    fs.delete(old, true)
     if (fs.exists(live) && !fs.rename(live, old))
       throw new java.io.IOException(
         s"rewrite of $kvPath failed stepping live aside; table untouched")

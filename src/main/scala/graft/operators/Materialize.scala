@@ -67,8 +67,13 @@ object Materialize {
       ns.conf.set("spark.sql.adaptive.enabled", "false")
       MirroredConfs.foreach(k =>
         spark.conf.getOption(k).foreach(ns.conf.set(k, _)))
-      GraftShim.ofRows(ns, df.queryExecution.analyzed).localCheckpoint(eager)
+      // lazy inside the lock: the lock must cover conf-mirror + PLANNING
+      // only — an eager checkpoint here would hold it for the whole
+      // cluster job, serializing concurrent checkpoint calls
+      GraftShim.ofRows(ns, df.queryExecution.analyzed).localCheckpoint(false)
     }
+    // materialize OUTSIDE the lock (the plan is already fixed)
+    if (eager) ckpt.queryExecution.toRdd.count()
     GraftShim.ofRows(spark, ckpt.queryExecution.analyzed)
   }
 }

@@ -688,8 +688,12 @@ object TextQueries {
   def q85TemperatureMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
+    // |langs|-sized, three consumers (totals, the broadcast stats, the
+    // final join): checkpointed so pass 1 over the corpus runs ONCE —
+    // plan-branch reuse does not dedupe re-analyzed branches (§9 note)
     val perLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", floor(sqrt($"n_docs".cast("double")) * lit(MixScale.toDouble)).cast("long"))
+      .localCheckpoint(false)
     val totals = perLang.agg(sum($"n_docs").as("n_corpus"), sum($"w").as("sw"))
       .select(expr(s"n_corpus div $MixTargetDiv").as("n_target"), $"sw")
     val stats = broadcast(perLang.crossJoin(broadcast(totals)))
