@@ -97,4 +97,26 @@ class KvStoreSourceSpec extends SparkSuite {
     KvSink.expireOlderThan(spark, d2, asOf, days = 90, keepUnversioned = true)
     assert(keys(d2) == sha("edge", "new", "legacy"))
   }
+
+  test("interrupted rewrite self-heals: backup restored, not garbage-collected") {
+    val dir = tmpDir("kvrecover") + "/store"
+    val asOf = 1700000000000000L
+    val day = 24L * 3600L * 1000000L
+    val rows = Seq(("a", asOf - 1L * day), ("b", asOf - 2L * day))
+      .toDF("client_id", "ver")
+    KvSink.write(spark, rows, "client_id", dir)
+    val before = spark.read.parquet(dir).collect().map(_.getString(0)).sorted.toSeq
+    // simulate a crash between stepping-aside and publish: the live path
+    // is gone and the ONLY surviving copy sits at <path>.old_rewrite
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val (live, old) = (new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old_rewrite"))
+    assert(fs.rename(live, old))
+    // the next rewriting entry point must restore the backup (NOT treat
+    // it as a deletable leftover) and then rewrite normally
+    KvSink.expireOlderThan(spark, dir, asOf, days = 90)
+    assert(spark.read.parquet(dir).collect().map(_.getString(0)).sorted.toSeq == before)
+    assert(!fs.exists(old), "backup should be consumed by a successful rewrite")
+  }
 }
