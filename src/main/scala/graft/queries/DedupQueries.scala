@@ -483,6 +483,70 @@ object DedupQueries {
        |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q88: cluster keeper selection (the dedup DECISION) ----
+
+  /** q88: which document survives each near-dup cluster — the decision
+    * stage every production dedup pipeline ends with. Clusters come from
+    * the LSH+CC path (q49); the keeper is the member with the LOWEST
+    * corpus-duplication fraction (q83's quality signal — prefer the
+    * least-boilerplate copy), doc_id ascending as the deterministic
+    * tie-break. Output is one row per cluster: size, keeper, how many
+    * rows the decision drops, and the keeper's dup_frac. Composing two
+    * already-verified operators is the point — the oracle re-derives the
+    * whole chain (recursive-CTE closure × unhashed gram fractions)
+    * independently.
+    *
+    * Scale: both inputs are already scale-audited; the composition adds
+    * one cluster-keyed shuffle of the (tiny) clustered-doc set and a
+    * WindowGroupLimit-shaped keeper pick (k=1 rows per reducer). */
+  def q88ClusterKeeper(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = q49DedupClusters(s, dir).select($"doc_id", $"cluster_id")
+    val quality = q83DupGramFraction(s, dir).select($"doc_id", $"dup_frac")
+    val ranked = clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cluster_id").orderBy($"dup_frac", $"doc_id")))
+    ranked.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(when($"rn" === 1, $"doc_id")).as("keeper_id"),
+        min(when($"rn" === 1, $"dup_frac")).as("keeper_dup_frac"),
+        (count(lit(1)) - 1L).as("n_dropped"))
+      .orderBy($"cluster_id")
+  }
+
+  /** lazy: references DupGramN/dupGramCtes declared LATER in the object —
+    * a strict val here initializes before them and bakes zeros into the
+    * SQL text (caught by the oracle gate, round 6). */
+  lazy val q88Sql: String = {
+    val pairsSql = q26Sql.linesIterator.toSeq.dropRight(1) // strip ORDER BY
+      .mkString("\n")
+    s"""WITH RECURSIVE pr AS (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |walk(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+       |cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
+       |$dupGramCtes,
+       |ranked AS (
+       |  SELECT cl.cluster_id, cl.doc_id,
+       |    round(CAST(agg.n_dup AS DOUBLE) / agg.n_grams, 6) AS dup_frac,
+       |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY round(CAST(agg.n_dup AS DOUBLE) / agg.n_grams, 6),
+       |               cl.doc_id) AS rn
+       |  FROM cl JOIN agg ON agg.doc_id = cl.doc_id)
+       |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+       |  MIN(CASE WHEN rn = 1 THEN dup_frac END) AS keeper_dup_frac,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+       |FROM ranked GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   // ---- q61: benchmark decontamination ----
 
   /** Holdout membership: every [[DecontamMod]]-th doc plays the benchmark
@@ -587,9 +651,11 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
-  val q83Sql: String = {
+  /** Shared oracle CTEs for the positional-gram duplication fraction
+    * (tables t/g/pd/df/agg — used by q83 and q88's composition). */
+  private def dupGramCtes: String = {
     val gram = (0 until DupGramN).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |g AS (SELECT doc_id,
        |        unnest(list_transform(generate_series(1, len(tk) - ${DupGramN - 1}),
        |          i -> $gram)) AS s
@@ -598,13 +664,16 @@ object DedupQueries {
        |df AS (SELECT s, COUNT(*) AS df FROM pd GROUP BY s),
        |agg AS (SELECT pd.doc_id, SUM(pd.cnt) AS n_grams,
        |          SUM(CASE WHEN df.df >= 2 THEN pd.cnt ELSE 0 END) AS n_dup
-       |        FROM pd JOIN df USING (s) GROUP BY pd.doc_id)
+       |        FROM pd JOIN df USING (s) GROUP BY pd.doc_id)""".stripMargin
+  }
+
+  val q83Sql: String =
+    s"""WITH $dupGramCtes
        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        |  CAST(n_dup AS BIGINT) AS n_dup,
        |  round(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_frac,
        |  (CAST(n_dup AS DOUBLE) / n_grams) <= $DupFracMax AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
-  }
 
   // ---- q86: SimHash near-dup pairs via Hamming-LSH banding ----
 
@@ -698,6 +767,7 @@ object DedupQueries {
     "q28_rolling_fingerprint" -> (q28RollingFingerprint _),
     "q83_dup_gram_fraction"   -> (q83DupGramFraction _),
     "q86_simhash_pairs"       -> (q86SimhashPairs _),
+    "q88_cluster_keeper"      -> (q88ClusterKeeper _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -711,5 +781,6 @@ object DedupQueries {
     "q28_rolling_fingerprint" -> q28Sql,
     "q83_dup_gram_fraction"   -> q83Sql,
     "q86_simhash_pairs"       -> q86Sql,
+    "q88_cluster_keeper"      -> q88Sql,
   )
 }

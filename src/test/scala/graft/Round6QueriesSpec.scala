@@ -81,6 +81,29 @@ class Round6QueriesSpec extends SparkSuite {
       assert(p(out.head) > p(out.last))
   }
 
+  test("q88 keeper is a member with the cluster-minimal (dup_frac, doc_id)") {
+    val out = DedupQueries.q88ClusterKeeper(spark, sf0001).cache()
+    val clusters = DedupQueries.q49DedupClusters(spark, sf0001)
+    val quality = DedupQueries.q83DupGramFraction(spark, sf0001)
+      .select($"doc_id", $"dup_frac")
+    // every clustered doc is accounted for, exactly once
+    assert(out.agg(sum($"n_members")).head().getLong(0) == clusters.count())
+    // the keeper belongs to its own cluster...
+    val members = clusters.join(quality, "doc_id")
+    val bad = out.join(members,
+        out("cluster_id") === members("cluster_id") &&
+          out("keeper_id") === members("doc_id"))
+      .where(out("keeper_dup_frac") =!= members("dup_frac"))
+    assert(bad.isEmpty, "keeper_dup_frac disagrees with the member's own dup_frac")
+    // ...and no member beats it on (dup_frac, doc_id)
+    val beaten = out.join(members, Seq("cluster_id"))
+      .where(members("dup_frac") < out("keeper_dup_frac") ||
+        (members("dup_frac") === out("keeper_dup_frac") &&
+          members("doc_id") < out("keeper_id")))
+    assert(beaten.isEmpty, "a cluster member outranks its keeper")
+    out.unpersist()
+  }
+
   test("q86 banding is lossless: pairs equal the quadratic Hamming truth") {
     val banded = DedupQueries.q86SimhashPairs(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming").collect()
