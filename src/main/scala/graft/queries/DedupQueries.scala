@@ -547,6 +547,71 @@ object DedupQueries {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  // ---- q89: incremental dedup (new batch vs existing corpus) ----
+
+  /** Every [[IncBatchMod]]-th doc plays the incoming batch; the rest are
+    * the already-ingested corpus. */
+  val IncBatchMod = 5
+
+  /** q89: INCREMENTAL near-dup detection — the production shape of daily
+    * ingestion: a new batch is checked against the existing corpus
+    * without recomputing any corpus×corpus pair. Candidates come from
+    * joining the batch's LSH band labels against the corpus's (a
+    * cross-frame band join, not a self-join), then exact Jaccard
+    * verification on the candidate pairs only.
+    *
+    * Scale design — the whole point of the incremental form: in
+    * production the corpus band labels are PRECOMPUTED at ingest (a
+    * bucketed table; here they are derived in-query because the gate
+    * needs a self-contained plan), and the batch side is days-sized ≪
+    * corpus, so its band labels BROADCAST — the corpus is scanned
+    * map-side and never shuffles, and no quadratic term in corpus size
+    * exists anywhere. MinHash signatures are per-document functions, so
+    * batch signatures computed in isolation are identical to the ones a
+    * full-corpus run would produce — the oracle exploits the same fact
+    * (one signature CTE over all docs, split by membership). */
+  def q89IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, dir)
+      .select($"doc_id", shingles($"text").as("shingles"))
+    val batch = all.where($"doc_id" % IncBatchMod === 0)
+    val corpus = all.where($"doc_id" % IncBatchMod =!= 0)
+    val blBatch = bandLabels(minhashSignatures(batch))
+    val blCorpus = bandLabels(minhashSignatures(corpus))
+    val cand = blCorpus.as("c")
+      .join(broadcast(blBatch.as("b")),
+        col("b.band_id") === col("c.band_id") && col("b.bh") === col("c.bh"))
+      .select(col("b.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(false)
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val docsV = all.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    jaccardVerify(cand, docsV).orderBy($"doc_a", $"doc_b")
+  }
+
+  lazy val q89Sql: String = {
+    val bandSel = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band_id, md5($parts) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $sqlSigCtes,
+       |bl AS ($bandSel),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bl a JOIN bl b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh
+       |   AND a.doc_id % $IncBatchMod = 0 AND b.doc_id % $IncBatchMod <> 0)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q61: benchmark decontamination ----
 
   /** Holdout membership: every [[DecontamMod]]-th doc plays the benchmark
@@ -768,6 +833,7 @@ object DedupQueries {
     "q83_dup_gram_fraction"   -> (q83DupGramFraction _),
     "q86_simhash_pairs"       -> (q86SimhashPairs _),
     "q88_cluster_keeper"      -> (q88ClusterKeeper _),
+    "q89_incremental_dedup"   -> (q89IncrementalDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -782,5 +848,6 @@ object DedupQueries {
     "q83_dup_gram_fraction"   -> q83Sql,
     "q86_simhash_pairs"       -> q86Sql,
     "q88_cluster_keeper"      -> q88Sql,
+    "q89_incremental_dedup"   -> q89Sql,
   )
 }

@@ -104,6 +104,22 @@ class Round6QueriesSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("q89 incremental dedup equals the batch-crossing slice of a full run") {
+    val inc = DedupQueries.q89IncrementalDedup(spark, sf0001)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val full = DedupQueries.q26MinhashPairs(spark, sf0001)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) =>  // exactly one side in the batch
+        (a % DedupQueries.IncBatchMod == 0) != (b % DedupQueries.IncBatchMod == 0) }
+      .toSet
+    assert(full.nonEmpty, "no cross-batch near-dups — test is vacuous")
+    assert(inc == full,
+      s"incremental missed ${full -- inc} / invented ${inc -- full}")
+  }
+
   test("q86 banding is lossless: pairs equal the quadratic Hamming truth") {
     val banded = DedupQueries.q86SimhashPairs(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming").collect()
