@@ -121,7 +121,7 @@ object AvroIo {
     * truncated final file), and pre-existing `part-*.avro` files are
     * cleared first — a re-export with fewer partitions must not leave
     * stale part files for `read`'s glob to resurrect. */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String, codec: String = "deflate"): Unit = {
     val spark = df.sparkSession
     val props = confProps(spark)
     val driverFs = FileSystem.get(new java.net.URI(dir), confOf(props))
@@ -136,6 +136,7 @@ object AvroIo {
       val p = new Path(dir, f"part-$i%05d.avro")
       val tmp = new Path(dir, f"part-$i%05d.avro.tmp-${java.util.UUID.randomUUID}")
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
       w.create(schema, fs.create(tmp, true))
       var n = 0L
       rows.foreach { r => w.append(record(r, st, schema)); n += 1 }
@@ -152,19 +153,28 @@ object AvroIo {
     * stream; files are the parallelism unit exactly as in spark-avro).
     * Records STREAM through an iterator (constant memory per task); a
     * directory with no part files is an error, not an empty frame — a
-    * typo'd path must not let a downstream load silently write nothing. */
+    * typo'd path must not let a downstream load silently write nothing.
+    *
+    * `st` is the READER schema in the Avro schema-resolution sense: a
+    * subset of the writer's fields projects (Avro skips the rest at
+    * decode — column pruning on a row format), and a field the writer
+    * never had resolves to its null default — the standard
+    * add-a-nullable-column evolution every long-lived export pipeline
+    * ends up needing. */
   def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
     val props = confProps(spark)
     val fs = FileSystem.get(new java.net.URI(dir), confOf(props))
     val files = fs.globStatus(new Path(dir, "part-*.avro"))
       .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no Avro part files under $dir")
+    val readerJson = avroSchema(st).toString
     val rdd = spark.sparkContext
       .parallelize(files.toSeq, files.length)
       .flatMap { f =>
+        val reader = new Schema.Parser().parse(readerJson)
         val in = new FsInput(new Path(f), confOf(props))
         val r = DataFileReader.openReader(in,
-          new GenericDatumReader[GenericRecord]())
+          new GenericDatumReader[GenericRecord](null, reader))
         new Iterator[Row] {
           def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
           def next(): Row = rowOf(r.next(), st)

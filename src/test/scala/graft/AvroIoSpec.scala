@@ -61,6 +61,31 @@ class AvroIoSpec extends SparkSuite {
     assert(back.exceptAll(cust).isEmpty && cust.exceptAll(back).isEmpty)
   }
 
+  test("reader-schema resolution: subset projects, added nullable column reads as null") {
+    val dir = tmpDir("avroio_evolve")
+    AvroIo.write(sample, dir)
+    // projection: two of seven fields — Avro skips the rest at decode
+    val proj = StructType(Seq(
+      StructField("client_id", StringType), StructField("locale", StringType)))
+    val narrow = AvroIo.read(spark, dir, proj)
+    assert(narrow.schema == proj)
+    assert(narrow.collect().map(_.getString(0)).sorted.toSeq == Seq("c1", "c2", "c3"))
+    // evolution: a field the writer never had resolves to its null default
+    val evolved = StructType(proj.fields :+ StructField("new_score", DoubleType))
+    val back = AvroIo.read(spark, dir, evolved)
+    assert(back.count() == 3)
+    assert(back.where($"new_score".isNotNull).isEmpty)
+  }
+
+  test("uncompressed and deflate part files round-trip identically") {
+    val (d1, d2) = (tmpDir("avro_null"), tmpDir("avro_defl"))
+    AvroIo.write(sample, d1, codec = "null")
+    AvroIo.write(sample, d2, codec = "deflate")
+    val (a, b) = (AvroIo.read(spark, d1, profile), AvroIo.read(spark, d2, profile))
+    assert(a.collect().map(_.toString).sorted.toSeq ==
+      b.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("profile pipeline staged via Avro produces the identical KV table") {
     import graft.jobs.ProfileEtl
     val clients = Seq(
