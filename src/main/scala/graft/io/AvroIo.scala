@@ -141,11 +141,23 @@ object AvroIo {
       var n = 0L
       rows.foreach { r => w.append(record(r, st, schema)); n += 1 }
       w.close()
+      // a RETRIED attempt whose predecessor already committed finds the
+      // final name occupied (rename-to-existing fails on HDFS): replace
+      // it — attempts of the same partition write identical content
+      if (fs.exists(p)) fs.delete(p, false)
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(s"avro commit failed renaming $tmp -> $p")
       Iterator((p.toString, n))
     }.collect() // KB-sized manifest: (file, row count) per partition
-    require(files.nonEmpty || df.isEmpty, "avro write produced no files")
+    if (files.isEmpty) {
+      // a zero-partition frame exports nothing above; write one empty
+      // schema-only part file so the empty round-trip survives (read()
+      // treats a part-less directory as an error by design)
+      val schema = new Schema.Parser().parse(schemaJson)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, driverFs.create(new Path(dir, "part-00000.avro"), true))
+      w.close()
+    }
   }
 
   /** S6: read a directory of Avro part files as a DataFrame with the
@@ -175,6 +187,11 @@ object AvroIo {
         val in = new FsInput(new Path(f), confOf(props))
         val r = DataFileReader.openReader(in,
           new GenericDatumReader[GenericRecord](null, reader))
+        // close on task end, not just exhaustion: a limit/take or an
+        // exception abandons the iterator mid-stream and would leak the
+        // file handle for the executor's lifetime
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
         new Iterator[Row] {
           def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
           def next(): Row = rowOf(r.next(), st)

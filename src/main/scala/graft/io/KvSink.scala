@@ -118,9 +118,11 @@ object KvSink {
           s"$old) but restoring it failed — intervene before rewriting")
   }
 
+  /** PRECONDITION: the caller ran [[recoverInterrupted]] before building
+    * `kept` (the eager parquet footer read already needs the live path,
+    * so recovery must happen earlier than this method can provide). */
   private def rewriteInPlace(spark: SparkSession, kvPath: String,
       kept: DataFrame): Unit = {
-    recoverInterrupted(spark, kvPath)
     val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
     val (tmp, old, live) =
       (hp(kvPath + ".tmp_rewrite"), hp(kvPath + ".old_rewrite"), hp(kvPath))

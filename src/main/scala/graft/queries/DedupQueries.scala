@@ -465,8 +465,10 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
-  val q49Sql: String = {
-    // recursive closure over the same pair set: comp = min reachable id
+  /** Shared recursive-closure CTEs over the q26 pair set (pr/edges/walk —
+    * used by q49 and q88's composition; factored so the two oracles can
+    * never drift). */
+  private def closureCtes: String = {
     val pairsSql = q26Sql.linesIterator.toSeq.dropRight(1) // strip ORDER BY
       .mkString("\n")
     s"""WITH RECURSIVE pr AS (
@@ -478,10 +480,14 @@ object DedupQueries {
        |walk(u, r) AS (
        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
        |  UNION
-       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u)
+       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u)""".stripMargin
+  }
+
+  val q49Sql: String =
+    // recursive closure over the same pair set: comp = min reachable id
+    s"""$closureCtes
        |SELECT u AS doc_id, MIN(r) AS cluster_id
        |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
-  }
 
   // ---- q88: cluster keeper selection (the dedup DECISION) ----
 
@@ -503,7 +509,12 @@ object DedupQueries {
     import s.implicits._
     val clusters = q49DedupClusters(s, dir).select($"doc_id", $"cluster_id")
     val quality = q83DupGramFraction(s, dir).select($"doc_id", $"dup_frac")
-    val ranked = clusters.join(quality, Seq("doc_id"))
+    // LEFT join: q83 emits no row for docs too short to mint a gram
+    // (< DupGramN tokens), but such a doc can still sit in a cluster
+    // (3-token shingles pair it) and must not silently vanish from the
+    // keeper decision — it scores dup_frac 0 (nothing duplicated)
+    val ranked = clusters.join(quality, Seq("doc_id"), "left")
+      .withColumn("dup_frac", coalesce($"dup_frac", lit(0.0)))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"cluster_id").orderBy($"dup_frac", $"doc_id")))
     ranked.groupBy($"cluster_id")
@@ -518,27 +529,17 @@ object DedupQueries {
     * a strict val here initializes before them and bakes zeros into the
     * SQL text (caught by the oracle gate, round 6). */
   lazy val q88Sql: String = {
-    val pairsSql = q26Sql.linesIterator.toSeq.dropRight(1) // strip ORDER BY
-      .mkString("\n")
-    s"""WITH RECURSIVE pr AS (
-       |$pairsSql
-       |),
-       |edges AS (
-       |  SELECT doc_a AS u, doc_b AS v FROM pr
-       |  UNION ALL SELECT doc_b, doc_a FROM pr),
-       |walk(u, r) AS (
-       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-       |  UNION
-       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+    // LEFT join + COALESCE mirror the Spark side: a clustered doc too
+    // short to mint any gram still gets a keeper verdict (dup_frac 0)
+    val frac = "COALESCE(round(CAST(agg.n_dup AS DOUBLE) / agg.n_grams, 6), 0.0e0)"
+    s"""$closureCtes,
        |cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
        |$dupGramCtes,
        |ranked AS (
-       |  SELECT cl.cluster_id, cl.doc_id,
-       |    round(CAST(agg.n_dup AS DOUBLE) / agg.n_grams, 6) AS dup_frac,
+       |  SELECT cl.cluster_id, cl.doc_id, $frac AS dup_frac,
        |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
-       |      ORDER BY round(CAST(agg.n_dup AS DOUBLE) / agg.n_grams, 6),
-       |               cl.doc_id) AS rn
-       |  FROM cl JOIN agg ON agg.doc_id = cl.doc_id)
+       |      ORDER BY $frac, cl.doc_id) AS rn
+       |  FROM cl LEFT JOIN agg ON agg.doc_id = cl.doc_id)
        |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
        |  MIN(CASE WHEN rn = 1 THEN dup_frac END) AS keeper_dup_frac,

@@ -91,11 +91,12 @@ object Profile {
     // round-6 scaling: the corpus-dup-gram filter (q83 shape) on a 10x
     // corpus — linear pipeline, so the expectation is ~linear time
     def dupGramOn(docs10: DataFrame): DataFrame = {
+      val gw = DedupQueries.DupGramN // derive, so the probe tracks the real q83 shape
       val gramsCol = graft.functions.Cols.bind(split($"text", " ")) { t =>
         val n = size(t)
-        val gs = transform(sequence(lit(1), n - 4), i =>
-          concat_ws(" ", (0 until 5).map(k => element_at(t, i + k)): _*))
-        when(n >= 5, gs).otherwise(array().cast("array<string>"))
+        val gs = transform(sequence(lit(1), n - (gw - 1)), i =>
+          concat_ws(" ", (0 until gw).map(k => element_at(t, i + k)): _*))
+        when(n >= gw, gs).otherwise(array().cast("array<string>"))
       }
       val occ10 = docs10.select($"doc_id", explode(gramsCol).as("g_raw"))
         .select($"doc_id", DedupQueries.h60(spark, $"g_raw").as("g"))
@@ -116,12 +117,15 @@ object Profile {
     // token salt (distinct-ish docs): candidate volume is Σ|bucket|², so
     // 3x buckets → ~9x candidates — the documented quadratic term
     def simPairsOn(docs3: DataFrame): DataFrame = {
+      // derive band geometry from the real q86 constants
+      val bandBits = DedupQueries.SimBits / DedupQueries.NumSimBands
+      val mask = (1L << bandBits) - 1
       val bands3 = docs3.select($"doc_id",
         DedupQueries.simhashBits(DedupQueries.h60(spark, _),
           DedupQueries.SimBits)($"text").as("sim"))
         .select($"doc_id", $"sim",
           posexplode(array((0 until DedupQueries.NumSimBands).map(i =>
-            shiftright($"sim", i * 15).bitwiseAND(lit(32767L))): _*))
+            shiftright($"sim", i * bandBits).bitwiseAND(lit(mask))): _*))
             .as(Seq("band_idx", "band_val")))
         .localCheckpoint()
       bands3.as("a").join(bands3.as("b"),
