@@ -262,7 +262,62 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q90: semantic decontamination (embedding-space benchmark overlap) ----
+
+  /** Holdout membership for the semantic check: every this-many-th
+    * vector plays the benchmark set (the q61 convention). */
+  val SemDecontamMod = 97
+
+  /** Contamination cut: NearDupThreshold — the corpus's own "these are
+    * semantically the same item" line (max within-cluster cosine ~0.47). */
+  val SemDecontamThreshold: Double = NearDupThreshold
+
+  /** q90: SEMANTIC decontamination — flag every training vector whose
+    * max cosine against the benchmark/holdout set crosses the
+    * contamination cut. This is the embedding-space complement of q61's
+    * n-gram decontamination: paraphrased or re-tokenized benchmark items
+    * share no shingles but still sit next to their source in embedding
+    * space, which is why modern pipelines run BOTH checks.
+    *
+    * Scale design (the q61/q30 shape): the benchmark is ~1/
+    * [[SemDecontamMod]] of the corpus, deduplicated and BROADCAST; the
+    * training side is scanned map-side (norms precomputed per row, not
+    * per pair; native vec_dot codegen) with one vec-keyed aggregate for
+    * the per-vector max. No corpus-sized shuffle; a benchmark too large
+    * to broadcast degrades to IVF-bucketed probing (q32's path).
+    * Cosines are ROUNDED to 6 decimals before the max so an ulp-level
+    * engine disagreement cannot flip the verdict (the q30 discipline). */
+  def q90SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", norm2($"embedding").as("n2"))
+    val bench = emb.where($"vec_id" % SemDecontamMod === 0)
+      .select($"vec_id".as("b_id"), $"embedding".as("b_emb"), $"n2".as("b_n2"))
+    val sim = round(cosinePre($"embedding", $"b_emb", $"n2", $"b_n2"), 6)
+    emb.where($"vec_id" % SemDecontamMod =!= 0)
+      .join(broadcast(bench))
+      .groupBy($"vec_id")
+      .agg(max(sim).as("max_sim"))
+      .select($"vec_id", $"max_sim",
+        ($"max_sim" >= SemDecontamThreshold).as("contaminated"))
+      .orderBy($"vec_id")
+  }
+
+  val q90Sql: String = {
+    val cos = sqlCosine("t.embedding", "b.embedding")
+    s"""WITH b AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id % $SemDecontamMod = 0),
+       |t AS (SELECT vec_id, embedding FROM embeddings
+       |      WHERE vec_id % $SemDecontamMod <> 0)
+       |SELECT t.vec_id, MAX(round($cos, 6)) AS max_sim,
+       |  MAX(round($cos, 6)) >= $SemDecontamThreshold AS contaminated
+       |FROM t CROSS JOIN b
+       |GROUP BY t.vec_id
+       |ORDER BY t.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q90_semantic_decontam" -> (q90SemanticDecontam _),
     "q30_knn_bruteforce"    -> (q30KnnBruteForce _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q32_ivf_ann"           -> (q32IvfAnn _),
@@ -270,6 +325,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q90_semantic_decontam" -> q90Sql,
     "q30_knn_bruteforce"    -> q30Sql,
     "q31_embedding_neardup" -> q31Sql,
     "q32_ivf_ann"           -> q32Sql,

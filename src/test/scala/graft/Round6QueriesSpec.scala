@@ -120,6 +120,21 @@ class Round6QueriesSpec extends SparkSuite {
       s"incremental missed ${full -- inc} / invented ${inc -- full}")
   }
 
+  test("q90 semantic decontamination: verdicts match the cut, benchmark excluded") {
+    import graft.queries.SimilarityQueries
+    val out = SimilarityQueries.q90SemanticDecontam(spark, sf0001).cache()
+    // no benchmark vector scores itself (the split is disjoint)
+    assert(out.where($"vec_id" % SimilarityQueries.SemDecontamMod === 0).isEmpty)
+    // verdict == threshold test, and the cut actually separates: both
+    // classes present on this corpus (clusters straddle the holdout)
+    assert(out.where($"contaminated" =!=
+      ($"max_sim" >= SimilarityQueries.SemDecontamThreshold)).isEmpty)
+    val n = out.count()
+    val flagged = out.where($"contaminated").count()
+    assert(flagged > 0 && flagged < n, s"degenerate verdict split: $flagged/$n")
+    out.unpersist()
+  }
+
   test("q86 banding is lossless: pairs equal the quadratic Hamming truth") {
     val banded = DedupQueries.q86SimhashPairs(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming").collect()
