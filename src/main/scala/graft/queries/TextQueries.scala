@@ -423,17 +423,21 @@ object TextQueries {
     * is a WindowGroupLimit-compacted row_number. The conditional
     * probability is a single long/long IEEE division — deterministic in
     * both engines without rounding tricks. */
-  def q71BigramLm(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val bigrams = graft.functions.Cols.bind(toks($"text")) { t =>
+  /** Positional bigram strings of `text` (empty when < 2 tokens) —
+    * shared by q71 (the LM table) and q91 (the LM quality filter). */
+  private def bigramsOf(text: org.apache.spark.sql.Column) =
+    graft.functions.Cols.bind(toks(text)) { t =>
       when(size(t) >= 2,
         transform(sequence(lit(1), size(t) - 1), i =>
           concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
         .otherwise(array().cast("array<string>"))
     }
+
+  def q71BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(s, dir)
-      .select(explode(bigrams).as("bg"))
+      .select(explode(bigramsOf($"text")).as("bg"))
       .groupBy($"bg").agg(count(lit(1)).as("cnt"))
       .select(split($"bg", " ").getItem(0).as("w1"),
         split($"bg", " ").getItem(1).as("w2"), $"cnt")
@@ -467,6 +471,79 @@ object TextQueries {
        |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS prob
        |FROM ranked WHERE rnk <= $BigramTopK
        |ORDER BY w1, rnk""".stripMargin
+
+  // ---- q91: LM quality filter (perplexity proxy) ----
+
+  /** Keep cut on the mean bigram probability (measured sf0.01
+    * distribution: 1%–99% quantiles 0.0315–0.0375; 0.033 drops the
+    * lowest-fluency ~10%). */
+  val LmKeepMin = 0.033
+
+  /** q91: language-model quality filtering — the CCNet/Gopher-style
+    * fluency gate: score every document by the MEAN probability of its
+    * bigrams under the corpus bigram MLE (q71's model) and drop the
+    * lowest-scoring tail. Garbled, shuffled, or template-fragment text
+    * scores low because its transitions are rare in the corpus; this
+    * catches degradation that per-row stats (q21) and repetition (q78)
+    * both miss.
+    *
+    * Engine-exact scoring: each P(w2|w1) is ONE correctly-rounded
+    * division, quantized to integer picounits (floor(P·1e12 + 0.5) —
+    * the q72 trick), so the per-doc sum is exact integer arithmetic and
+    * the final mean is two correctly-rounded double ops in fixed order.
+    * No logs: a log-perplexity would hit libm's cross-engine ulp
+    * differences; the mean probability is order-equivalent for a
+    * same-length comparison and threshold-equivalent for the gate.
+    *
+    * Scale: the model is vocab²-bounded (≪ corpus, one (bg) agg + one
+    * w1-keyed agg/join); scoring joins occurrences to the model on the
+    * bigram key — content-uniform, AQE broadcasts the model while it
+    * fits — then one doc-keyed aggregate. Two corpus passes total
+    * (model build + scoring), both map-heavy. */
+  def q91LmQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val occ = Tables.documents(s, dir)
+      .select($"doc_id", explode(bigramsOf($"text")).as("bg"))
+    val counts = occ.groupBy($"bg").agg(count(lit(1)).as("cnt"))
+    val totals = counts
+      .select(split($"bg", " ").getItem(0).as("w1"), $"cnt")
+      .groupBy($"w1").agg(sum($"cnt").as("total"))
+    val model = counts
+      .withColumn("w1", split($"bg", " ").getItem(0))
+      .join(totals, Seq("w1"))
+      .select($"bg", floor($"cnt".cast("double") / $"total".cast("double")
+        * lit(1.0e12) + lit(0.5)).cast("long").as("qp"))
+    val avg = round(($"sq".cast("double") / lit(1.0e12)) / $"n_bigrams", 6)
+    occ.join(model, Seq("bg"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"qp").as("sq"))
+      .select($"doc_id", $"n_bigrams", avg.as("avg_prob"),
+        (avg >= LmKeepMin).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q91Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM toks WHERE len(t) >= 2),
+       |counts AS (SELECT bg, COUNT(*) AS cnt FROM occ GROUP BY bg),
+       |totals AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(cnt) AS total
+       |           FROM counts GROUP BY 1),
+       |model AS (
+       |  SELECT c.bg,
+       |    CAST(floor(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+       |      * 1.0e12 + 0.5e0) AS BIGINT) AS qp
+       |  FROM counts c JOIN totals t ON string_split(c.bg, ' ')[1] = t.w1),
+       |sc AS (
+       |  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(m.qp) AS BIGINT) AS sq
+       |  FROM occ o JOIN model m USING (bg) GROUP BY o.doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  round((CAST(sq AS DOUBLE) / 1.0e12) / n_bigrams, 6) AS avg_prob,
+       |  round((CAST(sq AS DOUBLE) / 1.0e12) / n_bigrams, 6) >= $LmKeepMin AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   // ---- q65: sequence packing (concatenate-and-chunk) ----
 
@@ -732,6 +809,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "q85_temperature_mix"   -> (q85TemperatureMix _),
+    "q91_lm_quality"        -> (q91LmQualityFilter _),
     "q78_repetition_ratio"  -> (q78RepetitionRatio _),
     "q80_pii_redact"        -> (q80PiiRedact _),
     "q81_source_quota"      -> (q81SourceQuota _),
@@ -750,6 +828,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q85_temperature_mix"   -> q85Sql,
+    "q91_lm_quality"        -> q91Sql,
     "q78_repetition_ratio"  -> q78Sql,
     "q80_pii_redact"        -> q80Sql,
     "q81_source_quota"      -> q81Sql,

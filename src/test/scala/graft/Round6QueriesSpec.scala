@@ -135,6 +135,27 @@ class Round6QueriesSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("q91 LM scores: bigram counts line up with q20, identical texts tie") {
+    val out = TextQueries.q91LmQualityFilter(spark, sf0001).cache()
+    // every scored doc has n_bigrams == n_tokens - 1 (nothing dropped by
+    // the model join: the model was built FROM these occurrences)
+    val toks = TextQueries.q20TextStats(spark, sf0001)
+      .select($"doc_id", $"n_tokens")
+    val bad = out.join(toks, "doc_id")
+      .where($"n_bigrams" =!= ($"n_tokens" - 1))
+    assert(bad.isEmpty, "a document lost bigrams on the model join")
+    // identical texts get identical scores (score is a pure text function)
+    val withText = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .join(out, "doc_id")
+    val diverged = withText.groupBy($"text")
+      .agg(countDistinct($"avg_prob").as("k")).where($"k" > 1)
+    assert(diverged.isEmpty, "exact-duplicate texts scored differently")
+    // the gate separates on this corpus
+    val (n, kept) = (out.count(), out.where($"keep").count())
+    assert(kept > 0 && kept < n, s"degenerate keep split: $kept/$n")
+    out.unpersist()
+  }
+
   test("q86 banding is lossless: pairs equal the quadratic Hamming truth") {
     val banded = DedupQueries.q86SimhashPairs(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming").collect()
