@@ -137,16 +137,31 @@ object AvroIo {
       val tmp = new Path(dir, f"part-$i%05d.avro.tmp-${java.util.UUID.randomUUID}")
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
-      w.create(schema, fs.create(tmp, true))
       var n = 0L
-      rows.foreach { r => w.append(record(r, st, schema)); n += 1 }
-      w.close()
-      // a RETRIED attempt whose predecessor already committed finds the
-      // final name occupied (rename-to-existing fails on HDFS): replace
-      // it — attempts of the same partition write identical content
-      if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p))
+      var ok = false
+      try {
+        w.create(schema, fs.create(tmp, true))
+        rows.foreach { r => w.append(record(r, st, schema)); n += 1 }
+        ok = true
+      } finally {
+        // a failed append must still release the executor-side handle and
+        // remove its tmp file (close failure on the success path is a real
+        // commit failure and propagates; on the failure path it must not
+        // mask the original exception)
+        try w.close() catch { case e: Throwable => if (ok) throw e }
+        if (!ok) { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+      }
+      // Commit is rename-ONLY — never delete the final name first: a
+      // zombie/speculative attempt that deleted a committed part and died
+      // before its own rename would leave the job "successful" with a
+      // silently missing file. If the rename fails because another attempt
+      // of this same partition already committed, that file has identical
+      // content — accept it and drop our tmp.
+      val committed = fs.rename(tmp, p) || fs.exists(p)
+      if (!committed)
         throw new java.io.IOException(s"avro commit failed renaming $tmp -> $p")
+      try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+      catch { case _: Throwable => () }
       Iterator((p.toString, n))
     }.collect() // KB-sized manifest: (file, row count) per partition
     if (files.isEmpty) {
@@ -193,7 +208,14 @@ object AvroIo {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
         new Iterator[Row] {
-          def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
+          // Iterator contract allows repeated hasNext after exhaustion;
+          // short-circuit once closed so a re-check never touches the
+          // closed Avro stream
+          private var done = false
+          def hasNext: Boolean = {
+            if (!done && !r.hasNext) { done = true; r.close() }
+            !done
+          }
           def next(): Row = rowOf(r.next(), st)
         }
       }

@@ -732,18 +732,22 @@ object TextQueries {
 
   // ---- q85: temperature-balanced corpus mixing ----
 
-  /** Temperature exponent α = 1/2: per-language sampling weight ∝ n^α —
-    * the standard multilingual rebalancing (α=1 is proportional/no boost,
-    * α=0 is uniform; 0.5 sits between, boosting low-resource languages). */
+  /** Integer quantization factor for the per-language weights:
+    * w_l = floor(sqrt(n_l) · 10⁴). Four decimal digits of the square
+    * root survive the floor, so quantization error is ≤ 10⁻⁴ relative —
+    * invisible next to the sampling noise — while keeping the keep test
+    * in exact integer arithmetic (see [[q85TemperatureMix]]). */
   val MixScale = 10000L
 
   /** Target sample size as a fraction of the corpus: ½. */
   private val MixTargetDiv = 2
 
   /** q85: temperature-balanced mixture sampling — draw a ~half-corpus
-    * sample whose language composition follows p_l ∝ n_l^0.5 instead of
-    * the raw counts, the rebalancing every multilingual training corpus
-    * applies so high-resource languages don't drown the tail. A document
+    * sample whose language composition follows p_l ∝ n_l^α with
+    * temperature exponent α = 1/2, the rebalancing every multilingual
+    * training corpus applies so high-resource languages don't drown the
+    * tail (α=1 is proportional/no boost, α=0 is uniform; 0.5 sits
+    * between, boosting low-resource languages). A document
     * is kept iff `h32(doc_id) / 2³²  <  n_target·w_l / (Σw·n_l)` — the
     * same content-addressed coin as the q56 split (stable under corpus
     * growth, no PRNG, no global sort), with the min(1,·) cap implicit
