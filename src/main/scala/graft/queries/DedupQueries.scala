@@ -822,6 +822,93 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q94: longest duplicated-gram run (exact-substring dedup signal) ----
+
+  /** Minimum run length (in grams) for a run to count in `n_runs`. */
+  val RunMin = 3
+
+  /** Maximum tolerated longest run before a document is flagged: a run of
+    * 10 [[DupGramN]]-grams is a 14-token verbatim repeat. */
+  val RunDropMax = 10
+
+  /** q94: per-document LONGEST RUN of consecutive corpus-duplicated
+    * [[DupGramN]]-grams — the exact-substring-duplication signal of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022). q83's duplicate-gram FRACTION says how much of a
+    * document is repeated material; this says whether the repeats form
+    * one long verbatim span (a lifted passage — the memorization risk)
+    * or scattered stock phrases, which the fraction alone cannot
+    * distinguish. A gram is "duplicated" if its total corpus occurrence
+    * count is ≥ 2 — within-document repeats included, matching the
+    * suffix-array notion (any repeated substring), unlike q83's
+    * cross-document document-frequency.
+    *
+    * Runs are found with the gaps-and-islands trick kept LINEAR: over
+    * each document's positional grams (ordered by position p), the
+    * running count of duplicated grams turns p − running_dup(p) into a
+    * key that is constant exactly on each maximal consecutive duplicated
+    * run — no self-join, no per-document collect.
+    *
+    * Scale: three linear shuffles — (1) the corpus-occurrence window on
+    * the gram hash (hot boilerplate gram ⇒ one partition holds its
+    * occurrence rows: bounded real mass, every row needs the flag — the
+    * q83 step-2 argument); (2) one document-keyed window for position
+    * order (per-partition state is one document's grams); (3) the
+    * (doc, run) re-aggregation, partial-agg friendly. Grams travel as
+    * 60-bit hashes; the oracle recomputes UNHASHED, so the gate also
+    * proves the hash plan loses no run to collisions. */
+  def q94DupRunLength(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gramsCol = graft.functions.Cols.bind(toks($"text")) { t =>
+      val n = size(t)
+      val gs = transform(sequence(lit(1), n - (DupGramN - 1)), i =>
+        concat_ws(" ", (0 until DupGramN).map(k => element_at(t, i + k)): _*))
+      when(n >= DupGramN, gs).otherwise(array().cast("array<string>"))
+    }
+    val occ = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(gramsCol).as(Seq("p0", "g_raw")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("p"), h60(s, $"g_raw").as("g"))
+    val keyed = occ
+      .withColumn("dup", count(lit(1)).over(Window.partitionBy($"g")) >= 2)
+      .withColumn("run_key",
+        when($"dup", $"p" - sum(when($"dup", 1L).otherwise(0L))
+          .over(Window.partitionBy($"doc_id").orderBy($"p"))))
+    keyed.groupBy($"doc_id", $"run_key")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"),
+        coalesce(max(when($"run_key".isNotNull, $"cnt")), lit(0L)).as("max_run"),
+        sum(when($"run_key".isNotNull && $"cnt" >= RunMin, 1L).otherwise(0L)).as("n_runs"))
+      .select($"doc_id", $"n_grams", $"max_run", $"n_runs",
+        ($"max_run" <= RunDropMax).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q94Sql: String = {
+    val gram = (0 until DupGramN).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(generate_series(1, len(tk) - ${DupGramN - 1})) AS p,
+       |        unnest(list_transform(generate_series(1, len(tk) - ${DupGramN - 1}),
+       |          i -> $gram)) AS s
+       |      FROM t WHERE len(tk) >= $DupGramN),
+       |cf AS (SELECT s, COUNT(*) AS c FROM g GROUP BY s),
+       |fl AS (SELECT g.doc_id, g.p, (cf.c >= 2) AS dup FROM g JOIN cf USING (s)),
+       |rk AS (SELECT doc_id, p, dup,
+       |         CASE WHEN dup THEN p - SUM(CASE WHEN dup THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY p) END AS run_key
+       |       FROM fl),
+       |ru AS (SELECT doc_id, run_key, COUNT(*) AS cnt FROM rk GROUP BY doc_id, run_key),
+       |agg AS (SELECT doc_id, SUM(cnt) AS n_grams,
+       |          COALESCE(MAX(CASE WHEN run_key IS NOT NULL THEN cnt END), 0) AS max_run,
+       |          SUM(CASE WHEN run_key IS NOT NULL AND cnt >= $RunMin THEN 1 ELSE 0 END) AS n_runs
+       |        FROM ru GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(max_run AS BIGINT) AS max_run, CAST(n_runs AS BIGINT) AS n_runs,
+       |  max_run <= $RunDropMax AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_decontaminate"       -> (q61Decontaminate _),
     "q49_dedup_clusters"      -> (q49DedupClusters _),
@@ -835,6 +922,7 @@ object DedupQueries {
     "q86_simhash_pairs"       -> (q86SimhashPairs _),
     "q88_cluster_keeper"      -> (q88ClusterKeeper _),
     "q89_incremental_dedup"   -> (q89IncrementalDedup _),
+    "q94_dup_run_length"      -> (q94DupRunLength _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -850,5 +938,6 @@ object DedupQueries {
     "q86_simhash_pairs"       -> q86Sql,
     "q88_cluster_keeper"      -> q88Sql,
     "q89_incremental_dedup"   -> q89Sql,
+    "q94_dup_run_length"      -> q94Sql,
   )
 }

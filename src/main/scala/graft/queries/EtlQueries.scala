@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -231,12 +231,19 @@ object EtlQueries {
       .orderBy($"token")
   }
 
+  /** DuckDB rendering of the repo's portable md5-chunk hash: hex digits
+    * [8d+1, 8d+8] of md5(expr) as an unsigned BIGINT — the exact dual of
+    * Spark's `conv(substring(md5(x), 8d+1, 8), 16, 10)` (DuckDB has no
+    * base-16 `conv`, so the digits are summed positionally). Shared by
+    * the q87 Count-Min and q92 Bloom oracles. */
+  private def sqlMd5Chunk(expr: String, d: Int): String =
+    (1 to 8).map { k =>
+      val w = math.pow(16, 8 - k).toLong
+      s"(CAST(strpos('0123456789abcdef', substr(md5($expr), ${8 * d + k}, 1)) AS BIGINT) - 1) * ${w}"
+    }.mkString("(", " + ", ")")
+
   val q87Sql: String = {
-    def chunk(expr: String, d: Int): String =
-      (1 to 8).map { k =>
-        val w = math.pow(16, 8 - k).toLong
-        s"(CAST(strpos('0123456789abcdef', substr(md5($expr), ${8 * d + k}, 1)) AS BIGINT) - 1) * ${w}"
-      }.mkString("(", " + ", ")")
+    def chunk(expr: String, d: Int): String = sqlMd5Chunk(expr, d)
     val bds = (0 until CmsDepth).map { d =>
       s"b$d AS (SELECT ${chunk("w", d)} % $CmsWidth AS b, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1)"
     }.mkString(",\n")
@@ -258,21 +265,206 @@ object EtlQueries {
        |ORDER BY token""".stripMargin
   }
 
+  // ---- q92: Bloom-filter pre-filtered join (runtime-filter semantics) ----
+
+  /** Bloom filter size in bits (m). At the reference workload's dim
+    * selectivity (~150 keys at sf0.01) and k=3 hashes, fp ≈ 2·10⁻⁴. */
+  val BloomBits = 8192L
+
+  /** Bits per bitset word. 32, not 64: DuckDB's `<<` overflow-checks
+    * BIGINT, so masks stay within 2³¹ and both engines agree bit-for-bit
+    * without signedness games. */
+  val BloomWordBits = 32L
+
+  /** Number of Bloom hash functions (k). */
+  val BloomHashes = 3
+
+  /** Bit position d of `key` in the Bloom bitset: md5 chunk d (hex digits
+    * [8d+1, 8d+8] of the digest — the q87 convention) mod [[BloomBits]]. */
+  private def bloomPos(key: Column, d: Int): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 8 * d + 1, 8), 16, 10)
+      .cast("long") % BloomBits
+
+  /** q92: Bloom-filter semi-join — build a Bloom filter over the selective
+    * dimension's keys (customers with c_acctbal > 9000), probe every fact
+    * row (orders) against it BEFORE the real join, and audit the sketch
+    * against the exact semi-join: per order priority, the probe count,
+    * Bloom-pass count, true-match count, false-positive count, and the
+    * no-false-negative verdict (a Bloom filter may over-admit, never
+    * under-admit). This is the explicit form of the runtime bloom filter
+    * Spark injects for DPP-style join pruning: at 100 TB the fact scan
+    * discards non-joining rows at ~m bits of broadcast state instead of
+    * shuffling the full fact table into the join.
+    *
+    * The filter is EXACTLY recomputable by DuckDB (md5-chunk positions,
+    * 32-bit bitset words, integer ops only), so unlike most sketches this
+    * is a VALUE-level oracle: the per-group false-positive counts
+    * themselves hash-match, not just a bound verdict.
+    *
+    * Scale: the bitset build aggregates k·|dim| positions into
+    * [[BloomBits]]/[[BloomWordBits]] = 256 words (KB-scale broadcast —
+    * the whole point); probing is three broadcast joins on the word
+    * index + a bit test, map-only over the fact side; the exact dual is
+    * one broadcast semi-join flag. The dimension is scanned twice (bitset
+    * build + exact audit) — it is the broadcast-small side by
+    * construction, and production uses only the bitset branch. */
+  def q92BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.customer(s, dir)
+      .where($"c_acctbal" > 9000).select($"c_custkey".as("k"))
+    val words = dim
+      .select(explode(array((0 until BloomHashes).map(d => bloomPos($"k", d)): _*)).as("pos"))
+      .select(expr(s"pos div $BloomWordBits").as("widx"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))").as("mask"))
+      .groupBy($"widx").agg(expr("bit_or(mask)").as("word"))
+      // ≤ BloomBits/BloomWordBits rows, consumed by k probe joins:
+      // checkpointed so the bitset (and its dim scan) builds ONCE —
+      // plan-branch reuse does not dedupe re-analyzed branches (§9 note)
+      .localCheckpoint(false)
+    val probe = (0 until BloomHashes).foldLeft(
+      Tables.orders(s, dir).select($"o_custkey", $"o_orderpriority")) { (df, d) =>
+      df.withColumn(s"pos$d", bloomPos($"o_custkey", d))
+        .join(broadcast(words.select($"widx".as(s"widx$d"), $"word".as(s"word$d"))),
+          expr(s"pos$d div $BloomWordBits") === col(s"widx$d"), "left")
+        .withColumn(s"hit$d",
+          coalesce(col(s"word$d"), lit(0L)).bitwiseAND(
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos$d % $BloomWordBits AS INT))")) =!= 0L)
+    }
+    val pass = (0 until BloomHashes).map(d => col(s"hit$d")).reduce(_ && _)
+    probe.join(broadcast(dim.distinct()), $"o_custkey" === $"k", "left")
+      .select($"o_orderpriority", pass.as("pass"), $"k".isNotNull.as("is_true"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_probed"),
+        sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
+        sum(when($"is_true", 1L).otherwise(0L)).as("n_true"),
+        sum(when($"pass" && !$"is_true", 1L).otherwise(0L)).as("n_fp"),
+        (sum(when($"is_true" && !$"pass", 1L).otherwise(0L)) === 0L).as("no_fn_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q92Sql: String = {
+    def posd(expr: String, d: Int): String = s"${sqlMd5Chunk(expr, d)} % $BloomBits"
+    val dimPos = (0 until BloomHashes)
+      .map(d => posd("CAST(k AS VARCHAR)", d)).mkString("[", ", ", "]")
+    val probePos = (0 until BloomHashes)
+      .map(d => s"${posd("CAST(o_custkey AS VARCHAR)", d)} AS p$d").mkString(",\n         ")
+    val wordJoins = (0 until BloomHashes)
+      .map(d => s"LEFT JOIN words w$d ON w$d.widx = pr.p$d // $BloomWordBits").mkString("\n")
+    val hits = (0 until BloomHashes).map { d =>
+      s"(COALESCE(w$d.word, 0) & (CAST(1 AS BIGINT) << CAST(pr.p$d % $BloomWordBits AS INTEGER))) <> 0"
+    }.mkString(" AND ")
+    s"""WITH dim AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+       |pos AS (SELECT unnest($dimPos) AS pos FROM dim),
+       |words AS (SELECT pos // $BloomWordBits AS widx,
+       |            bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomWordBits AS INTEGER)) AS word
+       |          FROM pos GROUP BY 1),
+       |probe AS (SELECT o_custkey, o_orderpriority,
+       |         $probePos
+       |       FROM orders),
+       |hit AS (SELECT pr.o_orderpriority, ($hits) AS pass,
+       |          EXISTS (SELECT 1 FROM dim d WHERE d.k = pr.o_custkey) AS is_true
+       |        FROM probe pr
+       |$wordJoins)
+       |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_probed,
+       |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |  CAST(SUM(CASE WHEN pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       |  SUM(CASE WHEN is_true AND NOT pass THEN 1 ELSE 0 END) = 0 AS no_fn_ok
+       |FROM hit GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
+  // ---- q93: approximate-quantile sketch with rank-error verdict ----
+
+  /** percentile_approx accuracy parameter: guaranteed rank error ≤
+    * n/[[QuantAcc]] (Greenwald–Khanna summaries). */
+  val QuantAcc = 100
+
+  /** q93: the quantile member of the sketch family (q18 HLL cardinality,
+    * q43 heavy hitters, q87 point frequency, q92 membership) — per-group
+    * approximate p50/p95 over l_extendedprice, audited two ways:
+    *
+    *  1. VALUE level: the exact discrete quantiles (the element at
+    *     1-based rank ceil(q·n), computed by integer arithmetic
+    *     (n·q100+99) div 100 — no float rank anywhere) are emitted and
+    *     hash-checked against DuckDB computing the same window form.
+    *  2. VERDICT level: the sketch's rank guarantee — counting values
+    *     ≤/< the approx quantile must land within n/[[QuantAcc]] of the
+    *     target rank (±1 discretization slack, scaled integer compare) —
+    *     is evaluated Spark-side and asserted TRUE by the oracle.
+    *
+    * The approx values themselves never appear in the output (summary
+    * internals are engine-specific); what is checked is the guarantee.
+    *
+    * Scale: production is the one-pass partial-aggregated
+    * percentile_approx. The audit adds the exact-rank window (one
+    * group-keyed exchange+sort) and a count-vs-approx pass (broadcast of
+    * |groups| rows) — the price of verification, as in q43/q87. */
+  def q93QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
+    // approx summaries: |groups| rows, checkpointed so the join-back
+    // audit does not re-derive the aggregation branch (§9 note)
+    val ap = li.groupBy($"flag")
+      .agg(percentile_approx($"x", array(lit(0.5), lit(0.95)), lit(QuantAcc)).as("qs"))
+      .localCheckpoint(false)
+    val audit = li.join(broadcast(ap), Seq("flag"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"x" <= element_at($"qs", 1), 1L).otherwise(0L)).as("le50"),
+        sum(when($"x" < element_at($"qs", 1), 1L).otherwise(0L)).as("lt50"),
+        sum(when($"x" <= element_at($"qs", 2), 1L).otherwise(0L)).as("le95"),
+        sum(when($"x" < element_at($"qs", 2), 1L).otherwise(0L)).as("lt95"))
+    val exact = li
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"flag").orderBy($"x")).cast("long"))
+      .withColumn("nn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"flag")))
+      .where($"rn" === expr("(nn * 50 + 99) div 100") ||
+        $"rn" === expr("(nn * 95 + 99) div 100"))
+      .groupBy($"flag")
+      .agg(max(when($"rn" === expr("(nn * 50 + 99) div 100"), $"x")).as("p50_exact"),
+        max(when($"rn" === expr("(nn * 95 + 99) div 100"), $"x")).as("p95_exact"))
+    audit.join(exact, Seq("flag"))
+      .select($"flag", $"n", $"p50_exact", $"p95_exact",
+        ($"le50" * QuantAcc >= $"n" * 50 - $"n" - QuantAcc &&
+          $"lt50" * QuantAcc <= $"n" * 50 + $"n" + QuantAcc).as("p50_ok"),
+        ($"le95" * QuantAcc >= $"n" * 95 - $"n" - QuantAcc &&
+          $"lt95" * QuantAcc <= $"n" * 95 + $"n" + QuantAcc).as("p95_ok"))
+      .orderBy($"flag")
+  }
+
+  val q93Sql: String =
+    """WITH s AS (SELECT l_returnflag AS flag, l_extendedprice AS x,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn,
+      |  CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nn
+      |  FROM lineitem)
+      |SELECT flag, MAX(nn) AS n,
+      |  MAX(CASE WHEN rn = (nn * 50 + 99) // 100 THEN x END) AS p50_exact,
+      |  MAX(CASE WHEN rn = (nn * 95 + 99) // 100 THEN x END) AS p95_exact,
+      |  TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM s GROUP BY flag ORDER BY flag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_bernoulli_sample"    -> (q40BernoulliSample _),
     "q41_kv_encode"           -> (q41KvEncode _),
     "q42_multimodal_features" -> (q42MultimodalFeatures _),
     "q43_heavy_hitters"       -> (q43HeavyHitters _),
     "q87_cms_frequency"       -> (q87CmsFrequency _),
+    "q92_bloom_join"          -> (q92BloomJoin _),
+    "q93_quantile_sketch"     -> (q93QuantileSketch _),
   )
 
-  /** All four oracle-checked: q41/q43 since round 5, q40/q42 since
-    * round 6 (verdict-style bounds) — zero rows-only entries left. */
+  /** All oracle-checked: q41/q43 since round 5, q40/q42 since round 6
+    * (verdict-style bounds), q92/q93 since round 7 — zero rows-only
+    * entries left. */
   val oracleSql: Map[String, String] = Map(
     "q40_bernoulli_sample"    -> q40Sql,
     "q41_kv_encode"           -> q41Sql,
     "q42_multimodal_features" -> q42Sql,
     "q43_heavy_hitters"       -> q43Sql,
     "q87_cms_frequency"       -> q87Sql,
+    "q92_bloom_join"          -> q92Sql,
+    "q93_quantile_sketch"     -> q93Sql,
   )
 }

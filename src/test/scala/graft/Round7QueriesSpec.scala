@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupQueries, EtlQueries}
+
+/** Value semantics of the round-7 queries (q92, q93, q94) — the
+  * invariants the DuckDB oracle can't state directly. */
+class Round7QueriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- q92: Bloom-filter semi-join ----
+
+  test("q92 bloom admits every true match and actually filters") {
+    val out = EtlQueries.q92BloomJoin(spark, sf0001).cache()
+    // a Bloom filter may over-admit, never under-admit
+    assert(out.where(!$"no_fn_ok").isEmpty, "bloom dropped a true match")
+    assert(out.where($"n_pass" < $"n_true").isEmpty)
+    val t = out.agg(sum($"n_probed"), sum($"n_pass"), sum($"n_true"), sum($"n_fp")).head()
+    val (probed, pass, tru, fp) =
+      (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3))
+    // the filter is load-bearing: most non-matching probes are discarded
+    assert(pass < probed, "bloom passed every probe — not filtering")
+    assert(fp == pass - tru, "fp accounting inconsistent")
+    // fp-rate sanity: m=8192 bits, k=3, |dim| keys at sf0.001 ⇒ expected
+    // fp well under 1%; 5% is a safe flake-proof ceiling
+    val nonMatching = probed - tru
+    assert(fp.toDouble <= 0.05 * nonMatching, s"fp=$fp of $nonMatching non-matching")
+    out.unpersist()
+  }
+
+  test("q92 membership is exact for the dimension's own keys") {
+    // probing the dim keys themselves must pass every probe: with the
+    // fact side restricted to true matches, n_pass == n_true == n_probed
+    val out = EtlQueries.q92BloomJoin(spark, sf0001)
+    val dimKeys = Tables.customer(spark, sf0001)
+      .where($"c_acctbal" > 9000).select($"c_custkey")
+    val restricted = Tables.orders(spark, sf0001)
+      .join(dimKeys, $"o_custkey" === $"c_custkey", "left_semi")
+    if (restricted.isEmpty) cancel("no matching orders at sf0.001")
+    // equivalent statement on the full output: every group's true
+    // matches all passed (n_fp counts only non-true passes)
+    assert(out.where($"n_pass" - $"n_fp" =!= $"n_true").isEmpty)
+  }
+
+  // ---- q93: approx-quantile sketch with rank-error verdict ----
+
+  test("q93 verdicts hold and exact discrete quantiles match a local sort") {
+    val out = EtlQueries.q93QuantileSketch(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"), s"p50 rank bound violated for ${r.get(0)}")
+      assert(r.getAs[Boolean]("p95_ok"), s"p95 rank bound violated for ${r.get(0)}")
+      assert(r.getAs[Double]("p50_exact") <= r.getAs[Double]("p95_exact"))
+    }
+    val groups = Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    out.foreach { r =>
+      val xs = groups(r.getString(0))
+      val n = xs.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("p50_exact") == xs(((n * 50 + 99) / 100 - 1).toInt))
+      assert(r.getAs[Double]("p95_exact") == xs(((n * 95 + 99) / 100 - 1).toInt))
+    }
+  }
+
+  // ---- q94: longest duplicated-gram run ----
+
+  /** Fixture corpus with hand-computable runs (gram width = DupGramN = 5). */
+  private def runFixture(): String = {
+    val dir = tmpDir("q94docs")
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val common = "a b c d e f g" // 7 shared tokens ⇒ 3 consecutive shared 5-grams
+    Seq(
+      (1L, s"${toks("u", 5)} $common ${toks("v", 5)}"),   // 17 toks, 13 grams
+      (2L, s"${toks("w", 3)} $common ${toks("x", 8)}"),   // 18 toks, 14 grams
+      (3L, toks("q", 12)),                                 // all unique: 8 grams
+      (4L, toks("p", 10)),                                 // exact copy pair:
+      (5L, toks("p", 10)),                                 //   6 grams, all dup
+      (6L, s"${toks("m", 5)} ${toks("m", 5)} z1 z2")       // within-doc repeat
+    ).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q94 pins hand-computed runs: cross-doc, exact-copy, within-doc") {
+    val out = DedupQueries.q94DupRunLength(spark, runFixture()).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("max_run"), r.getAs[Long]("n_runs")))
+      .toMap
+    // docs 1/2 share exactly the 3 grams inside "a b c d e f g"
+    assert(out(1L) == ((13L, 3L, 1L)))
+    assert(out(2L) == ((14L, 3L, 1L)))
+    // all-unique doc: no duplicated gram anywhere
+    assert(out(3L) == ((8L, 0L, 0L)))
+    // exact copies: every gram duplicated ⇒ one full-length run
+    assert(out(4L) == ((6L, 6L, 1L)))
+    assert(out(5L) == ((6L, 6L, 1L)))
+    // within-doc repeat: "m1..m5" occurs at positions 1 and 6 ⇒ two
+    // isolated duplicated positions, runs of length 1 (below RunMin).
+    // q83's document-frequency notion would NOT flag these (df = 1 doc);
+    // q94's corpus-occurrence notion must.
+    assert(out(6L) == ((8L, 1L, 0L)))
+  }
+
+  test("q94 agrees with q83 on gram totals and flags exact copies as one full run") {
+    val runs = DedupQueries.q94DupRunLength(spark, sf0001).cache()
+    // internal consistency
+    assert(runs.where($"max_run" > $"n_grams" || $"n_runs" > $"n_grams").isEmpty)
+    assert(runs.where($"keep" =!= ($"max_run" <= DedupQueries.RunDropMax)).isEmpty)
+    // same positional-gram universe as q83
+    val frac = DedupQueries.q83DupGramFraction(spark, sf0001)
+      .select($"doc_id", $"n_grams".as("n_grams83"))
+    assert(runs.join(frac, "doc_id").where($"n_grams" =!= $"n_grams83").isEmpty)
+    // a doc with an exact copy elsewhere is one uninterrupted run
+    val copied = Tables.documents(spark, sf0001)
+      .groupBy(md5($"text").as("h")).agg(collect_list($"doc_id").as("ids"))
+      .where(size($"ids") > 1)
+      .select(explode($"ids").as("doc_id"))
+    assert(runs.join(copied, "doc_id").where($"max_run" =!= $"n_grams").isEmpty,
+      "an exact-duplicate doc's grams did not form one full-length run")
+    runs.unpersist()
+  }
+}
