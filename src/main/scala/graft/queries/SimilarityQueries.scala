@@ -316,12 +316,102 @@ object SimilarityQueries {
        |ORDER BY t.vec_id""".stripMargin
   }
 
+  // ---- q95: SQ8 scalar-quantized ANN (compressed-domain search) ----
+
+  /** Quantization levels − 1: codes span 0..255 (one byte per dim). */
+  val Sq8Levels = 255
+
+  /** Embedding dimensionality of the `embeddings` table. */
+  val EmbDim = 64
+
+  /** q95: scalar-quantized (SQ8) nearest-neighbor search — the
+    * compressed-domain member of the ANN family (q30 exact brute force,
+    * q31 blocked near-dup, q32 IVF). Each dimension is affinely mapped to
+    * an 8-bit code by the corpus per-dim min/max (the FAISS
+    * ScalarQuantizer recipe), and search ranks by the INTEGER sum of
+    * squared code differences — the asymmetric-distance scan runs on 64
+    * bytes/vector instead of 256, which at 100 TB is the difference
+    * between a memory-resident scan and a disk-bound one.
+    *
+    * Engine-exactness: min/max are exact (no accumulation); the affine
+    * map floor((x−lo)/(hi−lo)·255) is the same correctly-rounded IEEE
+    * op sequence on both engines (the q85 principle), so the CODES —
+    * and therefore the integer distances and the full top-k ranking
+    * (vec_id tie-break) — hash-match DuckDB exactly: a VALUE-level
+    * oracle for an ANN index, like q92's bitset. Quantization recall vs
+    * the exact float-L2 truth is measured in Round7QueriesSpec, not
+    * assumed.
+    *
+    * Scale: pass 1 (per-dim min/max) partial-aggregates to ONE row —
+    * map-only; pass 2 encodes map-only against the broadcast stats; the
+    * scan is query-codes-broadcast × corpus map-side with one k-row-per-
+    * query top-k shuffle (the q30 shape, on ¼ the bytes). In production
+    * the codes are a materialized column written at ingest; both corpus
+    * passes here exist because the query builds its own index. */
+  def q95Sq8Ann(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    // one row: per-dim corpus lo/hi (exact — min/max of float-cast-double)
+    val stats = emb.agg(
+      array((1 to EmbDim).map(d =>
+        min(element_at($"embedding", d).cast("double"))): _*).as("lo"),
+      array((1 to EmbDim).map(d =>
+        max(element_at($"embedding", d).cast("double"))): _*).as("hi"))
+      .localCheckpoint(false) // 1 row, two encode consumers (§9 note)
+    def encode(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(stats))
+      .select($"vec_id", transform($"embedding", (x, i) => {
+        val lo = element_at($"lo", i + 1)
+        val hi = element_at($"hi", i + 1)
+        when(hi > lo, floor((x.cast("double") - lo) / (hi - lo) * Sq8Levels))
+          .otherwise(lit(0L)).cast("long")
+      }).as("codes"))
+    val corpus = encode(emb)
+    // query-side scan prunes to the 5 query rows at the parquet scan
+    val queries = encode(emb.where($"vec_id" < NumQueries))
+      .select($"vec_id".as("query_id"), $"codes".as("qcodes"))
+    val idist = aggregate(
+      zip_with($"qcodes", $"codes", (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy($"query_id").orderBy($"idist".asc, $"neighbor_id".asc)
+    corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), idist.as("idist"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  val q95Sql: String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+       |             unnest(generate_series(1, len(embedding))) AS d
+       |           FROM embeddings),
+       |st AS (SELECT d, MIN(CAST(x AS DOUBLE)) AS lo, MAX(CAST(x AS DOUBLE)) AS hi
+       |       FROM e GROUP BY d),
+       |c AS (SELECT e.vec_id, e.d,
+       |        CASE WHEN st.hi > st.lo
+       |          THEN CAST(floor((CAST(e.x AS DOUBLE) - st.lo) / (st.hi - st.lo) * $Sq8Levels) AS BIGINT)
+       |          ELSE 0 END AS code
+       |      FROM e JOIN st USING (d)),
+       |q AS (SELECT vec_id AS query_id, d, code FROM c WHERE vec_id < $NumQueries),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         CAST(SUM((q.code - c.code) * (q.code - c.code)) AS BIGINT) AS idist
+       |       FROM c JOIN q ON c.d = q.d AND c.vec_id <> q.query_id
+       |       GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, idist, rn FROM (
+       |  SELECT query_id, neighbor_id, idist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY idist ASC, neighbor_id ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q90_semantic_decontam" -> (q90SemanticDecontam _),
     "q30_knn_bruteforce"    -> (q30KnnBruteForce _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q32_ivf_ann"           -> (q32IvfAnn _),
     "q59_kmeans_assign"     -> (q59KmeansAssign _),
+    "q95_sq8_ann"           -> (q95Sq8Ann _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -330,5 +420,6 @@ object SimilarityQueries {
     "q31_embedding_neardup" -> q31Sql,
     "q32_ivf_ann"           -> q32Sql,
     "q59_kmeans_assign"     -> q59Sql,
+    "q95_sq8_ann"           -> q95Sql,
   )
 }

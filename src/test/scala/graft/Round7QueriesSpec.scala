@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, EtlQueries}
+import graft.queries.{DedupQueries, EtlQueries, SimilarityQueries}
 
-/** Value semantics of the round-7 queries (q92, q93, q94) — the
-  * invariants the DuckDB oracle can't state directly. */
+/** Value semantics of the round-7 queries (q92–q95) — the invariants
+  * the DuckDB oracle can't state directly. */
 class Round7QueriesSpec extends SparkSuite {
   import spark.implicits._
 
@@ -63,6 +63,45 @@ class Round7QueriesSpec extends SparkSuite {
       assert(r.getAs[Double]("p50_exact") == xs(((n * 50 + 99) / 100 - 1).toInt))
       assert(r.getAs[Double]("p95_exact") == xs(((n * 95 + 99) / 100 - 1).toInt))
     }
+  }
+
+  // ---- q95: SQ8 scalar-quantized ANN ----
+
+  test("q95 quantized top-k recalls the exact float-L2 top-k") {
+    val k = SimilarityQueries.TopK
+    val got = SimilarityQueries.q95Sq8Ann(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    // exact float-L2 truth, locally (500 vecs at sf0.001)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val recalls = got.map { case (q, approx) =>
+      val truth = (vecs - q).toSeq
+        .map { case (id, v) => (l2(vecs(q), v), id) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      approx.intersect(truth).size.toDouble / k
+    }
+    assert(got.keySet == (0L until SimilarityQueries.NumQueries).toSet)
+    assert(got.values.forall(_.size == k))
+    val mean = recalls.sum / recalls.size
+    // 8-bit quantization distortion is tiny relative to inter-vector
+    // gaps; demand near-perfect recall, not a token bound
+    assert(mean >= 0.8, s"mean recall@$k = $mean")
+  }
+
+  test("q95 integer distances are symmetric-exact: idist 0 iff identical codes") {
+    val out = SimilarityQueries.q95Sq8Ann(spark, sf0001)
+    // ranking sanity: per query, idist non-decreasing in rank
+    val bad = out.select($"query_id", $"rn", $"idist").collect()
+      .groupBy(_.getLong(0)).values.flatMap { rows =>
+        val sorted = rows.sortBy(_.getInt(1))
+        sorted.zip(sorted.tail).filter { case (a, b) =>
+          a.getLong(2) > b.getLong(2) }
+      }
+    assert(bad.isEmpty, "idist not monotone in rank")
   }
 
   // ---- q94: longest duplicated-gram run ----
