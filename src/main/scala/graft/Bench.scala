@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * fit — the driver recorded `parsed: null`. The stdout line therefore
   * keys queries by their UNIQUE qNN prefix ("q77" for
   * q77_triangle_count, exactly the contract's documented shape) which
-  * keeps it ~1.2 KB at 83 queries, and is printed TWICE so a tail
+  * keeps it ~1.2 KB at 87 queries (headroom to ~140), and is printed TWICE so a tail
   * window holds at least one complete copy (consumers must take the
   * LAST parseable line; see README bench notes). The FULL-name line is
   * written to SPARK_GRAFT_BENCH_OUT (default ./bench_result.json) for
