@@ -445,6 +445,63 @@ object EtlQueries {
       |  TRUE AS p50_ok, TRUE AS p95_ok
       |FROM s GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ---- q96: HLL distinct-content rollup (sketch merge up the lattice) ----
+
+  /** q96: approximate DISTINCT-CONTENT counts per (source, lang) with
+    * ROLLUP subtotals — "how much unique material does each source
+    * contribute, net of exact duplicates", the reporting view over the
+    * q24 dedup signal. The point is sketch MERGEABILITY meeting
+    * multi-level aggregation: Spark computes every grouping set in ONE
+    * Expand + hash-agg pass, which is only correct because HLL registers
+    * merge associatively up the rollup lattice — the same property the
+    * q43/q87 sketches pin for partition merges, exercised here across
+    * grouping sets.
+    *
+    * Oracle shape is q18's: the estimate is engine-specific, so each
+    * rollup row carries its exact dual and a bound verdict; the oracle
+    * recomputes the exact side (DuckDB ROLLUP) and asserts the verdict
+    * uniformly true. Production drops the exact dual — that is the
+    * sketch's point. The bound is |hll−exact| ≤ max(3·rsd·exact, 3):
+    * unlike q18's large groups, rollup leaves here hold ~5 documents,
+    * where the multiplicative 3σ form is vacuous (< 1) and a single
+    * register collision legitimately yields 4-for-5 (measured at
+    * sf0.001/0.01) — below the linear-counting regime the right slack
+    * is a small absolute constant, not a fraction.
+    *
+    * Scale: one corpus pass; the Expand triples rows BEFORE the shuffle
+    * but partial aggregation collapses them to (groups × register-array)
+    * state map-side, so the exchange carries sketches, not rows. The
+    * exact dual adds the one distinct-expand shuffle every exact
+    * countDistinct costs. */
+  def q96RollupDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rsd = 0.05
+    Tables.documents(s, dir)
+      .select($"source", $"lang", md5($"text").as("content"))
+      .rollup($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct($"content", rsd).as("approx_distinct"),
+        countDistinct($"content").as("exact_distinct"))
+      .select(
+        coalesce($"source", lit("ALL")).as("source"),
+        coalesce($"lang", lit("ALL")).as("lang"),
+        $"n_docs", $"exact_distinct",
+        (abs($"approx_distinct" - $"exact_distinct").cast("double")
+          <= greatest(lit(3 * rsd) * $"exact_distinct".cast("double"), lit(3.0)))
+          .as("within_bound"))
+      .orderBy($"source", $"lang")
+  }
+
+  val q96Sql: String =
+    """SELECT COALESCE(source, 'ALL') AS source,
+      |  COALESCE(lang, 'ALL') AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+      |  TRUE AS within_bound
+      |FROM documents
+      |GROUP BY ROLLUP(source, lang)
+      |ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_bernoulli_sample"    -> (q40BernoulliSample _),
     "q41_kv_encode"           -> (q41KvEncode _),
@@ -453,6 +510,7 @@ object EtlQueries {
     "q87_cms_frequency"       -> (q87CmsFrequency _),
     "q92_bloom_join"          -> (q92BloomJoin _),
     "q93_quantile_sketch"     -> (q93QuantileSketch _),
+    "q96_rollup_distinct"     -> (q96RollupDistinct _),
   )
 
   /** All oracle-checked: q41/q43 since round 5, q40/q42 since round 6
@@ -466,5 +524,6 @@ object EtlQueries {
     "q87_cms_frequency"       -> q87Sql,
     "q92_bloom_join"          -> q92Sql,
     "q93_quantile_sketch"     -> q93Sql,
+    "q96_rollup_distinct"     -> q96Sql,
   )
 }

@@ -65,6 +65,31 @@ class Round7QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q96: HLL distinct-content rollup ----
+
+  test("q96 rollup lattice is consistent: bounds hold, subtotals bracket children") {
+    val out = EtlQueries.q96RollupDistinct(spark, sf0001).cache()
+    assert(out.where(!$"within_bound").isEmpty, "HLL bound violated on a rollup row")
+    val rows = out.collect()
+    val leaf = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    val bySource = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("exact_distinct"))).toMap
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1, "exactly one grand-total row")
+    // distinct is subadditive and monotone up the lattice: a source
+    // subtotal is bounded by [max child, sum of children]; n_docs is
+    // exactly additive
+    leaf.groupBy(_.getString(0)).foreach { case (src, children) =>
+      val (nDocs, exact) = bySource(src)
+      assert(nDocs == children.map(_.getAs[Long]("n_docs")).sum)
+      assert(exact <= children.map(_.getAs[Long]("exact_distinct")).sum)
+      assert(exact >= children.map(_.getAs[Long]("exact_distinct")).max)
+    }
+    assert(grand.head.getAs[Long]("n_docs") ==
+      Tables.documents(spark, sf0001).count())
+    out.unpersist()
+  }
+
   // ---- q95: SQ8 scalar-quantized ANN ----
 
   test("q95 quantized top-k recalls the exact float-L2 top-k") {
