@@ -64,13 +64,18 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (duration, succeeded): a failed rep's duration must never become
+    // the query's reported number — under the min statistic a transient
+    // 0.2s failure would beat every real 3s run and understate the query
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     only.foreach { toks =>
       val unknown = toks.filterNot(SparkEntry.queries.keySet)
@@ -104,9 +109,16 @@ object Bench {
       // rep 1's lingering checkpoint blocks — the median then reported
       // the contaminated number (round-6 finding, same shape as round
       // 5's cross-query phantom)
-      val times = (1 to reps).map { _ =>
-        val t = runOnce(name, fn); releaseQueryState(); t
-      }.sorted
+      val runs = (1 to reps).map { _ =>
+        val r = runOnce(name, fn); releaseQueryState(); r
+      }
+      // failed reps are excluded from the statistic; a query with NO
+      // successful rep reports the max failed duration (pessimistic, and
+      // the stderr failure lines make the cause unmissable)
+      val good = runs.collect { case (t, true) => t }.sorted
+      val times = if (good.nonEmpty) good else runs.map(_._1).sorted.reverse
+      if (good.length < reps)
+        System.err.println(s"[bench] $name: ${reps - good.length}/$reps reps FAILED")
       // per-rep spread makes an anomalous rep self-diagnosing in logs
       System.err.println(s"[bench] $name min/med/max = " +
         s"${sec(times.head)}/${sec(times(times.length / 2))}/${sec(times.last)}")

@@ -695,16 +695,26 @@ object DedupQueries {
     * Grams travel as 60-bit md5 hashes (8-byte shuffle rows). The oracle
     * is deliberately UNHASHED (raw gram strings) — the gate proves the
     * hashed plan loses nothing to collisions. */
-  def q83DupGramFraction(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val gramsCol = graft.functions.Cols.bind(toks($"text")) { t =>
+  /** Positional [[DupGramN]]-gram mint over a `text` column — the ONE
+    * definition shared by q83, q94, and the Profile scaling probes (the
+    * SQL dual is [[dupGramCtes]]'s `g` CTE). */
+  private[graft] def dupGramsCol: Column =
+    graft.functions.Cols.bind(toks(col("text"))) { t =>
       val n = size(t)
       val gs = transform(sequence(lit(1), n - (DupGramN - 1)), i =>
         concat_ws(" ", (0 until DupGramN).map(k => element_at(t, i + k)): _*))
       when(n >= DupGramN, gs).otherwise(array().cast("array<string>"))
     }
-    val occ = Tables.documents(s, dir)
-      .select($"doc_id", explode(gramsCol).as("g_raw"))
+
+  def q83DupGramFraction(s: SparkSession, dir: String): DataFrame =
+    dupGramCore(s, Tables.documents(s, dir))
+
+  /** q83 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora; the named query binds the real table). */
+  private[graft] def dupGramCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val occ = docs
+      .select($"doc_id", explode(dupGramsCol).as("g_raw"))
       .select($"doc_id", h60(s, $"g_raw").as("g"))
     occ.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"g")))
@@ -857,16 +867,15 @@ object DedupQueries {
     * (doc, run) re-aggregation, partial-agg friendly. Grams travel as
     * 60-bit hashes; the oracle recomputes UNHASHED, so the gate also
     * proves the hash plan loses no run to collisions. */
-  def q94DupRunLength(s: SparkSession, dir: String): DataFrame = {
+  def q94DupRunLength(s: SparkSession, dir: String): DataFrame =
+    dupRunCore(s, Tables.documents(s, dir))
+
+  /** q94 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora); grams come from the shared [[dupGramsCol]]. */
+  private[graft] def dupRunCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val gramsCol = graft.functions.Cols.bind(toks($"text")) { t =>
-      val n = size(t)
-      val gs = transform(sequence(lit(1), n - (DupGramN - 1)), i =>
-        concat_ws(" ", (0 until DupGramN).map(k => element_at(t, i + k)): _*))
-      when(n >= DupGramN, gs).otherwise(array().cast("array<string>"))
-    }
-    val occ = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(gramsCol).as(Seq("p0", "g_raw")))
+    val occ = docs
+      .select($"doc_id", posexplode(dupGramsCol).as(Seq("p0", "g_raw")))
       .select($"doc_id", ($"p0" + 1).cast("long").as("p"), h60(s, $"g_raw").as("g"))
     val keyed = occ
       .withColumn("dup", count(lit(1)).over(Window.partitionBy($"g")) >= 2)

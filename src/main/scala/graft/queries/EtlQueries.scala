@@ -473,9 +473,16 @@ object EtlQueries {
     * state map-side, so the exchange carries sketches, not rows. The
     * exact dual adds the one distinct-expand shuffle every exact
     * countDistinct costs. */
+  /** HLL relative standard deviation for q96 (Spark's default). */
+  val Q96Rsd = 0.05
+
+  /** Absolute slack for the q96 bound below the linear-counting regime
+    * (register collisions on ~5-element groups; calibrated by Q96Probe). */
+  val Q96AbsSlack = 3.0
+
   def q96RollupDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rsd = 0.05
+    val rsd = Q96Rsd
     Tables.documents(s, dir)
       .select($"source", $"lang", md5($"text").as("content"))
       .rollup($"source", $"lang")
@@ -487,8 +494,8 @@ object EtlQueries {
         coalesce($"lang", lit("ALL")).as("lang"),
         $"n_docs", $"exact_distinct",
         (abs($"approx_distinct" - $"exact_distinct").cast("double")
-          <= greatest(lit(3 * rsd) * $"exact_distinct".cast("double"), lit(3.0)))
-          .as("within_bound"))
+          <= greatest(lit(3 * rsd) * $"exact_distinct".cast("double"),
+            lit(Q96AbsSlack))).as("within_bound"))
       .orderBy($"source", $"lang")
   }
 

@@ -350,7 +350,13 @@ object SimilarityQueries {
     * passes here exist because the query builds its own index. */
   def q95Sq8Ann(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    sq8Core(s, Tables.embeddings(s, dir).select($"vec_id", $"embedding"))
+  }
+
+  /** q95 body over an arbitrary (vec_id, embedding) frame (Profile
+    * probes it on replicated corpora; the named query binds the table). */
+  private[graft] def sq8Core(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
     // one row: per-dim corpus lo/hi (exact — min/max of float-cast-double)
     val stats = emb.agg(
       array((1 to EmbDim).map(d =>

@@ -811,7 +811,67 @@ object TextQueries {
        |ORDER BY pl.lang""".stripMargin
   }
 
+  // ---- q97: sliding-window document chunking with overlap ----
+
+  /** Tokens per chunk. */
+  val ChunkSize = 32
+
+  /** Token stride between consecutive chunk starts; ChunkSize −
+    * ChunkStride = 8 tokens of overlap carry context across boundaries. */
+  val ChunkStride = 24
+
+  /** q97: overlapping sliding-window chunking — split each document into
+    * [[ChunkSize]]-token chunks whose starts step by [[ChunkStride]]
+    * (8-token overlap), the structural prep every retrieval/embedding
+    * pipeline runs before encoding (context-window-sized units, overlap
+    * so no boundary-spanning fact is lost). Emits (doc, chunk ordinal,
+    * 1-based start token, chunk text, token count); chunk starts stop at
+    * the FIRST window that reaches the final token — the start lattice
+    * is bounded by n − (size − stride), so the last chunk always covers
+    * the tail and no chunk is wholly contained in its predecessor (a
+    * naive s ≤ n bound emits a pure-duplicate trailing chunk whenever
+    * the tail is shorter than the overlap). Both properties spec-pinned.
+    *
+    * Scale: map-only — one bind-bound HOF mints all chunk structs per
+    * row, posexplode flattens; no shuffle before the final presentation
+    * sort. Chunk ordinal and geometry are pure arithmetic on the start
+    * position, so the oracle reproduces rows exactly. */
+  def q97ChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunksCol = graft.functions.Cols.bind(toks($"text")) { t =>
+      transform(
+        sequence(lit(1),
+          greatest(lit(1), size(t) - (ChunkSize - ChunkStride)), lit(ChunkStride)),
+        st =>
+          struct(st.as("start"),
+            concat_ws(" ", slice(t, st, lit(ChunkSize))).as("chunk"),
+            least(lit(ChunkSize), size(t) - st + 1).cast("long").as("n")))
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(chunksCol).as(Seq("ci", "c")))
+      .select($"doc_id", ($"ci" + 1).cast("long").as("chunk_idx"),
+        $"c.start".cast("long").as("start_tok"),
+        $"c.chunk".as("chunk_text"), $"c.n".as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val q97Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |         unnest(generate_series(1,
+       |           greatest(1, len(tk) - ${ChunkSize - ChunkStride}),
+       |           $ChunkStride)) AS start_tok
+       |       FROM t)
+       |SELECT doc_id,
+       |  CAST((start_tok - 1) // $ChunkStride + 1 AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  array_to_string(tk[start_tok : least(start_tok + ${ChunkSize - 1}, len(tk))], ' ') AS chunk_text,
+       |  CAST(least($ChunkSize, len(tk) - start_tok + 1) AS BIGINT) AS n_tokens
+       |FROM st
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q97_chunk_overlap"     -> (q97ChunkOverlap _),
     "q85_temperature_mix"   -> (q85TemperatureMix _),
     "q91_lm_quality"        -> (q91LmQualityFilter _),
     "q78_repetition_ratio"  -> (q78RepetitionRatio _),
@@ -831,6 +891,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q97_chunk_overlap"     -> q97Sql,
     "q85_temperature_mix"   -> q85Sql,
     "q91_lm_quality"        -> q91Sql,
     "q78_repetition_ratio"  -> q78Sql,

@@ -146,67 +146,18 @@ object Profile {
       .reduce(_ unionByName _)
     time("simhash pairs (q86 shape) on 3x")(noop(simPairsOn(base3)))
 
-    // round-7 scaling: the dup-run pipeline (q94 shape) is three linear
-    // shuffles — expectation is ~linear in corpus size
-    def dupRunOn(d: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val gw = DedupQueries.DupGramN
-      val gramsCol = graft.functions.Cols.bind(split($"text", " ")) { t =>
-        val n = size(t)
-        val gs = transform(sequence(lit(1), n - (gw - 1)), i =>
-          concat_ws(" ", (0 until gw).map(k => element_at(t, i + k)): _*))
-        when(n >= gw, gs).otherwise(array().cast("array<string>"))
-      }
-      val occ7 = d.select($"doc_id", posexplode(gramsCol).as(Seq("p0", "g_raw")))
-        .select($"doc_id", ($"p0" + 1).cast("long").as("p"),
-          DedupQueries.h60(spark, $"g_raw").as("g"))
-      occ7.withColumn("dup", count(lit(1)).over(Window.partitionBy($"g")) >= 2)
-        .withColumn("run_key",
-          when($"dup", $"p" - sum(when($"dup", 1L).otherwise(0L))
-            .over(Window.partitionBy($"doc_id").orderBy($"p"))))
-        .groupBy($"doc_id", $"run_key").agg(count(lit(1)).as("cnt"))
-        .groupBy($"doc_id")
-        .agg(sum($"cnt").as("n_grams"),
-          coalesce(max(when($"run_key".isNotNull, $"cnt")), lit(0L)).as("max_run"))
-    }
-    time("dup-run (q94 shape) on 1x")(noop(dupRunOn(base)))
-    time("dup-run (q94 shape) on 10x")(noop(dupRunOn(base10)))
-
-    // round-7 scaling: the SQ8 scan (q95 shape) is queries × corpus
-    // map-side — expectation is ~linear in corpus size at fixed queries
-    def sq8On(corpus: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val dim = SimilarityQueries.EmbDim
-      val stats = corpus.agg(
-        array((1 to dim).map(d =>
-          min(element_at($"embedding", d).cast("double"))): _*).as("lo"),
-        array((1 to dim).map(d =>
-          max(element_at($"embedding", d).cast("double"))): _*).as("hi"))
-        .localCheckpoint(false)
-      def enc(df: DataFrame) = df.crossJoin(broadcast(stats))
-        .select($"vec_id", transform($"embedding", (x, i) => {
-          val lo = element_at($"lo", i + 1)
-          val hi = element_at($"hi", i + 1)
-          when(hi > lo, floor((x.cast("double") - lo) / (hi - lo) *
-            SimilarityQueries.Sq8Levels)).otherwise(lit(0L)).cast("long")
-        }).as("codes"))
-      val qs = enc(corpus.where($"vec_id" < SimilarityQueries.NumQueries))
-        .select($"vec_id".as("query_id"), $"codes".as("qcodes"))
-      val idist = aggregate(
-        zip_with($"qcodes", $"codes", (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-      enc(corpus).join(broadcast(qs), $"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"), idist.as("idist"))
-        .withColumn("rn", row_number().over(Window.partitionBy($"query_id")
-          .orderBy($"idist".asc, $"neighbor_id".asc)))
-        .where($"rn" <= SimilarityQueries.TopK)
-    }
+    // round-7 scaling: the REAL q94 and q95 bodies (shared cores, so the
+    // probe can never drift from the measured query) on replicated
+    // corpora. q94 is three linear shuffles — expectation ~linear; the
+    // q95 scan is queries × corpus map-side — ~linear at fixed queries.
+    time("dup-run (q94 core) on 1x")(noop(DedupQueries.dupRunCore(spark, base)))
+    time("dup-run (q94 core) on 10x")(noop(DedupQueries.dupRunCore(spark, base10)))
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    time("sq8 ann (q95 shape) on 1x")(noop(sq8On(emb)))
+    time("sq8 ann (q95 core) on 1x")(noop(SimilarityQueries.sq8Core(spark, emb)))
     val emb10 = (0 until 10).map(i =>
       emb.select(($"vec_id" + lit(i * 10000000L)).as("vec_id"), $"embedding"))
       .reduce(_ unionByName _)
-    time("sq8 ann (q95 shape) on 10x")(noop(sq8On(emb10)))
+    time("sq8 ann (q95 core) on 10x")(noop(SimilarityQueries.sq8Core(spark, emb10)))
     spark.stop()
   }
 }

@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, EtlQueries, SimilarityQueries}
+import graft.queries.{DedupQueries, EtlQueries, SimilarityQueries, TextQueries}
 
-/** Value semantics of the round-7 queries (q92–q95) — the invariants
+/** Value semantics of the round-7 queries (q92–q97) — the invariants
   * the DuckDB oracle can't state directly. */
 class Round7QueriesSpec extends SparkSuite {
   import spark.implicits._
@@ -63,6 +63,47 @@ class Round7QueriesSpec extends SparkSuite {
       assert(r.getAs[Double]("p50_exact") == xs(((n * 50 + 99) / 100 - 1).toInt))
       assert(r.getAs[Double]("p95_exact") == xs(((n * 95 + 99) / 100 - 1).toInt))
     }
+  }
+
+  // ---- q97: sliding-window chunking ----
+
+  test("q97 chunks tile every document: full coverage, exact geometry, overlap") {
+    val out = TextQueries.q97ChunkOverlap(spark, sf0001).cache()
+    val nToks = Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet == nToks.keySet, "every document chunked")
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_idx"))
+      // starts step by exactly the stride from token 1
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("start_tok") == 1L + i * TextQueries.ChunkStride)
+        assert(c.getAs[Long]("n_tokens") ==
+          math.min(TextQueries.ChunkSize, nToks(doc) - c.getAs[Long]("start_tok") + 1))
+        // chunk text carries exactly n_tokens tokens
+        assert(c.getAs[String]("chunk_text").split(" ").length ==
+          c.getAs[Long]("n_tokens"))
+      }
+      // the last chunk reaches the final token — no tail is dropped
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tokens") - 1
+        == nToks(doc), s"doc $doc tail not covered")
+      // and no chunk is redundant: its PREDECESSOR must not already
+      // reach the end (the start lattice stops at the first window that
+      // covers the tail)
+      if (sorted.length > 1) {
+        val prev = sorted(sorted.length - 2)
+        assert(prev.getAs[Long]("start_tok") + prev.getAs[Long]("n_tokens") - 1
+          < nToks(doc), s"doc $doc emitted a fully-contained trailing chunk")
+      }
+      // a FULL first chunk overlaps the next by ChunkSize - ChunkStride
+      // tokens (docs of 25..31 tokens chunk twice with a short head)
+      if (sorted.length > 1 && nToks(doc) >= TextQueries.ChunkSize)
+        assert(sorted.head.getAs[Long]("n_tokens") - TextQueries.ChunkStride
+          == TextQueries.ChunkSize - TextQueries.ChunkStride)
+    }
+    out.unpersist()
   }
 
   // ---- q96: HLL distinct-content rollup ----
