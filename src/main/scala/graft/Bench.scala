@@ -116,13 +116,13 @@ object Bench {
       // successful rep reports the max failed duration (pessimistic, and
       // the stderr failure lines make the cause unmissable)
       val good = runs.collect { case (t, true) => t }.sorted
-      val times = if (good.nonEmpty) good else runs.map(_._1).sorted.reverse
+      val times = if (good.nonEmpty) good else runs.map(_._1).sorted
       if (good.length < reps)
         System.err.println(s"[bench] $name: ${reps - good.length}/$reps reps FAILED")
       // per-rep spread makes an anomalous rep self-diagnosing in logs
       System.err.println(s"[bench] $name min/med/max = " +
         s"${sec(times.head)}/${sec(times(times.length / 2))}/${sec(times.last)}")
-      name -> times.head
+      name -> (if (good.nonEmpty) times.head else times.last)
     }
     def jsonLine(key: String => String): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + sec(v) }
