@@ -870,7 +870,58 @@ object TextQueries {
        |FROM st
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- q98: encoding-quality (mojibake) filter ----
+
+  /** Max control characters per 1000 characters before a document is
+    * dropped (Dolma's control-char rule; integer-ratio form). */
+  val CtrlPerMille = 1
+
+  /** q98: encoding-quality gate — the C4 rule "drop any page containing
+    * the Unicode replacement character" (U+FFFD marks a failed decode
+    * upstream) plus Dolma's control-character ratio cap. Distinct from
+    * q21's LINGUISTIC quality (stopwords/punctuation): this catches
+    * transport-level damage — wrong charset, truncated multi-byte
+    * sequences, binary spill — that reads as gibberish bytes, not as
+    * bad prose.
+    *
+    * Counts are computed as length(text) − length(regexp_replace(text,
+    * class, '')) — pure character arithmetic both engines share (Spark
+    * `length` and DuckDB `length` both count CODE POINTS, and both
+    * regexp_replace calls are replace-all), and the keep decision is
+    * integer (n_ctrl·1000 ≤ n_chars·[[CtrlPerMille]]), so every row
+    * hash-matches. Map-only, zero shuffles before the presentation
+    * sort. */
+  def q98EncodingFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nChars = length($"text").cast("long")
+    val nRepl = (length($"text") -
+      length(regexp_replace($"text", "�", ""))).cast("long")
+    val nCtrl = (length($"text") -
+      length(regexp_replace($"text", "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+      .cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", nChars.as("n_chars"), nRepl.as("n_repl"),
+        nCtrl.as("n_ctrl"))
+      .withColumn("keep",
+        $"n_repl" === 0L && $"n_ctrl" * 1000L <= $"n_chars" * CtrlPerMille)
+      .orderBy($"doc_id")
+  }
+
+  val q98Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(length(text) - length(regexp_replace(text, chr(65533), '', 'g')) AS BIGINT) AS n_repl,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |    '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) || chr(14) || '-' || chr(31) || ']',
+       |    '', 'g')) AS BIGINT) AS n_ctrl,
+       |  (length(text) - length(regexp_replace(text, chr(65533), '', 'g'))) = 0
+       |    AND (length(text) - length(regexp_replace(text,
+       |      '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) || chr(14) || '-' || chr(31) || ']',
+       |      '', 'g'))) * 1000 <= length(text) * $CtrlPerMille AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q98_encoding_filter"   -> (q98EncodingFilter _),
     "q97_chunk_overlap"     -> (q97ChunkOverlap _),
     "q85_temperature_mix"   -> (q85TemperatureMix _),
     "q91_lm_quality"        -> (q91LmQualityFilter _),
@@ -891,6 +942,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q98_encoding_filter"   -> q98Sql,
     "q97_chunk_overlap"     -> q97Sql,
     "q85_temperature_mix"   -> q85Sql,
     "q91_lm_quality"        -> q91Sql,

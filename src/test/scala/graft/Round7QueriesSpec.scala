@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.{DedupQueries, EtlQueries, SimilarityQueries, TextQueries}
 
-/** Value semantics of the round-7 queries (q92–q97) — the invariants
+/** Value semantics of the round-7 queries (q92–q98) — the invariants
   * the DuckDB oracle can't state directly. */
 class Round7QueriesSpec extends SparkSuite {
   import spark.implicits._
@@ -104,6 +104,26 @@ class Round7QueriesSpec extends SparkSuite {
           == TextQueries.ChunkSize - TextQueries.ChunkStride)
     }
     out.unpersist()
+  }
+
+  // ---- q98: encoding-quality filter ----
+
+  test("q98 flags replacement chars and control-char floods, passes clean text") {
+    val dir = tmpDir("q98docs")
+    Seq(
+      (1L, "a perfectly clean document with ordinary words"),
+      (2L, "decode damage here � and the rest is fine"),
+      (3L, "ctrl flood" + "\u0001\u0002\u0003" + " short"),      // 3 ctrl / 23 chars
+      (4L, ("x " * 600).trim + "\u0007")                          // 1 ctrl / 1200 chars
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q98EncodingFilter(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_repl"), r.getAs[Long]("n_ctrl"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((0L, 0L, true)))
+    assert(out(2L) == ((1L, 0L, false)), "replacement char must drop the doc")
+    assert(out(3L)._2 == 3L && !out(3L)._3, "3 ctrl chars in 23 exceeds 1 per mille")
+    assert(out(4L)._2 == 1L && out(4L)._3,
+      "1 ctrl char in 1200 is within the per-mille cap")
   }
 
   // ---- q96: HLL distinct-content rollup ----
