@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify consumer tail-parses the forked process's stdout: sbt's
+// default output strategy decorates every forked line with "[info] ", which
+// broke the driver's JSON tail parse in 6 of 7 rounds (round 5, the only
+// parse success, shows the bare-line shape). StdoutOutput passes the forked
+// stdout through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

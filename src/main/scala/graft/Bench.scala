@@ -27,11 +27,15 @@ import org.apache.spark.sql.SparkSession
   * fit — the driver recorded `parsed: null`. The stdout line therefore
   * keys queries by their UNIQUE qNN prefix ("q77" for
   * q77_triangle_count, exactly the contract's documented shape) which
-  * keeps it ~1.2 KB at 87 queries (headroom to ~140), and is printed TWICE so a tail
-  * window holds at least one complete copy (consumers must take the
-  * LAST parseable line; see README bench notes). The FULL-name line is
-  * written to SPARK_GRAFT_BENCH_OUT (default ./bench_result.json) for
-  * the committed records.
+  * keeps it ~1.3 KB at 92 queries (headroom to ~140), printed ONCE:
+  * round 7 printed it twice and the tail window then held a truncated
+  * first copy ahead of the complete second one, which — combined with
+  * sbt's "[info] " decoration of the forked stdout (now disabled via
+  * run/outputStrategy := StdoutOutput in build.sbt) — kept the parse
+  * failing. One complete bare line fits the window with room for sbt's
+  * "[success]" trailer. The FULL-name line is written to
+  * SPARK_GRAFT_BENCH_OUT (default ./bench_result.json) for the
+  * committed records.
   *
   * SPARK_GRAFT_ONLY=q66_pagerank_step,q72_pagerank_iters restricts the
   * run for focused iteration: tokens match query names EXACTLY (round
@@ -128,7 +132,10 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + sec(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // "stat":"min" marks the round-7 median→min statistic switch so
+      // cross-round total comparisons don't conflate a real regression
+      // with the statistic change (r01–r06 totals are medians).
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","queries":$qs,"sf":"$sfDir"}"""
     }
     // full names to the file; unique qNN prefixes on stdout (tail-window
     // budget — see scaladoc). Prefix collisions (none today) fall back to
@@ -141,7 +148,6 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
-    println(shortLine)
     println(shortLine)
     spark.stop()
   }
