@@ -150,6 +150,28 @@ object Profile {
     // probe can never drift from the measured query) on replicated
     // corpora. q94 is three linear shuffles — expectation ~linear; the
     // q95 scan is queries × corpus map-side — ~linear at fixed queries.
+    // round-8: q88 composition stage breakdown (single-scan form)
+    {
+      val occAll = DedupQueries.q88TaggedOcc(spark, dir).localCheckpoint(false)
+      time("q88: tagged occ checkpoint")(occAll.count())
+      val shOcc = occAll.where($"kind" === 0).select($"doc_id", $"h")
+      val sig = DedupQueries.minhashFromHashedOcc(shOcc)
+      time("q88: minhash sig")(noop(sig))
+      val cand = DedupQueries.lshCandidates(DedupQueries.bandLabels(sig))
+        .localCheckpoint(false)
+      time("q88: lsh candidates")(cand.count())
+      val candIds = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      val candSh = shOcc.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id").agg(collect_list($"h").as("shingles"))
+      val pairs = DedupQueries.jaccardVerify(cand, candSh).select($"doc_a", $"doc_b")
+      time("q88: verified pairs")(noop(pairs))
+      time("q88: connected components")(noop(
+        graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")))
+      time("q88: dup-frac quality")(noop(DedupQueries.dupGramFromOcc(
+        occAll.where($"kind" === 1).select($"doc_id", $"h".as("g")))))
+      time("q88: full query")(noop(DedupQueries.q88ClusterKeeper(spark, dir)))
+    }
+
     time("dup-run (q94 core) on 1x")(noop(DedupQueries.dupRunCore(spark, base)))
     time("dup-run (q94 core) on 10x")(noop(DedupQueries.dupRunCore(spark, base10)))
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
