@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ EtlQueries.queries ++ GraphQueries.queries
+      SimilarityQueries.queries ++ EtlQueries.queries ++ GraphQueries.queries ++
+      ComposeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ EtlQueries.oracleSql ++ GraphQueries.oracleSql
+      SimilarityQueries.oracleSql ++ EtlQueries.oracleSql ++ GraphQueries.oracleSql ++
+      ComposeQueries.oracleSql
 }

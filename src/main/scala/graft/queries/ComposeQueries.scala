@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end corpus-pipeline composition: the artifact a training-data
+  * user actually ships is not any single filter but the per-document
+  * KEEP/DROP VERDICT of the whole chain. q100 wires the already-verified
+  * stages together with true SEQUENTIAL semantics (each stage sees only
+  * the previous stage's survivors — a dropped document cannot be a dedup
+  * keeper) and emits one row per document with the first stage that
+  * dropped it as a reason code.
+  *
+  * Stage order (the standard C4/Dolma/RefinedWeb shape):
+  *   benchmark    — the held-out eval split (doc_id % DecontamMod, q61's
+  *                  membership) is never training data;
+  *   bad_encoding — q98's replacement-char / control-char gate;
+  *   low_quality  — q21's length / stopword / punctuation gate;
+  *   exact_dup    — q24's md5 group keeper (min doc_id) WITHIN survivors;
+  *   near_dup     — q26/q49's MinHash-LSH + verified-Jaccard connected
+  *                  components WITHIN survivors; cluster keeper = min id;
+  *   contaminated — q61's shingle overlap against the benchmark docs;
+  *   quota        — q81's per-source hash-rank cap among what remains;
+  *   kept         — everything that survived.
+  *
+  * Scale design — TWO corpus text scans, the minimum the semantics
+  * allow (the gates need every document; the shingle stages need text
+  * again only for docs that survived them):
+  *  1. the flag pass: map-only gate columns + md5 content hash into a
+  *     ~60-byte/doc frame, checkpointed once, consumed by every later
+  *     stage and the final verdict assembly;
+  *  2. the shingle pass: hashed shingle occurrences minted ONLY for
+  *     stage-3 survivors ∪ benchmark docs (broadcast semi-join prunes
+  *     the scan), checkpointed, and shared by the LSH chain, Jaccard
+  *     verification (hashed sets, the q88 trick), and decontamination —
+  *     no third pass exists.
+  * All inter-stage frames are id-level (8–40 byte rows); the only
+  * corpus-row-count shuffles are the exact-dedup group-by and the LSH
+  * band exchange, both uniform by content hash. The oracle recomputes
+  * the whole chain independently (raw-string shingles, recursive-CTE
+  * closure), so the gate catches any inter-stage schema or semantic
+  * drift — the point of shipping the composition as its own query. */
+object ComposeQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def q100PipelineVerdict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // pass 1: per-doc flags (one corpus scan, tiny checkpointed frame)
+    val flags = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        md5($"text").as("text_hash"),
+        ($"doc_id" % DedupQueries.DecontamMod === 0).as("is_bench"),
+        TextQueries.encodingOkCol.as("enc_ok"),
+        TextQueries.qualityOkCol.as("qual_ok"))
+      .localCheckpoint(false)
+    val s2 = flags.where(!$"is_bench" && $"enc_ok" && $"qual_ok")
+    // exact dedup among s2 survivors; checkpointed: two consumers (the
+    // survivor filter and the drop-id marker) must not re-run the shuffle
+    val s2k = s2.join(
+        s2.groupBy($"text_hash").agg(min($"doc_id").as("keeper_id")),
+        Seq("text_hash"))
+      .select($"doc_id", $"source", ($"doc_id" =!= $"keeper_id").as("x_dup"))
+      .localCheckpoint(false)
+    val exactDropIds = s2k.where($"x_dup").select($"doc_id")
+    val s3Ids = s2k.where(!$"x_dup").select($"doc_id")
+    val benchIds = flags.where($"is_bench").select($"doc_id")
+    // pass 2: hashed shingle occurrences for s3 ∪ bench docs only
+    val occ = Tables.documents(s, dir)
+      .join(broadcast(s3Ids.unionByName(benchIds)), Seq("doc_id"), "left_semi")
+      .select($"doc_id", explode(DedupQueries.shingles($"text")).as("sh"))
+      .select($"doc_id", DedupQueries.h60(s, $"sh").as("h"))
+      .localCheckpoint(false)
+    val memberOcc = occ.join(broadcast(s3Ids), Seq("doc_id"), "left_semi")
+    // near-dup: the q88-shape LSH chain over the shared occurrences
+    val cand = DedupQueries.lshCandidates(
+        DedupQueries.bandLabels(DedupQueries.minhashFromHashedOcc(memberOcc)))
+      .localCheckpoint(false)
+    val candIds = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val candSh = memberOcc.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .groupBy($"doc_id").agg(collect_list($"h").as("shingles"))
+    val pairs = DedupQueries.jaccardVerify(cand, candSh)
+      .select($"doc_a", $"doc_b")
+    val nearDropIds = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .where($"id" =!= $"comp").select($"id".as("doc_id"))
+    // decontamination: benchmark shingle set vs member shingles
+    val benchSh = occ.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
+      .select($"h").distinct()
+    val contamIds = memberOcc.join(broadcast(benchSh), Seq("h"), "left_semi")
+      .select($"doc_id").distinct()
+    // quota: hash-rank per source among stage-5 survivors
+    val s5 = s2k.where(!$"x_dup")
+      .join(nearDropIds, Seq("doc_id"), "left_anti")
+      .join(contamIds, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val quotaDropIds = s5.select($"doc_id", $"source")
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" > TextQueries.SourceQuota).select($"doc_id")
+    // verdict assembly: first failing stage in pipeline order
+    flags
+      .join(exactDropIds.withColumn("m_x", lit(true)), Seq("doc_id"), "left")
+      .join(nearDropIds.withColumn("m_n", lit(true)), Seq("doc_id"), "left")
+      .join(contamIds.withColumn("m_c", lit(true)), Seq("doc_id"), "left")
+      .join(quotaDropIds.withColumn("m_q", lit(true)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"is_bench", "benchmark")
+          .when(!$"enc_ok", "bad_encoding")
+          .when(!$"qual_ok", "low_quality")
+          .when($"m_x", "exact_dup")
+          .when($"m_n", "near_dup")
+          .when($"m_c", "contaminated")
+          .when($"m_q", "quota")
+          .otherwise("kept").as("verdict"))
+      .withColumn("keep", $"verdict" === "kept")
+      .orderBy($"doc_id")
+  }
+
+  /** The oracle re-derives the whole chain independently: raw-string
+    * shingles (no 60-bit hashing anywhere — cross-checks the hashed
+    * Spark plan), recursive-CTE closure for the cluster step, and plain
+    * IN-subquery membership for the sequential restriction. Hash-chain
+    * text for the restricted sig CTEs is single-sourced from
+    * DedupQueries so the two oracles can never drift. */
+  lazy val q100Sql: String = {
+    val D = DedupQueries
+    val mod = D.DecontamMod
+    s"""WITH RECURSIVE f AS (
+       |  SELECT doc_id, source, md5(text) AS text_hash,
+       |    (doc_id % $mod = 0) AS is_bench,
+       |    ${TextQueries.encodingOkSql} AS enc_ok,
+       |    ${TextQueries.qualityOkSql} AS qual_ok
+       |  FROM documents),
+       |s2 AS (SELECT doc_id, source, text_hash FROM f
+       |       WHERE NOT is_bench AND enc_ok AND qual_ok),
+       |xk AS (SELECT text_hash, MIN(doc_id) AS keeper_id FROM s2 GROUP BY text_hash),
+       |xdrop AS (SELECT s2.doc_id FROM s2 JOIN xk USING (text_hash)
+       |          WHERE doc_id <> keeper_id),
+       |s3 AS (SELECT doc_id, source FROM s2
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM xdrop)),
+       |sh AS (SELECT doc_id, ${D.shinglesSqlExpr} AS shingles FROM documents
+       |       WHERE doc_id IN (SELECT doc_id FROM s3) OR doc_id % $mod = 0),
+       |occ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |mocc AS (SELECT doc_id, ${D.sqlOccHashExpr} AS h FROM occ
+       |         WHERE doc_id IN (SELECT doc_id FROM s3)),
+       |hashes AS (SELECT h, ${D.sqlSigHashExprs} FROM (SELECT DISTINCT h FROM mocc)),
+       |sig AS (SELECT mocc.doc_id, ${D.sqlSigMinExprs}
+       |        FROM mocc JOIN hashes USING (h) GROUP BY mocc.doc_id),
+       |bl AS (${D.sqlBandSelects("sig")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bl a JOIN bl b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pr AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE)
+       |        >= ${D.JaccardThreshold}),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |walk(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+       |ndrop AS (SELECT u AS doc_id FROM walk GROUP BY u HAVING u <> MIN(r)),
+       |bsh AS (SELECT DISTINCT s FROM occ WHERE doc_id % $mod = 0),
+       |contam AS (SELECT DISTINCT o.doc_id FROM occ o JOIN bsh USING (s)
+       |           WHERE o.doc_id IN (SELECT doc_id FROM s3)),
+       |s5 AS (SELECT doc_id, source FROM s3
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)
+       |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |qr AS (SELECT doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |       FROM s5),
+       |qdrop AS (SELECT doc_id FROM qr WHERE rk > ${TextQueries.SourceQuota})
+       |SELECT doc_id, verdict, (verdict = 'kept') AS keep FROM (
+       |  SELECT f.doc_id,
+       |    CASE WHEN is_bench THEN 'benchmark'
+       |         WHEN NOT enc_ok THEN 'bad_encoding'
+       |         WHEN NOT qual_ok THEN 'low_quality'
+       |         WHEN f.doc_id IN (SELECT doc_id FROM xdrop) THEN 'exact_dup'
+       |         WHEN f.doc_id IN (SELECT doc_id FROM ndrop) THEN 'near_dup'
+       |         WHEN f.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+       |         WHEN f.doc_id IN (SELECT doc_id FROM qdrop) THEN 'quota'
+       |         ELSE 'kept' END AS verdict
+       |  FROM f)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q100_pipeline_verdict" -> (q100PipelineVerdict _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q100_pipeline_verdict" -> q100Sql,
+  )
+}

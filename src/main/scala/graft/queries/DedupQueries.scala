@@ -111,6 +111,23 @@ object DedupQueries {
        |  GROUP BY occ.doc_id)""".stripMargin
   }
 
+  /** Oracle building blocks exposed for the q100 composition — the
+    * restricted sig/band CTEs there must hash EXACTLY like
+    * [[sqlSigCtes]], so the text is single-sourced here. */
+  private[graft] def shinglesSqlExpr: String = ShinglesSql
+  private[graft] def sqlOccHashExpr: String = sqlH60("md5(s)")
+  private[graft] def sqlSigHashExprs: String =
+    (0 until NumHashes).map(j =>
+      s"${sqlH60(s"md5('$j:' || CAST(h AS VARCHAR))")} AS h_$j").mkString(", ")
+  private[graft] def sqlSigMinExprs: String =
+    (0 until NumHashes).map(j => s"MIN(h_$j) AS mh_$j").mkString(", ")
+  private[graft] def sqlBandSelects(sigTable: String): String =
+    (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band_id, md5($parts) AS bh FROM $sigTable"
+    }.mkString(" UNION ALL ")
+
   // ---- q24: exact dedup ----
 
   /** Exact dedup via content-hash group-by: every hash group keeps its
@@ -991,6 +1008,106 @@ object DedupQueries {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q99: URL-canonicalization dedup (C4-style pre-text dedup key) ----
+
+  /** Canonical form of a URL column — the C4/CommonCrawl pre-text dedup
+    * key: lowercase host, strip a leading "www.", drop scheme / port /
+    * fragment, strip one trailing slash from the path, drop tracking
+    * params (utm_*, fbclid, gclid, ref) and sort the surviving params.
+    * Path CASE is preserved (paths are case-sensitive; hosts are not).
+    * Built entirely from codegen'd builtins (parse_url / regexp_replace /
+    * array HOFs) — map-only, no UDF. */
+  def canonicalUrl(url: Column): Column = {
+    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+    val kept = filter(split(parse_url(url, lit("QUERY")), "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p.startsWith("ref=")))
+    val qs = array_join(array_sort(kept), "&")
+    concat(host, path,
+      when(qs.isNotNull && length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /** q99: dedup by canonical URL — the cheapest stage of a C4-style
+    * corpus pipeline, run BEFORE any text comparison: pages fetched via
+    * http vs https, with/without www., with tracking params, ports,
+    * fragments, or a trailing slash are the same page. Each canonical
+    * group keeps the LONGEST document (ties → lowest doc_id). The messy
+    * URL is derived deterministically from (doc_id, source) — the q13
+    * fixture pattern — and exercises every canonicalization rule; the
+    * oracle rebuilds identical URLs and canonicalizes them with plain
+    * string functions, so the parse_url path is cross-checked.
+    *
+    * Scale: canonicalization is map-only; the only shuffle is the
+    * group-by on the canonical URL (uniform by content), with max_by
+    * partial-aggregated map-side. No text column ever moves. */
+  def q99UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val www = when($"doc_id" % 5 === 0, lit("www.")).otherwise(lit(""))
+    val hostRaw = concat(www, $"source", lit(".example.com"))
+    val idp = ($"doc_id" % 3).cast("string")
+    val url = concat(
+      lit("http"), when($"doc_id" % 2 === 0, lit("s")).otherwise(lit("")), lit("://"),
+      when($"doc_id" % 3 === 0, upper(hostRaw)).otherwise(hostRaw),
+      when($"doc_id" % 7 === 0,
+        when($"doc_id" % 2 === 0, lit(":443")).otherwise(lit(":80"))).otherwise(lit("")),
+      when($"doc_id" % 11 === 0, lit("/articles/")).otherwise(lit("/Articles/")),
+      ($"doc_id" % 5).cast("string"),
+      when($"doc_id" % 13 === 0, lit("/")).otherwise(lit("")),
+      when($"doc_id" % 4 === 0, concat(lit("?utm_source=feed&id="), idp))
+        .when($"doc_id" % 4 === 1, concat(lit("?id="), idp, lit("&utm_campaign=x")))
+        .when($"doc_id" % 4 === 2, concat(lit("?id="), idp))
+        .otherwise(lit("")),
+      when($"doc_id" % 6 === 0, lit("#sec")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars", canonicalUrl(url).as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_copies"),
+        max_by($"doc_id", $"n_chars" * 1000000000L - $"doc_id").as("keeper_id"),
+        max($"n_chars").as("keeper_chars"))
+      .orderBy($"canonical_url")
+  }
+
+  // The oracle canonicalizes with plain string functions (no URL parser)
+  // — an independent path that cross-checks parse_url's HOST/PATH/QUERY
+  // extraction, port stripping included.
+  val q99Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |    'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://' ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN upper(CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END || source || '.example.com')
+      |         ELSE CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END || source || '.example.com' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN '/articles/' ELSE '/Articles/' END || CAST(doc_id % 5 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END ||
+      |    CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+      |                    WHEN 1 THEN '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+      |                    WHEN 2 THEN '?id=' || CAST(doc_id % 3 AS VARCHAR)
+      |                    ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM documents),
+      |p1 AS (SELECT doc_id, n_chars,
+      |         regexp_replace(string_split(url,'#')[1], '^https?://', '') AS hpq FROM u),
+      |p2 AS (SELECT doc_id, n_chars,
+      |         string_split(hpq, '/')[1] AS hostport,
+      |         substr(hpq, len(string_split(hpq,'/')[1]) + 1) AS pathq FROM p1),
+      |p3 AS (SELECT doc_id, n_chars,
+      |         regexp_replace(lower(string_split(hostport, ':')[1]), '^www\.', '') AS host,
+      |         regexp_replace(string_split(pathq, '?')[1], '/$', '') AS path,
+      |         CASE WHEN contains(pathq, '?') THEN string_split(pathq, '?')[2] END AS query FROM p2),
+      |p4 AS (SELECT doc_id, n_chars, host, path,
+      |         COALESCE(array_to_string(list_sort(list_filter(string_split(query,'&'),
+      |           p -> NOT (starts_with(p,'utm_') OR starts_with(p,'fbclid=') OR
+      |                     starts_with(p,'gclid=') OR starts_with(p,'ref=')))), '&'), '') AS qs
+      |       FROM p3),
+      |p5 AS (SELECT doc_id, n_chars,
+      |         host || path || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url FROM p4)
+      |SELECT canonical_url, COUNT(*) AS n_copies,
+      |  arg_max(doc_id, n_chars*1000000000 - doc_id) AS keeper_id,
+      |  MAX(n_chars) AS keeper_chars
+      |FROM p5 GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_decontaminate"       -> (q61Decontaminate _),
     "q49_dedup_clusters"      -> (q49DedupClusters _),
@@ -1005,6 +1122,7 @@ object DedupQueries {
     "q88_cluster_keeper"      -> (q88ClusterKeeper _),
     "q89_incremental_dedup"   -> (q89IncrementalDedup _),
     "q94_dup_run_length"      -> (q94DupRunLength _),
+    "q99_url_dedup"           -> (q99UrlDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1021,5 +1139,6 @@ object DedupQueries {
     "q88_cluster_keeper"      -> q88Sql,
     "q89_incremental_dedup"   -> q89Sql,
     "q94_dup_run_length"      -> q94Sql,
+    "q99_url_dedup"           -> q99Sql,
   )
 }

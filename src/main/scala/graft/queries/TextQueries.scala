@@ -54,6 +54,34 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Stopword / punctuation ratios over a `text` column — shared by q21
+    * and the q100 pipeline gate so the definitions cannot drift. */
+  private def stopRatioCol: Column = {
+    val t = toks(col("text"))
+    countIn(t, stopEn).cast("double") / size(t).cast("double")
+  }
+  private def punctRatioCol: Column =
+    (length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") /
+      length(col("text")).cast("double")
+
+  /** The q21 boolean quality gate as a standalone column (q100 composes
+    * it without the ratio outputs). */
+  private[graft] def qualityOkCol: Column =
+    length(col("text")) >= 100 && stopRatioCol <= lit(0.3) &&
+      punctRatioCol <= lit(0.1)
+
+  private def stopRatioSql: String =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(stopEn)})) AS DOUBLE)" +
+      " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+  private def punctRatioSql: String =
+    "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)" +
+      " / CAST(LENGTH(text) AS DOUBLE)"
+
+  /** SQL dual of [[qualityOkCol]]. */
+  private[graft] def qualityOkSql: String =
+    s"(LENGTH(text) >= 100 AND $stopRatioSql <= 0.3 AND $punctRatioSql <= 0.1)"
+
   /** q21: quality scoring — stopword ratio, punctuation ratio, mean token
     * length, and a boolean gate. Ratios are exact IEEE divisions of integer
     * counts, so they hash-match across engines without rounding. */
@@ -61,34 +89,25 @@ object TextQueries {
     import s.implicits._
     val t = toks($"text")
     val nTok = size(t).cast("double")
-    val stopRatio = countIn(t, stopEn).cast("double") / nTok
-    val punct = length($"text") -
-      length(regexp_replace($"text", "[^A-Za-z0-9 ]", ""))
-    val punctRatio = punct.cast("double") / length($"text").cast("double")
     val avgTokLen = aggregate(t, lit(0),
       (acc, x) => acc + length(x)).cast("double") / nTok
     Tables.documents(s, dir)
       .select($"doc_id",
-        stopRatio.as("stop_ratio"),
-        punctRatio.as("punct_ratio"),
+        stopRatioCol.as("stop_ratio"),
+        punctRatioCol.as("punct_ratio"),
         avgTokLen.as("avg_tok_len"),
-        (length($"text") >= 100 && stopRatio <= lit(0.3) &&
-          punctRatio <= lit(0.1)).as("quality_ok"))
+        qualityOkCol.as("quality_ok"))
       .orderBy($"doc_id")
   }
 
   val q21Sql: String = {
-    val stop = s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(stopEn)})) AS DOUBLE)" +
-      " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
-    val punct = "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)" +
-      " / CAST(LENGTH(text) AS DOUBLE)"
     val avgTok = "CAST(list_sum(list_transform(string_split(text, ' '), t -> LENGTH(t))) AS DOUBLE)" +
       " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
     s"""SELECT doc_id,
-       | $stop AS stop_ratio,
-       | $punct AS punct_ratio,
+       | $stopRatioSql AS stop_ratio,
+       | $punctRatioSql AS punct_ratio,
        | $avgTok AS avg_tok_len,
-       | (LENGTH(text) >= 100 AND $stop <= 0.3 AND $punct <= 0.1) AS quality_ok
+       | $qualityOkSql AS quality_ok
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
@@ -891,14 +910,29 @@ object TextQueries {
     * integer (n_ctrl·1000 ≤ n_chars·[[CtrlPerMille]]), so every row
     * hash-matches. Map-only, zero shuffles before the presentation
     * sort. */
+  private def nReplCol: Column = (length(col("text")) -
+    length(regexp_replace(col("text"), "�", ""))).cast("long")
+  private def nCtrlCol: Column = (length(col("text")) -
+    length(regexp_replace(col("text"), "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+    .cast("long")
+
+  /** The q98 boolean encoding gate as a standalone column (q100 composes
+    * it without the count outputs). */
+  private[graft] def encodingOkCol: Column =
+    nReplCol === 0L && nCtrlCol * 1000L <= length(col("text")).cast("long") * CtrlPerMille
+
+  /** SQL dual of [[encodingOkCol]]. */
+  private[graft] def encodingOkSql: String =
+    s"""((length(text) - length(regexp_replace(text, chr(65533), '', 'g'))) = 0
+       | AND (length(text) - length(regexp_replace(text,
+       |   '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) || chr(14) || '-' || chr(31) || ']',
+       |   '', 'g'))) * 1000 <= length(text) * $CtrlPerMille)""".stripMargin.replace("\n", " ")
+
   def q98EncodingFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nChars = length($"text").cast("long")
-    val nRepl = (length($"text") -
-      length(regexp_replace($"text", "�", ""))).cast("long")
-    val nCtrl = (length($"text") -
-      length(regexp_replace($"text", "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
-      .cast("long")
+    val nRepl = nReplCol
+    val nCtrl = nCtrlCol
     Tables.documents(s, dir)
       .select($"doc_id", nChars.as("n_chars"), nRepl.as("n_repl"),
         nCtrl.as("n_ctrl"))
