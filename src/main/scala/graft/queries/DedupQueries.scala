@@ -116,6 +116,9 @@ object DedupQueries {
     * [[sqlSigCtes]], so the text is single-sourced here. */
   private[graft] def shinglesSqlExpr: String = ShinglesSql
   private[graft] def sqlOccHashExpr: String = sqlH60("md5(s)")
+  /** Generic 60-bit hex-prefix parse of an md5 expression (q101's ticket
+    * dual lives in EtlQueries). */
+  private[graft] def sqlH60Expr(hexCol: String): String = sqlH60(hexCol)
   private[graft] def sqlSigHashExprs: String =
     (0 until NumHashes).map(j =>
       s"${sqlH60(s"md5('$j:' || CAST(h AS VARCHAR))")} AS h_$j").mkString(", ")

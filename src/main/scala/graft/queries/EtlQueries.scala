@@ -509,7 +509,59 @@ object EtlQueries {
       |GROUP BY ROLLUP(source, lang)
       |ORDER BY source, lang""".stripMargin
 
+  // ---- q101: weighted reservoir sample per stratum (A-ES) ----
+
+  /** Reservoir size per stratum. */
+  val WrsK = 5
+
+  /** q101 — weighted reservoir sampling per language stratum via the
+    * mergeable [[graft.functions.WeightedReservoir]] typed Aggregator
+    * (A-ES in its integer-ticket determinization; scheme and merge proof
+    * in its scaladoc). The sampling family's missing member: q40 is
+    * unweighted Bernoulli (no size bound), q81 caps counts uniformly,
+    * q85 rebalances strata — this draws EXACTLY k per stratum with
+    * per-item weights (here 1 + doc_id mod 8, a deterministic stand-in
+    * for a quality/duplication weight tier).
+    *
+    * Unlike the q40/q43 verdict oracles, this sketch is VALUE-level
+    * reproducible: tickets are md5 prefixes both engines compute
+    * identically, so DuckDB re-derives the exact sample membership,
+    * ranks and tickets.
+    *
+    * Scale: partial aggregation folds every partition to a k-pair
+    * buffer; the shuffle moves |strata|×k pairs, never the corpus. */
+  def q101WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id", (lit(1L) + $"doc_id" % 8L).cast("int").as("w"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.WeightedReservoir(WrsK).toColumn.name("sample"))
+      .toDF("lang", "sample")
+      .select($"lang", posexplode($"sample").as(Seq("i", "e")))
+      .select($"lang", ($"i" + 1).cast("long").as("rk"),
+        $"e._1".as("doc_id"), $"e._2".as("ticket"))
+      .orderBy($"lang", $"rk")
+  }
+
+  lazy val q101Sql: String = {
+    val h = DedupQueries.sqlH60Expr(
+      "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    list_min(list_transform(generate_series(1, CAST(1 + doc_id % 8 AS INT)),
+       |      j -> $h)) AS ticket
+       |  FROM documents)
+       |SELECT lang, rk, doc_id, ticket FROM (
+       |  SELECT lang, doc_id, ticket,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ticket, doc_id) AS rk
+       |  FROM t)
+       |WHERE rk <= $WrsK ORDER BY lang, rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q101_weighted_sample"    -> (q101WeightedSample _),
     "q40_bernoulli_sample"    -> (q40BernoulliSample _),
     "q41_kv_encode"           -> (q41KvEncode _),
     "q42_multimodal_features" -> (q42MultimodalFeatures _),
@@ -524,6 +576,7 @@ object EtlQueries {
     * (verdict-style bounds), q92/q93 since round 7 — zero rows-only
     * entries left. */
   val oracleSql: Map[String, String] = Map(
+    "q101_weighted_sample"    -> q101Sql,
     "q40_bernoulli_sample"    -> q40Sql,
     "q41_kv_encode"           -> q41Sql,
     "q42_multimodal_features" -> q42Sql,

@@ -95,6 +95,62 @@ class Round8QueriesSpec extends SparkSuite {
     assert(quotaGroup.count(_ == "quota") == 12 - TextQueries.SourceQuota)
   }
 
+  // ---- q101: weighted reservoir (A-ES) ----
+
+  test("q101 reservoir is merge-invariant: any partitioning yields the k global winners") {
+    import org.apache.spark.sql.Dataset
+    def sample(parts: Int): Array[(String, Long)] = {
+      val ds: Dataset[(String, Long, Int)] = (0L until 400L)
+        .map(i => (s"s${i % 7}", i, 1 + (i % 5).toInt)).toDS().repartition(parts)
+      ds.groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(new graft.functions.WeightedReservoir(4).toColumn.name("sm"))
+        .toDF("st", "sm")
+        .select($"st", explode($"sm").as("e"))
+        .select($"st", $"e._1".as("id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted
+    }
+    val one = sample(1)
+    assert(one.length == 7 * 4)
+    assert(sample(13).sameElements(one), "sample must not depend on partitioning")
+  }
+
+  test("q101 aggregator equals the global min-k by (ticket, id) per stratum") {
+    val out = queries.EtlQueries.q101WeightedSample(spark, sf0001).collect()
+    // independent truth: rank ALL docs by the same deterministic ticket
+    // (recomputed via the column-side md5 path, not the aggregator's JVM
+    // digest) and take k per stratum
+    val truth = Tables.documents(spark, sf0001)
+      .select($"lang", $"doc_id",
+        explode(sequence(lit(1L), lit(1L) + $"doc_id" % 8L)).as("j"))
+      .select($"lang", $"doc_id",
+        DedupQueries.h60(spark, concat($"doc_id".cast("string"), lit(":"),
+          $"j".cast("string")).cast("binary")).as("t"))
+      .groupBy($"lang", $"doc_id").agg(min($"t").as("ticket"))
+      .collect().groupBy(_.getString(0)).view.mapValues(
+        _.map(r => (r.getAs[Long]("ticket"), r.getLong(1))).sorted
+          .take(queries.EtlQueries.WrsK).map(_._2).toSeq).toMap
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val got = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id")).toSeq
+      assert(got == truth(lang), s"stratum $lang sample diverged from global min-k")
+    }
+  }
+
+  test("q101 weight race: heavier items win their stratum far more often") {
+    // 2-item strata, weights 8 vs 1, k=1: A-ES says the heavy item wins
+    // with probability 8/9 ≈ 0.889; over 300 deterministic strata the
+    // observed rate must sit near it (md5 tickets are fixed, not random —
+    // this pins that the DETERMINIZATION preserves the weighting)
+    val ds = (0 until 300).flatMap { g =>
+      Seq((s"g$g", 2L * g, 8), (s"g$g", 2L * g + 1, 1))
+    }.toDS()
+    val winners = ds.groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.WeightedReservoir(1).toColumn.name("sm"))
+      .collect().map { case (_, sm) => sm.head._1 }
+    val heavyWins = winners.count(_ % 2 == 0)
+    assert(heavyWins >= 240 && heavyWins <= 290,
+      s"heavy item won $heavyWins/300 strata; expected ~267 (8/9)")
+  }
+
   test("q100 on testdata: verdicts partition the corpus and agree with the gates") {
     val out = ComposeQueries.q100PipelineVerdict(spark, sf0001).cache()
     try {
