@@ -53,6 +53,19 @@ object AvroIo {
     case StringType  => Schema.create(Schema.Type.STRING)
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    // the three BigQuery-export logical types a real interchange hop
+    // hits next (round-7 verdict item 6): Avro's standard encodings —
+    // date = int days, timestamp-micros = long µs, decimal = bytes
+    // holding the two's-complement unscaled value at the declared scale
+    case DateType =>
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case ArrayType(elem, _) => Schema.createArray(nullable(avroType(elem, name)))
     case st: StructType => avroSchema(st, name)
     case other => throw new IllegalArgumentException(
@@ -66,6 +79,16 @@ object AvroIo {
       val es = unwrap(schema).getElementType
       seq.map(x => toAvro(x, elem, es)).asJava
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+    case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
+    case (t: java.sql.Timestamp, TimestampType) =>
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case (t: java.time.Instant, TimestampType) =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case (b: java.math.BigDecimal, d: DecimalType) =>
+      java.nio.ByteBuffer.wrap(
+        b.setScale(d.scale).unscaledValue().toByteArray)
     case (x, _) => x
   }
 
@@ -93,6 +116,14 @@ object AvroIo {
     case (s: CharSequence, StringType) => s.toString
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (days: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+    case (us: java.lang.Long, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    case (b: java.nio.ByteBuffer, d: DecimalType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+      new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
     case (x, _) => x
   }
 
@@ -139,29 +170,37 @@ object AvroIo {
       w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
       var n = 0L
       var ok = false
+      var committed = false
       try {
-        w.create(schema, fs.create(tmp, true))
-        rows.foreach { r => w.append(record(r, st, schema)); n += 1 }
-        ok = true
+        try {
+          w.create(schema, fs.create(tmp, true))
+          rows.foreach { r => w.append(record(r, st, schema)); n += 1 }
+          ok = true
+        } finally {
+          // a failed append must still release the executor-side handle
+          // (close failure on the success path is a real commit failure
+          // and propagates; on the failure path it must not mask the
+          // original exception)
+          try w.close() catch { case e: Throwable => if (ok) throw e }
+        }
+        // Commit is rename-ONLY — never delete the final name first: a
+        // zombie/speculative attempt that deleted a committed part and died
+        // before its own rename would leave the job "successful" with a
+        // silently missing file. If the rename fails because another attempt
+        // of this same partition already committed, that file has identical
+        // content — accept it and drop our tmp.
+        committed = fs.rename(tmp, p) || fs.exists(p)
+        if (!committed)
+          throw new java.io.IOException(s"avro commit failed renaming $tmp -> $p")
       } finally {
-        // a failed append must still release the executor-side handle and
-        // remove its tmp file (close failure on the success path is a real
-        // commit failure and propagates; on the failure path it must not
-        // mask the original exception)
-        try w.close() catch { case e: Throwable => if (ok) throw e }
-        if (!ok) { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+        // ANY post-create failure — append, close-on-success, a throwing
+        // rename — removes the tmp best-effort before the exception
+        // propagates: task retry rewrites it, and no UUID-suffixed
+        // orphans accumulate in the output directory. Also covers the
+        // committed-by-another-attempt path, where our tmp must go.
+        try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+        catch { case _: Throwable => () }
       }
-      // Commit is rename-ONLY — never delete the final name first: a
-      // zombie/speculative attempt that deleted a committed part and died
-      // before its own rename would leave the job "successful" with a
-      // silently missing file. If the rename fails because another attempt
-      // of this same partition already committed, that file has identical
-      // content — accept it and drop our tmp.
-      val committed = fs.rename(tmp, p) || fs.exists(p)
-      if (!committed)
-        throw new java.io.IOException(s"avro commit failed renaming $tmp -> $p")
-      try { if (fs.exists(tmp)) fs.delete(tmp, false) }
-      catch { case _: Throwable => () }
       Iterator((p.toString, n))
     }.collect() // KB-sized manifest: (file, row count) per partition
     if (files.isEmpty) {

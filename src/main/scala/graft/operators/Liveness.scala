@@ -43,4 +43,54 @@ object Liveness {
     val live = filterLive(df.select(guidCol).as[String], probe)
     df.join(live.toDF(guidCol), Seq(guidCol), "left_semi")
   }
+
+  /** Hit budget for a distributed probe run (the reference's 2-second
+    * timeout scaled to 100× guid counts): `maxConcurrent` bounds the
+    * cluster-wide in-flight probes — the key set is coalesced to that
+    * many tasks, each probing synchronously, so the target service never
+    * sees more than `maxConcurrent` open requests; `maxPerSecPerTask`
+    * paces each task (aggregate rate ≤ maxConcurrent × maxPerSecPerTask);
+    * the failure budget ABORTS the job once a task has probed ≥
+    * `minSample` keys with a failure fraction above `maxFailureRate` — a
+    * dead or rate-limiting endpoint fails in seconds instead of being
+    * hammered for the whole key set. */
+  case class ProbeBudget(maxConcurrent: Int = 32,
+      maxPerSecPerTask: Double = 10.0,
+      maxFailureRate: Double = 0.9,
+      minSample: Int = 20)
+
+  class ProbeBudgetExceeded(msg: String) extends RuntimeException(msg)
+
+  /** [[filterLive]] under a [[ProbeBudget]]: same semantics on success,
+    * but concurrency-capped, rate-paced, and failure-budget-guarded. */
+  def filterLiveBudgeted(guids: Dataset[String], probe: String => Boolean,
+      budget: ProbeBudget = ProbeBudget()): Dataset[String] = {
+    import guids.sparkSession.implicits._
+    val b = budget
+    val coalesced =
+      if (guids.rdd.getNumPartitions > b.maxConcurrent) guids.coalesce(b.maxConcurrent)
+      else guids
+    coalesced.mapPartitions { it =>
+      val minIntervalNs =
+        if (b.maxPerSecPerTask <= 0) 0L else (1e9 / b.maxPerSecPerTask).toLong
+      var nextAllowed = 0L
+      var n = 0L
+      var failed = 0L
+      it.filter { g =>
+        val now = System.nanoTime()
+        if (now < nextAllowed) {
+          val ms = (nextAllowed - now) / 1000000L
+          if (ms > 0) Thread.sleep(ms)
+        }
+        nextAllowed = math.max(now, nextAllowed) + minIntervalNs
+        val ok = probe(g)
+        n += 1
+        if (!ok) failed += 1
+        if (n >= b.minSample && failed > b.maxFailureRate * n)
+          throw new ProbeBudgetExceeded(
+            s"liveness probe failure rate $failed/$n exceeds ${b.maxFailureRate} — aborting")
+        ok
+      }
+    }
+  }
 }

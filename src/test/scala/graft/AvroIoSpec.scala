@@ -86,6 +86,36 @@ class AvroIoSpec extends SparkSuite {
       b.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("date / timestamp-micros / decimal logical types round-trip exactly") {
+    val st = StructType(Seq(
+      StructField("id", LongType),
+      StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("amt", DecimalType(12, 2))))
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2024-06-01"),
+        java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456"),
+        new java.math.BigDecimal("12345.67")),
+      // pre-epoch date and negative amount exercise the signed encodings
+      Row(2L, java.sql.Date.valueOf("1969-07-20"),
+        java.sql.Timestamp.valueOf("1969-07-20 20:17:40.000001"),
+        new java.math.BigDecimal("-0.01")),
+      Row(3L, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+    val dir = tmpDir("avro_logical")
+    AvroIo.write(df, dir)
+    // the written file must carry the STANDARD logical-type annotations
+    // (any Avro consumer decodes it, not just this reader)
+    val s = AvroIo.avroSchema(st)
+    assert(s.getField("d").schema().getTypes.get(1).getLogicalType.getName == "date")
+    assert(s.getField("ts").schema().getTypes.get(1).getLogicalType.getName == "timestamp-micros")
+    assert(s.getField("amt").schema().getTypes.get(1).getLogicalType.getName == "decimal")
+    val back = AvroIo.read(spark, dir, st)
+    assert(back.schema == st)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      df.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("profile pipeline staged via Avro produces the identical KV table") {
     import graft.jobs.ProfileEtl
     val clients = Seq(

@@ -123,4 +123,40 @@ class HttpSourceSpec extends SparkSuite with BeforeAndAfterAll {
       Liveness.httpProbe("http://127.0.0.1:1/check/{guid}", timeoutMs = 300))
     assert(none.isEmpty)
   }
+
+  test("F11 budget: concurrency is capped at maxConcurrent tasks") {
+    val guids = (0 until 200).map(i => s"g$i@x").toDS().repartition(50)
+    val out = Liveness.filterLiveBudgeted(guids, _ => true,
+      Liveness.ProbeBudget(maxConcurrent = 4, maxPerSecPerTask = 0))
+    // the probe stage runs in exactly maxConcurrent tasks — one
+    // synchronous probe each, so ≤ 4 requests are ever in flight
+    assert(out.rdd.getNumPartitions == 4)
+    assert(out.count() == 200)
+  }
+
+  test("F11 budget: per-task pacing keeps the probe rate at the cap") {
+    val guids = (0 until 30).map(i => s"g$i@x").toDS().coalesce(1)
+    val t0 = System.nanoTime()
+    val n = Liveness.filterLiveBudgeted(guids, _ => true,
+      Liveness.ProbeBudget(maxConcurrent = 1, maxPerSecPerTask = 100.0)).count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(n == 30)
+    // 30 probes at 100/s need ≥ 29 inter-probe gaps of 10ms
+    assert(elapsed >= 0.29, f"30 probes at 100/s finished in $elapsed%.3fs")
+  }
+
+  test("F11 budget: failure-rate breach aborts early instead of probing the whole set") {
+    val hits = spark.sparkContext.longAccumulator("probe-hits")
+    val guids = (0 until 10000).map(i => s"g$i@x").toDS().coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      Liveness.filterLiveBudgeted(guids,
+        { _ => hits.add(1L); false },
+        Liveness.ProbeBudget(maxConcurrent = 1, maxPerSecPerTask = 0,
+          maxFailureRate = 0.5, minSample = 25)).count()
+    }
+    assert(e.getMessage.contains("exceeds") || e.getCause != null)
+    // the task died at the minSample check (+ Spark may retry the task a
+    // bounded number of times in local mode), nowhere near the full set
+    assert(hits.value <= 200L, s"probed ${hits.value} of 10000 before aborting")
+  }
 }
