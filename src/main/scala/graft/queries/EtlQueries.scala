@@ -310,8 +310,19 @@ object EtlQueries {
     * construction, and production uses only the bitset branch. */
   def q92BloomJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dim = Tables.customer(s, dir)
-      .where($"c_acctbal" > 9000).select($"c_custkey".as("k"))
+    bloomAuditCore(
+      Tables.customer(s, dir)
+        .where($"c_acctbal" > 9000).select($"c_custkey".as("k")),
+      Tables.orders(s, dir).select($"o_custkey", $"o_orderpriority"))
+  }
+
+  /** q92 body over arbitrary dim(k) / fact(o_custkey, o_orderpriority)
+    * frames — Round7QueriesSpec probes a fact frame RESTRICTED to true
+    * matches, where exact membership demands n_pass == n_probed ==
+    * n_true and zero false positives. */
+  private[graft] def bloomAuditCore(dim: DataFrame, fact: DataFrame): DataFrame = {
+    val s = dim.sparkSession
+    import s.implicits._
     val words = dim
       .select(explode(array((0 until BloomHashes).map(d => bloomPos($"k", d)): _*)).as("pos"))
       .select(expr(s"pos div $BloomWordBits").as("widx"),
@@ -321,8 +332,7 @@ object EtlQueries {
       // checkpointed so the bitset (and its dim scan) builds ONCE —
       // plan-branch reuse does not dedupe re-analyzed branches (§9 note)
       .localCheckpoint(false)
-    val probe = (0 until BloomHashes).foldLeft(
-      Tables.orders(s, dir).select($"o_custkey", $"o_orderpriority")) { (df, d) =>
+    val probe = (0 until BloomHashes).foldLeft(fact) { (df, d) =>
       df.withColumn(s"pos$d", bloomPos($"o_custkey", d))
         .join(broadcast(words.select($"widx".as(s"widx$d"), $"word".as(s"word$d"))),
           expr(s"pos$d div $BloomWordBits") === col(s"widx$d"), "left")
@@ -483,31 +493,40 @@ object EtlQueries {
   def q96RollupDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rsd = Q96Rsd
+    // grouping() flags disambiguate subtotal rows from leaves: a real
+    // NULL (or literal 'ALL') source/lang value can no longer collide
+    // with the coalesced sentinel — (source, lang, src_rollup,
+    // lang_rollup) is a unique key on any data (round-7 ADVICE)
     Tables.documents(s, dir)
       .select($"source", $"lang", md5($"text").as("content"))
       .rollup($"source", $"lang")
       .agg(count(lit(1)).as("n_docs"),
         approx_count_distinct($"content", rsd).as("approx_distinct"),
-        countDistinct($"content").as("exact_distinct"))
+        countDistinct($"content").as("exact_distinct"),
+        grouping($"source").cast("long").as("src_rollup"),
+        grouping($"lang").cast("long").as("lang_rollup"))
       .select(
         coalesce($"source", lit("ALL")).as("source"),
         coalesce($"lang", lit("ALL")).as("lang"),
+        $"src_rollup", $"lang_rollup",
         $"n_docs", $"exact_distinct",
         (abs($"approx_distinct" - $"exact_distinct").cast("double")
           <= greatest(lit(3 * rsd) * $"exact_distinct".cast("double"),
             lit(Q96AbsSlack))).as("within_bound"))
-      .orderBy($"source", $"lang")
+      .orderBy($"source", $"lang", $"src_rollup", $"lang_rollup")
   }
 
   val q96Sql: String =
     """SELECT COALESCE(source, 'ALL') AS source,
       |  COALESCE(lang, 'ALL') AS lang,
+      |  CAST(GROUPING(source) AS BIGINT) AS src_rollup,
+      |  CAST(GROUPING(lang) AS BIGINT) AS lang_rollup,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
       |  TRUE AS within_bound
       |FROM documents
       |GROUP BY ROLLUP(source, lang)
-      |ORDER BY source, lang""".stripMargin
+      |ORDER BY source, lang, src_rollup, lang_rollup""".stripMargin
 
   // ---- q101: weighted reservoir sample per stratum (A-ES) ----
 

@@ -30,17 +30,22 @@ class Round7QueriesSpec extends SparkSuite {
   }
 
   test("q92 membership is exact for the dimension's own keys") {
-    // probing the dim keys themselves must pass every probe: with the
-    // fact side restricted to true matches, n_pass == n_true == n_probed
-    val out = EtlQueries.q92BloomJoin(spark, sf0001)
-    val dimKeys = Tables.customer(spark, sf0001)
-      .where($"c_acctbal" > 9000).select($"c_custkey")
+    // probing ONLY true matches must pass every probe: with the fact
+    // side restricted to the exact semi-join, n_pass == n_true ==
+    // n_probed and zero false positives, in every group
+    val dim = Tables.customer(spark, sf0001)
+      .where($"c_acctbal" > 9000).select($"c_custkey".as("k"))
     val restricted = Tables.orders(spark, sf0001)
-      .join(dimKeys, $"o_custkey" === $"c_custkey", "left_semi")
+      .join(dim, $"o_custkey" === $"k", "left_semi")
+      .select($"o_custkey", $"o_orderpriority")
     if (restricted.isEmpty) cancel("no matching orders at sf0.001")
-    // equivalent statement on the full output: every group's true
-    // matches all passed (n_fp counts only non-true passes)
-    assert(out.where($"n_pass" - $"n_fp" =!= $"n_true").isEmpty)
+    val out = EtlQueries.bloomAuditCore(dim, restricted).cache()
+    try {
+      assert(out.agg(sum($"n_probed")).head().getLong(0) > 0)
+      assert(out.where($"n_pass" =!= $"n_probed" || $"n_true" =!= $"n_probed" ||
+        $"n_fp" =!= 0L || !$"no_fn_ok").isEmpty,
+        "a true match failed the bloom probe (impossible for a Bloom filter)")
+    } finally out.unpersist()
   }
 
   // ---- q93: approx-quantile sketch with rank-error verdict ----
@@ -98,7 +103,8 @@ class Round7QueriesSpec extends SparkSuite {
           < nToks(doc), s"doc $doc emitted a fully-contained trailing chunk")
       }
       // a FULL first chunk overlaps the next by ChunkSize - ChunkStride
-      // tokens (docs of 25..31 tokens chunk twice with a short head)
+      // tokens (with ChunkSize=32/stride=24 the start lattice gives one
+      // chunk up to 32 tokens; docs of 33..56 tokens chunk twice)
       if (sorted.length > 1 && nToks(doc) >= TextQueries.ChunkSize)
         assert(sorted.head.getAs[Long]("n_tokens") - TextQueries.ChunkStride
           == TextQueries.ChunkSize - TextQueries.ChunkStride)
@@ -132,10 +138,14 @@ class Round7QueriesSpec extends SparkSuite {
     val out = EtlQueries.q96RollupDistinct(spark, sf0001).cache()
     assert(out.where(!$"within_bound").isEmpty, "HLL bound violated on a rollup row")
     val rows = out.collect()
-    val leaf = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
-    val bySource = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    // lattice level comes from the grouping FLAGS, not the 'ALL'
+    // sentinel — the round-7 ADVICE disambiguation this spec now pins
+    def lvl(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("src_rollup"), r.getAs[Long]("lang_rollup"))
+    val leaf = rows.filter(r => lvl(r) == ((0L, 0L)))
+    val bySource = rows.filter(r => lvl(r) == ((0L, 1L)))
       .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("exact_distinct"))).toMap
-    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    val grand = rows.filter(r => lvl(r) == ((1L, 1L)))
     assert(grand.length == 1, "exactly one grand-total row")
     // distinct is subadditive and monotone up the lattice: a source
     // subtotal is bounded by [max child, sum of children]; n_docs is
