@@ -47,10 +47,15 @@ object ComposeQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  def q100PipelineVerdict(s: SparkSession, dir: String): DataFrame = {
+  def q100PipelineVerdict(s: SparkSession, dir: String): DataFrame =
+    pipelineCore(s, Tables.documents(s, dir))
+
+  /** q100 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora; `docs` is consumed by both corpus passes). */
+  private[graft] def pipelineCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     // pass 1: per-doc flags (one corpus scan, tiny checkpointed frame)
-    val flags = Tables.documents(s, dir)
+    val flags = docs
       .select($"doc_id", $"source",
         md5($"text").as("text_hash"),
         ($"doc_id" % DedupQueries.DecontamMod === 0).as("is_bench"),
@@ -69,7 +74,7 @@ object ComposeQueries {
     val s3Ids = s2k.where(!$"x_dup").select($"doc_id")
     val benchIds = flags.where($"is_bench").select($"doc_id")
     // pass 2: hashed shingle occurrences for s3 ∪ bench docs only
-    val occ = Tables.documents(s, dir)
+    val occ = docs
       .join(broadcast(s3Ids.unionByName(benchIds)), Seq("doc_id"), "left_semi")
       .select($"doc_id", explode(DedupQueries.shingles($"text")).as("sh"))
       .select($"doc_id", DedupQueries.h60(s, $"sh").as("h"))

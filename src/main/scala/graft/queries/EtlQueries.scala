@@ -411,8 +411,14 @@ object EtlQueries {
     * |groups| rows) — the price of verification, as in q43/q87. */
   def q93QuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
+    quantileCore(s, Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x")))
+  }
+
+  /** q93 body over an arbitrary (flag, x) frame (Profile probes it on
+    * replicated corpora; the named query binds the real table). */
+  private[graft] def quantileCore(s: SparkSession, li: DataFrame): DataFrame = {
+    import s.implicits._
     // approx summaries: |groups| rows, checkpointed so the join-back
     // audit does not re-derive the aggregation branch (§9 note)
     val ap = li.groupBy($"flag")
@@ -490,14 +496,19 @@ object EtlQueries {
     * (register collisions on ~5-element groups; calibrated by Q96Probe). */
   val Q96AbsSlack = 3.0
 
-  def q96RollupDistinct(s: SparkSession, dir: String): DataFrame = {
+  def q96RollupDistinct(s: SparkSession, dir: String): DataFrame =
+    rollupDistinctCore(s, Tables.documents(s, dir))
+
+  /** q96 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def rollupDistinctCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val rsd = Q96Rsd
     // grouping() flags disambiguate subtotal rows from leaves: a real
     // NULL (or literal 'ALL') source/lang value can no longer collide
     // with the coalesced sentinel — (source, lang, src_rollup,
     // lang_rollup) is a unique key on any data (round-7 ADVICE)
-    Tables.documents(s, dir)
+    docs
       .select($"source", $"lang", md5($"text").as("content"))
       .rollup($"source", $"lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -855,7 +855,12 @@ object TextQueries {
     * row, posexplode flattens; no shuffle before the final presentation
     * sort. Chunk ordinal and geometry are pure arithmetic on the start
     * position, so the oracle reproduces rows exactly. */
-  def q97ChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+  def q97ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    chunkCore(s, Tables.documents(s, dir))
+
+  /** q97 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def chunkCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val chunksCol = graft.functions.Cols.bind(toks($"text")) { t =>
       transform(
@@ -866,7 +871,7 @@ object TextQueries {
             concat_ws(" ", slice(t, st, lit(ChunkSize))).as("chunk"),
             least(lit(ChunkSize), size(t) - st + 1).cast("long").as("n")))
     }
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", posexplode(chunksCol).as(Seq("ci", "c")))
       .select($"doc_id", ($"ci" + 1).cast("long").as("chunk_idx"),
         $"c.start".cast("long").as("start_tok"),
@@ -928,14 +933,17 @@ object TextQueries {
        |   '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) || chr(14) || '-' || chr(31) || ']',
        |   '', 'g'))) * 1000 <= length(text) * $CtrlPerMille)""".stripMargin.replace("\n", " ")
 
-  def q98EncodingFilter(s: SparkSession, dir: String): DataFrame = {
+  def q98EncodingFilter(s: SparkSession, dir: String): DataFrame =
+    encodingCore(s, Tables.documents(s, dir))
+
+  /** q98 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def encodingCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val nChars = length($"text").cast("long")
-    val nRepl = nReplCol
-    val nCtrl = nCtrlCol
-    Tables.documents(s, dir)
-      .select($"doc_id", nChars.as("n_chars"), nRepl.as("n_repl"),
-        nCtrl.as("n_ctrl"))
+    docs
+      .select($"doc_id", nChars.as("n_chars"), nReplCol.as("n_repl"),
+        nCtrlCol.as("n_ctrl"))
       .withColumn("keep",
         $"n_repl" === 0L && $"n_ctrl" * 1000L <= $"n_chars" * CtrlPerMille)
       .orderBy($"doc_id")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.queries.{DedupQueries, SimilarityQueries}
+import graft.queries.{ComposeQueries, DedupQueries, EtlQueries, SimilarityQueries, TextQueries}
 
 /** Ad-hoc stage profiler for the dedup pipeline (dev tool). */
 object Profile {
@@ -180,6 +180,38 @@ object Profile {
       emb.select(($"vec_id" + lit(i * 10000000L)).as("vec_id"), $"embedding"))
       .reduce(_ unionByName _)
     time("sq8 ann (q95 core) on 10x")(noop(SimilarityQueries.sq8Core(spark, emb10)))
+
+    // round-8 scaling: the remaining round-7 cores (q92/q93/q96/q97/q98)
+    // and the q100 composition, all through the REAL query bodies.
+    // Expected ~linear: q97/q98 are map-only, q92's fact side is map-only
+    // probes against a fixed KB bitset, q93 adds one group-keyed sort,
+    // q96 one sketch exchange + the exact dual's distinct expand. The
+    // 10x corpus replicates FULL rows (ids shifted), so q100's exact-
+    // dedup stage sees every doc with 9 copies — the dedup stages then
+    // run on the ~1x keeper set, the shape a duplicated crawl produces.
+    val full10 = (0 until 10).map(i =>
+      base.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"),
+        $"text", $"source", $"lang", $"n_chars"))
+      .reduce(_ unionByName _)
+    val li1 = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
+    val li10 = (0 until 10).map(_ => li1).reduce(_ unionByName _)
+    time("q93 quantile (core) on 1x")(noop(EtlQueries.quantileCore(spark, li1)))
+    time("q93 quantile (core) on 10x")(noop(EtlQueries.quantileCore(spark, li10)))
+    val dim92 = Tables.customer(spark, dir)
+      .where($"c_acctbal" > 9000).select($"c_custkey".as("k"))
+    val fact92 = Tables.orders(spark, dir).select($"o_custkey", $"o_orderpriority")
+    val fact92x10 = (0 until 10).map(_ => fact92).reduce(_ unionByName _)
+    time("q92 bloom (core) on 1x")(noop(EtlQueries.bloomAuditCore(dim92, fact92)))
+    time("q92 bloom (core) on 10x facts")(noop(EtlQueries.bloomAuditCore(dim92, fact92x10)))
+    time("q96 rollup (core) on 1x")(noop(EtlQueries.rollupDistinctCore(spark, base)))
+    time("q96 rollup (core) on 10x")(noop(EtlQueries.rollupDistinctCore(spark, full10)))
+    time("q97 chunk (core) on 1x")(noop(TextQueries.chunkCore(spark, base)))
+    time("q97 chunk (core) on 10x")(noop(TextQueries.chunkCore(spark, full10)))
+    time("q98 encoding (core) on 1x")(noop(TextQueries.encodingCore(spark, base)))
+    time("q98 encoding (core) on 10x")(noop(TextQueries.encodingCore(spark, full10)))
+    time("q100 pipeline (core) on 1x")(noop(ComposeQueries.pipelineCore(spark, base)))
+    time("q100 pipeline (core) on 10x")(noop(ComposeQueries.pipelineCore(spark, full10)))
     spark.stop()
   }
 }
