@@ -411,7 +411,56 @@ object SimilarityQueries {
        |WHERE rn <= $TopK
        |ORDER BY query_id, rn""".stripMargin
 
+  /** q102: hard-negative mining for contrastive training — for each
+    * query vector, the [[TopK]] most-similar vectors carrying a
+    * DIFFERENT class label. Random negatives are easy (far away) and
+    * teach nothing; the negatives that sit closest to the anchor while
+    * being wrong-class are the ones a contrastive loss (InfoNCE/triplet)
+    * learns from, and mining them is a standard corpus-prep pass for
+    * embedding-model training. Same plan shape as q30 — broadcast query
+    * set, map-side scoring with precomputed norms, rounded-sim ranking
+    * with id tie-break — plus the label-inequality predicate evaluated
+    * at the scan, so wrong-class candidates never reach the top-k
+    * shuffle. At 100 TB this is the q30 argument unchanged: the only
+    * exchange carries k rows per query.
+    *
+    * In production the label column is any supervision signal (source
+    * domain, dedup cluster, topic); the synthetic table's `label` plays
+    * that role here. */
+  def q102HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).withColumn("en2", norm2($"embedding"))
+    val queries = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"embedding".as("qe"), $"en2".as("qn2"))
+    val sim6 = round(cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+    val scored = emb.join(broadcast(queries), $"label" =!= $"qlabel")
+      .select($"query_id", $"vec_id".as("negative_id"),
+        $"label".cast("long").as("neg_label"), sim6.as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"negative_id".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  val q102Sql: String = {
+    val cos = sqlCosine("q.embedding", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, label, embedding
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS negative_id,
+       |    CAST(e.label AS BIGINT) AS neg_label, round($cos, 6) AS sim
+       |  FROM embeddings e JOIN q ON e.label <> q.label)
+       |SELECT query_id, negative_id, neg_label, sim, rn FROM (
+       |  SELECT query_id, negative_id, neg_label, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, negative_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q102_hard_negatives"   -> (q102HardNegatives _),
     "q90_semantic_decontam" -> (q90SemanticDecontam _),
     "q30_knn_bruteforce"    -> (q30KnnBruteForce _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
@@ -421,6 +470,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q102_hard_negatives"   -> q102Sql,
     "q90_semantic_decontam" -> q90Sql,
     "q30_knn_bruteforce"    -> q30Sql,
     "q31_embedding_neardup" -> q31Sql,

@@ -962,7 +962,63 @@ object TextQueries {
        |      '', 'g'))) * 1000 <= length(text) * $CtrlPerMille AS keep
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q103: Gopher symbol / alpha-word character-class gate ----
+
+  /** q103: the Gopher character-class rules (Rae et al. 2021, table A1)
+    * that q21 (linguistic) and q98 (transport damage) don't cover —
+    * fires on machine-generated and scraped-markup junk: ≥ 80% of words
+    * must contain at least one alphabetic character, digits must be
+    * ≤ 20% of characters, and `#` / `...` symbols must be ≤ 10% of the
+    * word count. Every signal is an integer count (word filter via a
+    * codegen'd HOF + rlike; character counts via length-minus-replaced,
+    * the q98 arithmetic; `...` occurrences by plain non-overlapping
+    * replace, identical left-to-right in both engines) and the keep
+    * decision is pure integer cross-multiplication — no float anywhere,
+    * so every row hash-matches. Map-only, zero shuffles before the
+    * presentation sort. */
+  def q103SymbolFilter(s: SparkSession, dir: String): DataFrame =
+    symbolFilterCore(s, Tables.documents(s, dir))
+
+  /** q103 body over an arbitrary documents frame. */
+  private[graft] def symbolFilterCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    docs
+      .select($"doc_id",
+        size(t).cast("long").as("n_words"),
+        size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+        length($"text").cast("long").as("n_chars"),
+        (length($"text") - length(regexp_replace($"text", "[0-9]", "")))
+          .cast("long").as("n_digit"),
+        (length($"text") - length(expr("replace(text, '#', '')")))
+          .cast("long").as("n_hash"),
+        ((length($"text") - length(expr("replace(text, '...', '')"))) / 3)
+          .cast("long").as("n_ellipsis"))
+      .withColumn("keep",
+        $"n_alpha_words" * 10L >= $"n_words" * 8L &&
+          $"n_digit" * 5L <= $"n_chars" &&
+          ($"n_hash" + $"n_ellipsis") * 10L <= $"n_words")
+      .orderBy($"doc_id")
+  }
+
+  val q103Sql: String =
+    """SELECT doc_id, n_words, n_alpha_words, n_chars, n_digit, n_hash, n_ellipsis,
+      |  (n_alpha_words * 10 >= n_words * 8 AND n_digit * 5 <= n_chars
+      |   AND (n_hash + n_ellipsis) * 10 <= n_words) AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+      |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q103_symbol_filter"    -> (q103SymbolFilter _),
     "q98_encoding_filter"   -> (q98EncodingFilter _),
     "q97_chunk_overlap"     -> (q97ChunkOverlap _),
     "q85_temperature_mix"   -> (q85TemperatureMix _),
@@ -984,6 +1040,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q103_symbol_filter"    -> q103Sql,
     "q98_encoding_filter"   -> q98Sql,
     "q97_chunk_overlap"     -> q97Sql,
     "q85_temperature_mix"   -> q85Sql,

@@ -47,6 +47,62 @@ class Round8QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q102: hard-negative mining ----
+
+  test("q102 negatives are wrong-class and are the true top-k among them") {
+    import graft.queries.SimilarityQueries
+    val out = SimilarityQueries.q102HardNegatives(spark, sf0001).collect()
+    val labels = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // no negative shares its query's label
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("negative_id")) != labels(r.getAs[Long]("query_id")),
+        s"query ${r.get(0)} mined a same-class 'negative'")
+    }
+    // local truth: rank ALL wrong-label candidates by (sim desc, id)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.rint(r * 1e6) / 1e6
+    }
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val truth = vecs.keys.filter(v => labels(v) != labels(q)).toSeq
+        .map(v => (-cos(vecs(q), vecs(v)), v)).sorted
+        .take(SimilarityQueries.TopK).map(_._2)
+      val got = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("negative_id")).toSeq
+      assert(got == truth, s"query $q hard negatives diverged from local truth")
+    }
+  }
+
+  // ---- q103: Gopher symbol / alpha-word gate ----
+
+  test("q103 pins each character-class rule on a crafted corpus") {
+    val dir = tmpDir("q103docs")
+    Seq(
+      (1L, "perfectly ordinary alphabetic words here"),           // keep
+      (2L, "1 2 3 4 5 6 7 8 9 10 only numbers"),                  // alpha-word rule
+      (3L, "id 123456789012345678901234567890123456789012 x y"),  // digit fraction
+      (4L, "# # # # tag spam in a short doc of nine words"),      // hash symbols
+      (5L, "trailing ... dots ... everywhere ... in ... text"),   // ellipsis
+      (6L, "a1 b2 c3 mixed alnum words still count as alpha")     // keep
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q103SymbolFilter(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_alpha_words"), r.getAs[Long]("n_digit"),
+          r.getAs[Long]("n_hash"), r.getAs[Long]("n_ellipsis"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L)._5, "clean doc must keep")
+    assert(!out(2L)._5 && out(2L)._1 == 2L, "10 numeric words of 12 fail the 80% alpha rule")
+    assert(!out(3L)._5, "digit flood fails the 20% digit cap")
+    assert(!out(4L)._5 && out(4L)._3 == 4L, "4 hashes in 13 words exceed 10%")
+    assert(!out(5L)._5 && out(5L)._4 == 4L, "4 ellipses in 8 words exceed 10%")
+    assert(out(6L)._5, "alphanumeric words count as alphabetic")
+  }
+
   // ---- q100: pipeline verdict composition ----
 
   /** Crafted corpus exercising every reason code — including the two the
