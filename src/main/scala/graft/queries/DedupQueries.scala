@@ -1111,6 +1111,86 @@ object DedupQueries {
       |  MAX(n_chars) AS keeper_chars
       |FROM p5 GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 
+  // ---- q104: source-pair similarity matrix (corpus overlap analysis) ----
+
+  /** q104: pairwise SOURCE-level shingle overlap — "how much do these two
+    * crawls/feeds duplicate each other", the corpus-analysis rollup a
+    * mixture designer reads before setting per-source quotas (two
+    * near-identical feeds should not both get full weight). Each source
+    * gets a 16-component minhash signature over its DISTINCT shingle set
+    * — the signature of a source is the componentwise MIN of its docs'
+    * signatures, i.e. minhash UNION semantics, associative and
+    * partial-aggregation-friendly — and every source pair reports the
+    * number of agreeing components (`n_agree`, the sketch estimate of
+    * Jaccard × 16) next to the EXACT Jaccard audit columns.
+    *
+    * Scale: the occurrence frame is distinct (source, shingle-hash) —
+    * bounded by vocabulary × sources, not corpus size; signatures
+    * aggregate it to |sources| rows and the estimate join is
+    * |sources|²-tiny. The exact audit self-joins occurrences on the
+    * shingle hash, where per-key work is ≤ C(|sources|,2) no matter how
+    * hot the shingle — at production scale the audit columns are
+    * dropped and only the sketch path runs (the q43/q87 pattern). */
+  def q104SourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val occ = Tables.documents(s, dir)
+      .select($"source", explode(shingles($"text")).as("sh"))
+      .select($"source", h60(s, $"sh").as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    val hashCols = (0 until NumHashes).map(j =>
+      min(h60(s, concat(lit(s"$j:"), $"h".cast("string")))).as(s"mh_$j"))
+    val sig = occ.groupBy($"source").agg(hashCols.head, hashCols.tail: _*)
+    val agree = (0 until NumHashes).map(j =>
+      when(col(s"a.mh_$j") === col(s"b.mh_$j"), 1L).otherwise(0L)).reduce(_ + _)
+    val est = sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        agree.as("n_agree"))
+    val sizes = occ.groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    val common = occ.as("a").join(occ.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    est
+      .join(common, Seq("src_a", "src_b"), "left")
+      .join(sizes.select($"source".as("src_a"), $"n_sh".as("n_a")), Seq("src_a"))
+      .join(sizes.select($"source".as("src_b"), $"n_sh".as("n_b")), Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b",
+        coalesce($"n_common", lit(0L)).as("n_common"), $"n_agree",
+        round(coalesce($"n_common", lit(0L)).cast("double") /
+          ($"n_a" + $"n_b" - coalesce($"n_common", lit(0L))).cast("double"), 6)
+          .as("exact_sim"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  lazy val q104Sql: String = {
+    val agree = (0 until NumHashes).map(j =>
+      s"CASE WHEN a.mh_$j = b.mh_$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (SELECT source, $ShinglesSql AS shingles FROM documents),
+       |occ AS (SELECT DISTINCT source, ${sqlH60("md5(s)")} AS h
+       |        FROM (SELECT source, unnest(shingles) AS s FROM sh)),
+       |hashes AS (SELECT h, $sqlSigHashExprs FROM (SELECT DISTINCT h FROM occ)),
+       |sig AS (SELECT occ.source, $sqlSigMinExprs
+       |        FROM occ JOIN hashes USING (h) GROUP BY occ.source),
+       |est AS (SELECT a.source AS src_a, b.source AS src_b,
+       |          CAST($agree AS BIGINT) AS n_agree
+       |        FROM sig a JOIN sig b ON a.source < b.source),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM occ GROUP BY source),
+       |com AS (SELECT a.source AS src_a, b.source AS src_b,
+       |          CAST(COUNT(*) AS BIGINT) AS n_common
+       |        FROM occ a JOIN occ b ON a.h = b.h AND a.source < b.source
+       |        GROUP BY 1, 2)
+       |SELECT est.src_a, est.src_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  COALESCE(com.n_common, 0) AS n_common, est.n_agree,
+       |  round(CAST(COALESCE(com.n_common, 0) AS DOUBLE) /
+       |        (sa.n_sh + sb.n_sh - COALESCE(com.n_common, 0)), 6) AS exact_sim
+       |FROM est
+       |LEFT JOIN com ON com.src_a = est.src_a AND com.src_b = est.src_b
+       |JOIN sizes sa ON sa.source = est.src_a
+       |JOIN sizes sb ON sb.source = est.src_b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_decontaminate"       -> (q61Decontaminate _),
     "q49_dedup_clusters"      -> (q49DedupClusters _),
@@ -1126,6 +1206,7 @@ object DedupQueries {
     "q89_incremental_dedup"   -> (q89IncrementalDedup _),
     "q94_dup_run_length"      -> (q94DupRunLength _),
     "q99_url_dedup"           -> (q99UrlDedup _),
+    "q104_source_similarity"  -> (q104SourceSimilarity _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1143,5 +1224,6 @@ object DedupQueries {
     "q89_incremental_dedup"   -> q89Sql,
     "q94_dup_run_length"      -> q94Sql,
     "q99_url_dedup"           -> q99Sql,
+    "q104_source_similarity"  -> q104Sql,
   )
 }

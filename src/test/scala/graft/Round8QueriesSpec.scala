@@ -47,6 +47,38 @@ class Round8QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q104: source-pair similarity matrix ----
+
+  test("q104 source signatures carry minhash UNION semantics (min of doc sigs)") {
+    // the source-level signature computed from the source's distinct
+    // shingle set must equal the componentwise MIN of its documents' q25
+    // signatures — the associativity that lets signatures partial-
+    // aggregate at any granularity (doc → partition → source)
+    val srcOf = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source")
+    val docSigs = DedupQueries.minhashSignatures(
+      Tables.documents(spark, sf0001)
+        .select($"doc_id", DedupQueries.shingles($"text").as("shingles")))
+    val minCols = (0 until DedupQueries.NumHashes)
+      .map(j => min(col(s"mh_$j")).as(s"mh_$j"))
+    val fromDocs = docSigs.join(srcOf, "doc_id")
+      .groupBy($"source").agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getString(0) ->
+        (0 until DedupQueries.NumHashes).map(j => r.getAs[Long](s"mh_$j"))).toMap
+    val occ = Tables.documents(spark, sf0001)
+      .select($"source", explode(DedupQueries.shingles($"text")).as("sh"))
+      .select($"source", DedupQueries.h60(spark, $"sh").as("h")).distinct()
+    val hashCols = (0 until DedupQueries.NumHashes).map(j =>
+      min(DedupQueries.h60(spark, concat(lit(s"$j:"), $"h".cast("string")))).as(s"mh_$j"))
+    val direct = occ.groupBy($"source").agg(hashCols.head, hashCols.tail: _*)
+      .collect().map(r => r.getString(0) ->
+        (0 until DedupQueries.NumHashes).map(j => r.getAs[Long](s"mh_$j"))).toMap
+    assert(direct.keySet == fromDocs.keySet)
+    direct.keys.foreach { s =>
+      assert(direct(s) == fromDocs(s), s"source $s signature diverged from min-of-doc-sigs")
+    }
+  }
+
   // ---- q102: hard-negative mining ----
 
   test("q102 negatives are wrong-class and are the true top-k among them") {
