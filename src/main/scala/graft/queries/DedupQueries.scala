@@ -1044,7 +1044,12 @@ object DedupQueries {
     * Scale: canonicalization is map-only; the only shuffle is the
     * group-by on the canonical URL (uniform by content), with max_by
     * partial-aggregated map-side. No text column ever moves. */
-  def q99UrlDedup(s: SparkSession, dir: String): DataFrame = {
+  def q99UrlDedup(s: SparkSession, dir: String): DataFrame =
+    urlDedupCore(s, Tables.documents(s, dir))
+
+  /** q99 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def urlDedupCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val www = when($"doc_id" % 5 === 0, lit("www.")).otherwise(lit(""))
     val hostRaw = concat(www, $"source", lit(".example.com"))
@@ -1062,7 +1067,7 @@ object DedupQueries {
         .when($"doc_id" % 4 === 2, concat(lit("?id="), idp))
         .otherwise(lit("")),
       when($"doc_id" % 6 === 0, lit("#sec")).otherwise(lit("")))
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", $"n_chars", canonicalUrl(url).as("canonical_url"))
       .groupBy($"canonical_url")
       .agg(count(lit(1)).as("n_copies"),
@@ -1131,9 +1136,14 @@ object DedupQueries {
     * shingle hash, where per-key work is ≤ C(|sources|,2) no matter how
     * hot the shingle — at production scale the audit columns are
     * dropped and only the sketch path runs (the q43/q87 pattern). */
-  def q104SourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+  def q104SourceSimilarity(s: SparkSession, dir: String): DataFrame =
+    sourceSimilarityCore(s, Tables.documents(s, dir))
+
+  /** q104 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def sourceSimilarityCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val occ = Tables.documents(s, dir)
+    val occ = docs
       .select($"source", explode(shingles($"text")).as("sh"))
       .select($"source", h60(s, $"sh").as("h"))
       .distinct()

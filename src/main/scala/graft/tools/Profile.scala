@@ -212,6 +212,15 @@ object Profile {
     time("q98 encoding (core) on 10x")(noop(TextQueries.encodingCore(spark, full10)))
     time("q100 pipeline (core) on 1x")(noop(ComposeQueries.pipelineCore(spark, base)))
     time("q100 pipeline (core) on 10x")(noop(ComposeQueries.pipelineCore(spark, full10)))
+    // q99 map-only canonicalization + one agg; q103 map-only; q104's
+    // occurrence frame is distinct (source, shingle-hash) — replication-
+    // INVARIANT, so 10x docs should cost ~the extra scan only
+    time("q99 url dedup (core) on 1x")(noop(DedupQueries.urlDedupCore(spark, base)))
+    time("q99 url dedup (core) on 10x")(noop(DedupQueries.urlDedupCore(spark, full10)))
+    time("q103 symbol gate (core) on 1x")(noop(TextQueries.symbolFilterCore(spark, base)))
+    time("q103 symbol gate (core) on 10x")(noop(TextQueries.symbolFilterCore(spark, full10)))
+    time("q104 source sim (core) on 1x")(noop(DedupQueries.sourceSimilarityCore(spark, base)))
+    time("q104 source sim (core) on 10x")(noop(DedupQueries.sourceSimilarityCore(spark, full10)))
     spark.stop()
   }
 }
