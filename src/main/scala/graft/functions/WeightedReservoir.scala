@@ -62,7 +62,13 @@ class WeightedReservoir(k: Int)
   def reduce(b: WrsBuf, row: (Long, Int)): WrsBuf = {
     val (id, w) = row
     require(w >= 1, s"weight must be >= 1, got $w for id $id")
-    WrsBuf(((ticket(id, w), id) :: b.items).sorted.take(k))
+    val e = (ticket(id, w), id)
+    // fast path: a full buffer whose worst entry beats the new ticket is
+    // unchanged — the common case once the reservoir warms up, avoiding
+    // the per-row sort
+    if (b.items.lengthCompare(k) >= 0 &&
+        implicitly[Ordering[(Long, Long)]].lteq(b.items.last, e)) b
+    else WrsBuf((e :: b.items).sorted.take(k))
   }
 
   def merge(a: WrsBuf, b: WrsBuf): WrsBuf =

@@ -1017,7 +1017,113 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q105: span-corruption prep (T5/UL2 denoising objective) ----
+
+  /** Tokens per masking block. */
+  val MaskBlock = 8
+
+  /** A block is selected for masking iff h32("doc:block") mod this == 0
+    * (≈25% of blocks → ~9% of tokens masked, between T5's 15% and UL2's
+    * sparse variants). */
+  val MaskMod = 4
+
+  /** q105: span-corruption pair generation — the corpus-prep step of a
+    * T5/UL2-style denoising objective: deterministic ~3-token spans are
+    * replaced by `<extra_id_B>` sentinels in the INPUT, and the TARGET
+    * is the sentinel-prefixed concatenation of the masked spans. Span
+    * selection is content-addressed (md5 of doc:block, the q56/q85 coin
+    * — no PRNG, stable under corpus growth), one span per selected
+    * [[MaskBlock]]-token block at fixed in-block offsets 4..6 (1-based),
+    * so selected spans are never adjacent and need no T5 span-merge
+    * pass. A trailing partial block is selectable only if its span
+    * start exists; span length truncates at the document end. Sentinels
+    * carry the block index (deterministic, join-free) rather than a
+    * sequential rank — an id the DECODE side can invert without state.
+    *
+    * Scale: map-only — one bound token array per row, all span
+    * decisions and both output strings minted by HOF chains; no
+    * shuffle before the presentation sort. */
+  def q105SpanCorruption(s: SparkSession, dir: String): DataFrame =
+    spanCorruptionCore(s, Tables.documents(s, dir))
+
+  /** q105 body over an arbitrary documents frame. */
+  private[graft] def spanCorruptionCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val B = MaskBlock
+    def h32(c: Column): Column = graft.functions.Md5Prefix64(s, c.cast("binary"), 8)
+    // block b (0-based) is selected iff the hash coin hits AND its span
+    // start (1-based position b*B+4) exists in the document
+    def sel(b: Column, n: Column): Column =
+      h32(concat(col("doc_id").cast("string"), lit(":"), b.cast("string"))) % MaskMod === 0 &&
+        b * B + 4 <= n
+    def sentinel(b: Column): Column =
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    val core = graft.functions.Cols.bind(toks($"text")) { t =>
+      val n = size(t)
+      val nBlocks = ((n + (B - 1)) / B).cast("int")
+      val inputStructs = transform(sequence(lit(1), n), p => {
+        val b = ((p - 1) / B).cast("int")
+        val o = (p - 1) % B
+        struct(
+          when(sel(b, n) && o === 3, sentinel(b))
+            .otherwise(element_at(t, p)).as("tok"),
+          (!(sel(b, n) && (o === 4 || o === 5))).as("keep"))
+      })
+      val inputToks = transform(filter(inputStructs, st => st("keep")), st => st("tok"))
+      val targetArrs = transform(sequence(lit(0), nBlocks - 1), b =>
+        when(sel(b, n),
+          concat(array(sentinel(b)),
+            slice(t, b * B + 4, least(lit(3), n - (b * B + 3)))))
+          .otherwise(array().cast("array<string>")))
+      val nSpans = size(filter(sequence(lit(0), nBlocks - 1), b => sel(b, n)))
+      struct(
+        nSpans.cast("long").as("n_spans"),
+        concat_ws(" ", inputToks).as("input_text"),
+        concat_ws(" ", flatten(targetArrs)).as("target_text"))
+    }
+    docs
+      .select($"doc_id", core.as("c"))
+      .select($"doc_id", $"c.n_spans".as("n_spans"),
+        $"c.input_text".as("input_text"), $"c.target_text".as("target_text"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val q105Sql: String = {
+    val B = MaskBlock
+    val h = DedupQueries.sqlH32("CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    val selB = s"($h % $MaskMod = 0 AND b * $B + 4 <= len(tk))"
+    val hP = DedupQueries.sqlH32(
+      s"CAST(doc_id AS VARCHAR) || ':' || CAST((p - 1) // $B AS VARCHAR)")
+    val selP = s"($hP % $MaskMod = 0 AND ((p - 1) // $B) * $B + 4 <= len(tk))"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |toks AS (
+       |  SELECT doc_id, tk,
+       |    list_transform(generate_series(1, len(tk)), p ->
+       |      CASE WHEN $selP AND (p - 1) % $B = 3
+       |           THEN '<extra_id_' || CAST((p - 1) // $B AS VARCHAR) || '>'
+       |           WHEN $selP AND (p - 1) % $B IN (4, 5) THEN NULL
+       |           ELSE tk[p] END) AS itoks
+       |  FROM t),
+       |tgt AS (
+       |  SELECT doc_id, tk,
+       |    flatten(list_transform(generate_series(0, (len(tk) + ${B - 1}) // $B - 1), b ->
+       |      CASE WHEN $selB
+       |           THEN ['<extra_id_' || CAST(b AS VARCHAR) || '>'] ||
+       |                tk[b * $B + 4 : b * $B + 3 + least(3, len(tk) - (b * $B + 3))]
+       |           ELSE [] END)) AS ttoks,
+       |    len(list_filter(generate_series(0, (len(tk) + ${B - 1}) // $B - 1),
+       |      b -> $selB)) AS n_spans
+       |  FROM t)
+       |SELECT toks.doc_id, CAST(tgt.n_spans AS BIGINT) AS n_spans,
+       |  array_to_string(list_filter(toks.itoks, x -> x IS NOT NULL), ' ') AS input_text,
+       |  -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws is ''
+       |  COALESCE(array_to_string(tgt.ttoks, ' '), '') AS target_text
+       |FROM toks JOIN tgt ON toks.doc_id = tgt.doc_id
+       |ORDER BY toks.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q105_span_corruption"  -> (q105SpanCorruption _),
     "q103_symbol_filter"    -> (q103SymbolFilter _),
     "q98_encoding_filter"   -> (q98EncodingFilter _),
     "q97_chunk_overlap"     -> (q97ChunkOverlap _),
@@ -1040,6 +1146,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q105_span_corruption"  -> q105Sql,
     "q103_symbol_filter"    -> q103Sql,
     "q98_encoding_filter"   -> q98Sql,
     "q97_chunk_overlap"     -> q97Sql,

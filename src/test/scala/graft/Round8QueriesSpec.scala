@@ -47,6 +47,45 @@ class Round8QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q105: span corruption ----
+
+  test("q105 is lossless: splicing each target span back at its sentinel rebuilds the text") {
+    val out = TextQueries.q105SpanCorruption(spark, sf0001).collect()
+    val texts = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    var totalSpans = 0L
+    var totalBlocks = 0L
+    out.foreach { r =>
+      val (doc, nSpans, input, target) =
+        (r.getLong(0), r.getAs[Long]("n_spans"), r.getString(2), r.getString(3))
+      // parse target into sentinel -> tokens
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      target.split(" ").filter(_.nonEmpty).foreach {
+        case t @ sentinel(_) => cur = t; spans(cur) = Vector()
+        case t => assert(cur != null, s"doc $doc target starts without sentinel"); spans(cur) :+= t
+      }
+      assert(spans.size == nSpans, s"doc $doc sentinel count != n_spans")
+      spans.values.foreach(v => assert(v.nonEmpty && v.size <= 3,
+        s"doc $doc span length ${v.size} outside 1..3"))
+      val rebuilt = input.split(" ").flatMap {
+        case t @ sentinel(_) => t +: spans(t) // keep sentinel position marker
+        case t => Seq(t)
+      }
+      // dropping the sentinels yields the original token stream
+      val original = rebuilt.filterNot(t => sentinel.matches(t)).mkString(" ")
+      assert(original == texts(doc), s"doc $doc did not reconstruct")
+      totalSpans += nSpans
+      totalBlocks += (texts(doc).split(" ").length + TextQueries.MaskBlock - 1) /
+        TextQueries.MaskBlock
+    }
+    // the md5 coin selects ~1/MaskMod of blocks (modulo span-start existence)
+    val rate = totalSpans.toDouble / totalBlocks
+    assert(rate > 0.15 && rate < 0.35, s"selection rate $rate far from 1/${TextQueries.MaskMod}")
+  }
+
   // ---- q104: source-pair similarity matrix ----
 
   test("q104 source signatures carry minhash UNION semantics (min of doc sigs)") {
