@@ -90,14 +90,19 @@ object ComposeQueries {
       .groupBy($"doc_id").agg(collect_list($"h").as("shingles"))
     val pairs = DedupQueries.jaccardVerify(cand, candSh)
       .select($"doc_a", $"doc_b")
+    // both drop-id frames have two consumers (the s5 anti-join and the
+    // verdict marker join) — checkpointed so the CC tail / the occ
+    // semi-join + distinct run once (§9 plan-branch-reuse rule)
     val nearDropIds = graft.operators.ConnectedComponents
       .components(pairs, "doc_a", "doc_b")
       .where($"id" =!= $"comp").select($"id".as("doc_id"))
+      .localCheckpoint(false)
     // decontamination: benchmark shingle set vs member shingles
     val benchSh = occ.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
       .select($"h").distinct()
     val contamIds = memberOcc.join(broadcast(benchSh), Seq("h"), "left_semi")
       .select($"doc_id").distinct()
+      .localCheckpoint(false)
     // quota: hash-rank per source among stage-5 survivors
     val s5 = s2k.where(!$"x_dup")
       .join(nearDropIds, Seq("doc_id"), "left_anti")
