@@ -1201,7 +1201,94 @@ object DedupQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q106: duplicate-segment removal with document rebuild ----
+
+  /** Segment width in tokens. 8 ≈ the "one sentence" unit the C4 line
+    * dedup and Dolma paragraph dedup operate on, adapted to this
+    * punctuation-free corpus (segments = consecutive non-overlapping
+    * 8-token windows; a short tail window is a segment too). */
+  val SegTok = 8
+
+  /** q106: corpus-wide duplicate-SEGMENT removal — the C4 "three-sentence
+    * span" / Dolma paragraph-dedup stage (`c4.py`'s line dedup in
+    * T5/TensorFlow-datasets; Dolma's paragraph dedup): every 8-token
+    * segment that already occurred anywhere in the corpus is REMOVED from
+    * the document, and the document is rebuilt from its surviving
+    * segments. Unlike q24/q49/q88 (which keep/drop whole documents) and
+    * q83/q94 (which only MEASURE duplication), this rewrites the text —
+    * the output a boilerplate-stripping pipeline actually ships. First
+    * occurrence wins, globally ordered by (doc_id, seg_pos); the rebuilt
+    * text is verified by md5 so the oracle pins the exact byte content
+    * without shipping it.
+    *
+    * Scale: segment minting is map-only (one tokenization per row,
+    * bind-bound). The dedup shuffle carries (doc_id, seg_pos, h, seg) —
+    * the segment TEXT rides along so the rebuild needs no second corpus
+    * scan; partitioning is by the 60-bit segment hash (uniform by
+    * content), and the min-rank window does one pass per bucket. The
+    * rebuild is one doc-keyed shuffle of surviving segments. Total data
+    * moved ≈ 2× corpus text — the same volume any rewrite must move —
+    * and nothing is quadratic in duplication (a 1M-copy segment is one
+    * hash bucket scanned linearly). */
+  def q106SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    segmentDedupCore(s, Tables.documents(s, dir))
+
+  /** q106 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def segmentDedupCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val segsOf = graft.functions.Cols.bind(toks($"text")) { t =>
+      val nSeg = floor((size(t) + lit(SegTok - 1)).cast("double") / lit(SegTok)).cast("int")
+      when(size(t) >= 1,
+        transform(sequence(lit(0), nSeg - 1), i =>
+          concat_ws(" ", slice(t, i * SegTok + 1, lit(SegTok)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val occ = docs
+      .select($"doc_id", posexplode(segsOf).as(Seq("seg_pos", "seg")))
+      .select($"doc_id", $"seg_pos".cast("long").as("seg_pos"), $"seg",
+        h60(s, $"seg").as("h"))
+    // Global first-occurrence rank; seg_pos < 100000 for any real document.
+    val r = $"doc_id" * lit(100000L) + $"seg_pos"
+    val kept = occ
+      .withColumn("keep", r === min(r).over(Window.partitionBy($"h")))
+    kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_segs"),
+      sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+      coalesce(sum(when($"keep", size(split($"seg", " ")).cast("long"))), lit(0L))
+        .as("n_toks_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(when($"keep", struct($"seg_pos".as("p"), $"seg".as("sg"))))),
+        x => x.getField("sg")), " ").cast("binary")).as("rebuilt_md5"))
+      .orderBy($"doc_id")
+  }
+
+  // Oracle partitions by the segment STRING (no hash) — an independent
+  // equality key that cross-checks the 60-bit hash bucketing.
+  val q106Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |segs AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(generate_series(0, nseg - 1)) AS BIGINT) AS seg_pos,
+       |    unnest(list_transform(generate_series(0, nseg - 1),
+       |      i -> array_to_string(t[(i*$SegTok+1):(i*$SegTok+$SegTok)], ' '))) AS seg
+       |  FROM (SELECT doc_id, t,
+       |          CAST(ceil(len(t) / $SegTok.0) AS BIGINT) AS nseg FROM tk)),
+       |k AS (
+       |  SELECT doc_id, seg_pos, seg,
+       |    doc_id*100000 + seg_pos =
+       |      MIN(doc_id*100000 + seg_pos) OVER (PARTITION BY seg) AS keep
+       |  FROM segs)
+       |SELECT doc_id, COUNT(*) AS n_segs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN keep THEN len(string_split(seg, ' ')) END), 0)
+       |       AS BIGINT) AS n_toks_kept,
+       |  md5(COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_pos), ''))
+       |    AS rebuilt_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q106_segment_dedup"      -> (q106SegmentDedup _),
     "q61_decontaminate"       -> (q61Decontaminate _),
     "q49_dedup_clusters"      -> (q49DedupClusters _),
     "q24_dedup_exact"         -> (q24DedupExact _),
@@ -1220,6 +1307,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q106_segment_dedup"      -> q106Sql,
     "q61_decontaminate"       -> q61Sql,
     "q49_dedup_clusters"      -> q49Sql,
     "q24_dedup_exact"         -> q24Sql,

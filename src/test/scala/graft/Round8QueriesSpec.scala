@@ -299,4 +299,48 @@ class Round8QueriesSpec extends SparkSuite {
       assert(badQ.isEmpty, "low_quality verdicts must match q21's gate among encoding survivors")
     } finally out.unpersist()
   }
+
+  // ---- q106: duplicate-segment removal with rebuild ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q106 removes later duplicate segments, keeps first occurrences, rebuilds text") {
+    val s8a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val s8b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val s8c = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val tail = "t1 t2 t3" // 19-token doc: last segment is the 3-token tail
+    val docs = Seq(
+      (1L, s"$s8a $s8b"),       // both segments are first occurrences
+      (2L, s"$s8b $s8c $tail"), // s8b removed; s8c and the tail survive
+      (3L, s"$s8a $s8b")        // every segment already seen → empty rebuild
+    ).toDF("doc_id", "text")
+    val out = DedupQueries.segmentDedupCore(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept") == 2 &&
+      out(1L).getAs[Long]("n_toks_kept") == 16)
+    assert(out(1L).getAs[String]("rebuilt_md5") == md5hex(s"$s8a $s8b"))
+    assert(out(2L).getAs[Long]("n_segs") == 3 &&
+      out(2L).getAs[Long]("n_kept") == 2 &&
+      out(2L).getAs[Long]("n_toks_kept") == 11)
+    assert(out(2L).getAs[String]("rebuilt_md5") == md5hex(s"$s8c $tail"),
+      "rebuild must preserve segment order and drop only the duplicate")
+    assert(out(3L).getAs[Long]("n_kept") == 0 &&
+      out(3L).getAs[Long]("n_toks_kept") == 0)
+    assert(out(3L).getAs[String]("rebuilt_md5") == md5hex(""),
+      "an all-duplicate document rebuilds to the empty string")
+  }
+
+  test("q106 on the corpus: kept never exceeds minted, and duplicates exist") {
+    val out = DedupQueries.q106SegmentDedup(spark, sf0001)
+    val agg = out.agg(sum($"n_toks_kept"), sum($"n_segs"), sum($"n_kept"))
+      .collect()(0)
+    val total = Tables.documents(spark, sf0001)
+      .select(sum(size(split($"text", " ")).cast("long"))).collect()(0).getLong(0)
+    assert(agg.getLong(0) <= total, "kept tokens cannot exceed corpus tokens")
+    assert(out.where($"n_kept" > $"n_segs").isEmpty)
+    assert(agg.getLong(2) < agg.getLong(1),
+      "the synthetic corpus repeats 8-token segments; some must be removed")
+  }
 }
