@@ -1122,7 +1122,80 @@ object TextQueries {
        |ORDER BY toks.doc_id""".stripMargin
   }
 
+  // ---- q107: hashed linear quality classifier (fastText-style) ----
+
+  /** Classifier feature space: unigrams + bigrams hashed into this many
+    * buckets (fastText's `-bucket`; 4096 keeps the weight table
+    * broadcast-trivial while exercising real collision behavior). */
+  val ClfBuckets = 4096L
+
+  /** q107: hashed linear document classifier — the fastText-shaped
+    * quality scorer used by CCNet/LLaMA-style pipelines to keep
+    * "Wikipedia-like" pages: every unigram and bigram is hashed into
+    * [[ClfBuckets]] buckets, each bucket has a weight, and the document's
+    * margin is the sum of its occurrences' weights (keep ⇔ margin > 0).
+    * Weights here are a deterministic integer surrogate for a trained
+    * model (Knuth-multiplicative spread into [-500, 500]) so the oracle
+    * can reproduce them exactly; swapping in trained weights changes one
+    * expression and nothing in the plan.
+    *
+    * Scale: scoring is PER-ROW and map-only — the feature array is bound
+    * once, hashing+weighting run inside one `aggregate` HOF, and no
+    * (doc, feature) row is ever materialized or shuffled. In fastText
+    * terms the weight "lookup" is pure arithmetic, so there is no
+    * broadcast table at all; with trained weights the bucket→weight map
+    * becomes one broadcast array lookup, still map-only. The exact
+    * integer margin makes the keep decision engine-portable with no
+    * float threshold ambiguity (sigmoid is monotone — thresholding the
+    * margin IS thresholding the probability). */
+  def q107QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    classifierCore(s, Tables.documents(s, dir))
+
+  /** q107 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def classifierCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val featArr = graft.functions.Cols.bind(toks($"text")) { t =>
+      concat(t,
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1), i =>
+            concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>")))
+    }
+    def weight(f: Column): Column = {
+      val bucket = pmod(DedupQueries.h32(s, f), lit(ClfBuckets))
+      (bucket * lit(2654435761L)) % 1001L - 500L
+    }
+    docs
+      .select($"doc_id", featArr.as("feats"))
+      .select($"doc_id",
+        size($"feats").cast("long").as("n_feats"),
+        aggregate($"feats", lit(0L), (acc, f) => acc + weight(f)).as("margin"))
+      .select($"doc_id", $"n_feats", $"margin",
+        ($"margin".cast("double") / $"n_feats".cast("double")).as("avg_w"),
+        ($"margin" > 0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q107Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    unnest(t || list_transform(generate_series(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1])) AS f
+       |  FROM tk),
+       |w AS (
+       |  SELECT doc_id,
+       |    ((${DedupQueries.sqlH32("f")}) % $ClfBuckets * 2654435761) % 1001 - 500 AS w
+       |  FROM f)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |  CAST(SUM(w) AS BIGINT) AS margin,
+       |  CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_w,
+       |  SUM(w) > 0 AS keep
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q107_quality_classifier" -> (q107QualityClassifier _),
     "q105_span_corruption"  -> (q105SpanCorruption _),
     "q103_symbol_filter"    -> (q103SymbolFilter _),
     "q98_encoding_filter"   -> (q98EncodingFilter _),
@@ -1146,6 +1219,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q107_quality_classifier" -> q107Sql,
     "q105_span_corruption"  -> q105Sql,
     "q103_symbol_filter"    -> q103Sql,
     "q98_encoding_filter"   -> q98Sql,

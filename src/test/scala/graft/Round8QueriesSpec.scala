@@ -343,4 +343,43 @@ class Round8QueriesSpec extends SparkSuite {
     assert(agg.getLong(2) < agg.getLong(1),
       "the synthetic corpus repeats 8-token segments; some must be removed")
   }
+
+  // ---- q107: hashed linear classifier ----
+
+  /** Reference scorer: the same md5-prefix hash → bucket → Knuth-spread
+    * weight chain, computed independently of any Spark expression. */
+  private def refMargin(text: String): (Long, Long) = {
+    val t = text.split(" ")
+    val feats = t.toSeq ++ t.toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    val m = feats.map { f =>
+      val hex = md5hex(f).take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (h % TextQueries.ClfBuckets) * 2654435761L % 1001L - 500L
+    }.sum
+    (feats.size.toLong, m)
+  }
+
+  test("q107 margin matches an independent scalar re-computation; keep is margin>0") {
+    val docs = Seq(
+      (1L, "the fast key order sort"),
+      (2L, "solo"), // single token: no bigrams, n_feats == 1
+      (3L, "merge join merge join merge") // repeated features count per occurrence
+    ).toDF("doc_id", "text")
+    val out = TextQueries.classifierCore(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L -> "the fast key order sort", 2L -> "solo",
+      3L -> "merge join merge join merge").foreach { case (id, text) =>
+      val (nf, m) = refMargin(text)
+      assert(out(id).getAs[Long]("n_feats") == nf, s"doc $id n_feats")
+      assert(out(id).getAs[Long]("margin") == m, s"doc $id margin")
+      assert(out(id).getAs[Boolean]("keep") == (m > 0), s"doc $id keep")
+      assert(out(id).getAs[Double]("avg_w") == m.toDouble / nf, s"doc $id avg_w")
+    }
+  }
+
+  test("q107 is map-only: scoring adds no shuffle beyond the output sort") {
+    val n = countShuffles(
+      TextQueries.classifierCore(spark, Tables.documents(spark, sf0001)))
+    assert(n <= 1, s"expected only the orderBy exchange, got $n")
+  }
 }
