@@ -590,7 +590,68 @@ object EtlQueries {
        |WHERE rk <= $WrsK ORDER BY lang, rk""".stripMargin
   }
 
+  // ---- q108: deterministic shard manifest (training-data global shuffle) ----
+
+  /** Output shard count. Tiny here; at production scale it's the number
+    * of training-data files (thousands) — the plan shape is unchanged. */
+  val NShards = 16L
+
+  /** q108: deterministic global shuffle + shard manifest — the last step
+    * of a training-data pipeline: every document gets a pseudo-random but
+    * REPRODUCIBLE position (60-bit keyed hash of its id — same order on
+    * any cluster size, any partitioning, any rerun) and a shard
+    * assignment (hash mod [[NShards]]); the manifest reports, per shard,
+    * the doc/char totals plus an order checksum Σ doc_id·rank that pins
+    * the exact global ordering — two runs that would write shards in a
+    * different order cannot produce the same checksum.
+    *
+    * Scale: the global rank comes from [[graft.plans.PrefixSumPlan]]
+    * (range-partition + per-partition sort + two-pass offset stitch —
+    * fully parallel, NOT a single-task window; second production use of
+    * the custom operator after q65). Everything else is one 16-key
+    * partial-aggregated groupBy. The hash key is 60-bit md5, so rank
+    * ties are impossible in practice (P(collision) ≈ n²/2⁶¹; a real
+    * deployment appends doc_id as a tiebreak in the sort key). */
+  def q108ShardManifest(s: SparkSession, dir: String): DataFrame =
+    shardManifestCore(s, Tables.documents(s, dir))
+
+  /** q108 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def shardManifestCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val keyed = docs.select($"doc_id", $"n_chars",
+      DedupQueries.h60(s, concat(lit("shard:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("one", lit(1L))
+    graft.plans.PrefixSumPlan.scan(keyed, "h", "one", "rank0")
+      .select($"doc_id", $"n_chars", $"h",
+        pmod($"h", lit(NShards)).as("shard"), ($"rank0" + 1L).as("rank"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars_total"),
+        min_by($"doc_id", $"h").as("first_doc"),
+        max_by($"doc_id", $"h").as("last_doc"),
+        sum($"doc_id" * $"rank").as("order_checksum"))
+      .orderBy($"shard")
+  }
+
+  lazy val q108Sql: String = {
+    val h = DedupQueries.sqlH60Expr("md5('shard:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH k AS (
+       |  SELECT doc_id, n_chars, $h AS h FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_chars, h, h % $NShards AS shard,
+       |    ROW_NUMBER() OVER (ORDER BY h) AS rank FROM k)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  arg_min(doc_id, h) AS first_doc,
+       |  arg_max(doc_id, h) AS last_doc,
+       |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum
+       |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_shard_manifest"     -> (q108ShardManifest _),
     "q101_weighted_sample"    -> (q101WeightedSample _),
     "q40_bernoulli_sample"    -> (q40BernoulliSample _),
     "q41_kv_encode"           -> (q41KvEncode _),
@@ -606,6 +667,7 @@ object EtlQueries {
     * (verdict-style bounds), q92/q93 since round 7 — zero rows-only
     * entries left. */
   val oracleSql: Map[String, String] = Map(
+    "q108_shard_manifest"     -> q108Sql,
     "q101_weighted_sample"    -> q101Sql,
     "q40_bernoulli_sample"    -> q40Sql,
     "q41_kv_encode"           -> q41Sql,

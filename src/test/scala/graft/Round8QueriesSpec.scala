@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{ComposeQueries, DedupQueries, TextQueries}
+import graft.queries.{ComposeQueries, DedupQueries, EtlQueries, TextQueries}
 
 /** Round-8 additions: q99 URL-canonicalization dedup and the q100
   * end-to-end pipeline-verdict composition. */
@@ -381,5 +381,24 @@ class Round8QueriesSpec extends SparkSuite {
     val n = countShuffles(
       TextQueries.classifierCore(spark, Tables.documents(spark, sf0001)))
     assert(n <= 1, s"expected only the orderBy exchange, got $n")
+  }
+
+  // ---- q108: deterministic shard manifest ----
+
+  test("q108 shards partition the corpus and the checksum is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf0001)
+    val base = EtlQueries.shardManifestCore(spark, docs).collect()
+    assert(base.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "every document lands in exactly one shard")
+    assert(base.length == EtlQueries.NShards,
+      "md5 sharding must hit all shards at 500 docs")
+    // the reproducibility contract: a different input partitioning must
+    // yield the identical manifest, order checksums included
+    val reparted = EtlQueries.shardManifestCore(spark, docs.repartition(7)).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("order_checksum"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toSet
+    assert(key(base) == key(reparted),
+      "global hash order (and so the checksum) must not depend on partitioning")
   }
 }
