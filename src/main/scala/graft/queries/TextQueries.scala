@@ -1148,8 +1148,10 @@ object TextQueries {
     * integer margin makes the keep decision engine-portable with no
     * float threshold ambiguity (sigmoid is monotone — thresholding the
     * margin IS thresholding the probability). */
-  def q107QualityClassifier(s: SparkSession, dir: String): DataFrame =
-    classifierCore(s, Tables.documents(s, dir))
+  def q107QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    classifierCore(s, Tables.documents(s, dir)).orderBy($"doc_id")
+  }
 
   /** q107 body over an arbitrary documents frame (Profile probes it on
     * replicated corpora). */
@@ -1174,7 +1176,6 @@ object TextQueries {
       .select($"doc_id", $"n_feats", $"margin",
         ($"margin".cast("double") / $"n_feats".cast("double")).as("avg_w"),
         ($"margin" > 0).as("keep"))
-      .orderBy($"doc_id")
   }
 
   val q107Sql: String =
@@ -1194,7 +1195,79 @@ object TextQueries {
        |  SUM(w) > 0 AS keep
        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q109: token-budget curriculum selection ----
+
+  /** Keep the best-scoring quarter of corpus tokens (budget = total/4). */
+  val BudgetDen = 4L
+
+  /** q109: quality-ranked token-budget selection — "train on the best N
+    * tokens": documents are ranked by the q107 classifier margin (best
+    * first, doc_id tiebreak) and greedily taken until the token budget
+    * (¼ of the corpus) is spent — the data-selection step behind
+    * quality-pruned training sets (DoReMi/DSIR-style pipelines reduce to
+    * exactly this once per-doc scores exist). A document is kept iff the
+    * budget is not yet exhausted when its turn starts.
+    *
+    * Scale: scoring is q107's map-only chain; the ranking + running
+    * token total is ONE [[graft.plans.PrefixSumPlan]] pass (third
+    * production use) — rank and cumulative tokens are packed into a
+    * single prefix-summed value (tokens·2²⁰ + 1), so one range-sort
+    * yields both, instead of a second global sort or a one-task window.
+    * The budget is a 1-row broadcast. Packing bounds (scaladoc'd, far
+    * above any real corpus shard): |margin| < 2²¹, doc_id < 2²²,
+    * doc count < 2²⁰, total tokens < 2⁴². */
+  def q109BudgetSelect(s: SparkSession, dir: String): DataFrame =
+    budgetSelectCore(s, Tables.documents(s, dir))
+
+  /** q109 body over an arbitrary documents frame. */
+  private[graft] def budgetSelectCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val scored = classifierCore(s, docs)
+      .select($"doc_id", $"margin",
+        expr("(n_feats + 1) div 2").as("n_tokens"))
+    val total = scored.agg(sum($"n_tokens").as("total"))
+    val keyed = scored
+      .withColumn("okey", (lit(1L << 21) - $"margin") * lit(1L << 22) + $"doc_id")
+      .withColumn("packed", $"n_tokens" * lit(1L << 20) + 1L)
+    graft.plans.PrefixSumPlan.scan(keyed, "okey", "packed", "cum0")
+      .select($"doc_id", $"n_tokens", $"margin",
+        (expr("cum0 % 1048576") + 1L).as("sel_rank"),
+        expr("cum0 div 1048576").as("cum_before"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"n_tokens", $"margin", $"sel_rank", $"cum_before",
+        ($"cum_before" < expr(s"total div $BudgetDen")).as("keep"))
+      .orderBy($"sel_rank")
+  }
+
+  val q109Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    unnest(t || list_transform(generate_series(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1])) AS f
+       |  FROM tk),
+       |sc AS (
+       |  SELECT doc_id, COUNT(*) AS n_feats,
+       |    SUM(((${DedupQueries.sqlH32("f")}) % $ClfBuckets * 2654435761) % 1001 - 500)
+       |      AS margin
+       |  FROM f GROUP BY doc_id),
+       |t AS (SELECT doc_id, margin, (n_feats + 1) // 2 AS n_tokens,
+       |        (2097152 - margin) * 4194304 + doc_id AS okey FROM sc),
+       |o AS (
+       |  SELECT doc_id, n_tokens, margin,
+       |    ROW_NUMBER() OVER (ORDER BY okey) AS sel_rank,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY okey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |    SUM(n_tokens) OVER () AS total
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(margin AS BIGINT) AS margin, CAST(sel_rank AS BIGINT) AS sel_rank,
+       |  CAST(cum_before AS BIGINT) AS cum_before,
+       |  cum_before < total // $BudgetDen AS keep
+       |FROM o ORDER BY sel_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q109_budget_select"      -> (q109BudgetSelect _),
     "q107_quality_classifier" -> (q107QualityClassifier _),
     "q105_span_corruption"  -> (q105SpanCorruption _),
     "q103_symbol_filter"    -> (q103SymbolFilter _),
@@ -1219,6 +1292,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q109_budget_select"      -> q109Sql,
     "q107_quality_classifier" -> q107Sql,
     "q105_span_corruption"  -> q105Sql,
     "q103_symbol_filter"    -> q103Sql,

@@ -401,4 +401,33 @@ class Round8QueriesSpec extends SparkSuite {
     assert(key(base) == key(reparted),
       "global hash order (and so the checksum) must not depend on partitioning")
   }
+
+  // ---- q109: token-budget curriculum selection ----
+
+  test("q109 keeps a quality-ranked prefix that lands exactly on the token budget") {
+    val out = TextQueries.q109BudgetSelect(spark, sf0001).collect()
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    val budget = total / TextQueries.BudgetDen
+    val kept = out.filter(_.getAs[Boolean]("keep"))
+    // keeps are precisely ranks 1..k — a prefix of the ranking, no holes
+    assert(kept.map(_.getAs[Long]("sel_rank")).sorted.toSeq ==
+      (1 to kept.length).map(_.toLong), "kept set must be a rank prefix")
+    // greedy boundary: spent ≥ budget (boundary doc included) and
+    // removing the boundary doc would drop below budget
+    val spent = kept.map(_.getAs[Long]("n_tokens")).sum
+    val lastKept = kept.maxBy(_.getAs[Long]("sel_rank"))
+    assert(spent >= budget && spent - lastKept.getAs[Long]("n_tokens") < budget,
+      s"spent=$spent budget=$budget must bracket the boundary document")
+    // ranking is by margin desc, doc_id asc
+    val ranked = out.sortBy(_.getAs[Long]("sel_rank"))
+      .map(r => (r.getAs[Long]("margin"), r.getAs[Long]("doc_id")))
+    assert(ranked.sliding(2).forall { case Array((m1, d1), (m2, d2)) =>
+      m1 > m2 || (m1 == m2 && d1 < d2) }, "order must be margin desc, doc_id asc")
+    // cum_before is consistent: each row's cum equals the running sum
+    var run = 0L
+    out.sortBy(_.getAs[Long]("sel_rank")).foreach { r =>
+      assert(r.getAs[Long]("cum_before") == run, s"cum at rank ${r.getAs[Long]("sel_rank")}")
+      run += r.getAs[Long]("n_tokens")
+    }
+  }
 }
