@@ -1222,9 +1222,14 @@ object TextQueries {
   /** q109 body over an arbitrary documents frame. */
   private[graft] def budgetSelectCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
+    // Checkpointed: both the budget total and the ranked selection read
+    // this 24-byte/doc frame — without it the total branch re-scans and
+    // re-hashes the corpus (plan-branch double execution; the q104/q88
+    // small-derived-frame remedy).
     val scored = classifierCore(s, docs)
       .select($"doc_id", $"margin",
         expr("(n_feats + 1) div 2").as("n_tokens"))
+      .localCheckpoint(false)
     val total = scored.agg(sum($"n_tokens").as("total"))
     val keyed = scored
       .withColumn("okey", (lit(1L << 21) - $"margin") * lit(1L << 22) + $"doc_id")

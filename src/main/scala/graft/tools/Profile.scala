@@ -221,6 +221,21 @@ object Profile {
     time("q103 symbol gate (core) on 10x")(noop(TextQueries.symbolFilterCore(spark, full10)))
     time("q104 source sim (core) on 1x")(noop(DedupQueries.sourceSimilarityCore(spark, base)))
     time("q104 source sim (core) on 10x")(noop(DedupQueries.sourceSimilarityCore(spark, full10)))
+
+    // q106 moves ~2x corpus text through two shuffles (hash-bucket
+    // window + doc rebuild) — expect ~linear; on the full10 corpus every
+    // segment has 10 copies, so kept counts collapse to ~1x while the
+    // shuffle volume is 10x. q107 is map-only (expect scan-bound
+    // linear). q108/q109 are one PrefixSumPlan range-sort each over
+    // KB-sized rows — expect ~linear with small constants.
+    time("q106 segment dedup (core) on 1x")(noop(DedupQueries.segmentDedupCore(spark, base)))
+    time("q106 segment dedup (core) on 10x")(noop(DedupQueries.segmentDedupCore(spark, full10)))
+    time("q107 classifier (core) on 1x")(noop(TextQueries.classifierCore(spark, base)))
+    time("q107 classifier (core) on 10x")(noop(TextQueries.classifierCore(spark, full10)))
+    time("q108 shard manifest (core) on 1x")(noop(EtlQueries.shardManifestCore(spark, base)))
+    time("q108 shard manifest (core) on 10x")(noop(EtlQueries.shardManifestCore(spark, full10)))
+    time("q109 budget select (core) on 1x")(noop(TextQueries.budgetSelectCore(spark, base)))
+    time("q109 budget select (core) on 10x")(noop(TextQueries.budgetSelectCore(spark, full10)))
     spark.stop()
   }
 }
