@@ -459,7 +459,97 @@ object SimilarityQueries {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  // ---- q110: SemDeDup (cluster-blocked semantic dedup verdict) ----
+
+  /** q110: SemDeDup (Abbas et al. 2023) — semantic deduplication over
+    * embeddings: block by cluster, form duplicate GROUPS from the
+    * within-cluster cosine-threshold graph (connected components, not
+    * just pairs — A≈B≈C collapses to one group even when A~C alone is
+    * sub-threshold), and keep ONE representative per group: the member
+    * with the LOWEST cosine to its cluster centroid (the paper's
+    * keep-the-outlier rule — prototypical copies carry the least new
+    * information), vec_id as the deterministic tie-break. q31 emits the
+    * pair LIST; this emits the per-vector keep/drop DECISION a pipeline
+    * actually applies. Cluster structure = the label column (the corpus
+    * convention shared with q31/q32/q59; with learned k-means
+    * assignments the plan is unchanged).
+    *
+    * Scale: the SemDeDup trick IS the blocking — pairwise work is
+    * quadratic only within a cluster (k-means with k ∝ √n bounds it),
+    * never corpus-wide. Centroids are one broadcast KB; the scored frame
+    * is checkpointed once and feeds both sides of the pair join and the
+    * output (no triple re-derivation); components run on the tiny
+    * thresholded edge set; the verdict is two same-key window passes
+    * over one cluster-keyed shuffle. */
+  def q110SemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupCore(s, Tables.embeddings(s, dir))
+
+  /** q110 body over an arbitrary embeddings frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def semDedupCore(s: SparkSession, embIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val cents = labelCentroids(embIn)
+    val scored = embIn
+      .select($"vec_id", $"label", $"embedding", norm2($"embedding").as("n2"))
+      .join(broadcast(cents), $"label" === $"c_label")
+      .select($"vec_id", $"label", $"embedding", $"n2",
+        round(cosine($"embedding", $"centroid"), 6).as("cos_cent"))
+      .localCheckpoint(false)
+    val pairs = scored.as("a").join(scored.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .where(round(cosinePre(col("a.embedding"), col("b.embedding"),
+        col("a.n2"), col("b.n2")), 6) >= NearDupThreshold)
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+    val comps = graft.operators.ConnectedComponents.components(pairs, "u", "v")
+      .withColumnRenamed("id", "vec_id")
+    val wc = Window.partitionBy($"cluster_id")
+    scored
+      .join(comps, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce($"comp", $"vec_id"))
+      .withColumn("rn", row_number().over(wc.orderBy($"cos_cent".asc, $"vec_id".asc)))
+      .withColumn("n_comp", count(lit(1)).over(wc))
+      .select($"vec_id", $"label", $"cluster_id", $"cos_cent",
+        ($"rn" === 1).as("keep"), $"n_comp")
+      .orderBy($"vec_id")
+  }
+
+  val q110Sql: String = {
+    val cosCent = sqlCosine("e.embedding", "c.centroid")
+    val cosPair = sqlCosine("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE pos AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT label AS c_label, list(CAST(sv AS DOUBLE) ORDER BY i) AS centroid
+       |  FROM (SELECT label, i, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS sv
+       |        FROM pos GROUP BY label, i)
+       |  GROUP BY label),
+       |sc AS (
+       |  SELECT e.vec_id, e.label, e.embedding, round($cosCent, 6) AS cos_cent
+       |  FROM embeddings e JOIN cents c ON e.label = c.c_label),
+       |pr AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS v
+       |  FROM sc a JOIN sc b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round($cosPair, 6) >= $NearDupThreshold),
+       |edges AS (SELECT u, v FROM pr UNION SELECT v AS u, u AS v FROM pr),
+       |walk(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+       |comp AS (SELECT u AS vec_id, MIN(r) AS comp FROM walk GROUP BY u),
+       |j AS (
+       |  SELECT sc.vec_id, sc.label, sc.cos_cent,
+       |    COALESCE(comp.comp, sc.vec_id) AS cluster_id
+       |  FROM sc LEFT JOIN comp ON sc.vec_id = comp.vec_id)
+       |SELECT vec_id, label, cluster_id, cos_cent,
+       |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY cos_cent ASC, vec_id ASC) = 1 AS keep,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_comp
+       |FROM j ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q110_semdedup"         -> (q110SemDedup _),
     "q102_hard_negatives"   -> (q102HardNegatives _),
     "q90_semantic_decontam" -> (q90SemanticDecontam _),
     "q30_knn_bruteforce"    -> (q30KnnBruteForce _),
@@ -470,6 +560,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q110_semdedup"         -> q110Sql,
     "q102_hard_negatives"   -> q102Sql,
     "q90_semantic_decontam" -> q90Sql,
     "q30_knn_bruteforce"    -> q30Sql,

@@ -430,4 +430,44 @@ class Round8QueriesSpec extends SparkSuite {
       run += r.getAs[Long]("n_tokens")
     }
   }
+
+  // ---- q110: SemDeDup ----
+
+  /** 64-dim unit vector pointing at `deg` degrees in the (0,1) plane. */
+  private def unitAt(deg: Double): Array[Float] = {
+    val r = math.toRadians(deg)
+    Array.tabulate(64)(i =>
+      if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0f)
+  }
+
+  test("q110 groups transitively within a cluster and keeps the centroid outlier") {
+    import graft.queries.SimilarityQueries
+    // label 0: a(0°)~b(40°) and b~c(80°) are dups (cos40°≈0.77 ≥ 0.35) but
+    // a~c (cos80°≈0.17) is NOT — transitive closure must still give one
+    // group {a,b,c}. d(170°) is near-opposite: a singleton in the same
+    // cluster. label 1: one lone vector, trivially kept.
+    val rows = Seq(
+      (1L, unitAt(0), 0), (2L, unitAt(40), 0), (3L, unitAt(80), 0),
+      (4L, unitAt(170), 0), (5L, unitAt(10), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilarityQueries.semDedupCore(spark, emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // one transitive group {1,2,3} with cluster_id = min id = 1
+    assert(Seq(1L, 2L, 3L).forall(out(_).getAs[Long]("cluster_id") == 1L),
+      "chain a~b~c must collapse into one component despite a~c being sub-threshold")
+    assert(Seq(1L, 2L, 3L).forall(out(_).getAs[Long]("n_comp") == 3L))
+    // keeper = lowest cosine-to-centroid: centroid of {0°,40°,80°,170°}
+    // points ≈64°, so the 170° member is the group-independent outlier —
+    // but it's a singleton; within {a,b,c} the outlier is a (0°)
+    val kept = Seq(1L, 2L, 3L).filter(out(_).getAs[Boolean]("keep"))
+    assert(kept == Seq(1L), s"group keeper must be the centroid outlier a, got $kept")
+    // singletons keep themselves
+    assert(out(4L).getAs[Boolean]("keep") && out(4L).getAs[Long]("n_comp") == 1L)
+    assert(out(5L).getAs[Boolean]("keep") && out(5L).getAs[Long]("cluster_id") == 5L)
+    // exactly one keeper per cluster
+    val byCluster = out.values.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.count(_.getAs[Boolean]("keep")) == 1, s"cluster $c keeper count")
+    }
+  }
 }
