@@ -236,6 +236,18 @@ object Profile {
     time("q108 shard manifest (core) on 10x")(noop(EtlQueries.shardManifestCore(spark, full10)))
     time("q109 budget select (core) on 1x")(noop(TextQueries.budgetSelectCore(spark, base)))
     time("q109 budget select (core) on 10x")(noop(TextQueries.budgetSelectCore(spark, full10)))
+
+    // q110 over a 10x-replicated embedding corpus: cluster sizes grow
+    // 10x, so the within-cluster pair term grows ~100x — this probe
+    // measures the quadratic-in-cluster-size reality the SemDeDup paper
+    // controls via k ∝ √n (at fixed k, 10x data MUST look superlinear;
+    // production re-clusters, keeping cluster size bounded)
+    val embBase = Tables.embeddings(spark, dir)
+    val embL10 = (0 until 10).map(i =>
+      embBase.select(($"vec_id" + lit(i * 10000000L)).as("vec_id"),
+        $"embedding", $"label")).reduce(_ unionByName _)
+    time("q110 semdedup (core) on 1x")(noop(SimilarityQueries.semDedupCore(spark, embBase)))
+    time("q110 semdedup (core) on 10x")(noop(SimilarityQueries.semDedupCore(spark, embL10)))
     spark.stop()
   }
 }
