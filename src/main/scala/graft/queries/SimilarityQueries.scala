@@ -353,28 +353,37 @@ object SimilarityQueries {
     sq8Core(s, Tables.embeddings(s, dir).select($"vec_id", $"embedding"))
   }
 
+  /** One row: per-dim corpus lo/hi (exact — min/max of float-cast-double).
+    * Callers localCheckpoint it when more than one encode consumes it. */
+  private[graft] def sq8Stats(emb: DataFrame): DataFrame =
+    emb.agg(
+      array((1 to EmbDim).map(d =>
+        min(element_at(col("embedding"), d).cast("double"))): _*).as("lo"),
+      array((1 to EmbDim).map(d =>
+        max(element_at(col("embedding"), d).cast("double"))): _*).as("hi"))
+
+  /** Affine per-dim 8-bit encode against broadcast corpus stats:
+    * floor((x−lo)/(hi−lo)·255), constant-dim dims → code 0. The same
+    * correctly-rounded IEEE op sequence as the DuckDB mirror, so codes are
+    * engine-exact integers (the q95 scaladoc argument). */
+  private[graft] def sq8Encode(df: DataFrame, stats: DataFrame): DataFrame = df
+    .crossJoin(broadcast(stats))
+    .select(col("vec_id"), transform(col("embedding"), (x, i) => {
+      val lo = element_at(col("lo"), i + 1)
+      val hi = element_at(col("hi"), i + 1)
+      when(hi > lo, floor((x.cast("double") - lo) / (hi - lo) * Sq8Levels))
+        .otherwise(lit(0L)).cast("long")
+    }).as("codes"))
+
   /** q95 body over an arbitrary (vec_id, embedding) frame (Profile
     * probes it on replicated corpora; the named query binds the table). */
   private[graft] def sq8Core(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
-    // one row: per-dim corpus lo/hi (exact — min/max of float-cast-double)
-    val stats = emb.agg(
-      array((1 to EmbDim).map(d =>
-        min(element_at($"embedding", d).cast("double"))): _*).as("lo"),
-      array((1 to EmbDim).map(d =>
-        max(element_at($"embedding", d).cast("double"))): _*).as("hi"))
+    val stats = sq8Stats(emb)
       .localCheckpoint(false) // 1 row, two encode consumers (§9 note)
-    def encode(df: DataFrame): DataFrame = df
-      .crossJoin(broadcast(stats))
-      .select($"vec_id", transform($"embedding", (x, i) => {
-        val lo = element_at($"lo", i + 1)
-        val hi = element_at($"hi", i + 1)
-        when(hi > lo, floor((x.cast("double") - lo) / (hi - lo) * Sq8Levels))
-          .otherwise(lit(0L)).cast("long")
-      }).as("codes"))
-    val corpus = encode(emb)
+    val corpus = sq8Encode(emb, stats)
     // query-side scan prunes to the 5 query rows at the parquet scan
-    val queries = encode(emb.where($"vec_id" < NumQueries))
+    val queries = sq8Encode(emb.where($"vec_id" < NumQueries), stats)
       .select($"vec_id".as("query_id"), $"codes".as("qcodes"))
     val idist = aggregate(
       zip_with($"qcodes", $"codes", (a, b) => (a - b) * (a - b)),
@@ -407,6 +416,156 @@ object SimilarityQueries {
        |  SELECT query_id, neighbor_id, idist,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY idist ASC, neighbor_id ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+
+  // ---- q111: product-quantization (PQ) ADC ANN ----
+
+  /** Subspaces per vector; each sub-vector is [[PqSubDim]] dims. */
+  val PqM = 8
+  val PqSubDim: Int = EmbDim / PqM
+  /** Centroids per subspace codebook — codes are 4 bits, 8 codes = 4 B/vec
+    * logical (stored as one tiny int per subspace here). */
+  val PqK = 16
+
+  /** q111: product-quantized ANN with asymmetric-distance (ADC) scan —
+    * the FAISS IVFADC recipe (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) and the capstone of the ANN
+    * family: q30 exact floats (256 B/vec) → q95 SQ8 (64 B/vec) → q111 PQ
+    * (8 codes/vec). The corpus is SQ8-encoded, each code vector is split
+    * into [[PqM]] sub-vectors, and a per-subspace [[PqK]]-centroid
+    * codebook is TRAINED in-plan: seeds = the sub-codes of the first
+    * [[PqK]] vectors, then one Lloyd step (integer floor-mean update) —
+    * the q59 iteration specialized to the subspace. Search never touches
+    * the corpus floats: each query precomputes a [[PqM]]×[[PqK]] table of
+    * integer distances from its OWN (un-quantized) sub-codes to every
+    * centroid, and a neighbor's approximate distance is [[PqM]] table
+    * lookups summed — the classic ADC estimator.
+    *
+    * Engine-exactness: every quantity after the q95 SQ8 encode is
+    * INTEGER arithmetic — seed distances, floor-mean centroids (floor of
+    * a ≤2^25 sum over an exact double divide), encode argmins (k-asc tie
+    * break), LUT cells, ADC sums — so codes, distances, and the full
+    * ranking hash-match DuckDB exactly: a value-level oracle for a
+    * trained quantizer. PQ recall vs the uncompressed SQ8 ranking is
+    * measured in Round8QueriesSpec, not assumed.
+    *
+    * Scale: training touches the corpus once (sub-codes are checkpointed
+    * — three consumers, §9 rule), the codebook is M·K rows (KB) and
+    * broadcast everywhere it appears; PQ-encode is one argmin pass; the
+    * ADC scan is map-only over 8-int code rows against a broadcast
+    * NumQueries×M×K LUT with the q30 k-rows-per-query top-k exchange. At
+    * 100 TB the codes column is written at ingest and the scan reads
+    * 32× fewer bytes than the float corpus — the difference between a
+    * cached scan and a cold one. */
+  def q111PqAdcAnn(s: SparkSession, dir: String): DataFrame =
+    pqAdcCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** q111 body over an arbitrary (vec_id, embedding) frame (Profile
+    * probes it on replicated corpora). */
+  private[graft] def pqAdcCore(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val stats = sq8Stats(emb).localCheckpoint(false) // 1 row, shared encode input
+    // (vec_id, m, sub[PqSubDim]) — the per-subspace view of the SQ8 codes;
+    // checkpointed once: consumed by seed-assign, PQ-encode, and the LUT
+    val subStructs = array((0 until PqM).map(m =>
+      struct(lit(m).as("m"),
+        slice($"codes", m * PqSubDim + 1, PqSubDim).as("sub"))): _*)
+    val subcodes = sq8Encode(emb, stats)
+      .select($"vec_id", explode(subStructs).as("e"))
+      .select($"vec_id", $"e.m".as("m"), $"e.sub".as("sub"))
+      .localCheckpoint(false)
+    def isqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    // nearest codebook entry per (vector, subspace): integer distance,
+    // k-asc tie break; WindowGroupLimit collapses rn=1 to a partial argmin
+    val wArgmin = Window.partitionBy($"vec_id", $"m").orderBy($"d".asc, $"k".asc)
+    def nearest(cb: DataFrame): DataFrame = subcodes
+      .join(broadcast(cb), Seq("m"))
+      .select($"vec_id", $"m", $"sub", $"k", isqd($"sub", $"cent").as("d"))
+      .withColumn("rn", row_number().over(wArgmin)).where($"rn" === 1)
+    // codebook training: seeds from the first PqK vectors, one integer
+    // Lloyd step (floor-mean update over each seed's assigned sub-codes)
+    val seeds = subcodes.where($"vec_id" < PqK)
+      .select($"m", $"vec_id".cast("int").as("k"), $"sub".as("cent"))
+    val meanCols = (0 until PqSubDim).map(j =>
+      floor(sum(element_at($"sub", j + 1)) / count(lit(1))).cast("long").as(s"c_$j"))
+    val cents = nearest(seeds)
+      .groupBy($"m", $"k").agg(meanCols.head, meanCols.tail: _*)
+      .select($"m", $"k",
+        array((0 until PqSubDim).map(j => col(s"c_$j")): _*).as("cent"))
+      .localCheckpoint(false) // ≤ M·K rows; encode + LUT consumers
+    // PQ-encode: codes[m] = trained-centroid argmin, packed in m order
+    val pqcodes = nearest(cents).groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"k"))),
+        e => e.getField("k")).as("pq"))
+    // per-query ADC table, flattened in (m, k) order: lut[m·K + k + 1]
+    val luts = subcodes.where($"vec_id" < NumQueries)
+      .join(broadcast(cents), Seq("m"))
+      .select($"vec_id".as("query_id"), $"m", $"k", isqd($"sub", $"cent").as("d"))
+      .groupBy($"query_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"k", $"d"))),
+        e => e.getField("d")).as("lut"))
+    val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, m) => acc + element_at($"lut",
+        m * PqK + element_at($"pq", m + 1).cast("int") + 1))
+    val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"neighbor_id".asc)
+    pqcodes.join(broadcast(luts), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), adist.as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  val q111Sql: String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+       |             unnest(generate_series(1, len(embedding))) AS d
+       |           FROM embeddings),
+       |st AS (SELECT d, MIN(CAST(x AS DOUBLE)) AS lo, MAX(CAST(x AS DOUBLE)) AS hi
+       |       FROM e GROUP BY d),
+       |c AS (SELECT e.vec_id, e.d,
+       |        CASE WHEN st.hi > st.lo
+       |          THEN CAST(floor((CAST(e.x AS DOUBLE) - st.lo) / (st.hi - st.lo) * $Sq8Levels) AS BIGINT)
+       |          ELSE 0 END AS code
+       |      FROM e JOIN st USING (d)),
+       |sub AS (SELECT vec_id, (d - 1) // $PqSubDim AS m, (d - 1) % $PqSubDim AS j, code
+       |        FROM c),
+       |seeds AS (SELECT m, CAST(vec_id AS INT) AS k, j, code AS cent
+       |          FROM sub WHERE vec_id < $PqK),
+       |ad AS (SELECT s.vec_id, s.m, sd.k,
+       |         SUM((s.code - sd.cent) * (s.code - sd.cent)) AS dd
+       |       FROM sub s JOIN seeds sd ON s.m = sd.m AND s.j = sd.j
+       |       GROUP BY 1, 2, 3),
+       |assign AS (SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dd ASC, k ASC) AS rn FROM ad) WHERE rn = 1),
+       |cents AS (SELECT s.m, a.k, s.j,
+       |            CAST(floor(SUM(s.code) / COUNT(*)) AS BIGINT) AS cent
+       |          FROM sub s JOIN assign a ON s.vec_id = a.vec_id AND s.m = a.m
+       |          GROUP BY s.m, a.k, s.j),
+       |ed AS (SELECT s.vec_id, s.m, c.k,
+       |         SUM((s.code - c.cent) * (s.code - c.cent)) AS dd
+       |       FROM sub s JOIN cents c ON s.m = c.m AND s.j = c.j
+       |       GROUP BY 1, 2, 3),
+       |pq AS (SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dd ASC, k ASC) AS rn FROM ed) WHERE rn = 1),
+       |lut AS (SELECT s.vec_id AS query_id, s.m, c.k,
+       |          SUM((s.code - c.cent) * (s.code - c.cent)) AS dd
+       |        FROM sub s JOIN cents c ON s.m = c.m AND s.j = c.j
+       |        WHERE s.vec_id < $NumQueries
+       |        GROUP BY 1, 2, 3),
+       |sc AS (SELECT l.query_id, p.vec_id AS neighbor_id,
+       |         CAST(SUM(l.dd) AS BIGINT) AS adist
+       |       FROM pq p JOIN lut l ON p.m = l.m AND p.k = l.k
+       |         AND p.vec_id <> l.query_id
+       |       GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adist, rn FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id ASC) AS rn
        |  FROM sc)
        |WHERE rn <= $TopK
        |ORDER BY query_id, rn""".stripMargin
@@ -557,6 +716,7 @@ object SimilarityQueries {
     "q32_ivf_ann"           -> (q32IvfAnn _),
     "q59_kmeans_assign"     -> (q59KmeansAssign _),
     "q95_sq8_ann"           -> (q95Sq8Ann _),
+    "q111_pq_adc_ann"       -> (q111PqAdcAnn _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -568,5 +728,6 @@ object SimilarityQueries {
     "q32_ivf_ann"           -> q32Sql,
     "q59_kmeans_assign"     -> q59Sql,
     "q95_sq8_ann"           -> q95Sql,
+    "q111_pq_adc_ann"       -> q111Sql,
   )
 }

@@ -1153,23 +1153,27 @@ object TextQueries {
     classifierCore(s, Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
-  /** q107 body over an arbitrary documents frame (Profile probes it on
-    * replicated corpora). */
-  private[graft] def classifierCore(s: SparkSession, docs: DataFrame): DataFrame = {
-    import s.implicits._
-    val featArr = graft.functions.Cols.bind(toks($"text")) { t =>
+  /** Unigram + bigram feature array over `text` — the shared hashed-
+    * feature space of the q107 classifier and the q112 DSIR scorer. */
+  private[graft] def clfFeatures: Column =
+    graft.functions.Cols.bind(toks(col("text"))) { t =>
       concat(t,
         when(size(t) >= 2,
           transform(sequence(lit(1), size(t) - 1), i =>
             concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
           .otherwise(array().cast("array<string>")))
     }
+
+  /** q107 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def classifierCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
     def weight(f: Column): Column = {
       val bucket = pmod(DedupQueries.h32(s, f), lit(ClfBuckets))
       (bucket * lit(2654435761L)) % 1001L - 500L
     }
     docs
-      .select($"doc_id", featArr.as("feats"))
+      .select($"doc_id", clfFeatures.as("feats"))
       .select($"doc_id",
         size($"feats").cast("long").as("n_feats"),
         aggregate($"feats", lit(0L), (acc, f) => acc + weight(f)).as("margin"))
