@@ -117,25 +117,31 @@ object Bench {
         val r = runOnce(name, fn); releaseQueryState(); r
       }
       // failed reps are excluded from the statistic; a query with NO
-      // successful rep reports the max failed duration (pessimistic, and
-      // the stderr failure lines make the cause unmissable)
+      // successful rep is EXCLUDED from the timing fields entirely and
+      // carried in the record's "failed" list instead — r9's committed
+      // record presented three all-reps-failed queries as 0.07–0.22s
+      // "timings" (failure durations), skewing the total (ADVICE r9)
       val good = runs.collect { case (t, true) => t }.sorted
-      val times = if (good.nonEmpty) good else runs.map(_._1).sorted
       if (good.length < reps)
         System.err.println(s"[bench] $name: ${reps - good.length}/$reps reps FAILED")
-      // per-rep spread makes an anomalous rep self-diagnosing in logs
-      System.err.println(s"[bench] $name min/med/max = " +
-        s"${sec(times.head)}/${sec(times(times.length / 2))}/${sec(times.last)}")
-      name -> (if (good.nonEmpty) times.head else times.last)
+      if (good.nonEmpty) {
+        // per-rep spread makes an anomalous rep self-diagnosing in logs
+        System.err.println(s"[bench] $name min/med/max = " +
+          s"${sec(good.head)}/${sec(good(good.length / 2))}/${sec(good.last)}")
+      }
+      name -> good.headOption
     }
+    val failed = results.collect { case (k, None) => k }
+    val timed = results.collect { case (k, Some(v)) => k -> v }
     def jsonLine(key: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + sec(v) }
+      val qs = timed.map { case (k, v) => "\"" + key(k) + "\":" + sec(v) }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).sum
+      val fs = failed.map("\"" + key(_) + "\"").mkString("[", ",", "]")
+      val total = timed.map(_._2).sum
       // "stat":"min" marks the round-7 median→min statistic switch so
       // cross-round total comparisons don't conflate a real regression
       // with the statistic change (r01–r06 totals are medians).
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","failed":$fs,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full names to the file; unique qNN prefixes on stdout (tail-window
     // budget — see scaladoc). Prefix collisions (none today) fall back to

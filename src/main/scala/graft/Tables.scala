@@ -24,16 +24,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is written as parquet TIMESTAMP(NANOS); Spark has no native
-    * nanosecond timestamp, so we read it as a long (legacy conf) and floor-
-    * divide to microseconds — the same truncation DuckDB applies when it
-    * coerces ns → its µs TIMESTAMP, so oracle values agree exactly. */
+  /** events.ts has shipped in two physical parquet shapes:
+    *   - TIMESTAMP(NANOS): Spark has no native nanosecond timestamp, so we
+    *     read it as a long (legacy conf) and floor-divide to microseconds —
+    *     the same truncation DuckDB applies when it coerces ns → its µs
+    *     TIMESTAMP, so oracle values agree exactly.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *     the session time zone is pinned UTC everywhere (Bench/Verify/specs),
+    *     so casting to the session-zoned TimestampType preserves wall-clock
+    *     values and matches DuckDB's naive-µs read of the same file.
+    * Downstream consumers always see a plain TimestampType `ts`. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -62,7 +62,21 @@ object Liveness {
   class ProbeBudgetExceeded(msg: String) extends RuntimeException(msg)
 
   /** [[filterLive]] under a [[ProbeBudget]]: same semantics on success,
-    * but concurrency-capped, rate-paced, and failure-budget-guarded. */
+    * but concurrency-capped, rate-paced, and failure-budget-guarded.
+    *
+    * Pacing holds at ANY rate: the wait is `parkNanos` on the full
+    * nanosecond remainder (a millisecond-truncating sleep zeroes out
+    * above ~1000 probes/s/task and the cap silently vanishes — ADVICE
+    * r8), looped because parkNanos may return early.
+    *
+    * The failure budget is PER TASK ATTEMPT: counters restart when the
+    * scheduler retries a task, so a flaky endpoint can absorb up to
+    * `spark.task.maxFailures` × the budgeted probes before the job
+    * dies. Deliberate: a retried task re-probing is indistinguishable
+    * from fresh work at the endpoint, and cross-attempt state would
+    * need external coordination. Set `spark.task.maxFailures=1` on
+    * probe stages when the endpoint must see at most one budget's
+    * worth of failures. */
   def filterLiveBudgeted(guids: Dataset[String], probe: String => Boolean,
       budget: ProbeBudget = ProbeBudget()): Dataset[String] = {
     import guids.sparkSession.implicits._
@@ -77,10 +91,10 @@ object Liveness {
       var n = 0L
       var failed = 0L
       it.filter { g =>
-        val now = System.nanoTime()
-        if (now < nextAllowed) {
-          val ms = (nextAllowed - now) / 1000000L
-          if (ms > 0) Thread.sleep(ms)
+        var now = System.nanoTime()
+        while (now < nextAllowed) {
+          java.util.concurrent.locks.LockSupport.parkNanos(nextAllowed - now)
+          now = System.nanoTime()
         }
         nextAllowed = math.max(now, nextAllowed) + minIntervalNs
         val ok = probe(g)

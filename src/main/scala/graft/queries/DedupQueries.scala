@@ -1071,7 +1071,10 @@ object DedupQueries {
       .select($"doc_id", $"n_chars", canonicalUrl(url).as("canonical_url"))
       .groupBy($"canonical_url")
       .agg(count(lit(1)).as("n_copies"),
-        max_by($"doc_id", $"n_chars" * 1000000000L - $"doc_id").as("keeper_id"),
+        // struct-ordered: max n_chars, then smallest doc_id — exact for any
+        // doc_id magnitude (a packed n_chars·1e9−doc_id key mis-orders once
+        // doc_id ≥ 1e9; ADVICE r8)
+        max_by($"doc_id", struct($"n_chars", -$"doc_id")).as("keeper_id"),
         max($"n_chars").as("keeper_chars"))
       .orderBy($"canonical_url")
   }
@@ -1112,9 +1115,11 @@ object DedupQueries {
       |p5 AS (SELECT doc_id, n_chars,
       |         host || path || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url FROM p4)
       |SELECT canonical_url, COUNT(*) AS n_copies,
-      |  arg_max(doc_id, n_chars*1000000000 - doc_id) AS keeper_id,
+      |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
       |  MAX(n_chars) AS keeper_chars
-      |FROM p5 GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+      |FROM (SELECT p5.*, ROW_NUMBER() OVER (PARTITION BY canonical_url
+      |        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM p5)
+      |GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 
   // ---- q104: source-pair similarity matrix (corpus overlap analysis) ----
 
@@ -1248,8 +1253,11 @@ object DedupQueries {
       .select($"doc_id", posexplode(segsOf).as(Seq("seg_pos", "seg")))
       .select($"doc_id", $"seg_pos".cast("long").as("seg_pos"), $"seg",
         h60(s, $"seg").as("h"))
-    // Global first-occurrence rank; seg_pos < 100000 for any real document.
-    val r = $"doc_id" * lit(100000L) + $"seg_pos"
+    // Global first occurrence by (doc_id, seg_pos): struct-ordered min —
+    // exact for any doc_id magnitude or segment count (a packed
+    // doc_id·100000+seg_pos key corrupts order for ≥100k-segment docs;
+    // ADVICE r8).
+    val r = struct($"doc_id", $"seg_pos")
     val kept = occ
       .withColumn("keep", r === min(r).over(Window.partitionBy($"h")))
     kept.groupBy($"doc_id").agg(
@@ -1276,8 +1284,8 @@ object DedupQueries {
        |          CAST(ceil(len(t) / $SegTok.0) AS BIGINT) AS nseg FROM tk)),
        |k AS (
        |  SELECT doc_id, seg_pos, seg,
-       |    doc_id*100000 + seg_pos =
-       |      MIN(doc_id*100000 + seg_pos) OVER (PARTITION BY seg) AS keep
+       |    (doc_id, seg_pos) =
+       |      MIN((doc_id, seg_pos)) OVER (PARTITION BY seg) AS keep
        |  FROM segs)
        |SELECT doc_id, COUNT(*) AS n_segs,
        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

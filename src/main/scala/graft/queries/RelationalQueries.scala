@@ -281,6 +281,64 @@ object RelationalQueries {
        |GROUP BY ws_us
        |ORDER BY window_start_s""".stripMargin
 
+  /** One event-time day in microseconds; also the watermark delay the
+    * streaming face uses ([[graft.streaming.EventStream.dailyRollup]]'s
+    * `withWatermark("ts", "1 day")`). */
+  val DayUs = 86400000000L
+
+  /** q112: event-time skew audit at the watermark boundary — the batch
+    * diagnostic behind CHOOSING a streaming watermark: per event-time
+    * day, how many events arrive LATE (an earlier-arriving event of the
+    * same user already carried a later event time), the worst observed
+    * lateness, and how many such events a 1-day watermark — the delay
+    * [[graft.streaming.EventStream.dailyRollup]] actually ships — would
+    * DROP. Arrival order models SHARD-INTERLEAVED delivery — 7 transport
+    * shards (event_id mod 7), each in-order, drained shard-by-shard: the
+    * generator's events are time-ordered by event_id, so a straight
+    * event_id arrival would make every skew column trivially zero and
+    * the oracle would pin nothing. All comparisons are integer
+    * microseconds and the day bucket is integer epoch-seconds (the
+    * q17/q58 lesson: integers canonicalize identically across engines)
+    * — exactly the NTZ↔TZ microsecond boundary arithmetic that the
+    * round-9 testdata regeneration broke.
+    *
+    * Scale: one running-max window pass PARTITIONED BY user_id (never a
+    * global sort), then a days-keyed aggregation with map-side partials
+    * — two shuffles total, both on uniform keys. */
+  def q112EventTimeSkew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"event_id" % 7, $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+      .withColumn("run_max", max($"tus").over(w))
+      .groupBy((expr(s"tus div $DayUs") * lit(86400L)).as("day_s"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"run_max" > $"tus", 1L).otherwise(0L)).as("n_late"),
+        max($"run_max" - $"tus").as("max_late_us"),
+        sum(when($"run_max" - $"tus" > DayUs, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy($"day_s")
+  }
+
+  // Oracle mirrors the integer-µs arithmetic; DuckDB reads the same
+  // parquet as naive µs timestamps, so epoch_us(ts) == unix_micros(ts)
+  // under the pinned UTC session.
+  val q112Sql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY event_id % 7, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+       |  FROM events)
+       |SELECT (tus // $DayUs) * 86400 AS day_s,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN run_max > tus THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |  MAX(run_max - tus) AS max_late_us,
+       |  CAST(SUM(CASE WHEN run_max - tus > $DayUs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM o GROUP BY 1 ORDER BY day_s""".stripMargin
+
   /** q11: sha-256 row-key hashing (P5, taar_utils.py:110-116 — the Bigtable
     * row key). Spark's built-in `sha2` is codegen'd; no UDF. */
   def q11Sha2(s: SparkSession, dir: String): DataFrame = {
@@ -1224,6 +1282,7 @@ object RelationalQueries {
     "q09_pair_cooccurrence" -> (q09PairCooccurrence _),
     "q10_tumbling_window"   -> (q10TumblingWindow _),
     "q58_sliding_window"    -> (q58SlidingWindow _),
+    "q112_event_time_skew"  -> (q112EventTimeSkew _),
     "q11_sha2"              -> (q11Sha2 _),
     "q12_json_trycast"      -> (q12JsonTryCast _),
     "q13_url_build_parse"   -> (q13UrlBuildParse _),
@@ -1267,6 +1326,7 @@ object RelationalQueries {
     "q09_pair_cooccurrence" -> q09Sql,
     "q10_tumbling_window"   -> q10Sql,
     "q58_sliding_window"    -> q58Sql,
+    "q112_event_time_skew"  -> q112Sql,
     "q11_sha2"              -> q11Sql,
     "q12_json_trycast"      -> q12Sql,
     "q13_url_build_parse"   -> q13Sql,

@@ -501,16 +501,23 @@ object SimilarityQueries {
     val pqcodes = nearest(cents).groupBy($"vec_id")
       .agg(transform(array_sort(collect_list(struct($"m", $"k"))),
         e => e.getField("k")).as("pq"))
-    // per-query ADC table, flattened in (m, k) order: lut[m·K + k + 1]
+    // per-query ADC table, KEYED by m·K + k — not a positional flatten: a
+    // centroid that received zero assignments (possible when two of the
+    // first PqK vectors share a sub-code) drops its (m,k) row from `cents`,
+    // and positional indexing would silently shift every later cell. The
+    // keyed lookup stays correct on a sparse codebook, matching the
+    // (m,k)-joined oracle; PQ codes only ever reference surviving
+    // centroids, so every lookup hits (a miss would surface as NULL adist,
+    // not a wrong ranking).
     val luts = subcodes.where($"vec_id" < NumQueries)
       .join(broadcast(cents), Seq("m"))
       .select($"vec_id".as("query_id"), $"m", $"k", isqd($"sub", $"cent").as("d"))
       .groupBy($"query_id")
-      .agg(transform(array_sort(collect_list(struct($"m", $"k", $"d"))),
-        e => e.getField("d")).as("lut"))
+      .agg(map_from_entries(collect_list(
+        struct(($"m" * PqK + $"k").cast("int").as("key"), $"d".as("value")))).as("lut"))
     val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
       (acc, m) => acc + element_at($"lut",
-        m * PqK + element_at($"pq", m + 1).cast("int") + 1))
+        m * PqK + element_at($"pq", m + 1).cast("int")))
     val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"neighbor_id".asc)
     pqcodes.join(broadcast(luts), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"), adist.as("adist"))

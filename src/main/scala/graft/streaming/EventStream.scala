@@ -23,20 +23,23 @@ object EventStream {
 
   /** Open a DIRECTORY of event part-files as a stream (files appearing in
     * the directory become micro-batches — the production drop-dir layout).
-    * Schema must be pinned for readStream; ts arrives as nanos-long (see
-    * Tables.events) and is normalized here. */
+    * Schema must be pinned for readStream; ts arrives in one of the
+    * physical shapes Tables.events documents (nanos-as-long, µs-NTZ, or
+    * already-zoned µs) and is normalized here so every downstream
+    * watermark/window sees a plain TimestampType. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     val df = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-    // driver-generated files carry TIMESTAMP(NANOS) (read as long);
-    // re-staged files are already µs timestamps — normalize only the former
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Tumbling 1-day windows, 1-day watermark; same measures as q10. */

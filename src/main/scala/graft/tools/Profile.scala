@@ -248,6 +248,17 @@ object Profile {
         $"embedding", $"label")).reduce(_ unionByName _)
     time("q110 semdedup (core) on 1x")(noop(SimilarityQueries.semDedupCore(spark, embBase)))
     time("q110 semdedup (core) on 10x")(noop(SimilarityQueries.semDedupCore(spark, embL10)))
+
+    // q111 over the same 10x embedding corpus: training assign, PQ
+    // encode, and the ADC scan are each ONE linear corpus pass against
+    // broadcast KB-sized state (codebook / per-query LUTs) — expect
+    // ~linear, in contrast to q110's within-cluster quadratic term.
+    // (Replicated seed duplicates just co-assign; the codebook stays
+    // dense, and sparse codebooks are handled by the keyed LUT anyway.)
+    val embCols = embBase.select($"vec_id", $"embedding")
+    val embCols10 = embL10.select($"vec_id", $"embedding")
+    time("q111 pq-adc (core) on 1x")(noop(SimilarityQueries.pqAdcCore(spark, embCols)))
+    time("q111 pq-adc (core) on 10x")(noop(SimilarityQueries.pqAdcCore(spark, embCols10)))
     spark.stop()
   }
 }

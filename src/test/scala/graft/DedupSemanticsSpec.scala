@@ -52,6 +52,36 @@ class DedupSemanticsSpec extends SparkSuite {
     assert(near <= 12, s"near-identical docs too distant: $near")
   }
 
+  test("q99 keeper tie-break is exact for doc_id ≥ 1e9 (struct order, not packed key)") {
+    // Same canonical URL requires equal residues mod lcm(2,3,4,5,6,7,11,13)
+    // = 60060 and the same source. The larger doc carries MORE chars, so it
+    // must win; the old packed key n_chars·1e9 − doc_id would hand the win
+    // to the small doc once doc_id crosses ~1e9 (ADVICE r8 boundary).
+    val a = 41L                         // n_chars 10
+    val b = 41L + 60060L * 41625L       // ≈ 2.5e9, same residues; n_chars 11
+    val docs = Seq((a, "feed", 10L), (b, "feed", 11L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = DedupQueries.urlDedupCore(spark, docs).collect()
+    assert(out.length == 1, "both docs must collapse to one canonical URL")
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(0).getAs[Long]("keeper_id") == b,
+      "keeper must be the longer doc regardless of doc_id magnitude")
+    assert(out(0).getAs[Long]("keeper_chars") == 11L)
+  }
+
+  test("q106 first-occurrence rank survives doc_id past the packed-key overflow bound") {
+    // doc_id·100000 overflows Long for doc_id > 92233720368547, flipping
+    // the old packed rank negative — the later doc would steal keeper.
+    // Struct-ordered (doc_id, seg_pos) min has no bound.
+    val seg = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val huge = 92233720368548L
+    val docs = Seq((1L, seg), (huge, seg)).toDF("doc_id", "text")
+    val out = DedupQueries.segmentDedupCore(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(out(1L) == 1L, "the genuinely-first doc keeps its segment")
+    assert(out(huge) == 0L, "the later doc's duplicate segment is removed")
+  }
+
   test("stratified sampling (sampleBy): seeded per-stratum fractions (X1 extension)") {
     val ev = Tables.events(spark, sf0001)
     val fractions = Map("purchase" -> 0.5, "error" -> 0.1)

@@ -31,6 +31,38 @@ class GraftSqlSpec extends SparkSuite {
     assert(t == "timestamp")
   }
 
+  test("Tables.events normalizes both physical ts shapes (µs-NTZ and nanos-as-long)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456 UTC wall-clock
+
+    // Shape 1: TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark writes this
+    // physical type for a TimestampNTZType column; reads back as TIMESTAMP_NTZ.
+    val ntzDir = tmpDir("events-ntz")
+    val ntzRow = Row(java.time.LocalDateTime.ofEpochSecond(
+      micros / 1000000L, ((micros % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC), 1L)
+    spark.createDataFrame(
+      java.util.Arrays.asList(ntzRow),
+      StructType(Seq(StructField("ts", TimestampNTZType), StructField("user_id", LongType))))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+
+    // Shape 2: int64 ts — what the nanosAsLong legacy conf surfaces for
+    // parquet TIMESTAMP(NANOS); value carried in nanoseconds.
+    val nsDir = tmpDir("events-ns")
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(micros * 1000L, 1L)),
+      StructType(Seq(StructField("ts", LongType), StructField("user_id", LongType))))
+      .write.mode("overwrite").parquet(s"$nsDir/events.parquet")
+
+    for (dir <- Seq(ntzDir, nsDir)) {
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType == TimestampType, s"dir=$dir")
+      val got = df.select(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts"))).collect()(0).getLong(0)
+      assert(got == micros, s"dir=$dir: wall-clock not preserved under UTC session TZ")
+    }
+  }
+
   test("native vector and hash functions callable from SQL") {
     GraftSql.register(spark, sf0001)
     val r = spark.sql(

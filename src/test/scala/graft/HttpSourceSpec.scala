@@ -145,6 +145,19 @@ class HttpSourceSpec extends SparkSuite with BeforeAndAfterAll {
     assert(elapsed >= 0.29, f"30 probes at 100/s finished in $elapsed%.3fs")
   }
 
+  test("F11 budget: pacing still bites above 1000 probes/s/task (sub-ms intervals)") {
+    // 0.2ms intervals: a millisecond-truncating sleep rounds every wait
+    // to zero and the cap vanishes (ADVICE r8); parkNanos-remainder
+    // pacing must stretch 1500 probes at 5000/s to ≥ ~0.3s.
+    val guids = (0 until 1500).map(i => s"g$i@x").toDS().coalesce(1)
+    val t0 = System.nanoTime()
+    val n = Liveness.filterLiveBudgeted(guids, _ => true,
+      Liveness.ProbeBudget(maxConcurrent = 1, maxPerSecPerTask = 5000.0)).count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(n == 1500)
+    assert(elapsed >= 0.29, f"1500 probes at 5000/s finished in $elapsed%.3fs — cap ineffective")
+  }
+
   test("F11 budget: failure-rate breach aborts early instead of probing the whole set") {
     val hits = spark.sparkContext.longAccumulator("probe-hits")
     val guids = (0 until 10000).map(i => s"g$i@x").toDS().coalesce(1)

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.SimilarityQueries._
+
+/** q111 PQ-ADC value-level verification against an independent driver-side
+  * reference implementation, including the sparse-codebook case (ADVICE r8
+  * item 1): when two of the first [[PqK]] vectors carry identical sub-codes,
+  * the higher seed receives zero assignments (tie-break k-asc) and its
+  * (m,k) row is absent from the trained codebook. The LUT lookup must be
+  * keyed by (m,k), not positional — a positional flatten silently shifts
+  * every cell after the gap. */
+class PqAdcSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Straight-line reference PQ-ADC (plain Scala, no Spark): returns the
+    * top-k rows (query_id, neighbor_id, adist, rn) and the number of
+    * surviving centroids. Mirrors the documented q111 contract exactly:
+    * SQ8 encode → seed assign (k-asc ties) → floor-mean Lloyd step with
+    * empty centroids DROPPED → PQ encode over survivors → keyed ADC. */
+  private def refPqAdc(vecs: Map[Long, Array[Float]])
+      : (Seq[(Long, Long, Long, Int)], Int) = {
+    val dim = EmbDim
+    val lo = (0 until dim).map(d => vecs.values.map(_(d).toDouble).min)
+    val hi = (0 until dim).map(d => vecs.values.map(_(d).toDouble).max)
+    val codes: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> Array.tabulate(dim) { d =>
+        if (hi(d) > lo(d))
+          math.floor((v(d).toDouble - lo(d)) / (hi(d) - lo(d)) * Sq8Levels).toLong
+        else 0L
+      }
+    }
+    def sub(id: Long, m: Int): Array[Long] =
+      codes(id).slice(m * PqSubDim, (m + 1) * PqSubDim)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.keys.toSeq.sorted
+    val assign: Map[(Long, Int), Int] = (for (id <- ids; m <- 0 until PqM) yield {
+      val best = (0 until PqK).minBy(k => (d2(sub(id, m), sub(k.toLong, m)), k))
+      (id, m) -> best
+    }).toMap
+    val cents: Map[(Int, Int), Array[Long]] = (for {
+      m <- 0 until PqM; k <- 0 until PqK
+      members = ids.filter(id => assign((id, m)) == k)
+      if members.nonEmpty
+    } yield (m, k) -> Array.tabulate(PqSubDim) { j =>
+      math.floor(members.map(id => sub(id, m)(j)).sum.toDouble / members.size).toLong
+    }).toMap
+    val pq: Map[(Long, Int), Int] = (for (id <- ids; m <- 0 until PqM) yield {
+      val ks = cents.keys.collect { case (`m`, k) => k }.toSeq.sorted
+      (id, m) -> ks.minBy(k => (d2(sub(id, m), cents((m, k))), k))
+    }).toMap
+    val top = (0L until NumQueries).flatMap { q =>
+      ids.filter(_ != q)
+        .map(n => (n, (0 until PqM).map(m => d2(sub(q, m), cents((m, pq((n, m)))))).sum))
+        .sortBy { case (n, ad) => (ad, n) }
+        .take(TopK).zipWithIndex
+        .map { case ((n, ad), i) => (q, n, ad, i + 1) }
+    }
+    (top, cents.size)
+  }
+
+  private def run(df: DataFrame): Seq[(Long, Long, Long, Int)] =
+    pqAdcCore(spark, df).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+
+  test("q111 matches the reference implementation on a sparse codebook " +
+      "(duplicate seed forces an empty centroid in every subspace)") {
+    // vec 1 duplicates vec 0 → in every m, seed 1 ties seed 0 and loses
+    // the k-asc tie-break for every vector, so (m, 1) trains empty.
+    val vecs: Map[Long, Array[Float]] = (0L until 40L).map { id =>
+      val base = if (id == 1L) 0L else id
+      id -> Array.tabulate(EmbDim)(d =>
+        (new scala.util.Random(base * 1000 + d).nextInt(1000) / 10.0f))
+    }.toMap
+    val (expected, nCents) = refPqAdc(vecs)
+    assert(nCents < PqM * PqK,
+      s"fixture failed to force an empty centroid: $nCents == ${PqM * PqK}")
+    assert(nCents == PqM * (PqK - 1), "exactly seed 1 empty in every subspace")
+    val df = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    assert(run(df) == expected)
+  }
+
+  test("q111 matches the reference implementation on the sf0.001 corpus " +
+      "(dense codebook)") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val (expected, _) = refPqAdc(emb)
+    assert(run(Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")) == expected)
+  }
+}

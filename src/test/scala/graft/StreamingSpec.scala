@@ -5,57 +5,75 @@ import graft.streaming.EventStream
 
 class StreamingSpec extends SparkSuite {
 
-  test("streaming dedup: re-delivered file emits no duplicate events") {
-    // two copies of the same file = exact re-delivery of every event
-    val dir = tmpDir("events_dedup")
-    for (n <- Seq("a", "b")) java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events_$n.parquet"))
-    val q = EventStream.dedupStream(EventStream.readEvents(spark, dir), "event_id")
-      .writeStream.outputMode("append")
-      .format("memory").queryName("dedup_out").start()
-    q.processAllAvailable()
-    q.stop()
-    val streamed = spark.table("dedup_out")
-    val batchDistinct = Tables.events(spark, sf0001).count()
-    assert(streamed.count() == batchDistinct) // every event exactly once
-    assert(streamed.select("event_id").distinct().count() == batchDistinct)
-  }
-
-  test("streaming daily rollup == batch q10 on the same bounded input") {
-    // stage the single events.parquet as a drop-directory
-    val dir = tmpDir("events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val streamed = EventStream.runBounded(spark, dir, "stream_rollup")
-      .orderBy("bucket").collect()
-    val batch = RelationalQueries.q10TumblingWindow(spark, sf0001).collect()
-    assert(streamed.length == batch.length)
-    streamed.zip(batch).foreach { case (s, b) =>
-      assert(s.getTimestamp(0) == b.getTimestamp(0))
-      assert(s.getLong(1) == b.getLong(1))
-      assert(s.getDouble(2) == b.getDouble(2)) // exact decimal-sum → bitwise equal
+  /** Stage the sf0.001 events as a single-file drop directory in a given
+    * PHYSICAL ts shape, returning a glob readEvents can open. The driver
+    * testdata has shipped both shapes (round 9 regenerated parquet
+    * TIMESTAMP(NANOS) → TIMESTAMP(MICROS, isAdjustedToUTC=false) and the
+    * streaming faces silently broke); pinning the equivalence suite on
+    * both makes the next regeneration a no-op instead of a regression. */
+  private def stageShape(shape: String, prefix: String, copies: Int = 1): String = {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir(prefix)
+    val df = shape match {
+      case "ntz-micros" => Tables.events(spark, sf0001) // NTZ writes as µs, isAdjustedToUTC=false
+        .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      case "nanos-long" => Tables.events(spark, sf0001) // the nanosAsLong read shape
+        .withColumn("ts", unix_micros(col("ts")) * 1000L)
     }
+    df.coalesce(1).write.parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    for (i <- 1 to copies)
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    s"$dir/events_*.parquet"
   }
 
-  test("streaming session_window == batch q17 sessionize on the same input") {
-    val dir = tmpDir("events_sessions")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    // per user: multiset of (n_events, sum_value) over sessions — the
-    // session CONTENT, independent of timestamp representation
-    def sessionsByUser(rows: Array[org.apache.spark.sql.Row],
-        nIdx: Int, vIdx: Int, uIdx: Int): Map[Long, Seq[(Long, Double)]] =
-      rows.groupBy(_.getLong(uIdx)).map { case (u, rs) =>
-        u -> rs.map(r => (r.getLong(nIdx), r.getDouble(vIdx))).toSeq.sorted }
-    val streamed = EventStream.runBoundedSessions(spark, dir, "stream_sessions")
-      .select("user_id", "n_events", "sum_value").collect()
-    val batch = RelationalQueries.q17Sessionize(spark, sf0001)
-      .select("user_id", "n_events", "sum_value").collect()
-    assert(streamed.length == batch.length) // same number of sessions overall
-    assert(sessionsByUser(streamed, 1, 2, 0) == sessionsByUser(batch, 1, 2, 0))
+  for (shape <- Seq("ntz-micros", "nanos-long")) {
+    val tag = shape.replace("-", "_")
+
+    test(s"streaming dedup [$shape]: re-delivered file emits no duplicate events") {
+      // two copies of the same file = exact re-delivery of every event
+      val glob = stageShape(shape, "events_dedup", copies = 2)
+      val q = EventStream.dedupStream(EventStream.readEvents(spark, glob), "event_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"dedup_out_$tag").start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(s"dedup_out_$tag")
+      val batchDistinct = Tables.events(spark, sf0001).count()
+      assert(streamed.count() == batchDistinct) // every event exactly once
+      assert(streamed.select("event_id").distinct().count() == batchDistinct)
+    }
+
+    test(s"streaming daily rollup [$shape] == batch q10 on the same bounded input") {
+      val glob = stageShape(shape, "events_stream")
+      val streamed = EventStream.runBounded(spark, glob, s"stream_rollup_$tag")
+        .orderBy("bucket").collect()
+      val batch = RelationalQueries.q10TumblingWindow(spark, sf0001).collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getTimestamp(0) == b.getTimestamp(0))
+        assert(s.getLong(1) == b.getLong(1))
+        assert(s.getDouble(2) == b.getDouble(2)) // exact decimal-sum → bitwise equal
+      }
+    }
+
+    test(s"streaming session_window [$shape] == batch q17 sessionize on the same input") {
+      val glob = stageShape(shape, "events_sessions")
+      // per user: multiset of (n_events, sum_value) over sessions — the
+      // session CONTENT, independent of timestamp representation
+      def sessionsByUser(rows: Array[org.apache.spark.sql.Row],
+          nIdx: Int, vIdx: Int, uIdx: Int): Map[Long, Seq[(Long, Double)]] =
+        rows.groupBy(_.getLong(uIdx)).map { case (u, rs) =>
+          u -> rs.map(r => (r.getLong(nIdx), r.getDouble(vIdx))).toSeq.sorted }
+      val streamed = EventStream.runBoundedSessions(spark, glob, s"stream_sessions_$tag")
+        .select("user_id", "n_events", "sum_value").collect()
+      val batch = RelationalQueries.q17Sessionize(spark, sf0001)
+        .select("user_id", "n_events", "sum_value").collect()
+      assert(streamed.length == batch.length) // same number of sessions overall
+      assert(sessionsByUser(streamed, 1, 2, 0) == sessionsByUser(batch, 1, 2, 0))
+    }
   }
 
   test("foreachBatch KV upsert: incremental micro-batches + a replay converge to batch latest-per-key") {
