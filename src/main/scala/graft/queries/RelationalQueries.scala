@@ -339,6 +339,143 @@ object RelationalQueries {
        |    AS n_dropped
        |FROM o GROUP BY 1 ORDER BY day_s""".stripMargin
 
+  /** q113: AS-OF join — point-in-time lookup, the operator behind "join
+    * each fact row to the most recent dimension snapshot" (feature-store
+    * reads, trade/quote matching, config-at-time-of-event attribution).
+    * Spark has no native ASOF; the scalable composition is UNION +
+    * RUNNING LAST: tag both sides, union, and carry the right side's
+    * attributes forward with `last(ignoreNulls)` over a per-key window
+    * ordered by (time, side) — one shuffle on the join key, linear in
+    * rows, NO range-join blowup and no per-key collect. Here: each
+    * click matches the latest same-user purchase with purchase.ts ≤
+    * click.ts (ties at equal ts match — the right side sorts first).
+    *
+    * Purchases are first deduped to one per (user, µs) with the max
+    * event_id winning, making the match UNIQUE and the whole result
+    * deterministic in both engines — the oracle is DuckDB's native
+    * `ASOF LEFT JOIN`, an independent implementation of the semantics
+    * (IEJoin-based there, window-based here).
+    *
+    * Scale: one Exchange(user_id) + one in-partition sort serves the
+    * union window; the purchase dedup pre-aggregates map-side. At 100 TB
+    * the right side is typically the small dimension — the same plan
+    * holds, and nothing is quadratic in either input. */
+  def q113AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    asofCore(s, Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tus")))
+  }
+
+  /** q113 body over an arbitrary (user_id, event_id, event_type, value,
+    * tus) frame — fixture specs pin the tie/dedup/unmatched semantics. */
+  private[graft] def asofCore(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    val purchases = ev.where($"event_type" === "purchase")
+      .groupBy($"user_id", $"tus")
+      .agg(max($"event_id").as("p_id"), max_by($"value", $"event_id").as("p_value"))
+      .select($"user_id", $"tus", lit(0).as("side"),
+        $"p_id", $"p_value", lit(null).cast("long").as("click_id"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"tus", lit(1).as("side"),
+        lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value"),
+        $"event_id".as("click_id"))
+    // side 0 sorts before side 1 at equal tus → purchase at the same
+    // microsecond is visible to the click (ASOF's <= semantics)
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("m_id", last($"p_id", ignoreNulls = true).over(w))
+      .withColumn("m_value", last($"p_value", ignoreNulls = true).over(w))
+      .withColumn("m_tus", last(when($"side" === 0, $"tus"), ignoreNulls = true).over(w))
+      .where($"side" === 1)
+      .select($"user_id", $"click_id",
+        $"m_id".as("purchase_id"), $"m_value".as("purchase_value"),
+        ($"tus" - $"m_tus").as("staleness_us"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  val q113Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |             epoch_us(ts) AS tus FROM events),
+      |p AS (SELECT user_id, tus, MAX(event_id) AS p_id,
+      |        arg_max(value, event_id) AS p_value
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT user_id, event_id AS click_id, tus
+      |      FROM e WHERE event_type = 'click')
+      |SELECT c.user_id, c.click_id, p.p_id AS purchase_id,
+      |  p.p_value AS purchase_value, c.tus - p.tus AS staleness_us
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND p.tus <= c.tus
+      |ORDER BY c.user_id, c.click_id""".stripMargin
+
+  /** Interval width for [[q114IntervalJoin]]: 30 minutes in µs. */
+  val IntervalUs = 1800000000L
+
+  /** q114: RANGE (interval) join — "clicks in the 30 minutes before each
+    * purchase", the attribution-window primitive. A naive range join is
+    * quadratic per user; the scalable form BUCKETS time by the interval
+    * width so every range predicate is satisfiable only within a row's
+    * bucket or its predecessor: purchases expand to those 2 candidate
+    * buckets map-side (the q58 window-expansion trick — a projection,
+    * not a join), the join runs on (user_id, bucket) equality, and the
+    * exact half-open range [p.ts − 30min, p.ts) filters the candidates.
+    * Join fan-in per key is bounded by events-per-user-per-half-hour —
+    * uniform at any corpus size; no interval ever scans another
+    * interval's bucket chain.
+    *
+    * The oracle runs the same range predicate as a direct inequality
+    * join (DuckDB's IEJoin) — an independent execution strategy
+    * cross-checking the bucketed decomposition. */
+  def q114IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    intervalCore(s, Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tus")))
+  }
+
+  /** q114 body over an arbitrary (user_id, event_id, event_type, value,
+    * tus) frame — fixture specs pin the half-open range and the
+    * bucket-boundary candidate expansion. */
+  private[graft] def intervalCore(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", expr(s"tus div $IntervalUs").as("b"),
+        $"tus".as("c_tus"), $"value".as("c_value"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("p_tus"))
+    val matched = purchases
+      .withColumn("b", explode(array(expr(s"p_tus div $IntervalUs"),
+        expr(s"p_tus div $IntervalUs") - 1)))
+      .join(clicks, Seq("user_id", "b"))
+      .where($"c_tus" >= $"p_tus" - IntervalUs && $"c_tus" < $"p_tus")
+      .groupBy($"purchase_id")
+      .agg(count(lit(1)).as("n_clicks"), dsum($"c_value").as("sum_click_value"))
+    purchases.join(matched, Seq("purchase_id"), "left")
+      .select($"user_id", $"purchase_id",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"),
+        coalesce($"sum_click_value", lit(0.0)).as("sum_click_value"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val q114Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+       |             epoch_us(ts) AS tus FROM events),
+       |c AS (SELECT user_id, tus AS c_tus, value AS c_value
+       |      FROM e WHERE event_type = 'click'),
+       |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_tus
+       |      FROM e WHERE event_type = 'purchase'),
+       |m AS (SELECT p.purchase_id, COUNT(*) AS n_clicks,
+       |        ${graft.functions.Exact.sqlDsum("c.c_value")} AS sum_click_value
+       |      FROM p JOIN c ON c.user_id = p.user_id
+       |        AND c.c_tus >= p.p_tus - $IntervalUs AND c.c_tus < p.p_tus
+       |      GROUP BY 1)
+       |SELECT p.user_id, p.purchase_id,
+       |  CAST(COALESCE(m.n_clicks, 0) AS BIGINT) AS n_clicks,
+       |  COALESCE(m.sum_click_value, 0.0e0) AS sum_click_value
+       |FROM p LEFT JOIN m USING (purchase_id)
+       |ORDER BY user_id, purchase_id""".stripMargin
+
   /** q11: sha-256 row-key hashing (P5, taar_utils.py:110-116 — the Bigtable
     * row key). Spark's built-in `sha2` is codegen'd; no UDF. */
   def q11Sha2(s: SparkSession, dir: String): DataFrame = {
@@ -1283,6 +1420,8 @@ object RelationalQueries {
     "q10_tumbling_window"   -> (q10TumblingWindow _),
     "q58_sliding_window"    -> (q58SlidingWindow _),
     "q112_event_time_skew"  -> (q112EventTimeSkew _),
+    "q113_asof_join"        -> (q113AsofJoin _),
+    "q114_interval_join"    -> (q114IntervalJoin _),
     "q11_sha2"              -> (q11Sha2 _),
     "q12_json_trycast"      -> (q12JsonTryCast _),
     "q13_url_build_parse"   -> (q13UrlBuildParse _),
@@ -1327,6 +1466,8 @@ object RelationalQueries {
     "q10_tumbling_window"   -> q10Sql,
     "q58_sliding_window"    -> q58Sql,
     "q112_event_time_skew"  -> q112Sql,
+    "q113_asof_join"        -> q113Sql,
+    "q114_interval_join"    -> q114Sql,
     "q11_sha2"              -> q11Sql,
     "q12_json_trycast"      -> q12Sql,
     "q13_url_build_parse"   -> q13Sql,

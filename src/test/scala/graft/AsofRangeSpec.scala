@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.RelationalQueries
+import graft.queries.RelationalQueries.IntervalUs
+
+/** q113 AS-OF join and q114 interval join on CONSTRUCTED inputs — the
+  * boundary semantics (ties at equal timestamps, half-open range ends,
+  * bucket-edge candidates) don't occur at controlled positions in the
+  * generated corpus, so they are pinned here. */
+class AsofRangeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String, Double, Long)*): DataFrame =
+    rows.toDF("user_id", "event_id", "event_type", "value", "tus")
+
+  test("q113: equal-timestamp purchase matches (<=); same-µs purchases dedup to max id") {
+    val out = RelationalQueries.asofCore(spark, ev(
+      (1L, 10L, "purchase", 5.0, 1000L),
+      (1L, 11L, "purchase", 7.0, 1000L), // same µs — id 11 wins the dedup
+      (1L, 20L, "click", 0.0, 1000L),    // equal ts → matches (ASOF <=)
+      (1L, 21L, "click", 0.0, 999L),     // BEFORE any purchase → unmatched
+      (1L, 12L, "purchase", 9.0, 2000L),
+      (1L, 22L, "click", 0.0, 2500L),    // latest prior = id 12, not id 11
+      (2L, 30L, "click", 0.0, 5000L)     // other user → purchases invisible
+    )).collect().map(r => (r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(4)) -1L else r.getLong(4))).toList
+    assert(out == List(
+      (20L, 11L, 0L),        // tie at 1000µs → dedup winner 11, staleness 0
+      (21L, -1L, -1L),       // unmatched: null purchase, null staleness
+      (22L, 12L, 500L),
+      (30L, -1L, -1L)))
+  }
+
+  test("q114: half-open range [p-30min, p) and cross-bucket candidates") {
+    val p = 7 * IntervalUs + 60_000_000L // purchase 1 min into bucket 7
+    val out = RelationalQueries.intervalCore(spark, ev(
+      (1L, 50L, "purchase", 0.0, p),
+      (1L, 60L, "click", 1.0, p - IntervalUs),      // exactly −30min → IN (>=)
+      (1L, 61L, "click", 2.0, p - IntervalUs - 1L), // one µs earlier → OUT
+      (1L, 62L, "click", 4.0, p),                   // exactly at p → OUT (<)
+      (1L, 63L, "click", 8.0, p - 90_000_000L),     // in PREVIOUS bucket → IN
+      (1L, 64L, "click", 16.0, p - 1L),             // same bucket → IN
+      (2L, 65L, "click", 32.0, p - 1L),             // other user → OUT
+      (2L, 51L, "purchase", 0.0, 42L)               // no clicks → zero row
+    )).collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(out == List((50L, 3L, 25.0), (51L, 0L, 0.0)))
+  }
+
+  test("q113/q114 match their DuckDB-oracle row counts on the sf0.001 corpus") {
+    val clicks = Tables.events(spark, sf0001)
+      .where($"event_type" === "click").count()
+    val purchases = Tables.events(spark, sf0001)
+      .where($"event_type" === "purchase").count()
+    assert(RelationalQueries.q113AsofJoin(spark, sf0001).count() == clicks)
+    assert(RelationalQueries.q114IntervalJoin(spark, sf0001).count() == purchases)
+  }
+}
