@@ -650,7 +650,157 @@ object EtlQueries {
        |FROM r GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** Theta-sketch size: retained entries per set = K−1 = 63. */
+  val ThetaK = 64
+  /** The hash domain bound: h60 values lie in [0, 2^60). */
+  val ThetaDomain = 1L << 60
+
+  /** q115 — theta (KMV) sketch with SET-OPERATION estimates: the sketch
+    * family's missing capability. q18's HLL answers |A| only — it cannot
+    * estimate |A∩B| (inclusion–exclusion on HLL estimates compounds
+    * error and yields negatives); the theta sketch (Dasgupta et al.,
+    * the Apache DataSketches theta family) retains the K−1 smallest
+    * distinct hash values per set and a threshold θ = K-th smallest, and
+    * any set expression is then estimated by combining RETAINED ENTRIES
+    * below the pairwise min-θ: est = n_below·2^60/θ. Per event-type user
+    * sets, every pair reports estimated |A|, |B|, |A∪B|, |A∩B| next to
+    * the exact audit columns (dropped at production scale — the q43/q87
+    * pattern).
+    *
+    * Engine-exactness: the retained hashes are md5-prefix integers, the
+    * threshold is an integer order statistic, and the estimator is one
+    * double multiply-divide in fixed order → hash-exact vs DuckDB (a
+    * VALUE-level oracle for the sketch, like q87's cells). Sets smaller
+    * than K fold in naturally: θ = 2^60 and every estimate is EXACT —
+    * spec-pinned.
+    *
+    * Scale: the occurrence frame is distinct (type, h) — bounded by
+    * users×types, not events; per-type k-min is one 5-key window over
+    * it (at production K-min is a mergeable typed Aggregator — q101's
+    * min-k ticket fold IS that aggregator shape, reused); everything
+    * pairwise touches only K-row sketches, never the corpus. */
+  def q115ThetaSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    thetaCore(s, Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct())
+  }
+
+  /** q115 body over an arbitrary distinct (event_type, user_id) frame —
+    * fixture specs pin exact-mode equality and estimator error. */
+  private[graft] def thetaCore(s: SparkSession, users: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"h")
+    val hashes = users
+      .select($"event_type",
+        DedupQueries.h60(s, $"user_id".cast("string")).as("h"))
+      .distinct()
+    val ranked = hashes
+      .withColumn("rn", row_number().over(w)).where($"rn" <= ThetaK)
+      .localCheckpoint(false) // ≤ types·K rows; three consumers below
+    // θ = K-th smallest, or the domain bound in exact mode (|S| < K);
+    // retained entries are the hashes strictly below θ
+    val stats = ranked.groupBy($"event_type")
+      .agg(coalesce(max(when($"rn" === ThetaK, $"h")), lit(ThetaDomain)).as("theta"))
+    val retained = ranked.join(stats, "event_type").where($"h" < $"theta")
+    def est(n: Column, theta: Column): Column =
+      round(n.cast("double") * lit(ThetaDomain.toDouble) / theta.cast("double"), 4)
+    val perType = retained.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_r")).join(stats, "event_type")
+      .select($"event_type", $"theta", est($"n_r", $"theta").as("est_n"))
+    // pairs share θ = min(θa, θb); membership below that θ is decidable
+    // from the two sketches alone
+    val pairs = perType.select($"event_type".as("type_a"), $"theta".as("ta"),
+        $"est_n".as("est_a"))
+      .join(perType.select($"event_type".as("type_b"), $"theta".as("tb"),
+        $"est_n".as("est_b")), $"type_a" < $"type_b")
+      .select($"type_a", $"type_b", least($"ta", $"tb").as("theta"),
+        $"est_a", $"est_b")
+    val ra = pairs.join(retained.select($"event_type".as("type_a"), $"h"), Seq("type_a"))
+      .where($"h" < $"theta")
+      .select($"type_a", $"type_b", $"h", lit(1).as("ina"), lit(0).as("inb"))
+    val rb = pairs.join(retained.select($"event_type".as("type_b"), $"h"), Seq("type_b"))
+      .where($"h" < $"theta")
+      .select($"type_a", $"type_b", $"h", lit(0).as("ina"), lit(1).as("inb"))
+    val sketchEsts = ra.unionByName(rb)
+      .groupBy($"type_a", $"type_b", $"h")
+      .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_u"), sum($"ina" * $"inb").as("n_i"))
+      .join(pairs, Seq("type_a", "type_b"))
+      .select($"type_a", $"type_b", $"est_a", $"est_b",
+        est($"n_u", $"theta").as("est_union"),
+        est($"n_i", $"theta").as("est_inter"))
+    // exact audit (user-level; dropped at production scale)
+    val ua = users.select($"event_type".as("type_a"), $"user_id")
+    val ub = users.select($"event_type".as("type_b"), $"user_id")
+    val exact = ua.groupBy($"type_a").agg(count(lit(1)).as("n_a"))
+      .join(ub.groupBy($"type_b").agg(count(lit(1)).as("n_b")), $"type_a" < $"type_b")
+      .join(ua.join(ub, Seq("user_id"))
+        .where($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_common")),
+        Seq("type_a", "type_b"), "left")
+      .select($"type_a", $"type_b", $"n_a", $"n_b",
+        coalesce($"n_common", lit(0L)).as("n_common"))
+    exact.join(sketchEsts, Seq("type_a", "type_b"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val q115Sql: String = {
+    val h = DedupQueries.sqlH60Expr("md5(CAST(user_id AS VARCHAR))")
+    s"""WITH users AS (SELECT DISTINCT event_type, user_id FROM events),
+       |hs AS (SELECT DISTINCT event_type, $h AS h FROM users),
+       |rk AS (SELECT event_type, h, ROW_NUMBER() OVER (
+       |         PARTITION BY event_type ORDER BY h) AS rn FROM hs),
+       |kmin AS (SELECT * FROM rk WHERE rn <= $ThetaK),
+       |st AS (SELECT event_type,
+       |         COALESCE(MAX(CASE WHEN rn = $ThetaK THEN h END),
+       |                  ${ThetaDomain}) AS theta
+       |       FROM kmin GROUP BY 1),
+       |ret AS (SELECT k.event_type, k.h, s.theta
+       |        FROM kmin k JOIN st s USING (event_type) WHERE k.h < s.theta),
+       |pt AS (SELECT event_type, theta,
+       |         round(CAST(COUNT(*) AS DOUBLE) * ${ThetaDomain}.0
+       |               / CAST(theta AS DOUBLE), 4) AS est_n
+       |       FROM ret GROUP BY 1, 2),
+       |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         LEAST(a.theta, b.theta) AS theta,
+       |         a.est_n AS est_a, b.est_n AS est_b
+       |       FROM pt a JOIN pt b ON a.event_type < b.event_type),
+       |mem AS (
+       |  SELECT type_a, type_b, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+       |    SELECT pr.type_a, pr.type_b, r.h, 1 AS ina, 0 AS inb
+       |    FROM pr JOIN ret r ON r.event_type = pr.type_a AND r.h < pr.theta
+       |    UNION ALL
+       |    SELECT pr.type_a, pr.type_b, r.h, 0 AS ina, 1 AS inb
+       |    FROM pr JOIN ret r ON r.event_type = pr.type_b AND r.h < pr.theta)
+       |  GROUP BY 1, 2, 3),
+       |se AS (SELECT m.type_a, m.type_b, pr.est_a, pr.est_b,
+       |         round(CAST(COUNT(*) AS DOUBLE) * ${ThetaDomain}.0
+       |               / CAST(pr.theta AS DOUBLE), 4) AS est_union,
+       |         round(CAST(SUM(m.ina * m.inb) AS DOUBLE) * ${ThetaDomain}.0
+       |               / CAST(pr.theta AS DOUBLE), 4) AS est_inter
+       |       FROM mem m JOIN pr USING (type_a, type_b)
+       |       GROUP BY 1, 2, 3, 4, pr.theta),
+       |ex AS (SELECT na.type_a, nb.type_b, na.n_a, nb.n_b,
+       |         CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common
+       |       FROM (SELECT event_type AS type_a, COUNT(*) AS n_a FROM users GROUP BY 1) na
+       |       JOIN (SELECT event_type AS type_b, COUNT(*) AS n_b FROM users GROUP BY 1) nb
+       |         ON na.type_a < nb.type_b
+       |       LEFT JOIN (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |                    COUNT(*) AS n_common
+       |                  FROM users a JOIN users b ON a.user_id = b.user_id
+       |                    AND a.event_type < b.event_type
+       |                  GROUP BY 1, 2) cm
+       |         ON cm.type_a = na.type_a AND cm.type_b = nb.type_b)
+       |SELECT ex.type_a, ex.type_b, ex.n_a, ex.n_b, ex.n_common,
+       |  se.est_a, se.est_b, se.est_union, se.est_inter
+       |FROM ex JOIN se USING (type_a, type_b)
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q115_theta_sketch"       -> (q115ThetaSketch _),
     "q108_shard_manifest"     -> (q108ShardManifest _),
     "q101_weighted_sample"    -> (q101WeightedSample _),
     "q40_bernoulli_sample"    -> (q40BernoulliSample _),
@@ -667,6 +817,7 @@ object EtlQueries {
     * (verdict-style bounds), q92/q93 since round 7 — zero rows-only
     * entries left. */
   val oracleSql: Map[String, String] = Map(
+    "q115_theta_sketch"       -> q115Sql,
     "q108_shard_manifest"     -> q108Sql,
     "q101_weighted_sample"    -> q101Sql,
     "q40_bernoulli_sample"    -> q40Sql,
