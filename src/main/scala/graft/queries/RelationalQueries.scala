@@ -307,11 +307,18 @@ object RelationalQueries {
     * — two shuffles total, both on uniform keys. */
   def q112EventTimeSkew(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    skewCore(s, Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus")))
+  }
+
+  /** q112 body over an arbitrary (user_id, event_id, tus) frame (Profile
+    * probes it on replicated corpora). */
+  private[graft] def skewCore(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"user_id")
       .orderBy($"event_id" % 7, $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+    ev
       .withColumn("run_max", max($"tus").over(w))
       .groupBy((expr(s"tus div $DayUs") * lit(86400L)).as("day_s"))
       .agg(count(lit(1)).as("n_events"),

@@ -259,6 +259,38 @@ object Profile {
     val embCols10 = embL10.select($"vec_id", $"embedding")
     time("q111 pq-adc (core) on 1x")(noop(SimilarityQueries.pqAdcCore(spark, embCols)))
     time("q111 pq-adc (core) on 10x")(noop(SimilarityQueries.pqAdcCore(spark, embCols10)))
+
+    // Event-time operators over a 10x-replicated event stream. USERS are
+    // replicated (user_id shifted), so per-user event density — the
+    // per-key window length for q112/q113 and the per-(user, half-hour)
+    // join fan-in for q114 — stays CONSTANT: the contract these plans
+    // scale on. Expect ~linear, dominated by the one user_id shuffle.
+    import graft.queries.RelationalQueries
+    val evBase = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("tus"))
+    val evL10 = (0 until 10).map(i =>
+      evBase.select(($"user_id" + lit(i * 10000000L)).as("user_id"),
+        ($"event_id" + lit(i * 100000000L)).as("event_id"),
+        $"event_type", $"value", $"tus")).reduce(_ unionByName _)
+    time("q112 skew audit (core) on 1x")(
+      noop(RelationalQueries.skewCore(spark, evBase.select($"user_id", $"event_id", $"tus"))))
+    time("q112 skew audit (core) on 10x")(
+      noop(RelationalQueries.skewCore(spark, evL10.select($"user_id", $"event_id", $"tus"))))
+    time("q113 asof join (core) on 1x")(noop(RelationalQueries.asofCore(spark, evBase)))
+    time("q113 asof join (core) on 10x")(noop(RelationalQueries.asofCore(spark, evL10)))
+    time("q114 interval join (core) on 1x")(noop(RelationalQueries.intervalCore(spark, evBase)))
+    time("q114 interval join (core) on 10x")(noop(RelationalQueries.intervalCore(spark, evL10)))
+
+    // q115 over 10x-replicated USER SETS (same 5 types, 10x members):
+    // sketches stay K rows/type regardless, so only the distinct
+    // occurrence pass should grow — expect ~flat beyond the scan.
+    // (The exact audit columns DO grow with set size; production drops
+    // them — measured here with audits included.)
+    val users1 = evBase.select($"event_type", $"user_id").distinct()
+    val users10 = evL10.select($"event_type", $"user_id").distinct()
+    time("q115 theta sketch (core) on 1x")(noop(EtlQueries.thetaCore(spark, users1)))
+    time("q115 theta sketch (core) on 10x")(noop(EtlQueries.thetaCore(spark, users10)))
     spark.stop()
   }
 }
