@@ -391,10 +391,14 @@ object RelationalQueries {
     // microsecond is visible to the click (ASOF's <= semantics)
     val w = Window.partitionBy($"user_id").orderBy($"tus", $"side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all three carries in ONE select → a single Window operator (chained
+    // withColumn left a second Window node on the same sort — harmless
+    // but a needless extra pass over each partition)
     purchases.unionByName(clicks)
-      .withColumn("m_id", last($"p_id", ignoreNulls = true).over(w))
-      .withColumn("m_value", last($"p_value", ignoreNulls = true).over(w))
-      .withColumn("m_tus", last(when($"side" === 0, $"tus"), ignoreNulls = true).over(w))
+      .select($"user_id", $"tus", $"side", $"click_id",
+        last($"p_id", ignoreNulls = true).over(w).as("m_id"),
+        last($"p_value", ignoreNulls = true).over(w).as("m_value"),
+        last(when($"side" === 0, $"tus"), ignoreNulls = true).over(w).as("m_tus"))
       .where($"side" === 1)
       .select($"user_id", $"click_id",
         $"m_id".as("purchase_id"), $"m_value".as("purchase_value"),

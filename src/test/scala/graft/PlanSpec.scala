@@ -184,6 +184,40 @@ class PlanSpec extends SparkSuite {
     assert(pairs.count() == nE)
   }
 
+  test("q113: as-of join costs ONE key shuffle + final sort, single Window pass") {
+    // the whole point of the union+running-last composition: no range
+    // blowup, no extra exchange — Union → Exchange(user_id) → one Window
+    val df = RelationalQueries.q113AsofJoin(spark, sf0001)
+    val n = countShuffles(df)
+    // purchase-dedup agg + union window + final orderBy = 3 exchanges
+    assert(n == 3, s"expected 3 exchanges (dedup, key, sort), got $n")
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1,
+      s"all three carries must share one Window pass, got ${windows.size}")
+  }
+
+  test("q114: interval join decomposes to an equality join (no cartesian/range scan)") {
+    val p = plan(RelationalQueries.q114IntervalJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate join is equality on (user_id, bucket) — hash-joinable
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("Generate"), p) // the map-side ×2 bucket expansion
+  }
+
+  test("q115: pairwise sketch work never re-reads the corpus (checkpoint boundary)") {
+    // everything after the ranked K-min frame operates on ≤ types·K rows;
+    // the events scan appears only below the checkpoint (plus the exact
+    // audit branch, which production drops)
+    val df = EtlQueries.q115ThetaSketch(spark, sf0001)
+    val rdds = df.queryExecution.sparkPlan.collect { // pre-AQE: scans visible
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rdds.nonEmpty, "ranked K-min frame must be checkpointed (RDDScan)")
+    assert(df.collect().length == 10) // 5 types → C(5,2) pairs
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // at 100 TB the selective-dimension shuffle join wants a runtime
     // bloom filter on the fact scan (Catalyst's InjectRuntimeFilter);
