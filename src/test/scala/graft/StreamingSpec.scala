@@ -119,6 +119,37 @@ class StreamingSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("streaming as-of (flatMapGroupsWithState) == batch q113 on the same bounded input") {
+    // in-order delivery (two time-split halves, each a micro-batch):
+    // the per-user purchase state must reproduce the batch window exactly
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("events_asof")
+    val ev = Tables.events(spark, sf0001)
+    val cut = ev.select(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    ev.where(unix_micros($"ts") <= cut).coalesce(1).write.parquet(s"$dir/h1")
+    ev.where(unix_micros($"ts") > cut).coalesce(1).write.parquet(s"$dir/h2")
+    for ((src, dst) <- Seq("h1" -> "b1.parquet", "h2" -> "b2.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    def key(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val streamed = graft.streaming.AsofStream
+      .runBounded(spark, s"$dir/b*.parquet", "stream_asof")
+      .select("user_id", "click_id", "purchase_id", "purchase_value", "staleness_us")
+      .collect()
+    val batch = graft.queries.RelationalQueries.q113AsofJoin(spark, sf0001)
+      .collect()
+    assert(streamed.length == batch.length)
+    assert(key(streamed) == key(batch))
+  }
+
   test("stream-stream interval join == the same join run as a batch self-join") {
     val dir = tmpDir("events_attr")
     java.nio.file.Files.copy(
