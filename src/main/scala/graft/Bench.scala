@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * fit — the driver recorded `parsed: null`. The stdout line therefore
   * keys queries by their UNIQUE qNN prefix ("q77" for
   * q77_triangle_count, exactly the contract's documented shape) which
-  * keeps it ~1.5 KB at 102 queries (headroom to ~140), printed ONCE:
+  * keeps it ~1.5 KB at 107 queries (headroom to ~140), printed ONCE:
   * round 7 printed it twice and the tail window then held a truncated
   * first copy ahead of the complete second one, which — combined with
   * sbt's "[info] " decoration of the forked stdout (now disabled via
