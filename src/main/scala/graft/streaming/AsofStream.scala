@@ -89,4 +89,26 @@ object AsofStream {
     q.stop()
     spark.table(queryName)
   }
+
+  /** RESUMABLE variant: a durable (parquet) sink + checkpoint, the
+    * production deployment shape. A later invocation on the same
+    * checkpoint recovers the per-user purchase state and the file-source
+    * offsets, processing only files that arrived since — the
+    * crash/redeploy story (spec-pinned in StreamingSpec; the memory sink
+    * can't recover, so the resumable path writes files). Returns the
+    * sink's cumulative contents. */
+  def runBoundedResumable(spark: SparkSession, dir: String,
+      outDir: String, checkpoint: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val q = asofMatches(EventStream.readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
 }

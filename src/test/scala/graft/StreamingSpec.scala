@@ -150,6 +150,57 @@ class StreamingSpec extends SparkSuite {
     assert(key(streamed) == key(batch))
   }
 
+  test("streaming as-of survives a restart: state recovers from the checkpoint") {
+    // run on half 1, STOP (simulated crash/redeploy), drop half 2 into
+    // the dir, restart on the SAME checkpoint: the second run must emit
+    // ONLY half-2 clicks, matched against purchase state recovered from
+    // half 1 — identical to the batch answer for those clicks
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("events_asof_resume")
+    val ckpt = tmpDir("asof_resume_ckpt")
+    val ev = Tables.events(spark, sf0001)
+    val cut = ev.select(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    ev.where(unix_micros($"ts") <= cut).coalesce(1).write.parquet(s"$dir/h1")
+    ev.where(unix_micros($"ts") > cut).coalesce(1).write.parquet(s"$dir/h2")
+    def drop(src: String, dst: String): Unit = {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val outDir = tmpDir("asof_resume_out") + "/out"
+    val sel = Seq("user_id", "click_id", "purchase_id", "purchase_value",
+      "staleness_us")
+    drop("h1", "b1.parquet")
+    val firstRun = graft.streaming.AsofStream
+      .runBoundedResumable(spark, s"$dir/b*.parquet", outDir, ckpt)
+      .selectExpr(sel: _*).collect()
+    val h1Clicks = ev
+      .where($"event_type" === "click" && unix_micros($"ts") <= cut)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(firstRun.map(_.getLong(1)).toSet == h1Clicks)
+    drop("h2", "b2.parquet")
+    val all = graft.streaming.AsofStream
+      .runBoundedResumable(spark, s"$dir/b*.parquet", outDir, ckpt)
+      .selectExpr(sel: _*).collect()
+    val h2Clicks = ev
+      .where($"event_type" === "click" && unix_micros($"ts") > cut)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(all.map(_.getLong(1)).toSet == h1Clicks ++ h2Clicks,
+      "restart must process exactly the new file (offsets recovered), once")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val resumed = all.filter(r => h2Clicks.contains(r.getLong(1)))
+    val batch = graft.queries.RelationalQueries.q113AsofJoin(spark, sf0001)
+      .collect().filter(r => h2Clicks.contains(r.getLong(1)))
+    assert(key(resumed) == key(batch),
+      "half-2 matches must use purchase state recovered from half 1")
+  }
+
   test("stream-stream interval join == the same join run as a batch self-join") {
     val dir = tmpDir("events_attr")
     java.nio.file.Files.copy(
