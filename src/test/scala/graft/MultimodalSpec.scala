@@ -98,4 +98,43 @@ class MultimodalSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("preprocess: REAL resize + frame-sample, corrupt degrades, payload pruned") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = java.util.Arrays.asList(
+      Row(1L, pngBytes(16, 12), Row("image/png", "s", 0L)),
+      Row(2L, wavBytes(8000, 1, 1000), Row("audio/wav", "s", 0L)),
+      Row(3L, Array.tabulate[Byte](100)(_.toByte), Row("video/mp4", "s", 0L)),
+      Row(4L, "not media".getBytes, Row("image/png", "s", 0L))) // corrupt
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType),
+        StructField("source", StringType),
+        StructField("declared_len", LongType))))))
+    val media = spark.createDataFrame(rows, schema)
+    val out = Multimodal.preprocess(spark, media, 4, 4, 8)
+    assert(!out.columns.contains("payload"), "binary input pruned from output")
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    // image: resized bytes re-decode to exactly the target dims
+    val png = byId(1L).getAs[Array[Byte]]("resized_png")
+    val dims = Multimodal.decodeImage(png).get
+    assert((dims._1, dims._2) == (4, 4))
+    // audio: n real PCM samples, deterministic across runs
+    val s1 = byId(2L).getSeq[Long](2)
+    assert(s1.length == 8)
+    val again = Multimodal.preprocess(spark, media, 4, 4, 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(again(2L).getSeq[Long](2) == s1)
+    // video: stub strides the payload deterministically
+    assert(byId(3L).getSeq[Long](2).length == 8)
+    // corrupt image: null outputs, row survives (PERMISSIVE)
+    assert(byId(4L).isNullAt(1) && byId(4L).isNullAt(2))
+    // partition-local: no shuffle
+    val plan = Multimodal.preprocess(spark, media, 4, 4, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
