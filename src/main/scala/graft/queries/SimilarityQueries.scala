@@ -449,7 +449,7 @@ object SimilarityQueries {
     * break), LUT cells, ADC sums — so codes, distances, and the full
     * ranking hash-match DuckDB exactly: a value-level oracle for a
     * trained quantizer. PQ recall vs the uncompressed SQ8 ranking is
-    * measured in Round8QueriesSpec, not assumed.
+    * measured in PqAdcSpec, not assumed.
     *
     * Scale: training touches the corpus once (sub-codes are checkpointed
     * — three consumers, §9 rule), the codebook is M·K rows (KB) and
