@@ -96,12 +96,42 @@ case class Norm2(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Integer squared L2 distance over two bigint arrays: Σ (a_i − b_i)² with
+  * long accumulation in array order — bit-identical to the HOF chain
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)*(x−y)), 0L, (acc,v) => acc+v)`
+  * that the SQ8/PQ scans (q95/q111) fold per candidate, but as ONE static
+  * call inside whole-stage codegen instead of 64 interpreted lambda
+  * applications per pair. Null/length contract matches [[DotProduct]]. */
+case class IntSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_isqd"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vec_isqd needs two bigint arrays, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Vec.isqdLL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Vec.isqdLL($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object Vec {
   private def checkLen(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
     if (n != b.numElements())
       throw new IllegalArgumentException(
-        s"vec_dot: length mismatch ${n} vs ${b.numElements()}")
+        s"vec length mismatch ${n} vs ${b.numElements()}")
     n
   }
 
@@ -135,6 +165,11 @@ object Vec {
     while (i < n) { val v = a.getDouble(i); acc += v * v; i += 1 }
     acc
   }
+  def isqdLL(a: ArrayData, b: ArrayData): Long = {
+    val n = checkLen(a, b); var acc = 0L; var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
 
   /** Idempotent: a no-op when the function already exists (installed by
     * [[graft.GraftExtensions]] at session build, or by a prior call). */
@@ -147,6 +182,9 @@ object Vec {
     if (!reg.functionExists(FunctionIdentifier("vec_norm2")))
       reg.createOrReplaceTempFunction(
         "vec_norm2", exprs => Norm2(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("vec_isqd")))
+      reg.createOrReplaceTempFunction(
+        "vec_isqd", exprs => IntSqDist(exprs(0), exprs(1)), "built-in")
   }
 
   def dotCol(spark: SparkSession, a: Column, b: Column): Column = {
@@ -157,5 +195,10 @@ object Vec {
   def norm2Col(spark: SparkSession, a: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("vec_norm2", a)
+  }
+
+  def isqdCol(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_isqd", a, b)
   }
 }

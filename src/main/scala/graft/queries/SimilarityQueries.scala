@@ -385,9 +385,10 @@ object SimilarityQueries {
     // query-side scan prunes to the 5 query rows at the parquet scan
     val queries = sq8Encode(emb.where($"vec_id" < NumQueries), stats)
       .select($"vec_id".as("query_id"), $"codes".as("qcodes"))
-    val idist = aggregate(
-      zip_with($"qcodes", $"codes", (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    // native codegen expression — identical long fold order to the HOF
+    // chain (hash-preserving), one static call per pair instead of 64
+    // interpreted lambda applications (VecSpec pins the equivalence)
+    val idist = graft.functions.Vec.isqdCol(s, $"qcodes", $"codes")
     val w = Window.partitionBy($"query_id").orderBy($"idist".asc, $"neighbor_id".asc)
     corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"), idist.as("idist"))
@@ -476,9 +477,9 @@ object SimilarityQueries {
       .select($"vec_id", explode(subStructs).as("e"))
       .select($"vec_id", $"e.m".as("m"), $"e.sub".as("sub"))
       .localCheckpoint(false)
-    def isqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
+    // native codegen integer sq-distance (same fold order as the HOF
+    // chain — hash-preserving; VecSpec pins the equivalence)
+    def isqd(a: Column, b: Column): Column = graft.functions.Vec.isqdCol(s, a, b)
     // nearest codebook entry per (vector, subspace): integer distance,
     // k-asc tie break; WindowGroupLimit collapses rn=1 to a partial argmin
     val wArgmin = Window.partitionBy($"vec_id", $"m").orderBy($"d".asc, $"k".asc)

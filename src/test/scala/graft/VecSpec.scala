@@ -65,6 +65,25 @@ class VecSpec extends SparkSuite {
     assert(msgs(e).exists(_.contains("length mismatch")))
   }
 
+  test("vec_isqd is bit-identical to the HOF fold (bigint arrays, q95/q111 scan)") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Array.tabulate(64L.toInt)(j => ((i * 31 + j * 7) % 256).toLong),
+        Array.tabulate(64L.toInt)(j => ((i * 17 + j * 13) % 256).toLong))
+    }.toDF("id", "a", "b")
+    val both = rows.select(
+      graft.functions.Vec.isqdCol(spark, $"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null + mismatch contract mirrors vec_dot
+    val n = rows.limit(1).select(
+      graft.functions.Vec.isqdCol(spark, lit(null).cast("array<bigint>"), $"b"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("vec_dot stays inside WholeStageCodegen (the point of the rewrite)") {
     // parquet-backed, not a local Seq — ConvertToLocalRelation would fold
     // a literal relation into LocalTableScan and hide the projection
