@@ -73,5 +73,9 @@ class GraftSqlSpec extends SparkSuite {
       assert(row.getDouble(0) == row.getDouble(1)) // dot(x,x) == norm2(x), bitwise
       assert(row.getLong(2) >= 0L && row.getLong(2) <= 0xffffffffL)
     }
+    val z = spark.sql(
+      """SELECT vec_isqd(array(CAST(1 AS BIGINT), 5), array(CAST(4 AS BIGINT), 1))
+        |AS d""".stripMargin).collect()(0).getLong(0)
+    assert(z == 25L) // (1-4)^2 + (5-1)^2
   }
 }
