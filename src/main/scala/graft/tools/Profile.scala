@@ -291,6 +291,21 @@ object Profile {
     val users10 = evL10.select($"event_type", $"user_id").distinct()
     time("q115 theta sketch (core) on 1x")(noop(EtlQueries.thetaCore(spark, users1)))
     time("q115 theta sketch (core) on 10x")(noop(EtlQueries.thetaCore(spark, users10)))
+
+    // Streaming throughput probe: the corpus staged as an 8-file drop
+    // dir (maxFilesPerTrigger=1 → 8 micro-batches), driven through the
+    // watermarked daily rollup — the stateful-operator rows/s number
+    // the batch bench can't show.
+    val evRows = graft.Tables.events(spark, dir).count()
+    val sdir = java.nio.file.Files.createTempDirectory("stream_probe").toString
+    graft.Tables.events(spark, dir).repartition(8)
+      .write.mode("overwrite").parquet(s"$sdir/in")
+    val t0s = System.nanoTime()
+    graft.streaming.EventStream.runBounded(spark,
+      s"$sdir/in/part-*.parquet", "profile_rollup")
+    val dts = (System.nanoTime() - t0s) / 1e9
+    println(f"[profile] streaming rollup: $evRows rows / 8 micro-batches " +
+      f"in $dts%.2f s = ${evRows / dts}%.0f rows/s")
     spark.stop()
   }
 }
