@@ -35,10 +35,17 @@ object Tables {
     *     values and matches DuckDB's naive-µs read of the same file.
     * Downstream consumers always see a plain TimestampType `ts`. */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(table(s, d, "events"))
+  }
+
+  /** The ONE place the ts physical-shape dispatch lives — batch
+    * ([[events]]) and streaming (`EventStream.readEvents`) both call it,
+    * so the next driver shape change is a one-match-arm fix (round 9's
+    * breakage was this logic duplicated and updated in one place only). */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))

@@ -93,6 +93,11 @@ object Liveness {
       it.filter { g =>
         var now = System.nanoTime()
         while (now < nextAllowed) {
+          // parkNanos returns immediately while the interrupt flag is set
+          // — without this check a killed/cancelled task busy-spins
+          // through every pacing wait and keeps probing the endpoint
+          if (Thread.interrupted())
+            throw new InterruptedException("liveness probe interrupted during pacing")
           java.util.concurrent.locks.LockSupport.parkNanos(nextAllowed - now)
           now = System.nanoTime()
         }

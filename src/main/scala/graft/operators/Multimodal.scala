@@ -169,25 +169,37 @@ object Multimodal {
   /** REAL audio frame sampling via javax.sound: decode the container to
     * PCM, pick `n` evenly-spaced frames, return the first channel's
     * 16-bit sample of each (the waveform thumbnail a curation UI or an
-    * audio-dedup fingerprint wants). None for unrecognized bytes. */
+    * audio-dedup fingerprint wants). The stream is first CONVERTED to
+    * canonical signed-16-bit little-endian PCM, so big-endian (AIFF/AU)
+    * and 8-bit sources sample correctly instead of byte-swapping or
+    * spanning frames (review finding, round 10); frame count is derived
+    * from the converted byte length, never the pre-conversion header.
+    * None for unrecognized bytes. */
   def sampleAudioFrames(payload: Array[Byte], n: Int): Option[Array[Long]] =
     try {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
-        val fmt = ais.getFormat
-        val frameSize = fmt.getFrameSize
-        val total = ais.getFrameLength
-        if (total <= 0 || frameSize <= 0 || n <= 0) Some(Array.empty[Long])
-        else {
+        val src = raw.getFormat
+        val canonical = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, /*bigEndian=*/ false)
+        val ais = AudioSystem.getAudioInputStream(canonical, raw)
+        try {
+          val frameSize = canonical.getFrameSize
           val pcm = ais.readAllBytes()
-          val idxs = (0 until n).map(i => (i.toLong * total / n).min(total - 1))
-          Some(idxs.map { f =>
-            val o = (f * frameSize).toInt
-            // first channel, 16-bit little-endian signed (WAV PCM)
-            ((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toLong
-          }.toArray)
-        }
-      } finally ais.close()
+          val total = pcm.length / frameSize
+          if (total <= 0 || n <= 0) Some(Array.empty[Long])
+          else {
+            val idxs = (0 until n).map(i => (i.toLong * total / n).min(total - 1L))
+            Some(idxs.map { f =>
+              val o = (f * frameSize).toInt
+              // first channel, canonical 16-bit little-endian signed
+              ((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toLong
+            }.toArray)
+          }
+        } finally ais.close()
+      } finally raw.close()
     } catch { case _: Exception => None }
 
   /** VIDEO frame sampling is a STUB: no video codec ships with the JRE
@@ -218,10 +230,15 @@ object Multimodal {
     val metaIdx = media.schema.fieldIndex("meta")
     val out: Dataset[Row] = media.mapPartitions { rows =>
       rows.map { r =>
-        val mt = r.getStruct(metaIdx).getAs[String]("media_type")
+        // null payload or null meta degrade like corrupt bytes — the
+        // never-throws contract holds on every branch (review finding:
+        // the video stub would NPE on a null payload and kill the scan)
+        val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        val mt = if (meta == null) null else meta.getAs[String]("media_type")
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val mediaType = if (mt == null) "" else mt
-        if (mediaType.startsWith("image/"))
+        if (payload == null) Row(r.getLong(idIdx), null, null)
+        else if (mediaType.startsWith("image/"))
           Row(r.getLong(idIdx), resizeImage(payload, w, h).orNull, null)
         else if (mediaType.startsWith("audio/"))
           Row(r.getLong(idIdx), null, sampleAudioFrames(payload, n).orNull)

@@ -68,18 +68,47 @@ object AsofStream {
       .as[EvIn]
   }
 
-  def asofMatches(events: DataFrame)(implicit spark: SparkSession): Dataset[AsofOut] = {
+  /** Default idle-state TTL: a user whose last event is older than this
+    * has its purchase state reclaimed (processing-time timeout), so the
+    * store is bounded by users ACTIVE within the window — not users ever
+    * seen (review finding: NoTimeout grows without bound under user
+    * churn). A user returning after expiry re-matches from scratch, the
+    * same answer a watermark-bounded batch backfill would give. */
+  val StateTtl = "30 days"
+
+  private def updateWithTtl(user: Long, it: Iterator[EvIn],
+      state: GroupState[PurchaseState], ttl: String): Iterator[AsofOut] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = update(user, it, state)
+      if (state.exists) state.setTimeoutDuration(ttl)
+      out
+    }
+
+  /** `ttl = None` disables state expiry (NoTimeout). The bounded test
+    * drivers need it: under ProcessingTimeTimeout the engine keeps
+    * scheduling timeout-evaluation batches, so `processAllAvailable`
+    * never returns on a finite drop-dir. Production (continuous) runs
+    * keep the default TTL. */
+  def asofMatches(events: DataFrame, ttl: Option[String] = Some(StateTtl))
+      (implicit spark: SparkSession): Dataset[AsofOut] = {
     import spark.implicits._
-    prepare(events)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(),
+    val grouped = prepare(events).groupByKey(_.user_id)
+    ttl match {
+      case Some(t) => grouped.flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout())(
+        (u: Long, it: Iterator[EvIn], st: GroupState[PurchaseState]) =>
+          updateWithTtl(u, it, st, t))
+      case None => grouped.flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(update)
+    }
   }
 
-  /** Drive to completion on a bounded drop-dir (test path). */
+  /** Drive to completion on a bounded drop-dir (test path; ttl = None —
+    * see [[asofMatches]]). */
   def runBounded(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val q = asofMatches(EventStream.readEvents(spark, dir))
+    val q = asofMatches(EventStream.readEvents(spark, dir), ttl = None)
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory")
@@ -100,7 +129,7 @@ object AsofStream {
   def runBoundedResumable(spark: SparkSession, dir: String,
       outDir: String, checkpoint: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val q = asofMatches(EventStream.readEvents(spark, dir))
+    val q = asofMatches(EventStream.readEvents(spark, dir), ttl = None)
       .writeStream
       .outputMode(OutputMode.Append())
       .format("parquet")

@@ -28,18 +28,12 @@ object EventStream {
     * already-zoned µs) and is normalized here so every downstream
     * watermark/window sees a plain TimestampType. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    val df = spark.readStream
+    graft.Tables.normalizeTs(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
-    }
+      .parquet(dir))
   }
 
   /** Tumbling 1-day windows, 1-day watermark; same measures as q10. */

@@ -99,6 +99,43 @@ class MultimodalSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  private def pcm16(nFrames: Int, bigEndian: Boolean): Array[Byte] = {
+    val out = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = ((i * 773) % 65536 - 32768).toShort
+      if (bigEndian) { out(2 * i) = (v >> 8).toByte; out(2 * i + 1) = (v & 0xff).toByte }
+      else { out(2 * i) = (v & 0xff).toByte; out(2 * i + 1) = (v >> 8).toByte }
+    }
+    out
+  }
+
+  private def audioBytes(tpe: AudioFileFormat.Type, bigEndian: Boolean,
+      nFrames: Int): Array[Byte] = {
+    val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm16(nFrames, bigEndian)), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, tpe, bos)
+    bos.toByteArray
+  }
+
+  test("frame-sample canonicalizes endianness: WAV (LE) and AIFF (BE) of the " +
+      "same PCM yield identical samples") {
+    val n = 500
+    val wav = Multimodal.sampleAudioFrames(
+      audioBytes(AudioFileFormat.Type.WAVE, bigEndian = false, n), 16).get
+    val aiff = Multimodal.sampleAudioFrames(
+      audioBytes(AudioFileFormat.Type.AIFF, bigEndian = true, n), 16).get
+    assert(wav.length == 16 && wav.sameElements(aiff),
+      s"byte-order must not leak into samples: ${wav.toSeq} vs ${aiff.toSeq}")
+    // and the values are the true signed samples, not swapped bytes
+    val truth = (0 until 16).map { i =>
+      val f = (i.toLong * n / 16).min(n - 1L).toInt
+      ((f * 773) % 65536 - 32768).toLong
+    }
+    assert(wav.toSeq == truth)
+  }
+
   test("preprocess: REAL resize + frame-sample, corrupt degrades, payload pruned") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -106,7 +143,9 @@ class MultimodalSpec extends SparkSuite {
       Row(1L, pngBytes(16, 12), Row("image/png", "s", 0L)),
       Row(2L, wavBytes(8000, 1, 1000), Row("audio/wav", "s", 0L)),
       Row(3L, Array.tabulate[Byte](100)(_.toByte), Row("video/mp4", "s", 0L)),
-      Row(4L, "not media".getBytes, Row("image/png", "s", 0L))) // corrupt
+      Row(4L, "not media".getBytes, Row("image/png", "s", 0L)), // corrupt
+      Row(5L, null, Row("video/mp4", "s", 0L)),                 // null payload
+      Row(6L, "x".getBytes, null))                              // null meta
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType),
@@ -132,6 +171,10 @@ class MultimodalSpec extends SparkSuite {
     assert(byId(3L).getSeq[Long](2).length == 8)
     // corrupt image: null outputs, row survives (PERMISSIVE)
     assert(byId(4L).isNullAt(1) && byId(4L).isNullAt(2))
+    // null payload / null meta: the never-throws contract holds on every
+    // branch (a video-stub NPE here would kill a 100 TB scan)
+    assert(byId(5L).isNullAt(1) && byId(5L).isNullAt(2))
+    assert(byId(6L).isNullAt(1) && byId(6L).isNullAt(2))
     // partition-local: no shuffle
     val plan = Multimodal.preprocess(spark, media, 4, 4, 8)
       .queryExecution.executedPlan.toString
