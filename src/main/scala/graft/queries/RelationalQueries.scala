@@ -445,6 +445,39 @@ object RelationalQueries {
         unix_micros($"ts").as("tus")))
   }
 
+  /** Salted q114 for HUB keys (a bot user with millions of events in one
+    * half-hour concentrates the (user, bucket) join key): clicks scatter
+    * over `salt` sub-keys by event_id, purchase candidates replicate ×salt
+    * map-side, the join runs on (user, bucket, salt) — per-task fan-in
+    * drops by the salt factor — and the per-purchase aggregation is
+    * salt-oblivious (count/sum partials merge). Result rows are IDENTICAL
+    * to [[intervalCore]] (spec-pinned); the cost is a ×salt candidate
+    * expansion on the (small) purchase side, the same trade the salted
+    * coinstall join documents (SkewJoinSpec). */
+  private[graft] def intervalCoreSalted(s: SparkSession, ev: DataFrame,
+      salt: Int): DataFrame = {
+    import s.implicits._
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", expr(s"tus div $IntervalUs").as("b"),
+        ($"event_id" % salt).cast("int").as("sa"),
+        $"tus".as("c_tus"), $"value".as("c_value"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("p_tus"))
+    val matched = purchases
+      .withColumn("b", explode(array(expr(s"p_tus div $IntervalUs"),
+        expr(s"p_tus div $IntervalUs") - 1)))
+      .withColumn("sa", explode(array((0 until salt).map(lit): _*)))
+      .join(clicks, Seq("user_id", "b", "sa"))
+      .where($"c_tus" >= $"p_tus" - IntervalUs && $"c_tus" < $"p_tus")
+      .groupBy($"purchase_id")
+      .agg(count(lit(1)).as("n_clicks"), dsum($"c_value").as("sum_click_value"))
+    purchases.join(matched, Seq("purchase_id"), "left")
+      .select($"user_id", $"purchase_id",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"),
+        coalesce($"sum_click_value", lit(0.0)).as("sum_click_value"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** q114 body over an arbitrary (user_id, event_id, event_type, value,
     * tus) frame — fixture specs pin the half-open range and the
     * bucket-boundary candidate expansion. */

@@ -48,6 +48,25 @@ class AsofRangeSpec extends SparkSuite {
     assert(out == List((50L, 3L, 25.0), (51L, 0L, 0.0)))
   }
 
+  test("q114 salted variant is row-identical to the plain form (hub-key path)") {
+    // a hub user concentrating one (user, bucket) key plus normal users;
+    // salting must change the distribution, never the answer
+    val p = 7 * IntervalUs + 60_000_000L
+    val hub = (0 until 200).map(i =>
+      (1L, 1000L + i, "click", i.toDouble, p - 1_000_000L * (i + 1)))
+    val fixture = ev((hub :+ ((1L, 50L, "purchase", 0.0, p))
+      :+ ((2L, 60L, "click", 1.0, p - 1L)) :+ ((2L, 51L, "purchase", 0.0, p))): _*)
+    val plain = RelationalQueries.intervalCore(spark, fixture).collect().toSeq
+    val salted = RelationalQueries.intervalCoreSalted(spark, fixture, 8).collect().toSeq
+    assert(plain == salted)
+    // and on the real corpus
+    val evReal = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("tus"))
+    assert(RelationalQueries.intervalCore(spark, evReal).collect().toSeq ==
+      RelationalQueries.intervalCoreSalted(spark, evReal, 8).collect().toSeq)
+  }
+
   test("q113/q114 match their DuckDB-oracle row counts on the sf0.001 corpus") {
     val clicks = Tables.events(spark, sf0001)
       .where($"event_type" === "click").count()
