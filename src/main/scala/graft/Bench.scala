@@ -41,6 +41,24 @@ import org.apache.spark.sql.SparkSession
   * run for focused iteration: tokens match query names EXACTLY (round
   * 3's substring match made "q6" select q60–q69); unknown tokens warn,
   * an empty selection is an error, and the selected set is printed.
+  *
+  * Host-load evidence (VERDICT r10 #6): rounds 5/7/9 needed manual
+  * adjudication of totals contaminated by external host load. The record
+  * now carries the 1-minute load average and the /proc process count at
+  * bench start AND end ("load":[start,end],"nproc":[start,end]) so the
+  * call is mechanical: a load far above SPARK_GRAFT_CPUS during the run
+  * means the total is not comparable across rounds. "comparable":false
+  * additionally marks any record with a non-empty "failed" list — an
+  * all-reps-failed query contributes 0 to the total, and nothing should
+  * read such a total as a speedup (ADVICE r10).
+  *
+  * SPARK_GRAFT_STREAMS=4 appends a throughput test (the TPC-DS
+  * multi-stream shape): N threads each run the full selected query list
+  * once, order rotated per stream so the streams collide on different
+  * scans at any instant; the wall-clock goes out as
+  * "concurrent_streams":N,"concurrent_wall_sec":S beside the serial
+  * per-query numbers. Default off — the driver's serial contract is
+  * unchanged.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,6 +75,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // host-load evidence, sampled before warmup and again at record time
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def nproc(): Int =
+      try java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).count().toInt
+      catch { case _: Throwable => -1 }
+    val loadStart = loadAvg()
+    val nprocStart = nproc()
 
     // warmup: JIT/codegen + parquet footers for every table
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -133,6 +161,33 @@ object Bench {
     }
     val failed = results.collect { case (k, None) => k }
     val timed = results.collect { case (k, Some(v)) => k -> v }
+
+    // optional multi-stream throughput pass (see scaladoc)
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "0").toInt
+    val concurrentWall: Option[Double] =
+      if (streams <= 0) None
+      else {
+        releaseQueryState()
+        val names = selected.map(_._1)
+        val t0 = System.nanoTime()
+        val threads = (0 until streams).map { sid =>
+          val order = names.drop(sid * names.size / streams) ++
+            names.take(sid * names.size / streams)
+          val t = new Thread(() => order.foreach { n =>
+            try SparkEntry.queries(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] stream $sid $n failed: ${e.getMessage}") }
+          }, s"bench-stream-$sid")
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        releaseQueryState()
+        System.err.println(f"[bench] $streams concurrent streams x ${names.size} queries: $wall%.1f s wall")
+        Some(wall)
+      }
+
     def jsonLine(key: String => String): String = {
       val qs = timed.map { case (k, v) => "\"" + key(k) + "\":" + sec(v) }
         .mkString("{", ",", "}")
@@ -141,7 +196,10 @@ object Bench {
       // "stat":"min" marks the round-7 median→min statistic switch so
       // cross-round total comparisons don't conflate a real regression
       // with the statistic change (r01–r06 totals are medians).
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","failed":$fs,"queries":$qs,"sf":"$sfDir"}"""
+      val conc = concurrentWall
+        .map(w => s""","concurrent_streams":$streams,"concurrent_wall_sec":${sec(w)}""")
+        .getOrElse("")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","comparable":${failed.isEmpty},"load":[${sec(loadStart)},${sec(loadAvg())}],"nproc":[$nprocStart,${nproc()}],"failed":$fs$conc,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full names to the file; unique qNN prefixes on stdout (tail-window
     // budget — see scaladoc). Prefix collisions (none today) fall back to

@@ -172,9 +172,14 @@ object Multimodal {
     * audio-dedup fingerprint wants). The stream is first CONVERTED to
     * canonical signed-16-bit little-endian PCM, so big-endian (AIFF/AU)
     * and 8-bit sources sample correctly instead of byte-swapping or
-    * spanning frames (review finding, round 10); frame count is derived
-    * from the converted byte length, never the pre-conversion header.
-    * None for unrecognized bytes. */
+    * spanning frames (review finding, round 10). The converted stream is
+    * SAMPLED BY skip(), never fully materialized: decoded 16-bit PCM can
+    * be several times the compressed payload, and buffering it turned the
+    * never-throws contract into an executor-OOM hazard on long blobs
+    * (ADVICE r10) — memory here is one frame, independent of duration.
+    * The frame count comes from the converted stream (WAV/AIFF/AU carry
+    * it through same-rate PCM conversion); an unknown-length stream falls
+    * back to buffered decode. None for unrecognized bytes. */
   def sampleAudioFrames(payload: Array[Byte], n: Int): Option[Array[Long]] =
     try {
       val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
@@ -187,14 +192,50 @@ object Multimodal {
         val ais = AudioSystem.getAudioInputStream(canonical, raw)
         try {
           val frameSize = canonical.getFrameSize
-          val pcm = ais.readAllBytes()
-          val total = pcm.length / frameSize
-          if (total <= 0 || n <= 0) Some(Array.empty[Long])
+          val total = ais.getFrameLength
+          if (n <= 0) Some(Array.empty[Long])
+          else if (total > 0) {
+            val out = new Array[Long](n)
+            val buf = new Array[Byte](frameSize)
+            var pos = 0L        // next unread frame
+            var lastFrame = -1L // sample offsets are non-decreasing
+            var lastSample = 0L
+            var ok = true
+            var i = 0
+            while (i < n && ok) {
+              val f = (i.toLong * total / n).min(total - 1L)
+              if (f == lastFrame) out(i) = lastSample
+              else {
+                var toSkip = (f - pos) * frameSize
+                while (toSkip > 0 && ok) {
+                  val sk = ais.skip(toSkip)
+                  if (sk <= 0) ok = false else toSkip -= sk
+                }
+                var got = 0
+                while (got < frameSize && ok) {
+                  val r = ais.read(buf, got, frameSize - got)
+                  if (r <= 0) ok = false else got += r
+                }
+                if (ok) {
+                  pos = f + 1
+                  lastFrame = f
+                  // first channel, canonical 16-bit little-endian signed
+                  lastSample = ((buf(1) << 8) | (buf(0) & 0xff)).toLong
+                  out(i) = lastSample
+                }
+              }
+              i += 1
+            }
+            if (ok) Some(out) else None
+          } else if (total == 0) Some(Array.empty[Long])
           else {
-            val idxs = (0 until n).map(i => (i.toLong * total / n).min(total - 1L))
-            Some(idxs.map { f =>
-              val o = (f * frameSize).toInt
-              // first channel, canonical 16-bit little-endian signed
+            // length unknown after conversion: buffered fallback (rare —
+            // none of the JRE's built-in readers take this branch)
+            val pcm = ais.readAllBytes()
+            val tot = pcm.length / frameSize
+            if (tot <= 0) Some(Array.empty[Long])
+            else Some((0 until n).map { i =>
+              val o = ((i.toLong * tot / n).min(tot - 1L) * frameSize).toInt
               ((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toLong
             }.toArray)
           }

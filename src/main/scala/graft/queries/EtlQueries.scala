@@ -742,7 +742,13 @@ object EtlQueries {
         Seq("type_a", "type_b"), "left")
       .select($"type_a", $"type_b", $"n_a", $"n_b",
         coalesce($"n_common", lit(0L)).as("n_common"))
-    exact.join(sketchEsts, Seq("type_a", "type_b"))
+    // LEFT join (ADVICE r10): every pair always has an exact audit row,
+    // and each non-empty set retains at least one hash below the pairwise
+    // min-θ, so sketchEsts covers every pair today — but that invariant
+    // is the estimator's, not the join's. A future estimator tweak that
+    // drops a pair must surface as NULL estimates next to the audit row,
+    // never as a silently missing pair.
+    exact.join(sketchEsts, Seq("type_a", "type_b"), "left")
       .orderBy($"type_a", $"type_b")
   }
 
@@ -795,7 +801,7 @@ object EtlQueries {
        |         ON cm.type_a = na.type_a AND cm.type_b = nb.type_b)
        |SELECT ex.type_a, ex.type_b, ex.n_a, ex.n_b, ex.n_common,
        |  se.est_a, se.est_b, se.est_union, se.est_inter
-       |FROM ex JOIN se USING (type_a, type_b)
+       |FROM ex LEFT JOIN se USING (type_a, type_b)
        |ORDER BY type_a, type_b""".stripMargin
   }
 

@@ -35,7 +35,16 @@ object AsofStream {
 
   /** Fold one user's batch slice (sorted to event-time order; side 0 =
     * purchase sorts before clicks at the same µs, matching ASOF's `<=`,
-    * and ascending event_id realizes the max-id dedup at equal µs). */
+    * and ascending event_id realizes the max-id dedup at equal µs).
+    *
+    * MEMORY CONTRACT (ADVICE r10): the slice is materialized and sorted
+    * in one task, so per-key-per-BATCH volume must be bounded — the same
+    * assumption every flatMapGroupsWithState fold makes, and distinct
+    * from the O(1) cross-batch state bound below. A hub key (the bot-user
+    * skew q114's salted variant addresses) concentrates its batch slice
+    * on one task; the mitigation at that scale is shorter triggers (less
+    * per-batch volume) or pre-salting the hub user upstream — state
+    * itself never grows either way. */
   def update(user: Long, it: Iterator[EvIn],
       state: GroupState[PurchaseState]): Iterator[AsofOut] = {
     val evs = it.toArray.sortBy(e => (e.tus, e.side, e.event_id))

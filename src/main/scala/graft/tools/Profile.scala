@@ -297,15 +297,26 @@ object Profile {
     // watermarked daily rollup — the stateful-operator rows/s number
     // the batch bench can't show.
     val evRows = graft.Tables.events(spark, dir).count()
-    val sdir = java.nio.file.Files.createTempDirectory("stream_probe").toString
-    graft.Tables.events(spark, dir).repartition(8)
-      .write.mode("overwrite").parquet(s"$sdir/in")
-    val t0s = System.nanoTime()
-    graft.streaming.EventStream.runBounded(spark,
-      s"$sdir/in/part-*.parquet", "profile_rollup")
-    val dts = (System.nanoTime() - t0s) / 1e9
-    println(f"[profile] streaming rollup: $evRows rows / 8 micro-batches " +
-      f"in $dts%.2f s = ${evRows / dts}%.0f rows/s")
+    val sdirPath = java.nio.file.Files.createTempDirectory("stream_probe")
+    val sdir = sdirPath.toString
+    try {
+      graft.Tables.events(spark, dir).repartition(8)
+        .write.mode("overwrite").parquet(s"$sdir/in")
+      val t0s = System.nanoTime()
+      graft.streaming.EventStream.runBounded(spark,
+        s"$sdir/in/part-*.parquet", "profile_rollup")
+      val dts = (System.nanoTime() - t0s) / 1e9
+      println(f"[profile] streaming rollup: $evRows rows / 8 micro-batches " +
+        f"in $dts%.2f s = ${evRows / dts}%.0f rows/s")
+    } finally {
+      // repeated profiling runs must not accumulate disk or driver state
+      // (ADVICE r10): drop the memory-sink table and the staged corpus copy
+      spark.catalog.dropTempView("profile_rollup")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(sdirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     spark.stop()
   }
 }
