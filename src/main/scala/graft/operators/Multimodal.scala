@@ -21,6 +21,10 @@ import org.apache.spark.sql.types._
   *    materialized;
   *  - `audio/...` → javax.sound AudioSystem file format (WAV/AIFF/AU):
   *    sample rate, channels, frame count;
+  *  - `video/...` → real container parse for MJPEG (per-frame JPEG via
+  *    the same ImageIO path) and Y4M (uncompressed planar YUV): width,
+  *    height, frame count — compressed codec formats (MP4 etc.) have no
+  *    JRE decoder and degrade per the stub note at the bottom;
   *  - `text/...` → byte stats (the synthetic corpus is text, so q42's
   *    features take this branch honestly);
   *  - undecodable bytes → kind "unknown", format "corrupt" (PERMISSIVE,
@@ -43,7 +47,7 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   val FeatureSchema: StructType = StructType(Seq(
-    StructField("kind", StringType, nullable = false),        // image|audio|text|unknown
+    StructField("kind", StringType, nullable = false),        // image|audio|video|text|unknown
     StructField("width", IntegerType, nullable = true),       // image
     StructField("height", IntegerType, nullable = true),      // image
     StructField("sample_rate", IntegerType, nullable = true), // audio
@@ -113,6 +117,11 @@ object Multimodal {
     else if (mt.startsWith("audio/"))
       decodeAudio(payload) match {
         case Some((sr, ch, fr, f)) => Row("audio", null, null, sr, ch, fr, f, n, cs)
+        case None => Row("unknown", null, null, null, null, null, "corrupt", n, cs)
+      }
+    else if (mt.startsWith("video/"))
+      probeVideo(payload) match {
+        case Some((w, h, fr, f)) => Row("video", w, h, null, null, fr, f, n, cs)
         case None => Row("unknown", null, null, null, null, null, "corrupt", n, cs)
       }
     else if (mt.startsWith("text/"))
@@ -243,11 +252,185 @@ object Multimodal {
       } finally raw.close()
     } catch { case _: Exception => None }
 
-  /** VIDEO frame sampling is a STUB: no video codec ships with the JRE
-    * (or this container), so the deterministic placeholder strides the
-    * raw payload — the Spark-side plumbing (schema, batching, null
-    * degradation) is identical to what a real decoder would need, and
-    * swapping in one changes only this function. */
+  // ---- video decode: REAL for the two pure-JVM containers ----
+  //
+  // MJPEG (concatenated baseline JPEGs — each frame decodes through the
+  // same ImageIO path the image branch uses) and Y4M (YUV4MPEG2:
+  // uncompressed planar YUV — a header parse plus plane arithmetic, no
+  // codec at all). Compressed codec containers (MP4/H.264, VP9, AV1...)
+  // have no JRE decoder and keep the stride stub below.
+
+  private[graft] def isY4m(p: Array[Byte]): Boolean =
+    p.length >= 10 && new String(p, 0, 9, "US-ASCII") == "YUV4MPEG2" &&
+      p(9) == ' '.toByte
+
+  private[graft] def isMjpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff
+
+  /** Frame boundaries of an MJPEG stream via a real segment-level JPEG
+    * parse — not a naive FFD8/FFD9 byte scan, which an embedded EXIF
+    * thumbnail or an unstuffed 0xFFD9 in ancillary data would fool:
+    * length-prefixed segments are skipped by their declared length, and
+    * entropy-coded scan data is walked honoring 0xFF00 byte stuffing and
+    * RST markers. Returns (start, endExclusive) per frame; None when the
+    * stream is structurally malformed (truncated frame, bad marker). */
+  def mjpegFrameOffsets(p: Array[Byte]): Option[IndexedSeq[(Int, Int)]] = {
+    val frames = IndexedSeq.newBuilder[(Int, Int)]
+    var pos = 0
+    while (pos < p.length) {
+      if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff ||
+          (p(pos + 1) & 0xff) != 0xd8) return None
+      val start = pos
+      pos += 2
+      var inFrame = true
+      while (inFrame) {
+        if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff) return None
+        val m = p(pos + 1) & 0xff
+        pos += 2
+        if (m == 0xd9) { frames += ((start, pos)); inFrame = false }
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) () // standalone
+        else {
+          if (pos + 1 >= p.length) return None
+          val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+          if (len < 2 || pos + len > p.length) return None
+          pos += len
+          if (m == 0xda) {
+            // entropy-coded data: skip to the next true marker
+            var scanning = true
+            while (scanning) {
+              if (pos >= p.length) return None
+              if ((p(pos) & 0xff) == 0xff && pos + 1 < p.length) {
+                val nm = p(pos + 1) & 0xff
+                if (nm == 0x00 || (nm >= 0xd0 && nm <= 0xd7)) pos += 2
+                else scanning = false
+              } else pos += 1
+            }
+          }
+        }
+      }
+    }
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  /** Chroma plane size per Y4M colourspace tag (420 family default). */
+  private def y4mChromaSize(w: Int, h: Int, c: String): Int =
+    if (c.startsWith("444")) w * h
+    else if (c.startsWith("422")) ((w + 1) / 2) * h
+    else if (c.startsWith("mono")) 0
+    else ((w + 1) / 2) * ((h + 1) / 2) // 420jpeg/420mpeg2/420paldv
+
+  /** Parse a YUV4MPEG2 stream: (width, height, Y-plane offset per frame).
+    * Header params W/H/C are honored (C defaults to 420jpeg per spec);
+    * each FRAME marker may carry its own ignored params. None on a
+    * malformed header or a truncated frame. */
+  def y4mFrames(p: Array[Byte]): Option[(Int, Int, IndexedSeq[Int])] = {
+    if (!isY4m(p)) return None
+    val nl = p.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    var w = -1; var h = -1; var c = "420jpeg"
+    new String(p, 0, nl, "US-ASCII").split(' ').drop(1).foreach { t =>
+      if (t.startsWith("W")) w = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("H")) h = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("C")) c = t.drop(1)
+    }
+    if (w <= 0 || h <= 0) return None
+    val frameBytes = w * h + 2 * y4mChromaSize(w, h, c)
+    val offs = IndexedSeq.newBuilder[Int]
+    var pos = nl + 1
+    while (pos < p.length) {
+      if (pos + 5 > p.length ||
+          new String(p, pos, 5, "US-ASCII") != "FRAME") return None
+      var e = pos + 5
+      while (e < p.length && p(e) != '\n'.toByte) e += 1
+      if (e >= p.length || e + 1 + frameBytes > p.length) return None
+      offs += (e + 1)
+      pos = e + 1 + frameBytes
+    }
+    val o = offs.result()
+    if (o.isEmpty) None else Some((w, h, o))
+  }
+
+  /** Container probe without decoding pixels: (width, height, nFrames,
+    * container). MJPEG reads the first frame's header only. */
+  def probeVideo(payload: Array[Byte]): Option[(Int, Int, Long, String)] =
+    try {
+      if (isY4m(payload))
+        y4mFrames(payload).map { case (w, h, offs) => (w, h, offs.size.toLong, "y4m") }
+      else if (isMjpeg(payload))
+        mjpegFrameOffsets(payload).flatMap { offs =>
+          decodeImage(java.util.Arrays.copyOfRange(payload, offs.head._1, offs.head._2))
+            .map { case (w, h, _) => (w, h, offs.size.toLong, "mjpeg") }
+        }
+      else None
+    } catch { case _: Exception => None }
+
+  /** Integer mean luma of one decoded JPEG frame (BT.601 integer weights,
+    * floor division — deterministic). */
+  private def jpegMeanLuma(p: Array[Byte], a: Int, b: Int): Option[Long] =
+    Option(ImageIO.read(new ByteArrayInputStream(
+      java.util.Arrays.copyOfRange(p, a, b)))).map { img =>
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          s += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      s / (img.getWidth.toLong * img.getHeight)
+    }
+
+  /** REAL video frame sampling: `n` evenly-spaced frames, each reduced to
+    * its integer mean luma — the per-frame brightness signature a shot-
+    * boundary detector or a video-dedup fingerprint builds on. Only the
+    * SELECTED frames are decoded (MJPEG) or summed (Y4M) — cost is O(n)
+    * frames regardless of clip length, and duplicate sample indices
+    * (n > frame count) reuse the computed value. None for unrecognized or
+    * structurally corrupt containers. */
+  def sampleVideoFrames(payload: Array[Byte], n: Int): Option[Array[Long]] =
+    try {
+      if (n <= 0) {
+        if (isY4m(payload) || isMjpeg(payload)) Some(Array.empty[Long]) else None
+      } else if (isY4m(payload))
+        y4mFrames(payload).map { case (w, h, offs) =>
+          val ySize = w * h
+          val cache = scala.collection.mutable.Map.empty[Int, Long]
+          (0 until n).map { i =>
+            val f = (i.toLong * offs.size / n).min(offs.size - 1L).toInt
+            cache.getOrElseUpdate(f, {
+              val off = offs(f)
+              var s = 0L
+              var j = 0
+              while (j < ySize) { s += (payload(off + j) & 0xff); j += 1 }
+              s / ySize
+            })
+          }.toArray
+        }
+      else if (isMjpeg(payload))
+        mjpegFrameOffsets(payload).flatMap { offs =>
+          val cache = scala.collection.mutable.Map.empty[Int, Option[Long]]
+          val vals = (0 until n).map { i =>
+            val f = (i.toLong * offs.size / n).min(offs.size - 1L).toInt
+            cache.getOrElseUpdate(f, jpegMeanLuma(payload, offs(f)._1, offs(f)._2))
+          }
+          if (vals.forall(_.isDefined)) Some(vals.map(_.get).toArray) else None
+        }
+      else None
+    } catch { case _: Exception => None }
+
+  /** Stride STUB for COMPRESSED CODEC containers only (MP4/H.264, VP9,
+    * AV1, ...): no video codec ships with the JRE or this container, so
+    * the deterministic placeholder strides the raw payload. MJPEG and Y4M
+    * never reach this — [[sampleVideoFrames]] decodes them for real — and
+    * the Spark-side plumbing (schema, batching, null degradation) is
+    * identical for both paths, so swapping in a codec changes only this
+    * function. */
   def sampleVideoFramesStub(payload: Array[Byte], n: Int): Array[Long] =
     if (payload.isEmpty || n <= 0) Array.empty[Long]
     else (0 until n).map { i =>
@@ -284,7 +467,15 @@ object Multimodal {
         else if (mediaType.startsWith("audio/"))
           Row(r.getLong(idIdx), null, sampleAudioFrames(payload, n).orNull)
         else if (mediaType.startsWith("video/"))
-          Row(r.getLong(idIdx), null, sampleVideoFramesStub(payload, n))
+          // dispatch on the container SIGNATURE, not the subtype string:
+          // MJPEG/Y4M decode for real; a recognized-but-corrupt container
+          // degrades to null (the image branch's contract); only codec
+          // formats the JRE cannot decode take the stride stub
+          Row(r.getLong(idIdx), null, sampleVideoFrames(payload, n) match {
+            case Some(v) => v
+            case None if isMjpeg(payload) || isY4m(payload) => null
+            case None => sampleVideoFramesStub(payload, n)
+          })
         else Row(r.getLong(idIdx), null, null)
       }
     }

@@ -136,6 +136,90 @@ class MultimodalSpec extends SparkSuite {
     assert(wav.toSeq == truth)
   }
 
+  // ---- video fixtures: generated MJPEG + Y4M ----
+
+  private def jpegBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def mjpegBytes(w: Int, h: Int, grays: Seq[Int]): Array[Byte] =
+    grays.toArray.flatMap(g => jpegBytes(w, h, g))
+
+  private def y4mBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    val cs = ((w + 1) / 2) * ((h + 1) / 2)
+    lumas.foreach { v =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(Array.fill[Byte](w * h)(v.toByte))   // constant Y plane
+      bos.write(Array.fill[Byte](2 * cs)(128.toByte)) // neutral chroma
+    }
+    bos.toByteArray
+  }
+
+  test("REAL video: Y4M parses header/planes; frame count, dims, exact mean luma") {
+    val clip = y4mBytes(20, 10, Seq(5, 15, 25, 35, 45, 55, 65, 75))
+    assert(Multimodal.probeVideo(clip).contains((20, 10, 8L, "y4m")))
+    // 4 evenly-spaced of 8 frames = frames 0,2,4,6; constant planes make
+    // the integer mean luma exact
+    assert(Multimodal.sampleVideoFrames(clip, 4).get.toSeq == Seq(5L, 25L, 45L, 65L))
+    // n > frame count: duplicate indices reuse the computed value
+    val over = Multimodal.sampleVideoFrames(y4mBytes(4, 4, Seq(10, 20)), 4).get
+    assert(over.toSeq == Seq(10L, 10L, 20L, 20L))
+  }
+
+  test("REAL video: MJPEG splits frames by segment parse and decodes via ImageIO") {
+    val clip = mjpegBytes(16, 8, Seq(40, 120, 200))
+    assert(Multimodal.probeVideo(clip).contains((16, 8, 3L, "mjpeg")))
+    val s = Multimodal.sampleVideoFrames(clip, 3).get
+    assert(s.length == 3)
+    // solid-gray JPEG round-trips within codec error; order must hold
+    for ((v, truth) <- s.zip(Seq(40L, 120L, 200L)))
+      assert(math.abs(v - truth) <= 3, s"${s.toSeq} vs 40/120/200")
+    // deterministic across calls
+    assert(Multimodal.sampleVideoFrames(clip, 3).get.sameElements(s))
+  }
+
+  test("video corrupt-degrade: truncated containers yield None, never throw") {
+    val mj = mjpegBytes(8, 8, Seq(50, 60))
+    assert(Multimodal.sampleVideoFrames(mj.dropRight(10), 2).isEmpty)
+    assert(Multimodal.probeVideo(mj.dropRight(10)).isEmpty)
+    val y4 = y4mBytes(4, 4, Seq(10, 20))
+    assert(Multimodal.sampleVideoFrames(y4.dropRight(3), 2).isEmpty)
+    // bad header dims
+    assert(Multimodal.y4mFrames("YUV4MPEG2 W0 H4\nFRAME\n".getBytes).isEmpty)
+    // unrecognized container (codec formats) is None from the REAL path
+    assert(Multimodal.sampleVideoFrames(Array.tabulate[Byte](64)(_.toByte), 2).isEmpty)
+  }
+
+  test("q42 feature dispatch: video kind carries dims + frame count") {
+    val media = Seq(
+      (1L, mjpegBytes(12, 6, Seq(30, 90)), "video/x-motion-jpeg"),
+      (2L, y4mBytes(6, 4, Seq(7, 8, 9)), "video/x-yuv4mpeg"),
+      (3L, Array[Byte](9, 9, 9), "video/mp4")) // no JRE codec: corrupt kind
+      .toDF("media_id", "payload", "mt")
+      .select($"media_id", $"payload",
+        struct($"mt".as("media_type"), lit("t").as("source"),
+          lit(0L).as("declared_len")).as("meta"))
+    val out = Multimodal.extractFeatures(spark, media)
+      .select($"media_id", $"features.*").orderBy($"media_id").collect()
+    assert(out(0).getAs[String]("kind") == "video")
+    assert(out(0).getAs[Int]("width") == 12 && out(0).getAs[Int]("height") == 6)
+    assert(out(0).getAs[Long]("frames") == 2L)
+    assert(out(0).getAs[String]("format") == "mjpeg")
+    assert(out(1).getAs[String]("kind") == "video")
+    assert(out(1).getAs[Long]("frames") == 3L)
+    assert(out(1).getAs[String]("format") == "y4m")
+    assert(out(2).getAs[String]("kind") == "unknown")
+    assert(out(2).getAs[String]("format") == "corrupt")
+  }
+
   test("preprocess: REAL resize + frame-sample, corrupt degrades, payload pruned") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -145,7 +229,9 @@ class MultimodalSpec extends SparkSuite {
       Row(3L, Array.tabulate[Byte](100)(_.toByte), Row("video/mp4", "s", 0L)),
       Row(4L, "not media".getBytes, Row("image/png", "s", 0L)), // corrupt
       Row(5L, null, Row("video/mp4", "s", 0L)),                 // null payload
-      Row(6L, "x".getBytes, null))                              // null meta
+      Row(6L, "x".getBytes, null),                              // null meta
+      Row(7L, y4mBytes(4, 4, Seq(11, 22, 33)), Row("video/x-yuv4mpeg", "s", 0L)),
+      Row(8L, mjpegBytes(8, 8, Seq(77)).dropRight(6), Row("video/x-motion-jpeg", "s", 0L)))
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType),
@@ -167,8 +253,12 @@ class MultimodalSpec extends SparkSuite {
     val again = Multimodal.preprocess(spark, media, 4, 4, 8)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(again(2L).getSeq[Long](2) == s1)
-    // video: stub strides the payload deterministically
+    // video, no JRE codec (mp4 bytes): stub strides the payload
     assert(byId(3L).getSeq[Long](2).length == 8)
+    // video, REAL container: Y4M decodes — constant planes, exact lumas
+    assert(byId(7L).getSeq[Long](2) == Seq(11L, 11L, 11L, 22L, 22L, 22L, 33L, 33L))
+    // video, recognized container but truncated: degrades to null, not stub
+    assert(byId(8L).isNullAt(2))
     // corrupt image: null outputs, row survives (PERMISSIVE)
     assert(byId(4L).isNullAt(1) && byId(4L).isNullAt(2))
     // null payload / null meta: the never-throws contract holds on every
