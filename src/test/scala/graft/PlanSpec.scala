@@ -206,6 +206,40 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), p) // the map-side ×2 bucket expansion
   }
 
+  test("q114: join operator pinned at 1x and 10x row counts (broadcast -> SMJ)") {
+    // the round-10 probe saw the expanded purchase side cross the
+    // broadcast threshold at 10x — make the transition target CHOSEN:
+    // below the threshold the candidate join must be BroadcastHashJoin
+    // (no click shuffle); beyond it, SortMergeJoin on (user_id, bucket)
+    // — never a nested-loop/cartesian fallback, never a re-planted range
+    // join. See intervalCore's scaladoc for why SMJ (not shuffled-hash)
+    // is the at-scale operator.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev1 = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tus"))
+    val n1 = ev1.count()
+    val p1 = plan(RelationalQueries.intervalCore(spark, ev1))
+    assert(p1.contains("BroadcastHashJoin"),
+      s"at $n1 rows the purchase side must broadcast:\n$p1")
+
+    val ev10 = (0 until 10).map(i => ev1.select(
+      ($"user_id" + lit(i * 10000000L)).as("user_id"),
+      ($"event_id" + lit(i * 100000000L)).as("event_id"),
+      $"event_type", $"value", $"tus")).reduce(_ unionByName _)
+    val n10 = ev10.count()
+    // sf0.001 x10 still fits 10MB; model the at-scale size crossing with
+    // the threshold the way the 100 TB corpus crosses it in absolute rows
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "65536") {
+      val p10 = plan(RelationalQueries.intervalCore(spark, ev10))
+      assert(p10.contains("SortMergeJoin"),
+        s"at $n10 rows past the threshold the join must sort-merge:\n$p10")
+      assert(!p10.contains("CartesianProduct") &&
+        !p10.contains("BroadcastNestedLoop"), p10)
+    }
+  }
+
   test("q115: pairwise sketch work never re-reads the corpus (checkpoint boundary)") {
     // everything after the ranked K-min frame operates on ≤ types·K rows;
     // the events scan appears only below the checkpoint (plus the exact
