@@ -535,6 +535,100 @@ object RelationalQueries {
        |FROM p LEFT JOIN m USING (purchase_id)
        |ORDER BY user_id, purchase_id""".stripMargin
 
+  /** q116: late-data divergence audit for the STREAMING AS-OF face —
+    * q112's arrival-order arithmetic composed with q113's match
+    * semantics (VERDICT r10 #5). [[graft.streaming.AsofStream]] documents
+    * that its output equals the batch q113 only when each user's events
+    * arrive in event-time order across micro-batches; this query makes
+    * that divergence MEASURABLE: under the q112 shard-interleaved
+    * delivery model (arrival order = (event_id mod 7, event_id) per
+    * user), a click whose batch-matched purchase arrives AFTER it cannot
+    * be matched at emit time — the stream answers with an earlier
+    * purchase or none. Per click event-time day: total clicks, batch
+    * matches, divergent clicks (the trigger-per-event bound — any real
+    * micro-batching only merges arrivals and thus only reduces it), and
+    * how many of those divergences even a 1-day-watermark reconciliation
+    * pass could not repair because the purchase itself arrives more than
+    * [[DayUs]] behind its user's observed event-time frontier (q112's
+    * run_max lateness — the same events its n_dropped counts).
+    *
+    * All comparisons are integer µs / integer id arithmetic (the
+    * q112/q113 discipline). Scale: q113's one key shuffle + q112's one
+    * per-user window + a days-keyed aggregate — nothing new beyond the
+    * plans already audited; the arrival comparison itself is a pure
+    * projection (no rank join, the order tuple compares directly). */
+  def q116AsofLateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    asofLateCore(s, Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tus")))
+  }
+
+  /** q116 body over an arbitrary (user_id, event_id, event_type, value,
+    * tus) frame — AsofRangeSpec pins the watermark-boundary cases. */
+  private[graft] def asofLateCore(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    val matches = asofCore(s, ev)
+    // per-EVENT arrival lateness vs the user's event-time frontier, in
+    // the same shard-interleaved arrival order q112 audits
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"event_id" % 7, $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lateness = ev
+      .withColumn("run_max", max($"tus").over(w))
+      .select($"event_id".as("purchase_id"),
+        ($"run_max" - $"tus").as("p_late_us"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"tus".as("c_tus"))
+    // purchase arrives after the click ⇔ its arrival tuple sorts later
+    val divergent = $"purchase_id".isNotNull &&
+      ($"purchase_id" % 7 > $"click_id" % 7 ||
+        ($"purchase_id" % 7 === $"click_id" % 7 && $"purchase_id" > $"click_id"))
+    matches.join(clicks, Seq("click_id"))
+      .join(lateness, Seq("purchase_id"), "left")
+      .groupBy((expr(s"c_tus div $DayUs") * lit(86400L)).as("day_s"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when($"purchase_id".isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(divergent, 1L).otherwise(0L)).as("n_divergent"),
+        sum(when(divergent && $"p_late_us" > DayUs, 1L).otherwise(0L))
+          .as("n_unrecoverable"))
+      .orderBy($"day_s")
+  }
+
+  val q116Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+       |             epoch_us(ts) AS tus FROM events),
+       |p AS (SELECT user_id, tus, MAX(event_id) AS p_id
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |c AS (SELECT user_id, event_id AS click_id, tus
+       |      FROM e WHERE event_type = 'click'),
+       |m AS (SELECT c.user_id, c.click_id, c.tus AS c_tus, p.p_id AS purchase_id
+       |      FROM c ASOF LEFT JOIN p
+       |        ON c.user_id = p.user_id AND p.tus <= c.tus),
+       |lt AS (SELECT event_id AS purchase_id,
+       |         MAX(tus) OVER (PARTITION BY user_id
+       |           ORDER BY event_id % 7, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus
+       |           AS p_late_us
+       |       FROM e)
+       |SELECT (m.c_tus // $DayUs) * 86400 AS day_s,
+       |  COUNT(*) AS n_clicks,
+       |  CAST(SUM(CASE WHEN m.purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_matched,
+       |  CAST(SUM(CASE WHEN m.purchase_id IS NOT NULL
+       |    AND (m.purchase_id % 7 > m.click_id % 7
+       |      OR (m.purchase_id % 7 = m.click_id % 7
+       |        AND m.purchase_id > m.click_id)) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_divergent,
+       |  CAST(SUM(CASE WHEN m.purchase_id IS NOT NULL
+       |    AND (m.purchase_id % 7 > m.click_id % 7
+       |      OR (m.purchase_id % 7 = m.click_id % 7
+       |        AND m.purchase_id > m.click_id))
+       |    AND lt.p_late_us > $DayUs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_unrecoverable
+       |FROM m LEFT JOIN lt USING (purchase_id)
+       |GROUP BY 1 ORDER BY day_s""".stripMargin
+
   /** q11: sha-256 row-key hashing (P5, taar_utils.py:110-116 — the Bigtable
     * row key). Spark's built-in `sha2` is codegen'd; no UDF. */
   def q11Sha2(s: SparkSession, dir: String): DataFrame = {
@@ -1444,6 +1538,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q116_asof_late_audit"  -> (q116AsofLateAudit _),
     "q60_funnel"            -> (q60Funnel _),
     "q67_path_mining"       -> (q67PathMining _),
     "q68_star_join"         -> (q68StarJoin _),
@@ -1490,6 +1585,7 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q116_asof_late_audit"  -> q116Sql,
     "q60_funnel"            -> q60Sql,
     "q67_path_mining"       -> q67Sql,
     "q68_star_join"         -> q68Sql,

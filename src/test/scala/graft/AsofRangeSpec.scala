@@ -67,6 +67,68 @@ class AsofRangeSpec extends SparkSuite {
       RelationalQueries.intervalCoreSalted(spark, evReal, 8).collect().toSeq)
   }
 
+  test("q116: divergence + watermark-boundary classification on constructed arrivals") {
+    val DayUs = RelationalQueries.DayUs
+    val fx = ev(
+      // user 1: click (shard 0) arrives before its matching purchase
+      // (shard 1) — divergent, lateness 1000µs ≤ 1 day: recoverable
+      (1L, 7L, "click", 0.0, 2000L),
+      (1L, 8L, "purchase", 5.0, 1000L),
+      // user 2: purchase arrives > 1 day behind the user's frontier —
+      // divergent AND unrecoverable even by a watermark-delayed pass
+      (2L, 14L, "click", 0.0, DayUs + 2000L),
+      (2L, 15L, "purchase", 6.0, 1000L),
+      // user 3: lateness EXACTLY DayUs — the boundary stays recoverable
+      // (strict >, the same comparison as q112's n_dropped)
+      (3L, 21L, "click", 0.0, DayUs + 1000L),
+      (3L, 22L, "purchase", 7.0, 1000L),
+      // user 4: in-order arrival — matched, no divergence
+      (4L, 28L, "purchase", 8.0, 100L),
+      (4L, 29L, "click", 0.0, 200L),
+      // user 5: unmatched click — not a divergence
+      (5L, 35L, "click", 0.0, 300L))
+    val out = RelationalQueries.asofLateCore(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(out == List(
+      (0L, 3L, 2L, 1L, 0L),      // day 0: clicks 7,29,35; divergent: 7
+      (86400L, 2L, 2L, 2L, 1L))) // day 1: 14,21 divergent; 14 unrecoverable
+  }
+
+  test("q116 counts the click the streaming face actually misses (late arrival)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("asof_late_stream")
+    def stage(rows: Seq[(Long, Long, String, Double, Long)], name: String): Unit = {
+      rows.toDF("user_id", "event_id", "event_type", "value", "tus")
+        .withColumn("ts", expr("timestamp_micros(tus)")).drop("tus")
+        .coalesce(1).write.parquet(s"$dir/stage_$name")
+      val part = new java.io.File(s"$dir/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    // batch 1 delivers the click; the event-time-EARLIER purchase only
+    // arrives in batch 2 (the cross-micro-batch late delivery AsofStream
+    // documents as its divergence)
+    stage(Seq((1L, 7L, "click", 0.0, 2000L)), "b1")
+    val (outDir, ckpt) = (s"$dir/out", s"$dir/ckpt")
+    graft.streaming.AsofStream
+      .runBoundedResumable(spark, s"$dir/b*.parquet", outDir, ckpt)
+    stage(Seq((1L, 8L, "purchase", 5.0, 1000L)), "b2")
+    val streamed = graft.streaming.AsofStream
+      .runBoundedResumable(spark, s"$dir/b*.parquet", outDir, ckpt).collect()
+    val c = streamed.find(_.getAs[Long]("click_id") == 7L).get
+    assert(c.isNullAt(c.fieldIndex("purchase_id")),
+      "the stream must not see the purchase that arrived after emit")
+    // batch truth DOES match it...
+    val fx = ev((1L, 7L, "click", 0.0, 2000L), (1L, 8L, "purchase", 5.0, 1000L))
+    assert(RelationalQueries.asofCore(spark, fx).collect().head.getLong(2) == 8L)
+    // ...and the audit counts exactly this click: 1 divergent, recoverable
+    val audit = RelationalQueries.asofLateCore(spark, fx).collect().head
+    assert((audit.getLong(1), audit.getLong(2), audit.getLong(3),
+      audit.getLong(4)) == ((1L, 1L, 1L, 0L)))
+  }
+
   test("q113/q114 match their DuckDB-oracle row counts on the sf0.001 corpus") {
     val clicks = Tables.events(spark, sf0001)
       .where($"event_type" === "click").count()
