@@ -715,7 +715,136 @@ object SimilarityQueries {
        |FROM j ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q117: SemDeDup with a LEARNED k = ⌈√n⌉ clustering ----
+
+  /** Assignment passes of the seeded integer k-means: seed-assign, one
+    * floor-mean update, final assign — the q111 training recipe. */
+  val LearnedKmPasses = 2
+
+  /** q117: SemDeDup with the paper's k ∝ √n contract ENFORCED IN-ENGINE.
+    * q110 trusts the corpus `label` column for its cluster blocking; this
+    * variant derives the blocking itself: k = ⌈√n⌉ (n read at plan-build
+    * time — one columnar count, the runtime-stats read AQE would do),
+    * seeds = the SQ8 code vectors of the first k ids, then
+    * [[LearnedKmPasses]] Lloyd assignment passes over the INTEGER codes
+    * (native integer sq-distance argmin with k-asc tie-break, floor-mean
+    * centroid update — q111's codebook training on the full 64-dim code
+    * vector instead of subspaces). Every trained quantity is integer
+    * arithmetic, so the learned partition — and therefore the entire
+    * downstream SemDeDup verdict — is engine-exact against the DuckDB
+    * oracle: a value-level oracle for a LEARNED clustering.
+    *
+    * Scale: this is what makes SemDeDup 100 TB-safe — with k grown as
+    * √n, expected cluster size stays √n, so the within-cluster pair term
+    * is n^1.5 rather than the n²/k of a FIXED labeling (q110's Profile
+    * probe shows ~100× at 10×; this one flattens — SCALE.md row).
+    * Assignment is a broadcast of k·64 longs (≈16 MB at n=10⁹) against a
+    * map-side scan of the checkpointed codes with a WindowGroupLimit
+    * argmin; the only corpus-sized exchanges are the vec_id label join
+    * and the cluster-keyed pair stage SemDeDup needs anyway. */
+  def q117SemDedupLearnedK(s: SparkSession, dir: String): DataFrame =
+    semDedupLearnedCore(s,
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** Learned ⌈√n⌉-means labels for an (vec_id, embedding) frame:
+    * (vec_id, label) with label = final centroid id. */
+  private[graft] def learnedLabels(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val n = emb.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    val stats = sq8Stats(emb).localCheckpoint(false) // 1 row
+    val codes = sq8Encode(emb, stats).localCheckpoint(false) // ≥2 consumers
+    def isqd(a: Column, b: Column): Column = graft.functions.Vec.isqdCol(s, a, b)
+    val wArgmin = Window.partitionBy($"vec_id").orderBy($"dd".asc, $"k".asc)
+    def assign(cb: DataFrame): DataFrame = codes
+      .join(broadcast(cb), lit(true))
+      .select($"vec_id", $"codes", $"k", isqd($"codes", $"cent").as("dd"))
+      .withColumn("rn", row_number().over(wArgmin)).where($"rn" === 1)
+      .select($"vec_id", $"codes", $"k")
+    val meanCols = (0 until EmbDim).map(j =>
+      floor(sum(element_at($"codes", j + 1)) / count(lit(1))).cast("long").as(s"c_$j"))
+    var asg = assign(
+      codes.where($"vec_id" < k).select($"vec_id".as("k"), $"codes".as("cent")))
+    for (_ <- 2 to LearnedKmPasses) {
+      // empty centroids DROP from the codebook (q111's sparse-codebook rule)
+      val cb = asg.groupBy($"k").agg(meanCols.head, meanCols.tail: _*)
+        .select($"k", array((0 until EmbDim).map(j => col(s"c_$j")): _*).as("cent"))
+      asg = assign(cb)
+    }
+    asg.select($"vec_id", $"k".cast("long").as("label"))
+  }
+
+  /** q117 body over an arbitrary (vec_id, embedding) frame (Profile
+    * probes it on replicated corpora, where k grows as √10 ≈ 3.2×). */
+  private[graft] def semDedupLearnedCore(s: SparkSession, emb: DataFrame): DataFrame =
+    semDedupCore(s, emb.join(learnedLabels(s, emb), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding")))
+
+  val q117Sql: String = {
+    val cosCent = sqlCosine("e.embedding", "c.centroid")
+    val cosPair = sqlCosine("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |    unnest(generate_series(1, len(embedding))) AS d
+       |  FROM embeddings),
+       |st AS (SELECT d, MIN(CAST(x AS DOUBLE)) AS lo, MAX(CAST(x AS DOUBLE)) AS hi
+       |       FROM ex GROUP BY d),
+       |c AS (SELECT ex.vec_id, ex.d,
+       |        CASE WHEN st.hi > st.lo
+       |          THEN CAST(floor((CAST(ex.x AS DOUBLE) - st.lo) / (st.hi - st.lo) * $Sq8Levels) AS BIGINT)
+       |          ELSE 0 END AS code
+       |      FROM ex JOIN st USING (d)),
+       |kk AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS k
+       |       FROM embeddings),
+       |s0 AS (SELECT vec_id AS k, d, code AS cent FROM c
+       |       WHERE vec_id < (SELECT k FROM kk)),
+       |d0 AS (SELECT c.vec_id, s.k, SUM((c.code - s.cent) * (c.code - s.cent)) AS dd
+       |       FROM c JOIN s0 s ON c.d = s.d GROUP BY 1, 2),
+       |a0 AS (SELECT vec_id, k FROM (
+       |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dd ASC, k ASC) AS rn FROM d0) WHERE rn = 1),
+       |c1 AS (SELECT a.k, c.d, CAST(floor(SUM(c.code) / COUNT(*)) AS BIGINT) AS cent
+       |       FROM c JOIN a0 a ON c.vec_id = a.vec_id GROUP BY 1, 2),
+       |d1 AS (SELECT c.vec_id, s.k, SUM((c.code - s.cent) * (c.code - s.cent)) AS dd
+       |       FROM c JOIN c1 s ON c.d = s.d GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, k AS label FROM (
+       |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dd ASC, k ASC) AS rn FROM d1) WHERE rn = 1),
+       |lab AS (SELECT emb.vec_id, a1.label, emb.embedding
+       |        FROM embeddings emb JOIN a1 ON emb.vec_id = a1.vec_id),
+       |pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+       |          unnest(embedding) AS v FROM lab),
+       |cents AS (
+       |  SELECT label AS c_label, list(CAST(sv AS DOUBLE) ORDER BY i) AS centroid
+       |  FROM (SELECT label, i, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS sv
+       |        FROM pos GROUP BY label, i)
+       |  GROUP BY label),
+       |sc AS (
+       |  SELECT e.vec_id, e.label, e.embedding, round($cosCent, 6) AS cos_cent
+       |  FROM lab e JOIN cents c ON e.label = c.c_label),
+       |pr AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS v
+       |  FROM sc a JOIN sc b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round($cosPair, 6) >= $NearDupThreshold),
+       |edges AS (SELECT u, v FROM pr UNION SELECT v AS u, u AS v FROM pr),
+       |walk(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+       |comp AS (SELECT u AS vec_id, MIN(r) AS comp FROM walk GROUP BY u),
+       |j AS (
+       |  SELECT sc.vec_id, sc.label, sc.cos_cent,
+       |    COALESCE(comp.comp, sc.vec_id) AS cluster_id
+       |  FROM sc LEFT JOIN comp ON sc.vec_id = comp.vec_id)
+       |SELECT vec_id, label, cluster_id, cos_cent,
+       |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY cos_cent ASC, vec_id ASC) = 1 AS keep,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_comp
+       |FROM j ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q117_semdedup_learned" -> (q117SemDedupLearnedK _),
     "q110_semdedup"         -> (q110SemDedup _),
     "q102_hard_negatives"   -> (q102HardNegatives _),
     "q90_semantic_decontam" -> (q90SemanticDecontam _),
@@ -728,6 +857,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q117_semdedup_learned" -> q117Sql,
     "q110_semdedup"         -> q110Sql,
     "q102_hard_negatives"   -> q102Sql,
     "q90_semantic_decontam" -> q90Sql,

@@ -249,6 +249,16 @@ object Profile {
     time("q110 semdedup (core) on 1x")(noop(SimilarityQueries.semDedupCore(spark, embBase)))
     time("q110 semdedup (core) on 10x")(noop(SimilarityQueries.semDedupCore(spark, embL10)))
 
+    // q117 = the same SemDeDup verdict but with k = ceil(sqrt(n)) LEARNED
+    // in-engine: at 10x rows k grows ~3.2x, so expected cluster size grows
+    // only ~3.2x (vs 10x at fixed labels) and the within-cluster pair term
+    // grows ~10x (n^1.5), not ~100x (n^2/k) — the flattening the SemDeDup
+    // paper's k ∝ √n contract buys, now measurable against q110 above.
+    time("q117 semdedup learned-k on 1x")(
+      noop(SimilarityQueries.semDedupLearnedCore(spark, embBase.select($"vec_id", $"embedding"))))
+    time("q117 semdedup learned-k on 10x")(
+      noop(SimilarityQueries.semDedupLearnedCore(spark, embL10.select($"vec_id", $"embedding"))))
+
     // q111 over the same 10x embedding corpus: training assign, PQ
     // encode, and the ADC scan are each ONE linear corpus pass against
     // broadcast KB-sized state (codebook / per-query LUTs) — expect
