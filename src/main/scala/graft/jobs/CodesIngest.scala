@@ -1,0 +1,63 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Bucketing
+import graft.queries.SimilarityQueries
+
+/** Codes-at-ingest for the ANN family (VERDICT r10 item 3): materialize
+  * the quantized representations ONCE, at load time, so every search
+  * touches only code bytes — never the float corpus.
+  *
+  * Two tables per corpus:
+  *  - `<prefix>_codes` — (vec_id, codes[64] SQ8, pq[8]) BUCKETED by
+  *    vec_id ([[graft.io.Bucketing]]): the pq column is 8 small ints/row
+  *    (the 32× byte reduction vs floats the ADC scan rides — parquet
+  *    column pruning means an ADC query reads ONLY vec_id+pq); the codes
+  *    column serves query-side LUT builds (pruned to the query rows by a
+  *    vec_id pushdown) and SQ8 rescoring.
+  *  - `<prefix>_codebook` — the trained (m, k, cent) PQ codebook, M·K
+  *    rows, broadcast by every consumer.
+  *
+  * Training/encode reuse q111's machinery verbatim (integer-exact), so a
+  * scan over the stored codes reproduces q111's in-plan ranking bit for
+  * bit — which is how q118 gets a value-level oracle on an INGESTED
+  * index. At 100 TB ingest is one pass over the float corpus per load;
+  * bucketing by vec_id co-locates codes with any other vec_id-bucketed
+  * per-document table for exchange-free joins.
+  */
+object CodesIngest {
+
+  val Buckets = 8
+
+  /** Stable per-corpus table prefix (managed tables live in the session
+    * warehouse; one corpus dir = one table pair, overwritten per run). */
+  def tablePrefix(dir: String): String =
+    "emb_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+
+  /** Ingest the embeddings table of `dir`; returns (codesTable,
+    * codebookTable). Idempotent — re-running overwrites. */
+  def ingest(s: SparkSession, dir: String): (String, String) =
+    ingestFrame(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      tablePrefix(dir))
+
+  /** Ingest an arbitrary (vec_id, embedding) frame under `prefix`. */
+  def ingestFrame(s: SparkSession, emb: DataFrame, prefix: String): (String, String) = {
+    import s.implicits._
+    val (codesT, cbT) = (s"${prefix}_codes", s"${prefix}_codebook")
+    val stats = SimilarityQueries.sq8Stats(emb).localCheckpoint(false)
+    val codes = SimilarityQueries.sq8Encode(emb, stats).localCheckpoint(false)
+    val subcodes = SimilarityQueries.subcodeView(s, codes)
+    val cents = SimilarityQueries.pqTrainCodebook(s, subcodes).localCheckpoint(false)
+    val pq = SimilarityQueries.pqEncodeCodes(s, subcodes, cents)
+    s.sql(s"DROP TABLE IF EXISTS $codesT")
+    s.sql(s"DROP TABLE IF EXISTS $cbT")
+    Bucketing.writeBucketed(
+      codes.join(pq, Seq("vec_id")).select($"vec_id", $"codes", $"pq"),
+      codesT, "vec_id", Buckets)
+    cents.write.mode("overwrite").format("parquet").saveAsTable(cbT)
+    (codesT, cbT)
+  }
+}

@@ -464,58 +464,106 @@ object SimilarityQueries {
     pqAdcCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
 
   /** q111 body over an arbitrary (vec_id, embedding) frame (Profile
-    * probes it on replicated corpora). */
+    * probes it on replicated corpora). Composes the training/encode/scan
+    * pieces below — which the codes-at-ingest path (q118 /
+    * [[graft.jobs.CodesIngest]]) reuses with a bucketed table between
+    * encode and scan. */
   private[graft] def pqAdcCore(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
-    val stats = sq8Stats(emb).localCheckpoint(false) // 1 row, shared encode input
-    // (vec_id, m, sub[PqSubDim]) — the per-subspace view of the SQ8 codes;
     // checkpointed once: consumed by seed-assign, PQ-encode, and the LUT
+    val subcodes = pqSubcodes(s, emb).localCheckpoint(false)
+    val cents = pqTrainCodebook(s, subcodes)
+      .localCheckpoint(false) // ≤ M·K rows; encode + LUT consumers
+    val pqcodes = pqEncodeCodes(s, subcodes, cents)
+    val luts = pqQueryLuts(s, subcodes.where($"vec_id" < NumQueries), cents)
+    pqAdcScan(s, pqcodes, luts)
+  }
+
+  /** (vec_id, m, sub[PqSubDim]) — the per-subspace view of the SQ8 codes. */
+  private[graft] def pqSubcodes(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val stats = sq8Stats(emb).localCheckpoint(false) // 1 row, shared encode input
+    subcodeView(s, sq8Encode(emb, stats))
+  }
+
+  /** Explode a (vec_id, codes[EmbDim]) frame into the per-subspace view —
+    * pure slicing, no floats: the ingest read path reuses it on the
+    * STORED codes column. */
+  private[graft] def subcodeView(s: SparkSession, codes: DataFrame): DataFrame = {
+    import s.implicits._
     val subStructs = array((0 until PqM).map(m =>
       struct(lit(m).as("m"),
         slice($"codes", m * PqSubDim + 1, PqSubDim).as("sub"))): _*)
-    val subcodes = sq8Encode(emb, stats)
-      .select($"vec_id", explode(subStructs).as("e"))
+    codes.select($"vec_id", explode(subStructs).as("e"))
       .select($"vec_id", $"e.m".as("m"), $"e.sub".as("sub"))
-      .localCheckpoint(false)
-    // native codegen integer sq-distance (same fold order as the HOF
-    // chain — hash-preserving; VecSpec pins the equivalence)
-    def isqd(a: Column, b: Column): Column = graft.functions.Vec.isqdCol(s, a, b)
-    // nearest codebook entry per (vector, subspace): integer distance,
-    // k-asc tie break; WindowGroupLimit collapses rn=1 to a partial argmin
+  }
+
+  // native codegen integer sq-distance (same fold order as the HOF
+  // chain — hash-preserving; VecSpec pins the equivalence)
+  private def isqd(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.Vec.isqdCol(s, a, b)
+
+  // nearest codebook entry per (vector, subspace): integer distance,
+  // k-asc tie break; WindowGroupLimit collapses rn=1 to a partial argmin
+  private def pqNearest(s: SparkSession, subcodes: DataFrame, cb: DataFrame): DataFrame = {
+    import s.implicits._
     val wArgmin = Window.partitionBy($"vec_id", $"m").orderBy($"d".asc, $"k".asc)
-    def nearest(cb: DataFrame): DataFrame = subcodes
+    subcodes
       .join(broadcast(cb), Seq("m"))
-      .select($"vec_id", $"m", $"sub", $"k", isqd($"sub", $"cent").as("d"))
+      .select($"vec_id", $"m", $"sub", $"k", isqd(s, $"sub", $"cent").as("d"))
       .withColumn("rn", row_number().over(wArgmin)).where($"rn" === 1)
-    // codebook training: seeds from the first PqK vectors, one integer
-    // Lloyd step (floor-mean update over each seed's assigned sub-codes)
+  }
+
+  /** Codebook training: seeds from the first [[PqK]] vectors, one integer
+    * Lloyd step (floor-mean update over each seed's assigned sub-codes).
+    * Empty centroids DROP — consumers key lookups by (m,k), never by
+    * position. Returns (m, k, cent[PqSubDim]). */
+  private[graft] def pqTrainCodebook(s: SparkSession, subcodes: DataFrame): DataFrame = {
+    import s.implicits._
     val seeds = subcodes.where($"vec_id" < PqK)
       .select($"m", $"vec_id".cast("int").as("k"), $"sub".as("cent"))
     val meanCols = (0 until PqSubDim).map(j =>
       floor(sum(element_at($"sub", j + 1)) / count(lit(1))).cast("long").as(s"c_$j"))
-    val cents = nearest(seeds)
+    pqNearest(s, subcodes, seeds)
       .groupBy($"m", $"k").agg(meanCols.head, meanCols.tail: _*)
       .select($"m", $"k",
         array((0 until PqSubDim).map(j => col(s"c_$j")): _*).as("cent"))
-      .localCheckpoint(false) // ≤ M·K rows; encode + LUT consumers
-    // PQ-encode: codes[m] = trained-centroid argmin, packed in m order
-    val pqcodes = nearest(cents).groupBy($"vec_id")
+  }
+
+  /** PQ-encode: (vec_id, pq[PqM]) with pq[m] = trained-centroid argmin,
+    * packed in m order. */
+  private[graft] def pqEncodeCodes(s: SparkSession, subcodes: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    pqNearest(s, subcodes, cents).groupBy($"vec_id")
       .agg(transform(array_sort(collect_list(struct($"m", $"k"))),
         e => e.getField("k")).as("pq"))
-    // per-query ADC table, KEYED by m·K + k — not a positional flatten: a
-    // centroid that received zero assignments (possible when two of the
-    // first PqK vectors share a sub-code) drops its (m,k) row from `cents`,
-    // and positional indexing would silently shift every later cell. The
-    // keyed lookup stays correct on a sparse codebook, matching the
-    // (m,k)-joined oracle; PQ codes only ever reference surviving
-    // centroids, so every lookup hits (a miss would surface as NULL adist,
-    // not a wrong ranking).
-    val luts = subcodes.where($"vec_id" < NumQueries)
+  }
+
+  /** Per-query ADC table, KEYED by m·K + k — not a positional flatten: a
+    * centroid that received zero assignments (possible when two of the
+    * first PqK vectors share a sub-code) drops its (m,k) row from `cents`,
+    * and positional indexing would silently shift every later cell. The
+    * keyed lookup stays correct on a sparse codebook, matching the
+    * (m,k)-joined oracle; PQ codes only ever reference surviving
+    * centroids, so every lookup hits (a miss would surface as NULL adist,
+    * not a wrong ranking). */
+  private[graft] def pqQueryLuts(s: SparkSession, querySubcodes: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    querySubcodes
       .join(broadcast(cents), Seq("m"))
-      .select($"vec_id".as("query_id"), $"m", $"k", isqd($"sub", $"cent").as("d"))
+      .select($"vec_id".as("query_id"), $"m", $"k", isqd(s, $"sub", $"cent").as("d"))
       .groupBy($"query_id")
       .agg(map_from_entries(collect_list(
         struct(($"m" * PqK + $"k").cast("int").as("key"), $"d".as("value")))).as("lut"))
+  }
+
+  /** ADC scan: broadcast LUTs × (vec_id, pq) code rows, [[PqM]] map
+    * lookups per pair, k-rows-per-query top-k exchange. */
+  private[graft] def pqAdcScan(s: SparkSession, pqcodes: DataFrame,
+      luts: DataFrame): DataFrame = {
+    import s.implicits._
     val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
       (acc, m) => acc + element_at($"lut",
         m * PqK + element_at($"pq", m + 1).cast("int")))
@@ -577,6 +625,35 @@ object SimilarityQueries {
        |  FROM sc)
        |WHERE rn <= $TopK
        |ORDER BY query_id, rn""".stripMargin
+
+  /** q118: q111's ADC search run against the INGESTED codes table
+    * ([[graft.jobs.CodesIngest]]) instead of in-plan training+encoding —
+    * the production shape the q111 scaladoc promises ("codes written at
+    * ingest, the scan reads 32× fewer bytes"). Ingest materializes
+    * (vec_id, codes, pq) bucketed by vec_id plus the trained codebook;
+    * the SEARCH plan then never touches the float corpus: the float
+    * `embedding` column appears in no scan (PlanSpec pins the read
+    * schemas), the neighbor side reads only (vec_id, pq) — 8 small ints
+    * per row via parquet column pruning — and the query-side LUT reads
+    * the stored SQ8 codes pruned to the [[NumQueries]] rows by a pushed
+    * vec_id filter. Oracle = q111's SQL verbatim: the stored codes
+    * reproduce the in-plan ranking integer-for-integer, a value-level
+    * oracle on a MATERIALIZED index. */
+  def q118PqCodesAnn(s: SparkSession, dir: String): DataFrame = {
+    val (codesT, cbT) = graft.jobs.CodesIngest.ingest(s, dir)
+    pqCodesScan(s, s.table(codesT), s.table(cbT))
+  }
+
+  /** Search-time plan over a stored (vec_id, codes, pq) table + codebook
+    * — no training, no floats. */
+  private[graft] def pqCodesScan(s: SparkSession, codesTable: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    val qsubs = subcodeView(s, codesTable.where($"vec_id" < NumQueries)
+      .select($"vec_id", $"codes"))
+    pqAdcScan(s, codesTable.select($"vec_id", $"pq"),
+      pqQueryLuts(s, qsubs, cents))
+  }
 
   /** q102: hard-negative mining for contrastive training — for each
     * query vector, the [[TopK]] most-similar vectors carrying a
@@ -854,6 +931,7 @@ object SimilarityQueries {
     "q59_kmeans_assign"     -> (q59KmeansAssign _),
     "q95_sq8_ann"           -> (q95Sq8Ann _),
     "q111_pq_adc_ann"       -> (q111PqAdcAnn _),
+    "q118_pq_codes_ann"     -> (q118PqCodesAnn _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -867,5 +945,6 @@ object SimilarityQueries {
     "q59_kmeans_assign"     -> q59Sql,
     "q95_sq8_ann"           -> q95Sql,
     "q111_pq_adc_ann"       -> q111Sql,
+    "q118_pq_codes_ann"     -> q111Sql, // identical ranking from stored codes
   )
 }

@@ -279,4 +279,31 @@ class PlanSpec extends SparkSuite {
       assert(join().count() == withFilter)
     }
   }
+
+  test("q118: search plan never scans the float embedding column (codes-at-ingest)") {
+    // ingest once (this is the load-time pass — IT may read floats);
+    // the returned SEARCH plan must touch only stored code bytes.
+    val df = SimilarityQueries.q118PqCodesAnn(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val schemas = scans.map(_.requiredSchema.fieldNames.toSet)
+    // no scan reads the float corpus
+    assert(schemas.forall(!_.contains("embedding")),
+      s"float column in search scan: $schemas")
+    // the neighbor-side ADC scan reads ONLY (vec_id, pq) — the 32x
+    // byte-reduction column pruning the q111 scaladoc promises
+    assert(schemas.exists(_ == Set("vec_id", "pq")),
+      s"no pq-only scan found: $schemas")
+    // the LUT side reads the stored SQ8 codes with the query-row filter
+    // pushed to the scan (prunes to NumQueries rows at the source)
+    val lutScan = scans.find(_.requiredSchema.fieldNames.contains("codes"))
+    assert(lutScan.isDefined, s"no codes scan: $schemas")
+    assert(lutScan.get.metadata("PushedFilters").contains("LessThan(vec_id"),
+      lutScan.get.metadata("PushedFilters"))
+    // and the search result equals the in-plan q111 ranking
+    val q111 = SimilarityQueries.q111PqAdcAnn(spark, sf0001)
+    assert(df.exceptAll(q111).isEmpty && q111.exceptAll(df).isEmpty)
+  }
 }
