@@ -52,8 +52,15 @@ object CodesIngest {
     val subcodes = SimilarityQueries.subcodeView(s, codes)
     val cents = SimilarityQueries.pqTrainCodebook(s, subcodes).localCheckpoint(false)
     val pq = SimilarityQueries.pqEncodeCodes(s, subcodes, cents)
-    s.sql(s"DROP TABLE IF EXISTS $codesT")
-    s.sql(s"DROP TABLE IF EXISTS $cbT")
+    // DROP only clears the CURRENT metastore; a managed-table directory
+    // left by a previous JVM (fresh derby catalog, persistent warehouse
+    // dir) still fails CTAS with LOCATION_ALREADY_EXISTS. Clear both.
+    Seq(codesT, cbT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     Bucketing.writeBucketed(
       codes.join(pq, Seq("vec_id")).select($"vec_id", $"codes", $"pq"),
       codesT, "vec_id", Buckets)

@@ -1295,7 +1295,134 @@ object DedupQueries {
        |    AS rebuilt_md5
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q119: winnowed exact-substring overlap (alignment-robust dedup) ----
+
+  /** Character-gram length for winnowing: a shared stretch shorter than
+    * this can never produce a shared fingerprint. */
+  val WinnowK = 40
+  /** Winnow window in grams. Together with [[WinnowK]] this fixes the
+    * detection guarantee: any exact shared substring of at least
+    * K + W − 1 = 59 characters contains a full window of W grams lying
+    * entirely inside the shared stretch, whose minimum-hash gram is
+    * selected by BOTH documents (selection is content-local), so the
+    * pair is guaranteed a shared fingerprint. Expected selection density
+    * is 2/(W+1) ≈ 10% of positions. */
+  val WinnowW = 20
+  /** Fingerprints with document frequency above this are boilerplate and
+    * excluded from pairing (the q29 stop-shingle bound): one hot gram can
+    * contribute at most cap·(cap−1)/2 pairs. */
+  val WinnowDfCap = 16
+
+  /** q119: exact-substring overlap detection via winnowing (Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003 — the MOSS fingerprinting scheme;
+    * the scalable stand-in for the suffix-array substring dedup of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022). Unlike the token-shingle family (q25–q29) this is
+    * ALIGNMENT-ROBUST at the character level: two documents sharing any
+    * verbatim run of ≥ K+W−1 chars are paired regardless of tokenization
+    * or where the run starts.
+    *
+    * Per document (map-only, no shuffle until selection):
+    *  - H[p] = h32 of the K-char gram at position p (one md5 per
+    *    position — CPU-linear in corpus bytes, the accepted winnowing
+    *    cost);
+    *  - M[j] = min of each W-gram window (O(n·W) slot reads via a bound
+    *    array, not re-hashing);
+    *  - position p is SELECTED iff some window covering p has min H[p],
+    *    i.e. max(M[p−W+1..p]) = H[p] (all-mins selection — a content-
+    *    local superset of classic rightmost-tie winnowing, so the
+    *    detection guarantee is preserved);
+    *  - selected gram CONTENTS (distinct per doc) are the fingerprints:
+    *    grouping is by raw substring, so a hash collision cannot create
+    *    a false pair — verification is built into the key.
+    *
+    * Scale: the shuffle carries only selected grams (~2/(W+1) density);
+    * document frequency rides ONE gram-partitioned exchange that the
+    * pairing self-join then reuses; [[WinnowDfCap]] bounds the per-key
+    * quadratic term exactly as in q29. */
+  def q119SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupCore(s, Tables.documents(s, dir))
+
+  /** Winnowed fingerprint occurrences (doc_id, gram) over any
+    * (doc_id, text) frame — the map-only selection stage of q119,
+    * exposed for the density/guarantee specs. */
+  def winnowedFingerprints(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val K = WinnowK
+    val docs = docsIn
+      .where(length($"text") >= K)
+      .select($"doc_id", $"text",
+        (length($"text") - K + 1).as("ng"),
+        least(lit(WinnowW), length($"text") - K + 1).as("weff"))
+    val grams = graft.functions.Cols.bind(
+        transform(sequence(lit(1), $"ng"), p => h32(s, $"text".substr(p, lit(K))))) { hs =>
+      graft.functions.Cols.bind(
+          transform(sequence(lit(1), $"ng" - $"weff" + 1), j =>
+            array_min(slice(hs, j, $"weff")))) { mins =>
+        array_distinct(transform(
+          filter(sequence(lit(1), $"ng"), p => {
+            val a = greatest(lit(1), p - $"weff" + 1)
+            val b = least(p, $"ng" - $"weff" + 1)
+            array_max(slice(mins, a, b - a + 1)) === element_at(hs, p)
+          }),
+          p => $"text".substr(p, lit(K))))
+      }
+    }
+    docs.select($"doc_id", explode(grams).as("gram"))
+  }
+
+  /** q119 core over any (doc_id, text) frame — spec entry point for
+    * synthetic corpora (alignment/guarantee/cap cases). */
+  def substringDedupCore(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val occ = winnowedFingerprints(s, docsIn)
+    val byGram = Window.partitionBy($"gram")
+    val rare = occ.withColumn("df", count(lit(1)).over(byGram))
+      .where($"df".between(2, WinnowDfCap))
+    rare.as("a").join(rare.as("b"),
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"), min($"a.gram").as("sample_gram"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q119Sql: String = {
+    val K = WinnowK
+    val hp = sqlH32(s"substring(text, CAST(p AS INT), $K)")
+    s"""WITH g AS (
+       |  SELECT doc_id, text, len(text) - $K + 1 AS ng
+       |  FROM documents WHERE len(text) >= $K),
+       |h AS (
+       |  SELECT doc_id, text, ng, LEAST($WinnowW, ng) AS weff,
+       |    list_transform(generate_series(1, ng), p -> $hp) AS hs
+       |  FROM g),
+       |m AS (
+       |  SELECT doc_id, text, ng, weff, hs,
+       |    list_transform(generate_series(1, ng - weff + 1),
+       |      j -> list_min(list_slice(hs, j, j + weff - 1))) AS mins
+       |  FROM h),
+       |sel AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_filter(generate_series(1, ng), p ->
+       |        list_max(list_slice(mins, GREATEST(1, p - weff + 1),
+       |                            LEAST(p, ng - weff + 1))) = hs[p]),
+       |      p -> substring(text, CAST(p AS INT), $K))) AS grams
+       |  FROM m),
+       |occ AS (SELECT doc_id, unnest(grams) AS gram FROM sel),
+       |rare AS (
+       |  SELECT gram FROM occ GROUP BY gram
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $WinnowDfCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_shared, MIN(a.gram) AS sample_gram
+       |FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |JOIN rare r ON a.gram = r.gram
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_substring_dedup"    -> (q119SubstringDedup _),
     "q106_segment_dedup"      -> (q106SegmentDedup _),
     "q61_decontaminate"       -> (q61Decontaminate _),
     "q49_dedup_clusters"      -> (q49DedupClusters _),
@@ -1315,6 +1442,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q119_substring_dedup"    -> q119Sql,
     "q106_segment_dedup"      -> q106Sql,
     "q61_decontaminate"       -> q61Sql,
     "q49_dedup_clusters"      -> q49Sql,

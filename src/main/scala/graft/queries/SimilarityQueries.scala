@@ -920,7 +920,89 @@ object SimilarityQueries {
        |FROM j ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q120: metadata-filtered ANN (pre-filter strategy) ----
+
+  /** q120: top-k cosine search restricted by a METADATA predicate from a
+    * different table — the "filtered vector search" shape every
+    * retrieval pipeline needs (per-language / per-license / per-source
+    * corpora over one shared index). Strategy implemented here is
+    * PRE-FILTER: resolve the predicate first (documents.lang = 'en',
+    * broadcast semi-join on vec_id = doc_id), then score only the
+    * surviving corpus — exact by construction, and the right plan
+    * whenever the predicate is selective enough to pay for itself.
+    * The alternative POST-FILTER strategy (over-fetch k·c unfiltered
+    * candidates, then apply the predicate) is implemented in
+    * [[q120PostFilter]] and pinned against this exact result in
+    * FilteredAnnSpec: with bounded over-fetch it can MISS neighbors (its
+    * recall on the fixture is measured there), which is why the
+    * registered, oracle-checked entry is the pre-filter form.
+    *
+    * Scale: the predicate resolves on the (cheap) metadata table and
+    * reaches the filtered side as a broadcast semi-join — the embedding
+    * scan prunes to the qualifying rows without shuffling the vectors;
+    * scoring is then the q30 broadcast map-side shape, one exchange for
+    * the per-query top-k. At 100 TB with a low-selectivity predicate the
+    * same query flips to post-filter over the IVF index (q32) — the
+    * planner choice the two implementations document. */
+  def q120FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = Tables.documents(s, dir).where($"lang" === "en").select($"doc_id")
+    val emb = Tables.embeddings(s, dir).withColumn("en2", norm2($"embedding"))
+    val qs = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"en2".as("qn2"))
+    val corpus = emb.join(broadcast(en), $"vec_id" === $"doc_id", "left_semi")
+    val sim6 = round(cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+    val scored = corpus.join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), sim6.as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  /** Post-filter strategy for the same query: top-(k·overFetch) WITHOUT
+    * the predicate, then filter and re-rank. Not oracle-registered —
+    * with bounded over-fetch it is approximate (a query whose unfiltered
+    * neighborhood is dominated by non-matching rows exhausts the buffer
+    * before k matches survive). FilteredAnnSpec measures its recall
+    * against [[q120FilteredAnn]]. */
+  def q120PostFilter(s: SparkSession, dir: String, overFetch: Int): DataFrame = {
+    import s.implicits._
+    val en = Tables.documents(s, dir).where($"lang" === "en").select($"doc_id")
+    val emb = Tables.embeddings(s, dir).withColumn("en2", norm2($"embedding"))
+    val qs = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"en2".as("qn2"))
+    val sim6 = round(cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+    val scored = emb.join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), sim6.as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    val shortlist = scored.withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK * overFetch)
+    val w2 = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    shortlist.join(broadcast(en), $"neighbor_id" === $"doc_id", "left_semi")
+      .withColumn("rn", row_number().over(w2))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  val q120Sql: String = {
+    val cos = sqlCosine("q.embedding", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < $NumQueries),
+       |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, round($cos, 6) AS sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |  WHERE e.vec_id IN (SELECT doc_id FROM en))
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q120_filtered_ann"     -> (q120FilteredAnn _),
     "q117_semdedup_learned" -> (q117SemDedupLearnedK _),
     "q110_semdedup"         -> (q110SemDedup _),
     "q102_hard_negatives"   -> (q102HardNegatives _),
@@ -935,6 +1017,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q120_filtered_ann"     -> q120Sql,
     "q117_semdedup_learned" -> q117Sql,
     "q110_semdedup"         -> q110Sql,
     "q102_hard_negatives"   -> q102Sql,

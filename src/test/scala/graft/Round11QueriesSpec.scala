@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+/** Round-11 additions: q119 winnowed exact-substring dedup and q120
+  * metadata-filtered ANN (pre-filter vs post-filter strategies). */
+class Round11QueriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val K = DedupQueries.WinnowK // 40
+  private val W = DedupQueries.WinnowW // 20
+
+  /** Deterministic filler with no 40-char repeats across seeds (seeded
+    * JVM LCG — the spec'd java.util.Random sequence, stable everywhere). */
+  private def filler(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+  }
+
+  // ---- q119: winnowing detection guarantee ----
+
+  test("q119 guarantee: a shared run of K+W-1 chars is detected at ANY alignment") {
+    // shared is exactly K+W-1 = 59 chars — the theoretical minimum
+    val shared = filler(99, K + W - 1)
+    val docs = Seq(
+      (1L, filler(1, 80) + shared + filler(2, 80)),
+      (2L, filler(3, 37) + shared + filler(4, 123)), // different offsets
+      (3L, filler(5, 200))                           // control: no shared run
+    ).toDF("doc_id", "text")
+    val pairs = DedupQueries.substringDedupCore(spark, docs).collect()
+    assert(pairs.length == 1, s"exactly the (1,2) pair, got ${pairs.toSeq}")
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    // the sample gram must be a verbatim substring of BOTH documents
+    val g = pairs(0).getAs[String]("sample_gram")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L).contains(g) && texts(2L).contains(g))
+  }
+
+  test("q119 alignment-robustness: shingle family misses what winnowing catches") {
+    // the shared run has NO space alignment with the surrounding text —
+    // token 3-shingles differ between the two docs, but q119 pairs them
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    assert(shared.length >= K + W - 1)
+    val docs = Seq(
+      (1L, "prefixword " + shared + " suffixone"),
+      (2L, "a completely different beginning here x" + shared + "y distinct end")
+    ).toDF("doc_id", "text")
+    val pairs = DedupQueries.substringDedupCore(spark, docs).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L)
+    // the 3-token-shingle view of doc 2 glues 'x' onto the run's first
+    // token, so the shingle sets share nothing at the junction tokens
+    val sh = docs.select($"doc_id", DedupQueries.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(!sh(1L).subsetOf(sh(2L)))
+  }
+
+  test("q119 negative: runs shorter than K chars can never pair") {
+    val shared = filler(50, K - 1) // 39 chars < K
+    val docs = Seq(
+      (1L, filler(6, 100) + shared + filler(7, 100)),
+      (2L, filler(8, 100) + shared + filler(9, 100))
+    ).toDF("doc_id", "text")
+    assert(DedupQueries.substringDedupCore(spark, docs).count() == 0)
+  }
+
+  test("q119 density: selection keeps ~2/(W+1) of positions, never all") {
+    val docs = Tables.documents(spark, sf0001)
+    val nPos = docs.where(length($"text") >= K)
+      .agg(sum(length($"text") - K + 1)).as[Long].head()
+    // distinct-per-doc dedup only shrinks, so this bounds raw selection
+    val nSel = DedupQueries.winnowedFingerprints(spark, docs).count()
+    val density = nSel.toDouble / nPos
+    assert(density > 1.0 / (W + 1), s"winnow must select every window: $density")
+    assert(density < 4.0 / (W + 1), s"selection should be sparse: $density")
+  }
+
+  test("q119 boilerplate cap: grams hotter than WinnowDfCap never pair") {
+    // identical docs ⇒ identical winnowed gram sets ⇒ every gram's df is
+    // exactly the copy count. Above the cap, pairing is suppressed (the
+    // corpus-wide-boilerplate guard — exact mass duplication is q24's
+    // job); at or below it, all pairs survive.
+    val text = filler(77, 200)
+    val hot = (1 to DedupQueries.WinnowDfCap + 4).map(i => (i.toLong, text))
+      .toDF("doc_id", "text")
+    assert(DedupQueries.substringDedupCore(spark, hot).count() == 0,
+      "df > cap must suppress pairing, not explode quadratically")
+    val warm = (1 to DedupQueries.WinnowDfCap).map(i => (i.toLong, text))
+      .toDF("doc_id", "text")
+    val n = DedupQueries.WinnowDfCap.toLong
+    assert(DedupQueries.substringDedupCore(spark, warm).count() == n * (n - 1) / 2,
+      "df = cap is inclusive — all pairs emitted")
+  }
+
+  // ---- q120: filtered ANN ----
+
+  test("q120 pre-filter: neighbors satisfy the predicate, k rows per query") {
+    val out = SimilarityQueries.q120FilteredAnn(spark, sf0001)
+      .collect()
+    val en = Tables.documents(spark, sf0001).where($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(en.contains(r.getAs[Long]("neighbor_id")),
+        s"neighbor ${r.getAs[Long]("neighbor_id")} must be an 'en' doc")
+    }
+    val perQuery = out.groupBy(_.getAs[Long]("query_id")).map(_._2.length)
+    assert(perQuery.forall(_ == SimilarityQueries.TopK))
+  }
+
+  test("q120 post-filter: exact at unbounded over-fetch, lossy at k") {
+    val exact = SimilarityQueries.q120FilteredAnn(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // over-fetch ≥ corpus ⇒ post-filter degenerates to pre-filter exactly
+    val full = SimilarityQueries.q120PostFilter(spark, sf0001, 1000)
+      .select($"query_id", $"neighbor_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact, "unbounded over-fetch must equal the pre-filter result")
+    // over-fetch 1 keeps only k unfiltered candidates — recall suffers
+    val tight = SimilarityQueries.q120PostFilter(spark, sf0001, 1)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = exact.map(t => (t._1, t._2))
+    val recall = tight.count(exactIds.contains).toDouble / exactIds.size
+    assert(recall < 1.0,
+      s"bounded over-fetch must demonstrate the miss mode (recall=$recall)")
+  }
+
+  test("q120 plan: predicate semi-join broadcasts; no vector shuffle before scoring") {
+    val plan = SimilarityQueries.q120FilteredAnn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"metadata predicate must reach the corpus as a broadcast join:\n$plan")
+    // two shuffles: the per-query top-k window + the final presentation
+    // orderBy (pins that neither the semi-join nor the scoring join
+    // exchanges the embedding rows)
+    val n = countShuffles(SimilarityQueries.q120FilteredAnn(spark, sf0001))
+    assert(n == 2, s"expected top-k + orderBy exchanges only, got $n")
+  }
+}
