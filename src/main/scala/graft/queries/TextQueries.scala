@@ -1275,7 +1275,120 @@ object TextQueries {
        |  cum_before < total // $BudgetDen AS keep
        |FROM o ORDER BY sel_rank""".stripMargin
 
+  // ---- q122: BPE merge learning (tokenizer training) ----
+
+  /** Number of byte-pair merges learned. */
+  val BpeMerges = 20
+  /** Symbol separator inside the per-word tokenization string: U+001F
+    * (unit separator), guaranteed absent from text words (filtered
+    * defensively on both engines). */
+  private val BpeSep = "\u001f"
+
+  /** q122: learn a BPE merge table from the corpus — actual tokenizer
+    * TRAINING (Sennrich, Haddow & Birch, "Neural Machine Translation of
+    * Rare Words with Subword Units", ACL 2016), not just applying a
+    * regex: start from characters, repeatedly merge the most frequent
+    * adjacent symbol pair (ties broken lexicographically), emitting the
+    * (rank, left, right, freq) merge table that defines the tokenizer.
+    *
+    * Representation: each word's current tokenization is a single STRING
+    * `sep + sym + sep·sep + sym + ... + sep` (symbols joined by a DOUBLE
+    * separator with sentinel separators at both ends). Applying a merge
+    * (l, r) is then one built-in `replace(s, sep·l·sep·sep·r·sep,
+    * sep·l·r·sep)` — and because `replace` substitutes left-to-right
+    * without overlap, it implements BPE's left-to-right non-overlapping
+    * merge semantics exactly; the end sentinels make the pattern match
+    * only whole symbols, so a pair (a,b) can never fire inside a word
+    * holding the symbol "bc". The SAME replace semantics exist in the
+    * oracle engine, which replays all [[BpeMerges]] rounds as unrolled
+    * materialized CTEs — a VALUE-level oracle on learned tokenizer
+    * state.
+    *
+    * Scale: BPE trains on the WORD-TYPE table (distinct words weighted
+    * by frequency), which is vocabulary-sized — millions of rows at
+    * 100 TB, not corpus-sized. Each round is one partial-aggregated
+    * pair-count over that table plus a map-only replace; the single-row
+    * top-pair collect per round is the q72/q82 driver-sync precedent,
+    * and `localCheckpoint` keeps the 20-round lineage flat. */
+  def q122BpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesCore(s, Tables.documents(s, dir), BpeMerges)
+
+  /** q122 core over any (text) frame — spec entry point. */
+  def bpeMergesCore(s: SparkSession, docsIn: DataFrame, nMerges: Int): DataFrame = {
+    import s.implicits._
+    val sep = BpeSep
+    val vocab = docsIn
+      .select(explode(split($"text", " ")).as("word"))
+      .where($"word" =!= "" && !$"word".contains(sep))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    var cur = vocab.select($"freq",
+      concat(lit(sep),
+        concat_ws(sep + sep,
+          transform(sequence(lit(1), length($"word")), i => $"word".substr(i, lit(1)))),
+        lit(sep)).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      val syms = split(expr("substring(s, 2, length(s) - 2)"), sep + sep)
+      val pairsArr = graft.functions.Cols.bind(syms) { t =>
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      }
+      val top = cur.select($"freq", explode(pairsArr).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, cnt))
+        cur = cur.withColumn("s", call_function("replace", $"s",
+            lit(sep + l + sep + sep + r + sep), lit(sep + l + r + sep)))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_freq")
+      .orderBy($"rank")
+  }
+
+  val q122Sql: String = {
+    val S = "chr(31)"
+    def stage(k: Int): String = {
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s""",
+         |p$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+         |    FROM (SELECT freq, string_split(substring(s, 1 + len($S), len(s) - 2*len($S)), $S||$S) AS syms FROM $prev),
+         |         unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT freq, replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
+         |  FROM $prev, p$k p)""".stripMargin
+    }
+    val stages = (1 to BpeMerges).map(stage).mkString
+    val finals = (1 to BpeMerges).map(k =>
+      s"SELECT $k AS rank, l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_freq FROM p$k")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
+       |w0 AS (
+       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
+       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
+       |  FROM v)$stages
+       |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q122_bpe_merges"         -> (q122BpeMerges _),
     "q109_budget_select"      -> (q109BudgetSelect _),
     "q107_quality_classifier" -> (q107QualityClassifier _),
     "q105_span_corruption"  -> (q105SpanCorruption _),
@@ -1301,6 +1414,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q122_bpe_merges"         -> q122Sql,
     "q109_budget_select"      -> q109Sql,
     "q107_quality_classifier" -> q107Sql,
     "q105_span_corruption"  -> q105Sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, SimilarityQueries}
+import graft.queries.{DedupQueries, SimilarityQueries, TextQueries}
 
 /** Round-11 additions: q119 winnowed exact-substring dedup and q120
   * metadata-filtered ANN (pre-filter vs post-filter strategies). */
@@ -126,6 +126,37 @@ class Round11QueriesSpec extends SparkSuite {
     val recall = tight.count(exactIds.contains).toDouble / exactIds.size
     assert(recall < 1.0,
       s"bounded over-fetch must demonstrate the miss mode (recall=$recall)")
+  }
+
+  // ---- q122: BPE merge learning ----
+
+  private def bpe(n: Int, texts: String*): Seq[(Int, String, String, Long)] =
+    TextQueries.bpeMergesCore(spark, texts.toDF("text"), n).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("q122 merge order: frequency first, then lexicographic tie-break") {
+    // (a,b) appears 3×, (a,c) once → rank 1 = (a,b,3), rank 2 = (a,c,1)
+    assert(bpe(2, "ab ab ab ac") ==
+      Seq((1, "a", "b", 3L), (2, "a", "c", 1L)))
+  }
+
+  test("q122 overlap: left-to-right non-overlapping merge inside a word") {
+    // 'aaa' counts pair (a,a) twice but merges only the LEFT occurrence:
+    // [a,a,a] → [aa,a], so round 2 learns (aa,a), never (a,aa)
+    assert(bpe(2, "aaa") == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("q122 boundary: a merge never fires inside a multi-char symbol") {
+    // round 1 merges (b,c) everywhere → 'abc' becomes [a,bc]; round 2's
+    // (a,b) must NOT match [a,bc] (the symbol 'bc' merely STARTS with b);
+    // round 3 then sees the intact (a,bc) pair. A boundary bug would
+    // collapse 'abc' at round 2 and erase the rank-3 row.
+    assert(bpe(3, "bc bc bc bc ab ab ab abc") ==
+      Seq((1, "b", "c", 5L), (2, "a", "b", 3L), (3, "a", "bc", 1L)))
+  }
+
+  test("q122 exhaustion: stops early when no pairs remain") {
+    assert(bpe(5, "ab") == Seq((1, "a", "b", 1L)))
   }
 
   test("q120 plan: predicate semi-join broadcasts; no vector shuffle before scoring") {
