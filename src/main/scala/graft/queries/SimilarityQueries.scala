@@ -1001,7 +1001,80 @@ object SimilarityQueries {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  // ---- q121: PCA projection (distributed moments + driver eigensolve) ----
+
+  /** Projection rank for q121 (64-dim embeddings → 8 components). */
+  val PcaComponents = 8
+
+  /** PCA model of `dir`'s embeddings: (eigenvalues desc, eigenvector
+    * rows, mean). The DISTRIBUTED part is one pass through the
+    * [[graft.functions.Covariance]] aggregator (per-partition fold,
+    * lossless elementwise merge, ONE ~17 KB buffer to the driver); the
+    * d×d eigensolve is [[graft.functions.Eigen.jacobi]] on the driver —
+    * 64×64 is microseconds, and shipping it beats shipping vectors. */
+  def pcaModel(s: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"embedding").as[Seq[Float]]
+    val d = emb.head().length
+    val m = emb.select(new graft.functions.Covariance(d).toColumn).head()
+    val n = m.n.toDouble
+    val mu = m.sums.map(_ / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val raw = if (i >= j) m.prods(i * (i + 1) / 2 + j)
+                else m.prods(j * (j + 1) / 2 + i)
+      raw / n - mu(i) * mu(j)
+    }
+    val (vals, vecs) = graft.functions.Eigen.jacobi(cov)
+    (vals, vecs, mu)
+  }
+
+  /** q121: project every embedding onto the top-[[PcaComponents]]
+    * principal components — the dimensionality-reduction stage a vector
+    * pipeline runs before coarse quantization (and the rotation OPQ
+    * applies before PQ). Training is the one-pass moments fold above;
+    * projection is MAP-ONLY: the eigenvector matrix and mean enter the
+    * plan as literals, each component is a per-row left-to-right HOF
+    * fold, and no shuffle touches the corpus.
+    *
+    * Oracle shape: per-row VALUES the oracle engine can recompute
+    * (`orig_norm2`, the uncentered squared norm — a deterministic
+    * per-row fold) plus the Bessel VERDICT `resid_nonneg`:
+    * ‖x−μ‖² − Σⱼ pⱼ² ≥ −1e-6, which holds iff the projection basis is
+    * orthonormal — a non-orthogonal V inflates Σpⱼ² past the centered
+    * norm and flips the verdict, so hash-matching TRUE is a real check
+    * on the learned basis, tolerant only to the ~1e-12 partition-order
+    * jitter in the covariance fold (the q43 verdict-oracle pattern). */
+  def q121PcaProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, vecs, mu) = pcaModel(s, dir)
+    val R = PcaComponents
+    def dotLit(w: Array[Double]): Column =
+      aggregate(zip_with($"embedding", typedLit(w.toSeq),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, t) => acc + t)
+    val shifts = vecs.take(R).map(vj => vj.zip(mu).map { case (a, b) => a * b }.sum)
+    val projs = (0 until R).map(j => (dotLit(vecs(j)) - lit(shifts(j))).as(s"p$j"))
+    val cn2 = aggregate(zip_with($"embedding", typedLit(mu.toSeq),
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (a, b) => a + b).as("cn2")
+    val pn2 = (0 until R).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)
+    Tables.embeddings(s, dir)
+      .select(Seq($"vec_id", round(norm2($"embedding"), 6).as("orig_norm2"),
+        cn2) ++ projs: _*)
+      .select($"vec_id", lit(R).as("n_components"), $"orig_norm2",
+        ($"cn2" - pn2 >= -1e-6).as("resid_nonneg"))
+      .orderBy($"vec_id")
+  }
+
+  val q121Sql: String =
+    s"""SELECT vec_id, $PcaComponents AS n_components,
+       |  round(${sqlNorm2("embedding")}, 6) AS orig_norm2,
+       |  TRUE AS resid_nonneg
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q121_pca_project"      -> (q121PcaProject _),
     "q120_filtered_ann"     -> (q120FilteredAnn _),
     "q117_semdedup_learned" -> (q117SemDedupLearnedK _),
     "q110_semdedup"         -> (q110SemDedup _),
@@ -1017,6 +1090,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q121_pca_project"      -> q121Sql,
     "q120_filtered_ann"     -> q120Sql,
     "q117_semdedup_learned" -> q117Sql,
     "q110_semdedup"         -> q110Sql,

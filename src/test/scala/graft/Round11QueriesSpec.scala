@@ -128,6 +128,72 @@ class Round11QueriesSpec extends SparkSuite {
       s"bounded over-fetch must demonstrate the miss mode (recall=$recall)")
   }
 
+  // ---- q121: PCA (Jacobi eigensolver + projection) ----
+
+  test("q121 jacobi: known 2x2 eigensystem with sign convention") {
+    val (vals, vecs) = graft.functions.Eigen.jacobi(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val s2 = 1.0 / math.sqrt(2.0)
+    // sign convention: largest-|component| positive (ties → lowest index)
+    assert(vecs(0).zip(Array(s2, s2)).forall(t => math.abs(t._1 - t._2) < 1e-12))
+    assert(vecs(1).zip(Array(s2, -s2)).forall(t => math.abs(t._1 - t._2) < 1e-12))
+  }
+
+  test("q121 jacobi: random symmetric matrix — residual, orthonormality, determinism") {
+    val r = new scala.util.Random(7)
+    val d = 16
+    val m = Array.fill(d, d)(r.nextGaussian())
+    val sym = Array.tabulate(d, d)((i, j) => (m(i)(j) + m(j)(i)) / 2)
+    val (vals, vecs) = graft.functions.Eigen.jacobi(sym)
+    // A v = λ v
+    for (k <- 0 until d) {
+      val av = sym.map(row => row.zip(vecs(k)).map(t => t._1 * t._2).sum)
+      val resid = av.zip(vecs(k).map(_ * vals(k)))
+        .map(t => math.abs(t._1 - t._2)).max
+      assert(resid < 1e-9, s"eigenpair $k residual $resid")
+    }
+    // orthonormal rows
+    for (a <- 0 until d; b <- a until d) {
+      val dot = vecs(a).zip(vecs(b)).map(t => t._1 * t._2).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-10)
+    }
+    // bit-identical re-run
+    val (vals2, vecs2) = graft.functions.Eigen.jacobi(sym)
+    assert(vals.sameElements(vals2) && vecs.zip(vecs2).forall(t => t._1.sameElements(t._2)))
+  }
+
+  test("q121 model: basis orthonormal; top-R beats both trace share and axis projection") {
+    val (vals, vecs, _) = SimilarityQueries.pcaModel(spark, sf0001)
+    val d = vals.length
+    val R = SimilarityQueries.PcaComponents
+    for (a <- 0 until R; b <- a until R) {
+      val dot = vecs(a).zip(vecs(b)).map(t => t._1 * t._2).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9)
+    }
+    val trace = vals.sum
+    val topR = vals.take(R).sum
+    assert(topR >= trace * R / d - 1e-9,
+      "top-R eigenvalues must capture at least the mean share of variance")
+    // PCA-optimality probe: the captured variance must beat projecting
+    // onto ANY R coordinate axes — in particular the R highest-variance
+    // coordinates (axis variance = covariance diagonal)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = emb.length.toDouble
+    val mu = emb.transpose.map(_.sum / n)
+    val diag = emb.transpose.zip(mu).map { case (xs, m) =>
+      xs.map(x => (x - m) * (x - m)).sum / n }
+    assert(topR >= diag.sorted.reverse.take(R).sum - 1e-9)
+  }
+
+  test("q121 verdicts: Bessel residual non-negative for every vector") {
+    val out = SimilarityQueries.q121PcaProject(spark, sf0001).collect()
+    assert(out.length == Tables.embeddings(spark, sf0001).count())
+    assert(out.forall(_.getAs[Boolean]("resid_nonneg")))
+  }
+
   // ---- q122: BPE merge learning ----
 
   private def bpe(n: Int, texts: String*): Seq[(Int, String, String, Long)] =
