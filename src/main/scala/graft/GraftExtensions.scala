@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-import graft.functions.{Codec, DotProduct, IntSqDist, Md5Prefix64, Norm2, PayloadCompress, PayloadDecompress, ZlibCompress, ZlibDecompress}
+import graft.functions.{Codec, DotProduct, IntSqDist, Md5Prefix64, Norm2, PayloadCompress, PayloadDecompress, WinnowGrams, ZlibCompress, ZlibDecompress}
 
 /** Session extension entry point — the deployment-shaped way to install
   * this library's native expressions and optimizer rules on a cluster:
@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
       (exprs: Seq[Expression]) => Md5Prefix64(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("winnow_grams"),
+      new ExpressionInfo(classOf[WinnowGrams].getName, "winnow_grams"),
+      (exprs: Seq[Expression]) => WinnowGrams(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("zlib_compress"),
       new ExpressionInfo(classOf[ZlibCompress].getName, "zlib_compress"),
       (exprs: Seq[Expression]) => ZlibCompress(exprs.head)))

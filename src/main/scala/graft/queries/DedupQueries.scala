@@ -1345,8 +1345,24 @@ object DedupQueries {
 
   /** Winnowed fingerprint occurrences (doc_id, gram) over any
     * (doc_id, text) frame — the map-only selection stage of q119,
-    * exposed for the density/guarantee specs. */
+    * exposed for the density/guarantee specs. One native
+    * [[graft.functions.WinnowGrams]] call per row (monotonic-deque
+    * selection over byte-range md5s — the HOF formulation below cost
+    * 6.7s at sf0.1, dominated by ~2·n·w interpreted slice copies). */
   def winnowedFingerprints(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    import s.implicits._
+    docsIn
+      .where(length($"text") >= WinnowK)
+      .select($"doc_id",
+        explode(graft.functions.WinnowGrams(s, $"text", WinnowK, WinnowW))
+          .as("gram"))
+  }
+
+  /** The round-11 HOF formulation of the winnow selection — kept as the
+    * equivalence oracle for the native expression (the VecSpec pattern):
+    * Round11QueriesSpec pins identical (doc_id, gram) sets on the
+    * corpus. Documents the portable semantics the DuckDB oracle mirrors. */
+  def winnowedFingerprintsHof(s: SparkSession, docsIn: DataFrame): DataFrame = {
     import s.implicits._
     val K = WinnowK
     val docs = docsIn

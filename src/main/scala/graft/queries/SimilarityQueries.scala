@@ -1013,9 +1013,15 @@ object SimilarityQueries {
     * d×d eigensolve is [[graft.functions.Eigen.jacobi]] on the driver —
     * 64×64 is microseconds, and shipping it beats shipping vectors. */
   def pcaModel(s: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double]) =
+    pcaModelFrame(s, Tables.embeddings(s, dir))
+
+  /** [[pcaModel]] over any frame with an `embedding` column — probe/spec
+    * entry point. */
+  def pcaModelFrame(s: SparkSession, embIn: DataFrame)
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir).select($"embedding").as[Seq[Float]]
+    val emb = embIn.select($"embedding").as[Seq[Float]]
     val d = emb.head().length
     val m = emb.select(new graft.functions.Covariance(d).toColumn).head()
     val n = m.n.toDouble

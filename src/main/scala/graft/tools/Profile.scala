@@ -302,6 +302,37 @@ object Profile {
     time("q115 theta sketch (core) on 1x")(noop(EtlQueries.thetaCore(spark, users1)))
     time("q115 theta sketch (core) on 10x")(noop(EtlQueries.thetaCore(spark, users10)))
 
+    // Round-11 additions at 1x/10x. q119's copies are char-TRANSLATED
+    // (distinct gram content per copy, duplicate structure preserved
+    // within each copy) so pair volume scales ~linearly — plain
+    // replication would push every gram's df over the boilerplate cap
+    // and measure the suppression path instead of the pairing path.
+    val docsBase = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+    val rot = "abcdefghijklmnopqrstuvwxyz"
+    val docs10t = (0 until 10).map(i =>
+      docsBase.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"),
+        translate($"text", rot, rot.drop(i) + rot.take(i)).as("text")))
+      .reduce(_ unionByName _)
+    time("q119 winnow dedup (core) on 1x")(
+      noop(DedupQueries.substringDedupCore(spark, docsBase)))
+    time("q119 winnow dedup (core) on 10x")(
+      noop(DedupQueries.substringDedupCore(spark, docs10t)))
+    // q122: 10x replication multiplies word FREQUENCIES, not the
+    // vocabulary — per-round pair counts aggregate the same vocab-sized
+    // table, so expect ~flat beyond the one corpus word-count scan.
+    time("q122 bpe merges (core, 20 rounds) on 1x")(
+      noop(graft.queries.TextQueries.bpeMergesCore(spark, docsBase, 20)))
+    time("q122 bpe merges (core, 20 rounds) on 10x")(
+      noop(graft.queries.TextQueries.bpeMergesCore(spark, docs10t, 20)))
+    // q121: the distributed side is one covariance fold (17 KB buffers);
+    // the eigensolve is fixed d³ driver work — expect ~linear in the fold.
+    time("q121 pca model (frame) on 1x") {
+      SimilarityQueries.pcaModelFrame(spark, embCols); ()
+    }
+    time("q121 pca model (frame) on 10x") {
+      SimilarityQueries.pcaModelFrame(spark, embCols10); ()
+    }
+
     // Streaming throughput probe: the corpus staged as an 8-file drop
     // dir (maxFilesPerTrigger=1 → 8 micro-batches), driven through the
     // watermarked daily rollup — the stateful-operator rows/s number

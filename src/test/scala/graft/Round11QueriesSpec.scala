@@ -128,6 +128,41 @@ class Round11QueriesSpec extends SparkSuite {
       s"bounded over-fetch must demonstrate the miss mode (recall=$recall)")
   }
 
+  test("q119 native winnow_grams == HOF formulation on the corpus") {
+    // the VecSpec pattern: the codegen'd expression must select the
+    // IDENTICAL (doc_id, gram) set as the declarative chain the DuckDB
+    // oracle mirrors — on real documents plus the synthetic edge shapes
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .unionByName(Seq(
+        (9001L, filler(11, K)),          // exactly one gram
+        (9002L, filler(12, K + W - 1)),  // exactly one full window
+        (9003L, "x" * 200)               // all-identical hashes (ties)
+      ).toDF("doc_id", "text"))
+    val native = DedupQueries.winnowedFingerprints(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val hof = DedupQueries.winnowedFingerprintsHof(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == hof)
+    assert(native.nonEmpty)
+  }
+
+  test("q119 winnow_grams on the SQL surface") {
+    val n = spark.sql(
+      s"SELECT size(winnow_grams('${"ab" * 60}', $K, $W)) AS n")
+      .head().getInt(0)
+    assert(n >= 1)
+  }
+
+  test("q119 plan: the df window exchange is reused by both pairing sides") {
+    // expected exchanges: gram window (1, REUSED by the self-join's two
+    // sides), pair groupBy (1), presentation sort (1). A 4th exchange
+    // would mean the self-join re-shuffles a side the window already
+    // hash-partitioned on gram.
+    val n = countShuffles(
+      DedupQueries.q119SubstringDedup(spark, sf0001))
+    assert(n <= 3, s"pairing must reuse the gram-partitioned exchange, got $n")
+  }
+
   // ---- q121: PCA (Jacobi eigensolver + projection) ----
 
   test("q121 jacobi: known 2x2 eigensystem with sign convention") {
