@@ -560,9 +560,9 @@ object SimilarityQueries {
   }
 
   /** ADC scan: broadcast LUTs × (vec_id, pq) code rows, [[PqM]] map
-    * lookups per pair, k-rows-per-query top-k exchange. */
+    * lookups per pair, `keep`-rows-per-query top-k exchange. */
   private[graft] def pqAdcScan(s: SparkSession, pqcodes: DataFrame,
-      luts: DataFrame): DataFrame = {
+      luts: DataFrame, keep: Int = TopK): DataFrame = {
     import s.implicits._
     val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
       (acc, m) => acc + element_at($"lut",
@@ -571,11 +571,13 @@ object SimilarityQueries {
     pqcodes.join(broadcast(luts), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"), adist.as("adist"))
       .withColumn("rn", row_number().over(w))
-      .where($"rn" <= TopK)
+      .where($"rn" <= keep)
       .orderBy($"query_id", $"rn")
   }
 
-  val q111Sql: String =
+  /** The q111 CTE chain up to `sc` (per-pair ADC distances) — shared
+    * with q123's refine oracle, so the two stay hash-identical. */
+  private val pqScCtes: String =
     s"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
        |             unnest(generate_series(1, len(embedding))) AS d
        |           FROM embeddings),
@@ -617,7 +619,10 @@ object SimilarityQueries {
        |         CAST(SUM(l.dd) AS BIGINT) AS adist
        |       FROM pq p JOIN lut l ON p.m = l.m AND p.k = l.k
        |         AND p.vec_id <> l.query_id
-       |       GROUP BY 1, 2)
+       |       GROUP BY 1, 2)""".stripMargin
+
+  val q111Sql: String =
+    s"""$pqScCtes
        |SELECT query_id, neighbor_id, adist, rn FROM (
        |  SELECT query_id, neighbor_id, adist,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1001,6 +1006,79 @@ object SimilarityQueries {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  // ---- q123: ADC shortlist → exact refine (two-stage retrieval) ----
+
+  /** Shortlist over-fetch factor: the ADC stage keeps
+    * TopK·[[RefineOverFetch]] candidates per query for exact re-ranking. */
+  val RefineOverFetch = 4
+
+  /** q123: the FAISS-style production search endpoint — the COMPRESSED
+    * first stage (q111's integer ADC scan over PQ codes) keeps a
+    * k·[[RefineOverFetch]] shortlist, then ONLY those rows are re-ranked
+    * with exact float cosine (the "refine" step). The expensive exact
+    * math runs on queries×k·c rows instead of the corpus, and the
+    * shortlist is broadcast back against the float table — floats never
+    * shuffle, and with the q118 codes-at-ingest layout the first stage
+    * never reads them at all.
+    *
+    * ADC ranking can misorder true neighbors (quantization error);
+    * refining a small over-fetch recovers most of them — RefineSpec
+    * measures recall@k vs the q30 exact brute force: refined ≥ raw ADC,
+    * and == brute force when the shortlist covers the corpus. Oracle:
+    * q111's CTE chain (shared text — hash-identical ADC distances)
+    * + the q30 cosine recipe on the shortlist, value-level end to end. */
+  def q123RefineAnn(s: SparkSession, dir: String): DataFrame =
+    refineCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      RefineOverFetch)
+
+  /** q123 body over any (vec_id, embedding) frame with a configurable
+    * over-fetch (spec uses corpus-sized over-fetch for the exactness
+    * bound). */
+  private[graft] def refineCore(s: SparkSession, emb: DataFrame,
+      overFetch: Int): DataFrame = {
+    import s.implicits._
+    val subcodes = pqSubcodes(s, emb).localCheckpoint(false)
+    val cents = pqTrainCodebook(s, subcodes).localCheckpoint(false)
+    val pqcodes = pqEncodeCodes(s, subcodes, cents)
+    val luts = pqQueryLuts(s, subcodes.where($"vec_id" < NumQueries), cents)
+    val shortlist = pqAdcScan(s, pqcodes, luts, TopK * overFetch)
+      .select($"query_id", $"neighbor_id")
+    val en = emb.withColumn("en2", norm2($"embedding"))
+    val qs = en.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"en2".as("qn2"))
+    val sim6 = round(cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    en.join(broadcast(shortlist), $"vec_id" === $"neighbor_id")
+      .join(broadcast(qs), Seq("query_id"))
+      .select($"query_id", $"neighbor_id", sim6.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  val q123Sql: String = {
+    val cos = sqlCosine("q.embedding", "e.embedding")
+    s"""$pqScCtes,
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adist ASC, neighbor_id ASC) AS srn
+       |    FROM sc)
+       |  WHERE srn <= ${TopK * RefineOverFetch}),
+       |q2 AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |       WHERE vec_id < $NumQueries)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT s.query_id, s.neighbor_id, round($cos, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY round($cos, 6) DESC, s.neighbor_id ASC) AS rn
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.neighbor_id
+       |  JOIN q2 q ON q.query_id = s.query_id)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
   // ---- q121: PCA projection (distributed moments + driver eigensolve) ----
 
   /** Projection rank for q121 (64-dim embeddings → 8 components). */
@@ -1080,6 +1158,7 @@ object SimilarityQueries {
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q123_refine_ann"       -> (q123RefineAnn _),
     "q121_pca_project"      -> (q121PcaProject _),
     "q120_filtered_ann"     -> (q120FilteredAnn _),
     "q117_semdedup_learned" -> (q117SemDedupLearnedK _),
@@ -1096,6 +1175,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q123_refine_ann"       -> q123Sql,
     "q121_pca_project"      -> q121Sql,
     "q120_filtered_ann"     -> q120Sql,
     "q117_semdedup_learned" -> q117Sql,

@@ -229,6 +229,35 @@ class Round11QueriesSpec extends SparkSuite {
     assert(out.forall(_.getAs[Boolean]("resid_nonneg")))
   }
 
+  // ---- q123: ADC shortlist → exact refine ----
+
+  test("q123 refine: corpus-wide shortlist degenerates to the exact brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val n = emb.count().toInt
+    val full = SimilarityQueries.refineCore(spark, emb, n)
+      .select($"query_id", $"neighbor_id", $"sim", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = SimilarityQueries.q30KnnBruteForce(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"sim", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute)
+  }
+
+  test("q123 refine: exact re-ranking recovers at least the raw ADC recall") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(SimilarityQueries.q30KnnBruteForce(spark, sf0001))
+    val adc = ids(SimilarityQueries.q111PqAdcAnn(spark, sf0001))
+    val refined = ids(SimilarityQueries.q123RefineAnn(spark, sf0001))
+    val rAdc = adc.count(exact.contains).toDouble / exact.size
+    val rRef = refined.count(exact.contains).toDouble / exact.size
+    assert(rRef >= rAdc,
+      s"refined recall $rRef must not fall below raw ADC recall $rAdc")
+    assert(rRef > 0.5, s"over-fetch 4 should recover most true neighbors: $rRef")
+  }
+
   // ---- q122: BPE merge learning ----
 
   private def bpe(n: Int, texts: String*): Seq[(Int, String, String, Long)] =
