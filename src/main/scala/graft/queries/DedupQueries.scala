@@ -1437,7 +1437,142 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q124: incremental winnow dedup (daily batch vs corpus) ----
+
+  /** q124: q119's substring detection in the INCREMENTAL shape (q89's
+    * production contract): a small new batch (doc_id % [[IncBatchMod]]
+    * = 0 plays the daily drop) is checked against the existing corpus
+    * for shared verbatim runs — without ever shuffling the corpus.
+    *
+    * Scale: batch fingerprints broadcast twice — first as a distinct
+    * gram set that SEMI-JOINS the corpus occurrences map-side (the
+    * corpus-sized frame dies at the scan; only occurrences of grams the
+    * batch actually mentions survive — a batch-sized frame), then as
+    * the pairing side. The boilerplate guard (corpus df ≤
+    * [[WinnowDfCap]]) is computed on that matched frame only, so the
+    * corpus-wide gram exchange q119 pays disappears; in production the
+    * (gram, df) frame is precomputed at ingest exactly like q118's
+    * codes. */
+  def q124IncrementalWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, dir).select($"doc_id", $"text")
+    val fpB = winnowedFingerprints(s, all.where($"doc_id" % IncBatchMod === 0))
+      .localCheckpoint(false)
+    val fpC = winnowedFingerprints(s, all.where($"doc_id" % IncBatchMod =!= 0))
+    val matched = fpC.join(broadcast(fpB.select($"gram").distinct()),
+      Seq("gram"), "left_semi")
+    val byGram = Window.partitionBy($"gram")
+    val rare = matched.withColumn("df", count(lit(1)).over(byGram))
+      .where($"df" <= WinnowDfCap)
+    rare.as("c").join(broadcast(fpB.as("b")), $"c.gram" === $"b.gram")
+      .groupBy($"b.doc_id".as("batch_doc"), $"c.doc_id".as("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared"), min($"c.gram").as("sample_gram"))
+      .orderBy($"batch_doc", $"corpus_doc")
+  }
+
+  /** Winnow-selection CTEs over a filtered documents subset; emits
+    * `occ_<tag>(doc_id, gram)`. Single-sourced so q119/q124/q125 hash
+    * identically. */
+  private def sqlWinnowOcc(tag: String, where: String): String = {
+    val K = WinnowK
+    val hp = sqlH32(s"substring(text, CAST(p AS INT), $K)")
+    s"""g_$tag AS (
+       |  SELECT doc_id, text, len(text) - $K + 1 AS ng
+       |  FROM documents WHERE len(text) >= $K AND ($where)),
+       |h_$tag AS (
+       |  SELECT doc_id, text, ng, LEAST($WinnowW, ng) AS weff,
+       |    list_transform(generate_series(1, ng), p -> $hp) AS hs
+       |  FROM g_$tag),
+       |m_$tag AS (
+       |  SELECT doc_id, text, ng, weff, hs,
+       |    list_transform(generate_series(1, ng - weff + 1),
+       |      j -> list_min(list_slice(hs, j, j + weff - 1))) AS mins
+       |  FROM h_$tag),
+       |sel_$tag AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_filter(generate_series(1, ng), p ->
+       |        list_max(list_slice(mins, GREATEST(1, p - weff + 1),
+       |                            LEAST(p, ng - weff + 1))) = hs[p]),
+       |      p -> substring(text, CAST(p AS INT), $K))) AS grams
+       |  FROM m_$tag),
+       |occ_$tag AS (SELECT doc_id, unnest(grams) AS gram FROM sel_$tag)""".stripMargin
+  }
+
+  val q124Sql: String =
+    s"""WITH ${sqlWinnowOcc("b", s"doc_id % $IncBatchMod = 0")},
+       |${sqlWinnowOcc("c", s"doc_id % $IncBatchMod <> 0")},
+       |rare AS (
+       |  SELECT gram FROM occ_c
+       |  WHERE gram IN (SELECT gram FROM occ_b)
+       |  GROUP BY gram HAVING COUNT(*) <= $WinnowDfCap)
+       |SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+       |  COUNT(*) AS n_shared, MIN(c.gram) AS sample_gram
+       |FROM occ_b b JOIN occ_c c ON b.gram = c.gram
+       |JOIN rare r ON c.gram = r.gram
+       |GROUP BY b.doc_id, c.doc_id
+       |ORDER BY batch_doc, corpus_doc""".stripMargin
+
+  // ---- q125: winnow clusters + keeper (the substring-dedup DECISION) ----
+
+  /** q125: the end-to-end substring-dedup decision — q119's pairs become
+    * transitive clusters via the LARGE-STAR/SMALL-STAR algorithm
+    * ([[graft.operators.ConnectedComponents.componentsStar]] — its first
+    * oracle-checked use; min-label CC was q49's), and each cluster keeps
+    * its longest member (n_chars desc, doc_id asc tie-break — the q99
+    * keeper rule). One row per clustered doc: cluster, size, keep.
+    *
+    * Scale: the pair graph is tiny vs the corpus (q119's audited path
+    * produces it); star contraction converges in O(log² n) rounds on ANY
+    * chain shape — the production guarantee min-label propagation lacks;
+    * the keeper pick is one WindowGroupLimit-shaped pass over the
+    * clustered-doc set. The oracle re-derives the closure recursively
+    * over the same pair SQL — an independent CC strategy. */
+  def q125WinnowClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = substringDedupCore(s, Tables.documents(s, dir))
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(false)
+    val comp = graft.operators.ConnectedComponents
+      .componentsStar(pairs, "doc_a", "doc_b")
+    val chars = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    comp.select($"id".as("doc_id"), $"comp".as("cluster_id"))
+      .join(chars, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .select($"doc_id", $"cluster_id", $"n_members", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val q125Sql: String = {
+    // the q49 closure pattern: the whole q119 pair query (own WITH and
+    // all, ORDER BY stripped) nests as one MATERIALIZED pr body
+    val pairsSql = q119Sql.linesIterator.toSeq.dropRight(1).mkString("\n")
+    s"""WITH RECURSIVE pr AS MATERIALIZED (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |walk(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+       |comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u)
+       |SELECT c.doc_id, c.cluster_id,
+       |  COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+       |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |    ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS keep
+       |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q125_winnow_clusters"    -> (q125WinnowClusters _),
+    "q124_incremental_winnow" -> (q124IncrementalWinnow _),
     "q119_substring_dedup"    -> (q119SubstringDedup _),
     "q106_segment_dedup"      -> (q106SegmentDedup _),
     "q61_decontaminate"       -> (q61Decontaminate _),
@@ -1458,6 +1593,8 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q125_winnow_clusters"    -> q125Sql,
+    "q124_incremental_winnow" -> q124Sql,
     "q119_substring_dedup"    -> q119Sql,
     "q106_segment_dedup"      -> q106Sql,
     "q61_decontaminate"       -> q61Sql,

@@ -229,6 +229,47 @@ class Round11QueriesSpec extends SparkSuite {
     assert(out.forall(_.getAs[Boolean]("resid_nonneg")))
   }
 
+  // ---- q124/q125: incremental winnow + cluster decision ----
+
+  test("q124 incremental: sides partition correctly and grams are verbatim in both docs") {
+    val out = DedupQueries.q124IncrementalWinnow(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (b, c, g) = (r.getLong(0), r.getLong(1), r.getAs[String]("sample_gram"))
+      assert(b % DedupQueries.IncBatchMod == 0 && c % DedupQueries.IncBatchMod != 0)
+      assert(texts(b).contains(g) && texts(c).contains(g),
+        s"gram must be verbatim in batch doc $b and corpus doc $c")
+    }
+  }
+
+  test("q125 clusters: star CC matches min-label CC on the q119 pair graph; keeper is longest") {
+    val pairs = DedupQueries.substringDedupCore(spark,
+        Tables.documents(spark, sf0001))
+      .select($"doc_a", $"doc_b").localCheckpoint(true)
+    val star = graft.operators.ConnectedComponents
+      .componentsStar(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == label, "both CC algorithms must agree on the corpus pair graph")
+    val out = DedupQueries.q125WinnowClusters(spark, sf0001).collect()
+    val chars = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keep")) == 1)
+      val keeper = rows.find(_.getAs[Boolean]("keep")).get.getAs[Long]("doc_id")
+      val maxChars = rows.map(r => chars(r.getAs[Long]("doc_id"))).max
+      assert(chars(keeper) == maxChars, "keeper must be a longest member")
+      assert(rows.forall(_.getAs[Long]("n_members") == rows.length))
+    }
+  }
+
   // ---- q123: ADC shortlist → exact refine ----
 
   test("q123 refine: corpus-wide shortlist degenerates to the exact brute force") {
