@@ -1402,40 +1402,17 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val q119Sql: String = {
-    val K = WinnowK
-    val hp = sqlH32(s"substring(text, CAST(p AS INT), $K)")
-    s"""WITH g AS (
-       |  SELECT doc_id, text, len(text) - $K + 1 AS ng
-       |  FROM documents WHERE len(text) >= $K),
-       |h AS (
-       |  SELECT doc_id, text, ng, LEAST($WinnowW, ng) AS weff,
-       |    list_transform(generate_series(1, ng), p -> $hp) AS hs
-       |  FROM g),
-       |m AS (
-       |  SELECT doc_id, text, ng, weff, hs,
-       |    list_transform(generate_series(1, ng - weff + 1),
-       |      j -> list_min(list_slice(hs, j, j + weff - 1))) AS mins
-       |  FROM h),
-       |sel AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(
-       |      list_filter(generate_series(1, ng), p ->
-       |        list_max(list_slice(mins, GREATEST(1, p - weff + 1),
-       |                            LEAST(p, ng - weff + 1))) = hs[p]),
-       |      p -> substring(text, CAST(p AS INT), $K))) AS grams
-       |  FROM m),
-       |occ AS (SELECT doc_id, unnest(grams) AS gram FROM sel),
+  val q119Sql: String =
+    s"""WITH ${sqlWinnowOcc("a", "TRUE")},
        |rare AS (
-       |  SELECT gram FROM occ GROUP BY gram
+       |  SELECT gram FROM occ_a GROUP BY gram
        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $WinnowDfCap)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  COUNT(*) AS n_shared, MIN(a.gram) AS sample_gram
-       |FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |FROM occ_a a JOIN occ_a b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |JOIN rare r ON a.gram = r.gram
        |GROUP BY a.doc_id, b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---- q124: incremental winnow dedup (daily batch vs corpus) ----
 
