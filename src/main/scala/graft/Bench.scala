@@ -80,9 +80,11 @@ object Bench {
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     def nproc(): Int =
-      try java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
-        .filter(p => p.getFileName.toString.forall(_.isDigit)).count().toInt
-      catch { case _: Throwable => -1 }
+      try {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+        try s.filter(p => p.getFileName.toString.forall(_.isDigit)).count().toInt
+        finally s.close() // directory handle leaks without an explicit close
+      } catch { case _: Throwable => -1 }
     val loadStart = loadAvg()
     val nprocStart = nproc()
 
@@ -162,8 +164,22 @@ object Bench {
     val failed = results.collect { case (k, None) => k }
     val timed = results.collect { case (k, Some(v)) => k -> v }
 
-    // optional multi-stream throughput pass (see scaladoc)
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "0").toInt
+    // serial-run host evidence is sampled HERE, before the (deliberately
+    // saturating) stream pass, and reused by both jsonLine emissions —
+    // re-sampling per call gave the file and stdout records different
+    // end brackets for the same run (review finding)
+    val loadEnd = loadAvg()
+    val nprocEnd = nproc()
+
+    // optional multi-stream throughput pass (see scaladoc). A malformed
+    // env value must not discard the serial record already earned.
+    val streams = sys.env.get("SPARK_GRAFT_STREAMS")
+      .flatMap(_.trim.toIntOption match {
+        case None => System.err.println(
+          "[bench] ignoring non-integer SPARK_GRAFT_STREAMS"); None
+        case s => s
+      }).getOrElse(0)
+    val streamFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     val concurrentWall: Option[Double] =
       if (streams <= 0) None
       else {
@@ -177,6 +193,7 @@ object Bench {
             try SparkEntry.queries(n)(spark, sfDir)
               .write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
+              streamFailures.incrementAndGet()
               System.err.println(s"[bench] stream $sid $n failed: ${e.getMessage}") }
           }, s"bench-stream-$sid")
           t.start(); t
@@ -196,10 +213,12 @@ object Bench {
       // "stat":"min" marks the round-7 median→min statistic switch so
       // cross-round total comparisons don't conflate a real regression
       // with the statistic change (r01–r06 totals are medians).
+      // a wall time over failed executions is not a throughput number —
+      // the failure count travels with it so consumers can't misread one
       val conc = concurrentWall
-        .map(w => s""","concurrent_streams":$streams,"concurrent_wall_sec":${sec(w)}""")
+        .map(w => s""","concurrent_streams":$streams,"concurrent_wall_sec":${sec(w)},"concurrent_failed":${streamFailures.get()}""")
         .getOrElse("")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","comparable":${failed.isEmpty},"load":[${sec(loadStart)},${sec(loadAvg())}],"nproc":[$nprocStart,${nproc()}],"failed":$fs$conc,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","comparable":${failed.isEmpty},"load":[${sec(loadStart)},${sec(loadEnd)}],"nproc":[$nprocStart,$nprocEnd],"failed":$fs$conc,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full names to the file; unique qNN prefixes on stdout (tail-window
     // budget — see scaladoc). Prefix collisions (none today) fall back to

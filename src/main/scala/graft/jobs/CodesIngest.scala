@@ -38,15 +38,35 @@ object CodesIngest {
     "emb_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
 
   /** Ingest the embeddings table of `dir`; returns (codesTable,
-    * codebookTable). Idempotent — re-running overwrites. */
+    * codebookTable). Idempotent — a pair already in this session's
+    * catalog is reused (same dir ⇒ same tables); a fresh session
+    * rebuilds over any stale on-disk location. */
   def ingest(s: SparkSession, dir: String): (String, String) =
     ingestFrame(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
       tablePrefix(dir))
 
-  /** Ingest an arbitrary (vec_id, embedding) frame under `prefix`. */
-  def ingestFrame(s: SparkSession, emb: DataFrame, prefix: String): (String, String) = {
+  /** Ingest an arbitrary (vec_id, embedding) frame under `prefix`.
+    *
+    * Serialized on a JVM-wide lock, and a table pair already present in
+    * THIS session's catalog is reused rather than rebuilt: the prefix is
+    * a pure function of the corpus dir, so a rebuild would produce the
+    * identical tables — while concurrent rebuilds (the Bench multi-
+    * stream mode runs q118 on four threads; review finding) raced a
+    * DROP+delete+CTAS against other streams' scans of the same
+    * location. Reuse is also the production read path: search-time cost
+    * excludes ingest. A stale on-disk location from a PREVIOUS JVM
+    * (catalog empty) still takes the rebuild branch below. */
+  def ingestFrame(s: SparkSession, emb: DataFrame, prefix: String): (String, String) =
+    CodesIngest.synchronized {
+      val (codesT, cbT) = (s"${prefix}_codes", s"${prefix}_codebook")
+      if (s.catalog.tableExists(codesT) && s.catalog.tableExists(cbT))
+        (codesT, cbT)
+      else buildTables(s, emb, codesT, cbT)
+    }
+
+  private def buildTables(s: SparkSession, emb: DataFrame,
+      codesT: String, cbT: String): (String, String) = {
     import s.implicits._
-    val (codesT, cbT) = (s"${prefix}_codes", s"${prefix}_codebook")
     val stats = SimilarityQueries.sq8Stats(emb).localCheckpoint(false)
     val codes = SimilarityQueries.sq8Encode(emb, stats).localCheckpoint(false)
     val subcodes = SimilarityQueries.subcodeView(s, codes)

@@ -286,6 +286,12 @@ object Multimodal {
       var inFrame = true
       while (inFrame) {
         if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff) return None
+        // JPEG permits runs of 0xFF fill bytes before a marker (common
+        // in camera MJPEG); treating the second 0xFF as the marker id
+        // read a bogus length and rejected conformant frames (review
+        // finding). Consume the run, keeping one 0xFF as the prefix.
+        while (pos + 1 < p.length && (p(pos + 1) & 0xff) == 0xff) pos += 1
+        if (pos + 1 >= p.length) return None
         val m = p(pos + 1) & 0xff
         pos += 2
         if (m == 0xd9) { frames += ((start, pos)); inFrame = false }
@@ -314,11 +320,15 @@ object Multimodal {
     if (out.isEmpty) None else Some(out)
   }
 
-  /** Chroma plane size per Y4M colourspace tag (420 family default). */
-  private def y4mChromaSize(w: Int, h: Int, c: String): Int =
+  /** Chroma plane size per Y4M colourspace tag (420 family default).
+    * Long arithmetic: header-declared dims are attacker-controlled and
+    * w·h overflows Int at 65536² (review finding — the overflow made
+    * frameBytes negative, stepping the frame cursor BACKWARD into an
+    * infinite loop the never-throws contract can't catch). */
+  private def y4mChromaSize(w: Long, h: Long, c: String): Long =
     if (c.startsWith("444")) w * h
     else if (c.startsWith("422")) ((w + 1) / 2) * h
-    else if (c.startsWith("mono")) 0
+    else if (c.startsWith("mono")) 0L
     else ((w + 1) / 2) * ((h + 1) / 2) // 420jpeg/420mpeg2/420paldv
 
   /** Parse a YUV4MPEG2 stream: (width, height, Y-plane offset per frame).
@@ -336,7 +346,12 @@ object Multimodal {
       else if (t.startsWith("C")) c = t.drop(1)
     }
     if (w <= 0 || h <= 0) return None
-    val frameBytes = w * h + 2 * y4mChromaSize(w, h, c)
+    // a frame that can't fit the payload (or overflowed the declared
+    // dims) is malformed — bounding here keeps every later offset and
+    // the w*h plane walks safely inside Int/array range
+    val frameBytesL = w.toLong * h + 2L * y4mChromaSize(w, h, c)
+    if (frameBytesL <= 0 || frameBytesL > p.length) return None
+    val frameBytes = frameBytesL.toInt
     val offs = IndexedSeq.newBuilder[Int]
     var pos = nl + 1
     while (pos < p.length) {
@@ -344,7 +359,7 @@ object Multimodal {
           new String(p, pos, 5, "US-ASCII") != "FRAME") return None
       var e = pos + 5
       while (e < p.length && p(e) != '\n'.toByte) e += 1
-      if (e >= p.length || e + 1 + frameBytes > p.length) return None
+      if (e >= p.length || e.toLong + 1 + frameBytes > p.length) return None
       offs += (e + 1)
       pos = e + 1 + frameBytes
     }

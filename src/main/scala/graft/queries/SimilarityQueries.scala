@@ -983,9 +983,8 @@ object SimilarityQueries {
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
     val shortlist = scored.withColumn("rn", row_number().over(w))
       .where($"rn" <= TopK * overFetch)
-    val w2 = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
     shortlist.join(broadcast(en), $"neighbor_id" === $"doc_id", "left_semi")
-      .withColumn("rn", row_number().over(w2))
+      .withColumn("rn", row_number().over(w))
       .where($"rn" <= TopK)
       .orderBy($"query_id", $"rn")
   }
@@ -1100,7 +1099,10 @@ object SimilarityQueries {
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
     import s.implicits._
     val emb = embIn.select($"embedding").as[Seq[Float]]
-    val d = emb.head().length
+    // EmbDim is the corpus contract (q111/q95 share it); a per-row
+    // mismatch fails loudly in the aggregator. Probing the dimension
+    // with head() cost a second corpus-touching job (review finding).
+    val d = EmbDim
     val m = emb.select(new graft.functions.Covariance(d).toColumn).head()
     val n = m.n.toDouble
     val mu = m.sums.map(_ / n)

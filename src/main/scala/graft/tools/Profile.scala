@@ -354,9 +354,11 @@ object Profile {
       // (ADVICE r10): drop the memory-sink table and the staged corpus copy
       spark.catalog.dropTempView("profile_rollup")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(sdirPath).iterator().asScala.toSeq
+      val walk = java.nio.file.Files.walk(sdirPath)
+      try walk.iterator().asScala.toSeq
         .sortBy(-_.getNameCount)
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // the walk stream holds directory handles
     }
     spark.stop()
   }

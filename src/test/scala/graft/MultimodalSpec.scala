@@ -198,6 +198,39 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.sampleVideoFrames(Array.tabulate[Byte](64)(_.toByte), 2).isEmpty)
   }
 
+  test("video adversarial headers: overflow dims degrade, never hang or throw") {
+    // W65536 x H65536 overflows Int (w*h = 2^32 -> 0): the old frame
+    // cursor stepped backward into an infinite loop (review finding)
+    val huge = "YUV4MPEG2 W65536 H65536 C420jpeg\nFRAMEcrafted-params\nFRAME\n"
+      .getBytes("US-ASCII")
+    assert(Multimodal.y4mFrames(huge).isEmpty)
+    assert(Multimodal.probeVideo(huge).isEmpty)
+    // dims whose frame cannot fit the payload are malformed, not a crash
+    val toobig = "YUV4MPEG2 W1000 H1000\nFRAME\nxx".getBytes("US-ASCII")
+    assert(Multimodal.y4mFrames(toobig).isEmpty)
+  }
+
+  test("MJPEG: 0xFF fill bytes before a marker are legal padding") {
+    // splice a fill byte before each frame's EOI: FF FF D9 (cameras pad
+    // this way); the old parser read the second FF as a marker id with a
+    // bogus length and rejected the clip (review finding)
+    val clip = mjpegBytes(8, 8, Seq(70, 140))
+    val padded = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < clip.length) {
+      if (i + 1 < clip.length && (clip(i) & 0xff) == 0xff &&
+          (clip(i + 1) & 0xff) == 0xd9) padded.write(0xff)
+      padded.write(clip(i) & 0xff)
+      i += 1
+    }
+    val p = padded.toByteArray
+    assert(p.length == clip.length + 2)
+    assert(Multimodal.probeVideo(p).exists(_._4 == "mjpeg"))
+    val s = Multimodal.sampleVideoFrames(p, 2).get
+    for ((v, truth) <- s.zip(Seq(70L, 140L)))
+      assert(math.abs(v - truth) <= 3, s"${s.toSeq} vs 70/140")
+  }
+
   test("q42 feature dispatch: video kind carries dims + frame count") {
     val media = Seq(
       (1L, mjpegBytes(12, 6, Seq(30, 90)), "video/x-motion-jpeg"),
