@@ -333,6 +333,36 @@ object Profile {
       SimilarityQueries.pcaModelFrame(spark, embCols10); ()
     }
 
+    // OPQ-lite probe: product quantization assumes the subspaces carry
+    // comparable energy; a PCA rotation (q121's basis is orthonormal, so
+    // cosine ranking is invariant) redistributes variance across the 8
+    // PQ subspaces. Measured question: does rotating before encoding
+    // change ADC recall@k vs the exact float top-k? (Reported, not
+    // asserted — the answer guides whether an OPQ stage is worth a
+    // training pass at 100 TB.)
+    {
+      val (_, basis, mu) = SimilarityQueries.pcaModelFrame(spark, embCols)
+      val shifts = basis.map(vj => vj.zip(mu).map { case (a, b) => a * b }.sum)
+      def dotLit(w: Array[Double]): org.apache.spark.sql.Column =
+        aggregate(zip_with($"embedding", typedLit(w.toSeq),
+            (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, t) => acc + t)
+      val rotCols = basis.indices.map(j =>
+        (dotLit(basis(j)) - lit(shifts(j))).cast("float"))
+      val rotated = embCols.select($"vec_id", array(rotCols: _*).as("embedding"))
+        .localCheckpoint(true)
+      def ids(df: DataFrame): Set[(Long, Long)] =
+        df.select($"query_id", $"neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = ids(SimilarityQueries.q30KnnBruteForce(spark, dir))
+      val adcRaw = ids(SimilarityQueries.pqAdcCore(spark, embCols))
+      val adcRot = ids(SimilarityQueries.pqAdcCore(spark, rotated))
+      def recall(s: Set[(Long, Long)]): Double =
+        s.count(exact.contains).toDouble / exact.size
+      println(f"[profile] OPQ-lite: ADC recall@5 raw=${recall(adcRaw)}%.3f " +
+        f"rotated=${recall(adcRot)}%.3f (exact=${exact.size} pairs)")
+    }
+
     // Streaming throughput probe: the corpus staged as an 8-file drop
     // dir (maxFilesPerTrigger=1 → 8 micro-batches), driven through the
     // watermarked daily rollup — the stateful-operator rows/s number
