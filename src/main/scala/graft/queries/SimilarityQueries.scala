@@ -1153,6 +1153,28 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Rotate a (vec_id, embedding) frame into the full PCA basis of
+    * `model` (centered, all d components — an ORTHONORMAL rotation, so
+    * cosine/L2 rankings are invariant). This is the OPQ-lite preprocess
+    * for the PQ family: rotating before [[pqAdcCore]]/CodesIngest
+    * balances variance across the 8 subspaces and measurably lifts ADC
+    * recall (0.16 → 0.36 @5 at sf0.1 — SCALE.md; OpqRotationSpec pins
+    * the improvement on the fixture). Map-only: the basis enters the
+    * plan as literals. */
+  def pcaRotate(s: SparkSession, emb: DataFrame,
+      model: (Array[Double], Array[Array[Double]], Array[Double])): DataFrame = {
+    import s.implicits._
+    val (_, basis, mu) = model
+    val shifts = basis.map(vj => vj.zip(mu).map { case (a, b) => a * b }.sum)
+    def dotLit(w: Array[Double]): Column =
+      aggregate(zip_with($"embedding", typedLit(w.toSeq),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, t) => acc + t)
+    val rotCols = basis.indices.map(j =>
+      (dotLit(basis(j)) - lit(shifts(j))).cast("float"))
+    emb.select($"vec_id", array(rotCols: _*).as("embedding"))
+  }
+
   val q121Sql: String =
     s"""SELECT vec_id, $PcaComponents AS n_components,
        |  round(${sqlNorm2("embedding")}, 6) AS orig_norm2,

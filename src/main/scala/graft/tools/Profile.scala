@@ -341,15 +341,8 @@ object Profile {
     // asserted — the answer guides whether an OPQ stage is worth a
     // training pass at 100 TB.)
     {
-      val (_, basis, mu) = SimilarityQueries.pcaModelFrame(spark, embCols)
-      val shifts = basis.map(vj => vj.zip(mu).map { case (a, b) => a * b }.sum)
-      def dotLit(w: Array[Double]): org.apache.spark.sql.Column =
-        aggregate(zip_with($"embedding", typedLit(w.toSeq),
-            (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, t) => acc + t)
-      val rotCols = basis.indices.map(j =>
-        (dotLit(basis(j)) - lit(shifts(j))).cast("float"))
-      val rotated = embCols.select($"vec_id", array(rotCols: _*).as("embedding"))
+      val model = SimilarityQueries.pcaModelFrame(spark, embCols)
+      val rotated = SimilarityQueries.pcaRotate(spark, embCols, model)
         .localCheckpoint(true)
       def ids(df: DataFrame): Set[(Long, Long)] =
         df.select($"query_id", $"neighbor_id").collect()

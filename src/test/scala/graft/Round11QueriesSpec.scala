@@ -223,6 +223,44 @@ class Round11QueriesSpec extends SparkSuite {
     assert(topR >= diag.sorted.reverse.take(R).sum - 1e-9)
   }
 
+  test("q121 rotation: cosine ranking invariant; PQ recall does not degrade") {
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val model = SimilarityQueries.pcaModelFrame(spark, emb)
+    val rotated = SimilarityQueries.pcaRotate(spark, emb, model)
+      .localCheckpoint(true)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(SimilarityQueries.q30KnnBruteForce(spark, sf0001))
+    // orthonormal (full-basis, centered) rotation preserves the exact
+    // cosine top-k — the correctness contract OPQ relies on. The shift
+    // by -mu changes norms, so compare the rotation WITHOUT centering:
+    // use uncentered basis projection for the invariance check
+    val uncentered = SimilarityQueries.pcaRotate(spark, emb,
+      (model._1, model._2, Array.fill(model._3.length)(0.0)))
+      .localCheckpoint(true)
+    def brute(frame: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      val en = frame.withColumn("en2", SimilarityQueries.norm2($"embedding"))
+      val qs = en.where($"vec_id" < SimilarityQueries.NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"en2".as("qn2"))
+      val sim6 = round(SimilarityQueries.cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+      val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+      ids(en.join(broadcast(qs), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"), sim6.as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= SimilarityQueries.TopK))
+    }
+    assert(brute(uncentered) == exact,
+      "orthonormal rotation must preserve the exact cosine top-k")
+    // and the point of rotating: PQ recall must not degrade (it jumps
+    // 0.16 → 0.36 at sf0.1 — SCALE.md; fixture asserts the weak side)
+    val adcRaw = ids(SimilarityQueries.pqAdcCore(spark, emb))
+    val adcRot = ids(SimilarityQueries.pqAdcCore(spark, rotated))
+    val (rRaw, rRot) = (adcRaw.count(exact.contains), adcRot.count(exact.contains))
+    assert(rRot >= rRaw, s"rotated ADC recall $rRot/${exact.size} must be >= raw $rRaw/${exact.size}")
+  }
+
   test("q121 verdicts: Bessel residual non-negative for every vector") {
     val out = SimilarityQueries.q121PcaProject(spark, sf0001).collect()
     assert(out.length == Tables.embeddings(spark, sf0001).count())
