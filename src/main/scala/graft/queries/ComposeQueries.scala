@@ -205,11 +205,102 @@ object ComposeQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q126: hybrid retrieval — reciprocal-rank fusion ----
+
+  /** RRF smoothing constant (k=60, the value from Cormack/Clarke/
+    * Büttcher's original reciprocal-rank-fusion evaluation — the
+    * near-universal default in hybrid-retrieval stacks). */
+  val RrfK = 60
+
+  /** Fused result size (each input leg contributes its top
+    * [[TextQueries.Bm25TopK]]). */
+  val HybridTopK = 10
+
+  /** q126: hybrid retrieval — fuse a LEXICAL ranked list (q64's BM25
+    * top-k for the fixed term query) with a DENSE ranked list (exact
+    * cosine top-k against a fixed query vector, the q30 shape) by
+    * reciprocal-rank fusion: score(d) = Σ_legs 1/(k + rank_leg(d)),
+    * absent legs contributing 0. The two legs are INPUT FIXTURES here —
+    * the operator under test is the fusion, the join shape every
+    * RAG/retrieval stack runs between its inverted-index and its ANN
+    * index.
+    *
+    * Scale design: each leg ends in orderBy+limit =
+    * TakeOrderedAndProject (per-partition heaps, no global sort, no
+    * corpus-sized window); the rank row_number and the full-outer fusion
+    * join then run on two ≤k-row frames — driver-trivial at any corpus
+    * size. Rank arithmetic is integer, so 1/(k+rank) is a single IEEE
+    * division both engines evaluate identically; the fixed
+    * sparse-then-dense addition order plus round(…, 6) keeps the hash
+    * oracle exact. */
+  def q126HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = SimilarityQueries
+    val k = TextQueries.Bm25TopK
+    // lexical leg: q64's top-k is already TakeOrderedAndProject'd; the
+    // rank window runs on the k-row result, not the corpus
+    val wS = Window.orderBy($"score_r".desc, $"doc_id")
+    val sparse = TextQueries.q64Bm25(s, dir)
+      .select($"doc_id", row_number().over(wS).as("r_sparse"))
+    // dense leg: broadcast 1-row query vector, map-side cosine, top-k
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("en2", S.norm2($"embedding"))
+    val qv = emb.where($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"en2".as("qn2"))
+    val sim6 = round(S.cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+    val wD = Window.orderBy($"sim".desc, $"doc_id")
+    val dense = emb.crossJoin(broadcast(qv))
+      .where($"vec_id" =!= 0)
+      .select($"vec_id".as("doc_id"), sim6.as("sim"))
+      .orderBy($"sim".desc, $"doc_id").limit(k)
+      .select($"doc_id", row_number().over(wD).as("r_dense"))
+    // fusion: two k-row frames, fixed sparse+dense addition order
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"r_sparse", $"r_dense",
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + $"r_sparse"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + $"r_dense"), lit(0.0)),
+          6).as("rrf_r"))
+      .orderBy($"rrf_r".desc, $"doc_id")
+      .limit(HybridTopK)
+  }
+
+  /** Oracle: re-derives both legs (q64's SQL verbatim as a CTE, dense
+    * cosine via the shared SQL mirrors) and fuses with the same fixed
+    * addition order and rounding. */
+  lazy val q126Sql: String = {
+    val cos = SimilarityQueries.sqlCosine("q.embedding", "e.embedding")
+    val k = TextQueries.Bm25TopK
+    s"""WITH bm AS (${TextQueries.q64Sql}),
+       |sparse AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS r_sparse
+       |  FROM bm),
+       |ds AS (
+       |  SELECT e.vec_id AS doc_id, round($cos, 6) AS sim
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id <> 0),
+       |dense AS (
+       |  SELECT doc_id, r_dense FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r_dense
+       |    FROM ds)
+       |  WHERE r_dense <= $k),
+       |fused AS (
+       |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.r_sparse, d.r_dense,
+       |    ROUND(COALESCE(1.0e0 / ($RrfK + s.r_sparse), 0.0e0) +
+       |          COALESCE(1.0e0 / ($RrfK + d.r_dense), 0.0e0), 6) AS rrf_r
+       |  FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id)
+       |SELECT doc_id, r_sparse, r_dense, rrf_r FROM fused
+       |ORDER BY rrf_r DESC, doc_id LIMIT $HybridTopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_pipeline_verdict" -> (q100PipelineVerdict _),
+    "q126_hybrid_rrf"       -> (q126HybridRrf _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q100_pipeline_verdict" -> q100Sql,
+    "q126_hybrid_rrf"       -> q126Sql,
   )
 }

@@ -72,7 +72,7 @@ object SimilarityQueries {
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def sqlNorm2(a: String): String =
     s"list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-  private def sqlCosine(a: String, b: String): String =
+  private[queries] def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlNorm2(a)}) * sqrt(${sqlNorm2(b)})))"
 
   /** q30: brute-force cosine top-k for a broadcast query set (the exact

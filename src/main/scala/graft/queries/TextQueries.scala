@@ -1387,7 +1387,115 @@ object TextQueries {
        |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
   }
 
+  // ---- q127: BPE encode (tokenizer application) ----
+
+  /** Word boundary inside the per-DOC tokenization string: U+001E
+    * (record separator). A merge pattern `sep·l·sep·sep·r·sep` can
+    * never straddle it — the boundary between two word reps reads
+    * `…·sep·RS·sep·…`, which contains no `sep·sep` — so merges stay
+    * word-local exactly as in training. */
+  private val BpeWordSep = "\u001e"
+
+  /** q127: APPLY the q122-learned merge table to the corpus — the
+    * tokenizer-encode half of the train/apply pair — and emit per-doc
+    * BPE token counts (the number a packing/pricing/curriculum stage
+    * consumes). Training runs first (vocabulary-sized, q122's shape);
+    * the learned 20-row merge table then becomes LITERALS in a chain of
+    * 20 built-in `replace` calls over a single per-doc tokenization
+    * string — the production shape for tokenizer application: merges
+    * ship to executors as a broadcast constant and the encode pass is
+    * MAP-ONLY, one corpus scan, no shuffle at all (the only exchange in
+    * the whole query is the final 500-row doc_id sort).
+    *
+    * Token arithmetic: tokens(word) = (sep·sep occurrences) + 1, so
+    * tokens(doc) = [len(s) − len(replace(s, sep·sep, sep))] + n_words —
+    * integer-only, hash-exact. The oracle re-learns the merge table
+    * with q122's unrolled CTE chain and replays the same 20 replaces,
+    * making this a value-level oracle on the COMPOSED train→encode
+    * pipeline. */
+  def q127BpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeCore(s, Tables.documents(s, dir), BpeMerges)
+
+  /** q127 core over any (doc_id, text) frame — spec entry point. */
+  def bpeEncodeCore(s: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
+    import s.implicits._
+    val sep = BpeSep
+    // train: vocabulary-sized, driver holds the 20-row merge table
+    val merges = bpeMergesCore(s, docs, nMerges)
+      .select($"left_sym", $"right_sym").collect()
+    val words = filter(split($"text", " "),
+      w => w =!= "" && !w.contains(BpeSep))
+    val wordRep = (w: Column) => concat(lit(sep),
+      array_join(
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+        sep + sep),
+      lit(sep))
+    val docRep = array_join(transform(words, wordRep), BpeWordSep)
+    val applied = merges.foldLeft(docRep) { (c, m) =>
+      val (l, r) = (m.getString(0), m.getString(1))
+      call_function("replace", c,
+        lit(sep + l + sep + sep + r + sep), lit(sep + l + r + sep))
+    }
+    docs.select($"doc_id", size(words).as("n_words"),
+        (length(applied) -
+          length(call_function("replace", applied, lit(sep + sep), lit(sep))) +
+          size(words)).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: q122's learning CTEs (p1..p20) + the same 20 unrolled
+    * replaces over the per-doc representation. */
+  lazy val q127Sql: String = {
+    val S = "chr(31)"
+    val R = "chr(30)"
+    def learnStage(k: Int): String = {
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s""",
+         |p$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+         |    FROM (SELECT freq, string_split(substring(s, 1 + len($S), len(s) - 2*len($S)), $S||$S) AS syms FROM $prev),
+         |         unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT freq, replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
+         |  FROM $prev, p$k p)""".stripMargin
+    }
+    def applyStage(k: Int): String =
+      s""",
+         |a$k AS MATERIALIZED (
+         |  SELECT doc_id, n_words,
+         |    replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
+         |  FROM a${k - 1}, p$k p)""".stripMargin
+    val learn = (1 to BpeMerges).map(learnStage).mkString
+    val app = (1 to BpeMerges).map(applyStage).mkString
+    s"""WITH v AS (
+       |  SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
+       |w0 AS (
+       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
+       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
+       |  FROM v)$learn,
+       |dw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> w <> '' AND strpos(w, $S) = 0) AS ws
+       |  FROM documents),
+       |a0 AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    COALESCE(list_aggr(list_transform(ws,
+       |      w -> $S || list_aggr(list_transform(generate_series(1, len(w)),
+       |             i -> substring(w, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S),
+       |      'string_agg', $R), '') AS s
+       |  FROM dw)$app
+       |SELECT doc_id, n_words,
+       |  (len(s) - len(replace(s, $S||$S, $S)) + n_words) AS n_tokens
+       |FROM a$BpeMerges ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q127_bpe_encode"         -> (q127BpeEncode _),
     "q122_bpe_merges"         -> (q122BpeMerges _),
     "q109_budget_select"      -> (q109BudgetSelect _),
     "q107_quality_classifier" -> (q107QualityClassifier _),
@@ -1414,6 +1522,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q127_bpe_encode"         -> q127Sql,
     "q122_bpe_merges"         -> q122Sql,
     "q109_budget_select"      -> q109Sql,
     "q107_quality_classifier" -> q107Sql,
