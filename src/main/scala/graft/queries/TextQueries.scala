@@ -1316,12 +1316,24 @@ object TextQueries {
   /** q122 core over any (text) frame — spec entry point. */
   def bpeMergesCore(s: SparkSession, docsIn: DataFrame, nMerges: Int): DataFrame = {
     import s.implicits._
+    bpeTrain(s, docsIn, nMerges)._1
+      .toDF("rank", "left_sym", "right_sym", "pair_freq")
+      .orderBy($"rank")
+  }
+
+  /** Shared BPE training loop: returns the learned merge table AND the
+    * final per-word-TYPE tokenization state (word, freq, s) — q122 ships
+    * the former; q127 reuses the latter so encode never re-derives what
+    * training already computed. */
+  private def bpeTrain(s: SparkSession, docsIn: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import s.implicits._
     val sep = BpeSep
     val vocab = docsIn
       .select(explode(split($"text", " ")).as("word"))
       .where($"word" =!= "" && !$"word".contains(sep))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-    var cur = vocab.select($"freq",
+    var cur = vocab.select($"word", $"freq",
       concat(lit(sep),
         concat_ws(sep + sep,
           transform(sequence(lit(1), length($"word")), i => $"word".substr(i, lit(1)))),
@@ -1352,8 +1364,7 @@ object TextQueries {
         k += 1
       }
     }
-    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_freq")
-      .orderBy($"rank")
+    (merges.toSeq, cur)
   }
 
   val q122Sql: String = {
@@ -1389,30 +1400,33 @@ object TextQueries {
 
   // ---- q127: BPE encode (tokenizer application) ----
 
-  /** Word boundary inside the per-DOC tokenization string: U+001E
-    * (record separator). A merge pattern `sep·l·sep·sep·r·sep` can
-    * never straddle it — the boundary between two word reps reads
-    * `…·sep·RS·sep·…`, which contains no `sep·sep` — so merges stay
-    * word-local exactly as in training. */
-  private val BpeWordSep = "\u001e"
+  // Word boundary in the ORACLE's per-doc replay strings: U+001E
+  // (chr(30)). A merge pattern sep-l-sep-sep-r-sep can never straddle
+  // it: the boundary between two word reps reads ...sep RS sep..., which
+  // contains no sep-sep, so the replay's merges stay word-local exactly
+  // as in training -- matching the per-word-TYPE Spark encode, where no
+  // joint per-doc string exists at all.
 
-  /** q127: APPLY the q122-learned merge table to the corpus — the
-    * tokenizer-encode half of the train/apply pair — and emit per-doc
-    * BPE token counts (the number a packing/pricing/curriculum stage
-    * consumes). Training runs first (vocabulary-sized, q122's shape);
-    * the learned 20-row merge table then becomes LITERALS in a chain of
-    * 20 built-in `replace` calls over a single per-doc tokenization
-    * string — the production shape for tokenizer application: merges
-    * ship to executors as a broadcast constant and the encode pass is
-    * MAP-ONLY, one corpus scan, no shuffle at all (the only exchange in
-    * the whole query is the final 500-row doc_id sort).
+  /** q127: APPLY the q122-learned tokenizer to the corpus — the encode
+    * half of the train/apply pair — and emit per-doc BPE token counts
+    * (the number a packing/pricing/curriculum stage consumes).
     *
-    * Token arithmetic: tokens(word) = (sep·sep occurrences) + 1, so
-    * tokens(doc) = [len(s) − len(replace(s, sep·sep, sep))] + n_words —
-    * integer-only, hash-exact. The oracle re-learns the merge table
-    * with q122's unrolled CTE chain and replays the same 20 replaces,
-    * making this a value-level oracle on the COMPOSED train→encode
-    * pipeline. */
+    * BPE merges are word-local, so tokenize each word TYPE exactly once:
+    * the training loop's final state already holds every word's fully-
+    * merged representation, so encode is a per-TYPE token count
+    * (vocabulary-sized, zero extra merge work) broadcast-joined to the
+    * exploded corpus and summed per doc — the production shape, where
+    * the tokenizer's word cache does the merging and the corpus pass is
+    * one explode + one aggregation shuffle. (The alternative — replaying
+    * the 20 merges as chained `replace`s over per-doc strings — re-does
+    * per-TOKEN work per OCCURRENCE and measured 2× slower at sf0.1.)
+    *
+    * Token arithmetic: tokens(word) = (sep·sep occurrences in its final
+    * representation) + 1 — integer-only, hash-exact. The oracle
+    * re-learns the merge table with q122's unrolled CTE chain and
+    * replays the replaces over per-DOC strings (word-boundary sentinels
+    * keep merges word-local), independently deriving the same counts —
+    * a value-level oracle on the COMPOSED train→encode pipeline. */
   def q127BpeEncode(s: SparkSession, dir: String): DataFrame =
     bpeEncodeCore(s, Tables.documents(s, dir), BpeMerges)
 
@@ -1420,26 +1434,23 @@ object TextQueries {
   def bpeEncodeCore(s: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
     import s.implicits._
     val sep = BpeSep
-    // train: vocabulary-sized, driver holds the 20-row merge table
-    val merges = bpeMergesCore(s, docs, nMerges)
-      .select($"left_sym", $"right_sym").collect()
+    val (_, trained) = bpeTrain(s, docs, nMerges)
+    // per-word-TYPE token count from the final training state
+    val wtok = trained.select($"word",
+      (length($"s") -
+        length(call_function("replace", $"s", lit(sep + sep), lit(sep))) +
+        1).as("n_tok"))
     val words = filter(split($"text", " "),
       w => w =!= "" && !w.contains(BpeSep))
-    val wordRep = (w: Column) => concat(lit(sep),
-      array_join(
-        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
-        sep + sep),
-      lit(sep))
-    val docRep = array_join(transform(words, wordRep), BpeWordSep)
-    val applied = merges.foldLeft(docRep) { (c, m) =>
-      val (l, r) = (m.getString(0), m.getString(1))
-      call_function("replace", c,
-        lit(sep + l + sep + sep + r + sep), lit(sep + l + r + sep))
-    }
-    docs.select($"doc_id", size(words).as("n_words"),
-        (length(applied) -
-          length(call_function("replace", applied, lit(sep + sep), lit(sep))) +
-          size(words)).as("n_tokens"))
+    val perDoc = docs.select($"doc_id", explode(words).as("word"))
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_tok").as("n_tokens"))
+    // zero-word docs drop out of the explode; restore them as (0, 0)
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"))
       .orderBy($"doc_id")
   }
 

@@ -50,26 +50,26 @@ class HybridRrfSpec extends SparkSuite {
     // vocab: ab×4, cd×1 → merge1 = (a,b), merge2 = (c,d), then exhausted
     val docs = Seq((1L, "ab ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
     val byId = TextQueries.bpeEncodeCore(spark, docs, 20)
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
-    assert(byId(1L) == ((3, 3)), s"doc1: 3 words, 3 fully-merged tokens: $byId")
-    assert(byId(2L) == ((2, 2)), s"doc2: 2 words, 2 fully-merged tokens: $byId")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(1L) == ((3L, 3L)), s"doc1: 3 words, 3 fully-merged tokens: $byId")
+    assert(byId(2L) == ((2L, 2L)), s"doc2: 2 words, 2 fully-merged tokens: $byId")
   }
 
   test("q127 word-boundary safety: a learned merge never fires across words") {
     // merge (a,b) is learned from 'ab'; the document 'b a' must stay 2 tokens
     val docs = Seq((1L, "ab ab ab b a")).toDF("doc_id", "text")
     val byId = TextQueries.bpeEncodeCore(spark, docs, 20)
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // 3×'ab' → 1 token each after the (a,b) merge; 'b' and 'a' stay 1 each
-    assert(byId(1L) == ((5, 5)), s"got $byId")
+    assert(byId(1L) == ((5L, 5L)), s"got $byId")
   }
 
   test("q127 zero merges: token count equals character count of the words") {
     val docs = Seq((1L, "abc de"), (2L, "")).toDF("doc_id", "text")
     val byId = TextQueries.bpeEncodeCore(spark, docs, 0)
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
-    assert(byId(1L) == ((2, 5)), s"2 words, 5 chars = 5 tokens: $byId")
-    assert(byId(2L) == ((0, 0)), s"empty doc: 0 words, 0 tokens: $byId")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(1L) == ((2L, 5L)), s"2 words, 5 chars = 5 tokens: $byId")
+    assert(byId(2L) == ((0L, 0L)), s"empty doc: 0 words, 0 tokens: $byId")
   }
 
   test("q127 invariants on real data: n_words <= n_tokens <= word chars") {
