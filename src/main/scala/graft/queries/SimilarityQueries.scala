@@ -1181,7 +1181,135 @@ object SimilarityQueries {
        |  TRUE AS resid_nonneg
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---- q128: binary-quantized ANN (Hamming shortlist → exact refine) ----
+
+  /** Bits per packed half-word: 64 dims split into two 32-bit halves so
+    * every packed value stays far below the BIGINT sign bit on both
+    * engines (a 64-bit pack would need bit 63 and make the word sign
+    * itself engine-visible). */
+  val BinHalf = 32
+
+  /** Hamming shortlist over-fetch: the binary stage keeps
+    * TopK·[[BinOverFetch]] candidates per query for exact re-ranking —
+    * wider than q123's ADC over-fetch because 1 bit/dim ranks coarser
+    * than 4 bits/subspace. */
+  val BinOverFetch = 8
+
+  /** q128: binary sign-quantized ANN — the MOST compressed tier of the
+    * family (q30 exact floats 256 B/vec → q95 SQ8 64 B → q111 PQ 8 B →
+    * here 8 B as two packed bit-words, with a two-instruction distance).
+    * Each dimension becomes one bit: x > (lo+hi)/2, the exact per-dim
+    * midpoint of the corpus min/max (q95's stats pass — exact IEEE ops,
+    * so the BITS are engine-identical). Bits pack into two 32-bit
+    * half-words; candidate ranking is the Hamming distance
+    * `bit_count(xor)` — the same codegen'd primitive q86's SimHash
+    * banding uses — and the shortlist is re-ranked by exact float cosine
+    * (the q123 refine recipe), so the final answer is value-level exact
+    * against DuckDB end to end.
+    *
+    * Scale: stats are ONE row broadcast; packing is map-only; the scan
+    * reads 16 bytes/vector (with q118's codes-at-ingest layout, a stored
+    * column) and the distance is two XOR+POPCNT pairs — memory-bandwidth
+    * bound, ~16× less of it than the SQ8 scan; one k·c-row-per-query
+    * top-k shuffle; the float table is touched only for the broadcast
+    * shortlist join. Recall vs the q30 exact truth is MEASURED in
+    * BinaryAnnSpec (and == brute force at corpus-sized over-fetch), not
+    * assumed. */
+  def q128BinaryAnn(s: SparkSession, dir: String): DataFrame =
+    binCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      BinOverFetch)
+
+  /** Per-dim midpoint threshold bits packed into (w0, w1) — 32 dims per
+    * half-word, bit j-1 of w0 = dim j above midpoint. Map-only against
+    * the broadcast 1-row stats (q95's sq8Stats). */
+  private[graft] def binEncode(df: DataFrame, stats: DataFrame): DataFrame = {
+    def half(offset: Int): Column =
+      (1 to BinHalf).map { j =>
+        val d = offset + j
+        val mid = (element_at(col("lo"), d) + element_at(col("hi"), d)) / lit(2.0)
+        when(element_at(col("embedding"), d).cast("double") > mid,
+          lit(1L << (j - 1))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    df.crossJoin(broadcast(stats))
+      .select(col("vec_id"), half(0).as("w0"), half(BinHalf).as("w1"))
+  }
+
+  /** q128 body over any (vec_id, embedding) frame with a configurable
+    * over-fetch (BinaryAnnSpec uses corpus-sized over-fetch for the
+    * exactness bound). */
+  private[graft] def binCore(s: SparkSession, emb: DataFrame,
+      overFetch: Int): DataFrame = {
+    import s.implicits._
+    val stats = sq8Stats(emb)
+      .localCheckpoint(false) // 1 row, two encode consumers (§9 note)
+    val corpus = binEncode(emb, stats)
+    val qwords = binEncode(emb.where($"vec_id" < NumQueries), stats)
+      .select($"vec_id".as("query_id"), $"w0".as("qw0"), $"w1".as("qw1"))
+    // two XOR+POPCNT pairs — codegen'd builtins, no UDF, no HOF
+    val ham = (expr("bit_count(w0 ^ qw0)") + expr("bit_count(w1 ^ qw1)"))
+      .cast("long")
+    val ws = Window.partitionBy($"query_id")
+      .orderBy($"hamming".asc, $"neighbor_id".asc)
+    val shortlist = corpus.join(broadcast(qwords), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), ham.as("hamming"))
+      .withColumn("srn", row_number().over(ws))
+      .where($"srn" <= TopK * overFetch)
+      .select($"query_id", $"neighbor_id")
+    // exact refine on the shortlist only (the q123 recipe)
+    val en = emb.withColumn("en2", norm2($"embedding"))
+    val qs = en.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"en2".as("qn2"))
+    val sim6 = round(cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    en.join(broadcast(shortlist), $"vec_id" === $"neighbor_id")
+      .join(broadcast(qs), Seq("query_id"))
+      .select($"query_id", $"neighbor_id", sim6.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_id", $"rn")
+  }
+
+  val q128Sql: String = {
+    val cos = sqlCosine("q.embedding", "e.embedding")
+    s"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+       |             unnest(generate_series(1, len(embedding))) AS d
+       |           FROM embeddings),
+       |st AS (SELECT d, (MIN(CAST(x AS DOUBLE)) + MAX(CAST(x AS DOUBLE))) / 2.0 AS mid
+       |       FROM e GROUP BY d),
+       |wv AS (SELECT e.vec_id,
+       |         CAST(SUM(CASE WHEN e.d <= $BinHalf AND CAST(e.x AS DOUBLE) > st.mid
+       |           THEN CAST(1 AS BIGINT) << (e.d - 1) ELSE 0 END) AS BIGINT) AS w0,
+       |         CAST(SUM(CASE WHEN e.d > $BinHalf AND CAST(e.x AS DOUBLE) > st.mid
+       |           THEN CAST(1 AS BIGINT) << (e.d - ${BinHalf + 1}) ELSE 0 END) AS BIGINT) AS w1
+       |       FROM e JOIN st USING (d) GROUP BY 1),
+       |qw AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1 FROM wv
+       |       WHERE vec_id < $NumQueries),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         CAST(bit_count(xor(c.w0, q.qw0))
+       |            + bit_count(xor(c.w1, q.qw1)) AS BIGINT) AS hamming
+       |       FROM wv c JOIN qw q ON c.vec_id <> q.query_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY hamming ASC, neighbor_id ASC) AS srn
+       |    FROM sc)
+       |  WHERE srn <= ${TopK * BinOverFetch}),
+       |q2 AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |       WHERE vec_id < $NumQueries)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT s.query_id, s.neighbor_id, round($cos, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY round($cos, 6) DESC, s.neighbor_id ASC) AS rn
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.neighbor_id
+       |  JOIN q2 q ON q.query_id = s.query_id)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q128_binary_ann"       -> (q128BinaryAnn _),
     "q123_refine_ann"       -> (q123RefineAnn _),
     "q121_pca_project"      -> (q121PcaProject _),
     "q120_filtered_ann"     -> (q120FilteredAnn _),
@@ -1199,6 +1327,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q128_binary_ann"       -> q128Sql,
     "q123_refine_ann"       -> q123Sql,
     "q121_pca_project"      -> q121Sql,
     "q120_filtered_ann"     -> q120Sql,
