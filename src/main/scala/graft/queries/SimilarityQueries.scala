@@ -1308,7 +1308,88 @@ object SimilarityQueries {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  // ---- q129: MaxSim late-interaction retrieval (multi-vector docs) ----
+
+  /** Vectors per pseudo-passage: consecutive vec_ids group into
+    * multi-vector documents (the ColBERT layout — one embedding per
+    * token/span, many per document). */
+  val MaxSimM = 4
+  /** Multi-vector query documents: pseudo-docs 0..2 (vec_id < 12). */
+  val MaxSimQDocs = 3
+
+  /** q129: late-interaction (MaxSim) retrieval — the MULTI-VECTOR
+    * retrieval semantic the single-vector family (q30..q128) cannot
+    * express: a document is a SET of vectors, and its score against a
+    * multi-vector query is Σ over query positions of the MAX member
+    * cosine — each query vector independently finds its best-matching
+    * span, so a passage matching all facets of the query beats one
+    * matching a single facet strongly.
+    *
+    * Engine-exactness: member cosines are rounded to 6 dp BEFORE the max
+    * (selection over exact values — an ulp disagreement can never flip
+    * the argmax result value), and the per-position maxima are added in
+    * FIXED positional order m0+m1+m2+m3 (both engines run the identical
+    * left-associated IEEE double chain), so the scores — and the full
+    * ranking with doc-id tie-break — are value-level exact vs DuckDB.
+    *
+    * Scale: the query side is [[MaxSimQDocs]]·[[MaxSimM]] vectors —
+    * broadcast; the corpus is scanned ONCE map-side (|corpus|·|qvecs|
+    * codegen'd cosines), and ONE aggregation shuffle on (query_doc,
+    * doc) reduces member rows straight to the per-position maxima via
+    * max(CASE) — no intermediate per-position exchange, no all-pairs
+    * doc×doc term anywhere. At 100 TB the shortlist trick composes: run
+    * q128/q111 per member vector first and MaxSim only the candidate
+    * union, the PLAID two-stage shape. */
+  def q129MaxSim(s: SparkSession, dir: String): DataFrame =
+    maxSimCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  private[graft] def maxSimCore(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val vecs = emb.select(expr(s"vec_id div $MaxSimM").as("doc"),
+        ($"vec_id" % MaxSimM).as("pos"), $"embedding",
+        norm2($"embedding").as("n2"))
+    val qs = vecs.where($"doc" < MaxSimQDocs)
+      .select($"doc".as("query_doc"), $"pos".as("qpos"),
+        $"embedding".as("qe"), $"n2".as("qn2"))
+    val c6 = round(cosinePre($"qe", $"embedding", $"qn2", $"n2"), 6)
+    def m(i: Int): Column = max(when($"qpos" === i, $"c")).as(s"m$i")
+    val w = Window.partitionBy($"query_doc").orderBy($"score".desc, $"doc".asc)
+    vecs.join(broadcast(qs), $"doc" =!= $"query_doc")
+      .select($"query_doc", $"qpos", $"doc", c6.as("c"))
+      .groupBy($"query_doc", $"doc")
+      .agg(m(0), m(1), m(2), m(3))
+      .select($"query_doc", $"doc",
+        round($"m0" + $"m1" + $"m2" + $"m3", 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_doc", $"rn")
+  }
+
+  val q129Sql: String = {
+    val cos = sqlCosine("q.embedding", "v.embedding")
+    s"""WITH vecs AS (SELECT vec_id // $MaxSimM AS doc, vec_id % $MaxSimM AS pos,
+       |                embedding FROM embeddings),
+       |q AS (SELECT doc AS query_doc, pos AS qpos, embedding FROM vecs
+       |      WHERE doc < $MaxSimQDocs),
+       |pairs AS (SELECT q.query_doc, q.qpos, v.doc, round($cos, 6) AS c
+       |          FROM vecs v JOIN q ON v.doc <> q.query_doc),
+       |sc AS (SELECT query_doc, doc,
+       |         round(MAX(CASE WHEN qpos = 0 THEN c END)
+       |             + MAX(CASE WHEN qpos = 1 THEN c END)
+       |             + MAX(CASE WHEN qpos = 2 THEN c END)
+       |             + MAX(CASE WHEN qpos = 3 THEN c END), 6) AS score
+       |       FROM pairs GROUP BY 1, 2)
+       |SELECT query_doc, doc, score, rn FROM (
+       |  SELECT query_doc, doc, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_doc
+       |      ORDER BY score DESC, doc ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= $TopK
+       |ORDER BY query_doc, rn""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q129_maxsim"           -> (q129MaxSim _),
     "q128_binary_ann"       -> (q128BinaryAnn _),
     "q123_refine_ann"       -> (q123RefineAnn _),
     "q121_pca_project"      -> (q121PcaProject _),
@@ -1327,6 +1408,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q129_maxsim"           -> q129Sql,
     "q128_binary_ann"       -> q128Sql,
     "q123_refine_ann"       -> q123Sql,
     "q121_pca_project"      -> q121Sql,
