@@ -333,6 +333,21 @@ object Profile {
       SimilarityQueries.pcaModelFrame(spark, embCols10); ()
     }
 
+    // q128: stats are one row, packing map-only, and the Hamming scan is
+    // two XOR+POPCNT pairs per (query, vector) — expect ~linear in the
+    // corpus, with the refine stage fixed at q·k·overfetch rows.
+    time("q128 binary ann (core) on 1x")(
+      noop(SimilarityQueries.binCore(spark, embCols, SimilarityQueries.BinOverFetch)))
+    time("q128 binary ann (core) on 10x")(
+      noop(SimilarityQueries.binCore(spark, embCols10, SimilarityQueries.BinOverFetch)))
+    // q129: member cosines are map-side against the broadcast query
+    // vectors; the single aggregation reduces members straight to
+    // per-position maxima — expect ~linear in corpus members.
+    time("q129 maxsim (core) on 1x")(
+      noop(SimilarityQueries.maxSimCore(spark, embCols)))
+    time("q129 maxsim (core) on 10x")(
+      noop(SimilarityQueries.maxSimCore(spark, embCols10)))
+
     // OPQ-lite probe: product quantization assumes the subspaces carry
     // comparable energy; a PCA rotation (q121's basis is orthonormal, so
     // cosine ranking is invariant) redistributes variance across the 8
