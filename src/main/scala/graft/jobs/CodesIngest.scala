@@ -12,12 +12,14 @@ import graft.queries.SimilarityQueries
   * touches only code bytes — never the float corpus.
   *
   * Two tables per corpus:
-  *  - `<prefix>_codes` — (vec_id, codes[64] SQ8, pq[8]) BUCKETED by
-  *    vec_id ([[graft.io.Bucketing]]): the pq column is 8 small ints/row
-  *    (the 32× byte reduction vs floats the ADC scan rides — parquet
-  *    column pruning means an ADC query reads ONLY vec_id+pq); the codes
-  *    column serves query-side LUT builds (pruned to the query rows by a
-  *    vec_id pushdown) and SQ8 rescoring.
+  *  - `<prefix>_codes` — (vec_id, codes[64] SQ8, pq[8], w0/w1 packed
+  *    bits) BUCKETED by vec_id ([[graft.io.Bucketing]]): the pq column
+  *    is 8 small ints/row (the 32× byte reduction vs floats the ADC
+  *    scan rides — parquet column pruning means an ADC query reads ONLY
+  *    vec_id+pq); the codes column serves query-side LUT builds (pruned
+  *    to the query rows by a vec_id pushdown) and SQ8 rescoring; w0/w1
+  *    are q128's two 32-bit binary sign words (16 B/row — the Hamming
+  *    scan tier, q130, reads ONLY vec_id+w0+w1).
   *  - `<prefix>_codebook` — the trained (m, k, cent) PQ codebook, M·K
   *    rows, broadcast by every consumer.
   *
@@ -81,8 +83,10 @@ object CodesIngest {
         s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
       loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     }
+    val words = SimilarityQueries.binEncode(emb, stats)
     Bucketing.writeBucketed(
-      codes.join(pq, Seq("vec_id")).select($"vec_id", $"codes", $"pq"),
+      codes.join(pq, Seq("vec_id")).join(words, Seq("vec_id"))
+        .select($"vec_id", $"codes", $"pq", $"w0", $"w1"),
       codesT, "vec_id", Buckets)
     cents.write.mode("overwrite").format("parquet").saveAsTable(cbT)
     (codesT, cbT)

@@ -1236,14 +1236,24 @@ object SimilarityQueries {
 
   /** q128 body over any (vec_id, embedding) frame with a configurable
     * over-fetch (BinaryAnnSpec uses corpus-sized over-fetch for the
-    * exactness bound). */
+    * exactness bound): encode in-plan, then search. */
   private[graft] def binCore(s: SparkSession, emb: DataFrame,
       overFetch: Int): DataFrame = {
-    import s.implicits._
     val stats = sq8Stats(emb)
-      .localCheckpoint(false) // 1 row, two encode consumers (§9 note)
-    val corpus = binEncode(emb, stats)
-    val qwords = binEncode(emb.where($"vec_id" < NumQueries), stats)
+      .localCheckpoint(false) // 1 row, consumed by one encode pass
+    binSearch(s, binEncode(emb, stats), emb, overFetch)
+  }
+
+  /** Search over an already-packed (vec_id, w0, w1) frame — the shared
+    * body of q128 (in-plan encode) and q130 (stored words): Hamming
+    * shortlist from the words alone, exact-cosine refine against the
+    * float frame. The query-side words prune from the same words frame
+    * (vec_id < NumQueries — a pushed filter on the stored table). */
+  private[graft] def binSearch(s: SparkSession, words: DataFrame,
+      emb: DataFrame, overFetch: Int): DataFrame = {
+    import s.implicits._
+    val corpus = words.select($"vec_id", $"w0", $"w1")
+    val qwords = corpus.where($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"w0".as("qw0"), $"w1".as("qw1"))
     // two XOR+POPCNT pairs — codegen'd builtins, no UDF, no HOF
     val ham = (expr("bit_count(w0 ^ qw0)") + expr("bit_count(w1 ^ qw1)"))
@@ -1306,6 +1316,24 @@ object SimilarityQueries {
        |  JOIN q2 q ON q.query_id = s.query_id)
        |WHERE rn <= $TopK
        |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** q130: q128's binary search run against the INGESTED packed words
+    * ([[graft.jobs.CodesIngest]] stores w0/w1 next to the SQ8/PQ codes)
+    * — the q118 pattern applied to the cheapest tier: the COARSE stage
+    * reads ONLY (vec_id, w0, w1) — 16 bytes/vector via parquet column
+    * pruning, the float `embedding` column absent from the codes-table
+    * scan (PlanSpec pins the read schema) — and the query-side words
+    * prune to the [[NumQueries]] rows by a pushed vec_id filter. Floats
+    * are read exactly once, by the broadcast refine join. Oracle =
+    * q128's SQL verbatim: the stored words reproduce the in-plan
+    * packing bit for bit (they are exact integers), so the ranking is
+    * value-level identical — an oracle on a MATERIALIZED binary index. */
+  def q130BinCodesAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (codesT, _) = graft.jobs.CodesIngest.ingest(s, dir)
+    binSearch(s, s.table(codesT).select($"vec_id", $"w0", $"w1"),
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"), BinOverFetch)
   }
 
   // ---- q129: MaxSim late-interaction retrieval (multi-vector docs) ----
@@ -1389,6 +1417,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q130_bin_codes_ann"    -> (q130BinCodesAnn _),
     "q129_maxsim"           -> (q129MaxSim _),
     "q128_binary_ann"       -> (q128BinaryAnn _),
     "q123_refine_ann"       -> (q123RefineAnn _),
@@ -1408,6 +1437,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q130_bin_codes_ann"    -> q128Sql, // identical ranking from stored words
     "q129_maxsim"           -> q129Sql,
     "q128_binary_ann"       -> q128Sql,
     "q123_refine_ann"       -> q123Sql,

@@ -306,4 +306,29 @@ class PlanSpec extends SparkSuite {
     val q111 = SimilarityQueries.q111PqAdcAnn(spark, sf0001)
     assert(df.exceptAll(q111).isEmpty && q111.exceptAll(df).isEmpty)
   }
+
+  test("q130: Hamming stage reads only the packed words (binary codes-at-ingest)") {
+    val df = SimilarityQueries.q130BinCodesAnn(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val schemas = scans.map(_.requiredSchema.fieldNames.toSet)
+    // the coarse (Hamming) stage reads 16 B/vector: vec_id + two words —
+    // neither the float corpus nor the SQ8/PQ code columns
+    assert(schemas.exists(_ == Set("vec_id", "w0", "w1")),
+      s"no words-only scan found: $schemas")
+    assert(schemas.forall(s => !s.contains("codes") && !s.contains("pq")),
+      s"code columns leaked into the binary search: $schemas")
+    // floats appear ONLY via the refine join against the embeddings table
+    val floatScans = scans.filter(_.requiredSchema.fieldNames.contains("embedding"))
+    assert(floatScans.nonEmpty, "refine stage must read the float table")
+    // the query-side word prune is pushed to the stored table's scan
+    val qScan = scans.find(_.metadata("PushedFilters").contains("LessThan(vec_id"))
+    assert(qScan.isDefined, s"query-row filter not pushed: " +
+      scans.map(_.metadata("PushedFilters")))
+    // and the stored-words ranking equals the in-plan q128 ranking
+    val q128 = SimilarityQueries.q128BinaryAnn(spark, sf0001)
+    assert(df.exceptAll(q128).isEmpty && q128.exceptAll(df).isEmpty)
+  }
 }
