@@ -24,6 +24,18 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table — the incremental-ingest path.
+    * The bucket spec must match the original write (Spark enforces it),
+    * so appended rows land in the right buckets and co-located joins
+    * stay exchange-free across increments. */
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("append")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two same-bucketed tables on their bucket key — planner emits a
     * SortMergeJoin with NO shuffle on either side. */
   def cotableJoin(spark: SparkSession, left: String, right: String,

@@ -47,7 +47,12 @@ object CodesIngest {
     ingestFrame(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
       tablePrefix(dir))
 
-  /** Ingest an arbitrary (vec_id, embedding) frame under `prefix`.
+  /** Ingest an arbitrary (vec_id, embedding) frame under `prefix`. The
+    * frame must contain the codebook seed rows (vec_id <
+    * [[SimilarityQueries.PqK]] — q111's seeding rule, kept a map-only
+    * filter rather than a rank so training never adds a corpus-sized
+    * shuffle); increments arriving later via [[appendBatch]] have no
+    * such constraint.
     *
     * Serialized on a JVM-wide lock, and a table pair already present in
     * THIS session's catalog is reused rather than rebuilt: the prefix is
@@ -66,6 +71,11 @@ object CodesIngest {
       else buildTables(s, emb, codesT, cbT)
     }
 
+  /** Frozen-encoder state: the 1-row per-dim lo/hi stats table written
+    * beside the codes — incremental appends encode against THESE stats
+    * (and the stored codebook), never retraining. */
+  def statsTable(prefix: String): String = s"${prefix}_stats"
+
   private def buildTables(s: SparkSession, emb: DataFrame,
       codesT: String, cbT: String): (String, String) = {
     import s.implicits._
@@ -77,7 +87,7 @@ object CodesIngest {
     // DROP only clears the CURRENT metastore; a managed-table directory
     // left by a previous JVM (fresh derby catalog, persistent warehouse
     // dir) still fails CTAS with LOCATION_ALREADY_EXISTS. Clear both.
-    Seq(codesT, cbT).foreach { t =>
+    Seq(codesT, cbT, statsTable(codesT.stripSuffix("_codes"))).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
@@ -89,6 +99,72 @@ object CodesIngest {
         .select($"vec_id", $"codes", $"pq", $"w0", $"w1"),
       codesT, "vec_id", Buckets)
     cents.write.mode("overwrite").format("parquet").saveAsTable(cbT)
+    stats.write.mode("overwrite").format("parquet")
+      .saveAsTable(statsTable(codesT.stripSuffix("_codes")))
     (codesT, cbT)
+  }
+
+  /** Incremental ingest: encode a batch of NEW (vec_id, embedding) rows
+    * with the FROZEN encoder state (stored stats + codebook — the
+    * standard ANN-index contract: the trainer is fixed at build time,
+    * increments only encode) and append them to the bucketed codes
+    * table, where they land in the right buckets so co-located joins
+    * stay exchange-free across increments.
+    *
+    * SQ8 codes of drifted values (outside the frozen per-dim [lo, hi])
+    * clamp to [0, 255] — the FAISS ScalarQuantizer behavior; binary
+    * bits and PQ assignment are comparisons/argmins, well-defined for
+    * any input. Re-ingest (rebuild) when drift makes the frozen stats
+    * unrepresentative. */
+  def appendBatch(s: SparkSession, newEmb: DataFrame, prefix: String): Unit =
+    CodesIngest.synchronized {
+      import s.implicits._
+      val codesT = s"${prefix}_codes"
+      require(s.catalog.tableExists(codesT),
+        s"appendBatch needs an ingested base table: $codesT")
+      val stats = broadcast(s.table(statsTable(prefix)))
+      val cents = s.table(s"${prefix}_codebook")
+      val codes = SimilarityQueries.sq8Encode(newEmb, stats)
+        .select($"vec_id", transform($"codes", c =>
+          least(greatest(c, lit(0L)), lit(SimilarityQueries.Sq8Levels.toLong)))
+          .as("codes"))
+        .localCheckpoint(false)
+      val pq = SimilarityQueries.pqEncodeCodes(s,
+        SimilarityQueries.subcodeView(s, codes), cents)
+      val words = SimilarityQueries.binEncode(newEmb, stats)
+      Bucketing.appendBucketed(
+        codes.join(pq, Seq("vec_id")).join(words, Seq("vec_id"))
+          .select($"vec_id", $"codes", $"pq", $"w0", $"w1"),
+        codesT, "vec_id", Buckets)
+    }
+
+  /** STREAMING face of the incremental ingest: new embedding batches
+    * landing in a drop dir flow through [[appendBatch]] via
+    * foreachBatch — the index stays searchable (and exchange-free-
+    * joinable) while it grows, and the file-source checkpoint makes
+    * re-delivery idempotent at the batch level. Bounded driver (test
+    * path): processes everything available, then stops. */
+  def appendStreamBounded(s: SparkSession, dropGlob: String,
+      prefix: String, checkpoint: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one append per dropped file
+      .parquet(dropGlob)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) appendBatch(batch.sparkSession, batch, prefix)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the appends ran in foreachBatch's CLONED session; drop the cached
+    // relation (file listing) so readers in the outer session see them
+    s.catalog.refreshTable(s"${prefix}_codes")
   }
 }

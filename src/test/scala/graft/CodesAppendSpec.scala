@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.CodesIngest
+import graft.queries.SimilarityQueries
+
+/** Incremental ANN-index maintenance: streamed appends to the bucketed
+  * codes table encode with the FROZEN stats/codebook, land in the right
+  * buckets, re-deliver idempotently, and stay searchable. */
+class CodesAppendSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("incremental codes ingest: streamed appends match the frozen-stats encode") {
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val prefix = "inc_append_spec"
+    // base corpus = the first 400 vectors (the base MUST contain the
+    // codebook seed rows vec_id < PqK — the documented ingest contract);
+    // the last 100 arrive later, and their values can fall OUTSIDE the
+    // frozen per-dim [lo, hi]
+    val (codesT, _) = CodesIngest.ingestFrame(spark,
+      emb.where($"vec_id" < 400), prefix)
+    assert(spark.table(codesT).count() == 400)
+
+    // two drop files → two micro-batches (maxFilesPerTrigger = 1)
+    val dir = tmpDir("codes_drop")
+    emb.where($"vec_id" >= 400 && $"vec_id" < 450).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    emb.where($"vec_id" >= 450).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    CodesIngest.appendStreamBounded(spark, s"$dir/in", prefix, s"$dir/ckpt")
+
+    val table = spark.table(codesT)
+    assert(table.count() == 500)
+    assert(table.select($"vec_id").distinct().count() == 500)
+
+    // frozen-encoder contract: stored words equal a full encode against
+    // the STORED stats (not stats retrained on the grown corpus)
+    val stats = spark.table(CodesIngest.statsTable(prefix))
+    val expected = SimilarityQueries.binEncode(emb, stats)
+    val stored = table.select($"vec_id", $"w0", $"w1")
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty)
+
+    // drifted values clamp into the code domain (FAISS SQ behavior)
+    val Seq(lo, hi) = table.select(explode($"codes").as("c"))
+      .agg(min($"c"), max($"c")).collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(lo >= 0L && hi <= SimilarityQueries.Sq8Levels.toLong, s"codes out of range: $lo..$hi")
+
+    // re-delivery with the same checkpoint and no new files is a no-op
+    CodesIngest.appendStreamBounded(spark, s"$dir/in", prefix, s"$dir/ckpt")
+    assert(spark.table(codesT).count() == 500)
+
+    // the search face runs over the incrementally-built table and equals
+    // an in-plan search under the same frozen words
+    val viaTable = SimilarityQueries.binSearch(spark, stored, emb,
+      SimilarityQueries.BinOverFetch)
+    val inPlan = SimilarityQueries.binSearch(spark, expected, emb,
+      SimilarityQueries.BinOverFetch)
+    assert(viaTable.exceptAll(inPlan).isEmpty && inPlan.exceptAll(viaTable).isEmpty)
+  }
+}
