@@ -1371,7 +1371,14 @@ object SimilarityQueries {
   def q129MaxSim(s: SparkSession, dir: String): DataFrame =
     maxSimCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
 
-  private[graft] def maxSimCore(s: SparkSession, emb: DataFrame): DataFrame = {
+  private[graft] def maxSimCore(s: SparkSession, emb: DataFrame): DataFrame =
+    maxSimScore(s, emb, cands = None)
+
+  /** The MaxSim scoring tail, optionally restricted to a (query_doc,
+    * doc) candidate frame — q129 scores every pair (cands = None), q131
+    * only the shortlisted ones. */
+  private[graft] def maxSimScore(s: SparkSession, emb: DataFrame,
+      cands: Option[DataFrame]): DataFrame = {
     import s.implicits._
     val vecs = emb.select(expr(s"vec_id div $MaxSimM").as("doc"),
         ($"vec_id" % MaxSimM).as("pos"), $"embedding",
@@ -1379,10 +1386,15 @@ object SimilarityQueries {
     val qs = vecs.where($"doc" < MaxSimQDocs)
       .select($"doc".as("query_doc"), $"pos".as("qpos"),
         $"embedding".as("qe"), $"n2".as("qn2"))
+    val scored = cands match {
+      case None => vecs.join(broadcast(qs), $"doc" =!= $"query_doc")
+      case Some(c) => vecs.join(broadcast(c), Seq("doc"))
+        .join(broadcast(qs), Seq("query_doc"))
+    }
     val c6 = round(cosinePre($"qe", $"embedding", $"qn2", $"n2"), 6)
     def m(i: Int): Column = max(when($"qpos" === i, $"c")).as(s"m$i")
     val w = Window.partitionBy($"query_doc").orderBy($"score".desc, $"doc".asc)
-    vecs.join(broadcast(qs), $"doc" =!= $"query_doc")
+    scored
       .select($"query_doc", $"qpos", $"doc", c6.as("c"))
       .groupBy($"query_doc", $"doc")
       .agg(m(0), m(1), m(2), m(3))
@@ -1391,6 +1403,98 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w))
       .where($"rn" <= TopK)
       .orderBy($"query_doc", $"rn")
+  }
+
+  // ---- q131: two-stage MaxSim (binary member shortlist → exact) ----
+
+  /** Per-query-member Hamming shortlist size for the coarse stage. */
+  val MaxSimShortlist = 40
+
+  /** q131: the PLAID two-stage shape q129's scaladoc promises — the
+    * exact MaxSim runs only on CANDIDATE documents, where a candidate is
+    * any doc owning a member vector in some query member's Hamming
+    * top-[[MaxSimShortlist]] (q128's packed-bit distance over the same
+    * corpus stats). The coarse stage touches 16 bytes/member; the
+    * expensive float scoring then runs on |queries|·|candidates| pairs
+    * instead of the whole corpus — at 100 TB the difference between a
+    * full float scan per query batch and a bounded candidate set.
+    *
+    * Exactness structure: the shortlist is integer Hamming with vec_id
+    * tie-break (engine-exact), and stage 2 is q129's value-level-exact
+    * scoring verbatim, so the oracle composes the two CTE chains
+    * directly. Recall vs single-stage q129 is MEASURED in MaxSimSpec
+    * (== q129 when the shortlist covers the corpus). */
+  def q131MaxSimPruned(s: SparkSession, dir: String): DataFrame =
+    plaidCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      MaxSimShortlist)
+
+  private[graft] def plaidCore(s: SparkSession, emb: DataFrame,
+      shortlistK: Int): DataFrame = {
+    import s.implicits._
+    val stats = sq8Stats(emb).localCheckpoint(false)
+    val words = binEncode(emb, stats)
+    val corpusW = words.select($"vec_id", expr(s"vec_id div $MaxSimM").as("doc"),
+      $"w0", $"w1")
+    val qw = corpusW.where($"doc" < MaxSimQDocs)
+      .select($"doc".as("query_doc"), $"vec_id".as("q_vec"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    val ham = (expr("bit_count(w0 ^ qw0)") + expr("bit_count(w1 ^ qw1)"))
+      .cast("long")
+    val wq = Window.partitionBy($"q_vec").orderBy($"hamming".asc, $"vec_id".asc)
+    val cands = corpusW.join(broadcast(qw), $"doc" =!= $"query_doc")
+      .select($"query_doc", $"q_vec", $"vec_id", $"doc", ham.as("hamming"))
+      .withColumn("srn", row_number().over(wq))
+      .where($"srn" <= shortlistK)
+      .select($"query_doc", $"doc").distinct()
+    maxSimScore(s, emb, Some(cands))
+  }
+
+  val q131Sql: String = {
+    val cos = sqlCosine("q.embedding", "v.embedding")
+    s"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+       |             unnest(generate_series(1, len(embedding))) AS d
+       |           FROM embeddings),
+       |st AS (SELECT d, (MIN(CAST(x AS DOUBLE)) + MAX(CAST(x AS DOUBLE))) / 2.0 AS mid
+       |       FROM e GROUP BY d),
+       |wv AS (SELECT e.vec_id, e.vec_id // $MaxSimM AS doc,
+       |         CAST(SUM(CASE WHEN e.d <= $BinHalf AND CAST(e.x AS DOUBLE) > st.mid
+       |           THEN CAST(1 AS BIGINT) << (e.d - 1) ELSE 0 END) AS BIGINT) AS w0,
+       |         CAST(SUM(CASE WHEN e.d > $BinHalf AND CAST(e.x AS DOUBLE) > st.mid
+       |           THEN CAST(1 AS BIGINT) << (e.d - ${BinHalf + 1}) ELSE 0 END) AS BIGINT) AS w1
+       |       FROM e JOIN st USING (d) GROUP BY 1, 2),
+       |qwv AS (SELECT doc AS query_doc, vec_id AS q_vec, w0 AS qw0, w1 AS qw1
+       |        FROM wv WHERE doc < $MaxSimQDocs),
+       |hsc AS (SELECT q.query_doc, q.q_vec, c.vec_id, c.doc,
+       |          CAST(bit_count(xor(c.w0, q.qw0))
+       |             + bit_count(xor(c.w1, q.qw1)) AS BIGINT) AS hamming
+       |        FROM wv c JOIN qwv q ON c.doc <> q.query_doc),
+       |cand AS (SELECT DISTINCT query_doc, doc FROM (
+       |    SELECT query_doc, doc,
+       |      ROW_NUMBER() OVER (PARTITION BY q_vec
+       |        ORDER BY hamming ASC, vec_id ASC) AS srn
+       |    FROM hsc)
+       |  WHERE srn <= $MaxSimShortlist),
+       |vecs AS (SELECT vec_id // $MaxSimM AS doc, vec_id % $MaxSimM AS pos,
+       |           embedding FROM embeddings),
+       |q AS (SELECT doc AS query_doc, pos AS qpos, embedding FROM vecs
+       |      WHERE doc < $MaxSimQDocs),
+       |pairs AS (SELECT cd.query_doc, q.qpos, v.doc, round($cos, 6) AS c
+       |          FROM cand cd
+       |          JOIN vecs v ON v.doc = cd.doc
+       |          JOIN q ON q.query_doc = cd.query_doc),
+       |sc AS (SELECT query_doc, doc,
+       |         round(MAX(CASE WHEN qpos = 0 THEN c END)
+       |             + MAX(CASE WHEN qpos = 1 THEN c END)
+       |             + MAX(CASE WHEN qpos = 2 THEN c END)
+       |             + MAX(CASE WHEN qpos = 3 THEN c END), 6) AS score
+       |       FROM pairs GROUP BY 1, 2)
+       |SELECT query_doc, doc, score, rn FROM (
+       |  SELECT query_doc, doc, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_doc
+       |      ORDER BY score DESC, doc ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= $TopK
+       |ORDER BY query_doc, rn""".stripMargin
   }
 
   val q129Sql: String = {
@@ -1417,6 +1521,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q131_maxsim_pruned"    -> (q131MaxSimPruned _),
     "q130_bin_codes_ann"    -> (q130BinCodesAnn _),
     "q129_maxsim"           -> (q129MaxSim _),
     "q128_binary_ann"       -> (q128BinaryAnn _),
@@ -1437,6 +1542,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q131_maxsim_pruned"    -> q131Sql,
     "q130_bin_codes_ann"    -> q128Sql, // identical ranking from stored words
     "q129_maxsim"           -> q129Sql,
     "q128_binary_ann"       -> q128Sql,

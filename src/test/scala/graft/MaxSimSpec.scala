@@ -50,6 +50,26 @@ class MaxSimSpec extends SparkSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("q131: corpus-wide member shortlist degenerates to single-stage q129") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val n = emb.count().toInt
+    val pruned = SimilarityQueries.plaidCore(spark, emb, n).collect()
+    val full = SimilarityQueries.maxSimCore(spark, emb).collect()
+    assert(pruned.map(_.toString).sorted.toSeq == full.map(_.toString).sorted.toSeq)
+  }
+
+  test("q131: measured recall@5 of the pruned two-stage vs single-stage q129") {
+    def ids(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = ids(SimilarityQueries.q129MaxSim(spark, sf0001).collect())
+    val pruned = ids(SimilarityQueries.q131MaxSimPruned(spark, sf0001).collect())
+    val recall = pruned.count(full.contains).toDouble / full.size
+    info(f"q131 recall@5 vs q129: $recall%.3f")
+    assert(recall > 0.5, s"two-stage recall too low: $recall")
+    assert(pruned.groupBy(_._1).forall(_._2.size == SimilarityQueries.TopK))
+  }
+
   test("q129: score equals hand-computed MaxSim for one (query, doc) pair") {
     val emb = Tables.embeddings(spark, sf0001)
       .select($"vec_id", $"embedding").collect()
