@@ -347,6 +347,13 @@ object Profile {
       noop(SimilarityQueries.maxSimCore(spark, embCols)))
     time("q129 maxsim (core) on 10x")(
       noop(SimilarityQueries.maxSimCore(spark, embCols10)))
+    // q131: the coarse member shortlist is fixed-size per query member,
+    // so the float-scoring stage stays candidate-sized as the corpus
+    // grows — the growing term is the packed-bit member scan.
+    time("q131 maxsim 2-stage (core) on 1x")(
+      noop(SimilarityQueries.plaidCore(spark, embCols, SimilarityQueries.MaxSimShortlist)))
+    time("q131 maxsim 2-stage (core) on 10x")(
+      noop(SimilarityQueries.plaidCore(spark, embCols10, SimilarityQueries.MaxSimShortlist)))
 
     // OPQ-lite probe: product quantization assumes the subspaces carry
     // comparable energy; a PCA rotation (q121's basis is orthonormal, so
