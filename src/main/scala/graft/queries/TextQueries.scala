@@ -1505,7 +1505,134 @@ object TextQueries {
        |FROM a$BpeMerges ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q132: WordPiece greedy encode (longest-match-first) ----
+
+  /** q132: the OTHER subword inference rule — WordPiece's greedy
+    * longest-match-first segmentation (Wu et al. 2016; BERT's
+    * tokenizer), against the vocabulary the q122 training derives
+    * (every corpus word character + each merge's output symbol — the
+    * standard BPE-vocab construction). Greedy longest-match and BPE
+    * merge-order replay (q127) genuinely differ: BPE builds "ab"+"c"
+    * when the (a,b) merge outranks (b,c), while WordPiece takes the
+    * longest vocabulary prefix regardless of how it was learned — so
+    * per-doc piece counts are a DIFFERENT tokenization of the same
+    * corpus (WordpieceSpec pins a disagreeing fixture).
+    *
+    * Execution: segmentation runs ONCE per word TYPE (vocabulary-sized)
+    * through the native [[graft.functions.WordpieceEncode]] expression —
+    * the vocabulary is a plan literal compiled to per-length hash sets,
+    * one static call per word inside whole-stage codegen — then
+    * per-type piece counts broadcast-join the exploded corpus (q127's
+    * shape: the corpus pass is one explode + one aggregation shuffle).
+    * A word with an unseen character becomes the single [UNK] piece
+    * (n_unk counts them; zero on the training corpus by construction).
+    * Oracle: q122's learning CTEs derive the same vocabulary, a
+    * RECURSIVE CTE replays the greedy longest-prefix loop per word
+    * type (each step consumes the longest matching prefix via a
+    * correlated max-length probe), and the same per-doc rollup — a
+    * value-level oracle on the composed train→segment pipeline. */
+  def q132WordpieceEncode(s: SparkSession, dir: String): DataFrame =
+    wordpieceCore(s, Tables.documents(s, dir), BpeMerges)
+
+  /** q132 core over any (doc_id, text) frame — spec entry point. */
+  private[graft] def wordpieceCore(s: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    import s.implicits._
+    val (merges, trained) = bpeTrain(s, docs, nMerges)
+    // the vocabulary ARTIFACT: KB-sized, collected once (the q121
+    // literal-basis precedent) — corpus chars + merge outputs
+    val chars = trained.select(explode(transform(
+        sequence(lit(1), length($"word")), i => $"word".substr(i, lit(1)))).as("p"))
+      .distinct().orderBy($"p").collect().map(_.getString(0)).toSeq
+    val vocab = (chars ++ merges.map(m => m._2 + m._3)).distinct
+    val pieces = graft.functions.WordpieceEncode(s, $"word", vocab)
+    val unk = lit(graft.functions.WordpieceEncode.Unk)
+    val wtok = trained.select($"word", pieces.as("pieces"))
+      .select($"word", size($"pieces").as("np"),
+        size(filter($"pieces", p => p === unk)).as("nu"))
+    val words = filter(split($"text", " "),
+      w => w =!= "" && !w.contains(BpeSep))
+    val perDoc = docs.select($"doc_id", explode(words).as("word"))
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"np").as("n_pieces"), sum($"nu").as("n_unk"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"n_pieces", lit(0L)).as("n_pieces"),
+        coalesce($"n_unk", lit(0L)).as("n_unk"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: q122's learning CTEs → vocabulary → recursive greedy
+    * longest-prefix segmentation per word type → per-doc rollup. */
+  lazy val q132Sql: String = {
+    val S = "chr(31)"
+    def learnStage(k: Int): String = {
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s""",
+         |p$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+         |    FROM (SELECT freq, string_split(substring(s, 1 + len($S), len(s) - 2*len($S)), $S||$S) AS syms FROM $prev),
+         |         unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT freq, replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
+         |  FROM $prev, p$k p)""".stripMargin
+    }
+    val learn = (1 to BpeMerges).map(learnStage).mkString
+    val mergeOut = (1 to BpeMerges)
+      .map(k => s"SELECT l || r AS piece FROM p$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE v AS (
+       |  SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
+       |w0 AS (
+       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
+       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
+       |  FROM v)$learn,
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT substring(word, CAST(i AS INT), 1) AS piece
+       |    FROM v, unnest(generate_series(1, len(word))) AS t(i)
+       |    UNION ALL $mergeOut)),
+       |enc AS (
+       |  SELECT word, word AS rest, 0 AS np, 0 AS nu FROM v
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN l IS NULL THEN '' ELSE substring(rest, CAST(l AS INT) + 1) END,
+       |    CASE WHEN l IS NULL THEN 1 ELSE np + 1 END,
+       |    CASE WHEN l IS NULL THEN 1 ELSE nu END
+       |  FROM (
+       |    -- longest matching prefix via LEFT JOIN + MAX, not a
+       |    -- correlated subquery: inside a recursive arm the engine
+       |    -- resolves a subquery's CTE reference to an EMPTY relation
+       |    -- (observed: every word degraded to [UNK]); the join form
+       |    -- sees the materialized vocabulary correctly
+       |    SELECT e.word, e.rest, e.np, e.nu, MAX(len(p.piece)) AS l
+       |    FROM (SELECT * FROM enc WHERE rest <> '') e
+       |    LEFT JOIN vocab p ON p.piece = substring(e.rest, 1, len(p.piece))
+       |    GROUP BY 1, 2, 3, 4)),
+       |wtok AS (SELECT word, np, nu FROM enc WHERE rest = ''),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    w -> w <> '' AND strpos(w, $S) = 0)) AS word
+       |  FROM documents),
+       |pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(np) AS BIGINT) AS n_pieces, CAST(SUM(nu) AS BIGINT) AS n_unk
+       |  FROM dw JOIN wtok USING (word) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+       |  COALESCE(n_pieces, 0) AS n_pieces, COALESCE(n_unk, 0) AS n_unk
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_wordpiece_encode"   -> (q132WordpieceEncode _),
     "q127_bpe_encode"         -> (q127BpeEncode _),
     "q122_bpe_merges"         -> (q122BpeMerges _),
     "q109_budget_select"      -> (q109BudgetSelect _),
@@ -1533,6 +1660,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q132_wordpiece_encode"   -> q132Sql,
     "q127_bpe_encode"         -> q127Sql,
     "q122_bpe_merges"         -> q122Sql,
     "q109_budget_select"      -> q109Sql,
