@@ -324,6 +324,13 @@ object Profile {
       noop(graft.queries.TextQueries.bpeMergesCore(spark, docsBase, 20)))
     time("q122 bpe merges (core, 20 rounds) on 10x")(
       noop(graft.queries.TextQueries.bpeMergesCore(spark, docs10t, 20)))
+    // q132: segmentation runs once per word TYPE (vocabulary-sized, the
+    // q122 argument); the corpus pays one explode + one agg shuffle —
+    // expect ~flat training term + ~linear rollup term.
+    time("q132 wordpiece encode (core) on 1x")(
+      noop(graft.queries.TextQueries.wordpieceCore(spark, docsBase, 20)))
+    time("q132 wordpiece encode (core) on 10x")(
+      noop(graft.queries.TextQueries.wordpieceCore(spark, docs10t, 20)))
     // q121: the distributed side is one covariance fold (17 KB buffers);
     // the eigensolve is fixed d³ driver work — expect ~linear in the fold.
     time("q121 pca model (frame) on 1x") {
