@@ -1520,7 +1520,85 @@ object SimilarityQueries {
        |ORDER BY query_doc, rn""".stripMargin
   }
 
+  // ---- q133: mean-pooled document vectors (the single-vector dual) ----
+
+  /** q133: MEAN-POOLING — collapse each multi-vector passage to one
+    * vector (the elementwise mean of its [[MaxSimM]] members, the
+    * sentence-transformers default) and rank by pooled cosine: the
+    * single-vector baseline every late-interaction system (q129/q131)
+    * is measured against, and the POOLING operator a corpus prep
+    * pipeline runs before writing a one-vector-per-doc index.
+    *
+    * Engine-exactness: the pooled vector sums members in FIXED position
+    * order (m0+m1)+m2)+m3 per dimension — both engines run the same
+    * left-associated IEEE chain — and /4 is exact; ranking reuses q30's
+    * rounded-cosine recipe. Incomplete trailing passages are excluded
+    * (member count pinned = M) so the mean is well-defined.
+    *
+    * Scale: pooling is ONE aggregation (members → doc, fixed-width
+    * state via max(CASE) per position), the pooled table is 1/M the
+    * rows, and search is q30's broadcast/map-side shape on it. MaxSim
+    * overlap vs this baseline is measured in MaxSimSpec, not assumed. */
+  def q133MeanPool(s: SparkSession, dir: String): DataFrame =
+    meanPoolCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  private[graft] def pooledDocs(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    def memb(i: Int): Column =
+      max(when($"pos" === i, $"embedding")).as(s"e$i")
+    val mean = transform($"e0", (x, i) =>
+      (((x.cast("double") + element_at($"e1", i + 1).cast("double"))
+        + element_at($"e2", i + 1).cast("double"))
+        + element_at($"e3", i + 1).cast("double")) / lit(4.0))
+    emb.select(expr(s"vec_id div $MaxSimM").as("doc"),
+        ($"vec_id" % MaxSimM).as("pos"), $"embedding")
+      .groupBy($"doc")
+      .agg(memb(0), memb(1), memb(2), memb(3), count(lit(1)).as("nm"))
+      .where($"nm" === MaxSimM) // incomplete trailing passage excluded
+      .select($"doc", mean.as("pooled"))
+  }
+
+  private[graft] def meanPoolCore(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val docs = pooledDocs(s, emb).withColumn("n2", norm2($"pooled"))
+    val qs = docs.where($"doc" < MaxSimQDocs)
+      .select($"doc".as("query_doc"), $"pooled".as("qe"), $"n2".as("qn2"))
+    val sim6 = round(cosinePre($"qe", $"pooled", $"qn2", $"n2"), 6)
+    val w = Window.partitionBy($"query_doc").orderBy($"sim".desc, $"doc".asc)
+    docs.join(broadcast(qs), $"doc" =!= $"query_doc")
+      .select($"query_doc", $"doc", sim6.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .orderBy($"query_doc", $"rn")
+  }
+
+  val q133Sql: String = {
+    val cos = sqlCosine("q.pooled", "c.pooled")
+    s"""WITH e AS (SELECT vec_id // $MaxSimM AS doc, vec_id % $MaxSimM AS pos,
+       |             unnest(embedding) AS x,
+       |             unnest(generate_series(1, len(embedding))) AS d
+       |           FROM embeddings),
+       |dims AS (SELECT doc, d,
+       |           (((MAX(CASE WHEN pos = 0 THEN CAST(x AS DOUBLE) END)
+       |            + MAX(CASE WHEN pos = 1 THEN CAST(x AS DOUBLE) END))
+       |            + MAX(CASE WHEN pos = 2 THEN CAST(x AS DOUBLE) END))
+       |            + MAX(CASE WHEN pos = 3 THEN CAST(x AS DOUBLE) END)) / 4.0 AS m,
+       |           COUNT(DISTINCT pos) AS nm
+       |         FROM e GROUP BY 1, 2),
+       |pool AS (SELECT doc, list(m ORDER BY d) AS pooled
+       |         FROM dims WHERE nm = $MaxSimM GROUP BY doc),
+       |q2 AS (SELECT doc AS query_doc, pooled FROM pool WHERE doc < $MaxSimQDocs)
+       |SELECT query_doc, doc, sim, rn FROM (
+       |  SELECT q.query_doc, c.doc, round($cos, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_doc
+       |      ORDER BY round($cos, 6) DESC, c.doc ASC) AS rn
+       |  FROM pool c JOIN q2 q ON c.doc <> q.query_doc)
+       |WHERE rn <= $TopK
+       |ORDER BY query_doc, rn""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_meanpool_ann"     -> (q133MeanPool _),
     "q131_maxsim_pruned"    -> (q131MaxSimPruned _),
     "q130_bin_codes_ann"    -> (q130BinCodesAnn _),
     "q129_maxsim"           -> (q129MaxSim _),
@@ -1542,6 +1620,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q133_meanpool_ann"     -> q133Sql,
     "q131_maxsim_pruned"    -> q131Sql,
     "q130_bin_codes_ann"    -> q128Sql, // identical ranking from stored words
     "q129_maxsim"           -> q129Sql,

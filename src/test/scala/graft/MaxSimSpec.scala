@@ -70,6 +70,31 @@ class MaxSimSpec extends SparkSuite {
     assert(pruned.groupBy(_._1).forall(_._2.size == SimilarityQueries.TopK))
   }
 
+  test("q133: pooled vectors are the member means; overlap with MaxSim measured") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    // pooled value check: doc 0's pooled[d] = mean of members' dim d
+    val members = emb.where($"vec_id" < SimilarityQueries.MaxSimM)
+      .orderBy($"vec_id").collect().map(_.getSeq[Float](1).toArray)
+    val pooled = SimilarityQueries.pooledDocs(spark, emb)
+      .where($"doc" === 0L).collect().head.getSeq[Double](1)
+    (0 until SimilarityQueries.EmbDim).foreach { d =>
+      val exp = (((members(0)(d).toDouble + members(1)(d).toDouble)
+        + members(2)(d).toDouble) + members(3)(d).toDouble) / 4.0
+      assert(pooled(d) == exp, s"dim $d: ${pooled(d)} != $exp")
+    }
+    // ranking-overlap: pooling blurs facets, MaxSim keeps them — the two
+    // rankings agree only partially (reported, not asserted tightly)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_doc", $"doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ms = ids(SimilarityQueries.q129MaxSim(spark, sf0001))
+    val mp = ids(SimilarityQueries.q133MeanPool(spark, sf0001))
+    val overlap = mp.count(ms.contains).toDouble / ms.size
+    info(f"q133 pooled top-5 overlap with q129 MaxSim: $overlap%.3f")
+    assert(mp.groupBy(_._1).forall(_._2.size == SimilarityQueries.TopK))
+  }
+
   test("q129: score equals hand-computed MaxSim for one (query, doc) pair") {
     val emb = Tables.embeddings(spark, sf0001)
       .select($"vec_id", $"embedding").collect()
