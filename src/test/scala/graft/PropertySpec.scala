@@ -88,6 +88,58 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("wordpiece_encode: greedy reference re-derivation on random vocab/word pairs") {
+    import graft.functions.WordpieceEncode
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference: straightforward greedy longest-prefix over a Scala Set
+    def ref(vocab: Seq[String], word: String): Seq[String] = {
+      val vs = vocab.toSet
+      val maxLen = vocab.map(_.length).max
+      val out = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < word.length) {
+        val l = (math.min(maxLen, word.length - pos) to 1 by -1)
+          .find(l => vs.contains(word.substring(pos, pos + l)))
+        l match {
+          case None => return Seq(WordpieceEncode.Unk)
+          case Some(n) => out += word.substring(pos, pos + n); pos += n
+        }
+      }
+      out.result()
+    }
+    val piece = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(piece).map(_.distinct),
+      Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    forAll(gen, n = 60) { case (vocab, word) =>
+      val t = WordpieceEncode.compile(vocab)
+      val got = WordpieceEncode.encode(UTF8String.fromString(word), t)
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == ref(vocab, word), s"vocab=$vocab word='$word'")
+    }
+  }
+
+  test("q128 binEncode: every packed bit equals its midpoint comparison") {
+    import graft.queries.SimilarityQueries
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val stats = SimilarityQueries.sq8Stats(emb)
+    val statRow = stats.collect().head
+    val lo = statRow.getSeq[Double](0)
+    val hi = statRow.getSeq[Double](1)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    SimilarityQueries.binEncode(emb, stats).collect().foreach { r =>
+      val v = vecs(r.getLong(0))
+      val (w0, w1) = (r.getLong(1), r.getLong(2))
+      (0 until SimilarityQueries.EmbDim).foreach { d =>
+        val bit = if (d < 32) (w0 >> d) & 1L else (w1 >> (d - 32)) & 1L
+        val expect = if (v(d).toDouble > (lo(d) + hi(d)) / 2.0) 1L else 0L
+        assert(bit == expect, s"vec ${r.getLong(0)} dim $d")
+      }
+    }
+  }
+
   test("K1 dual write: latest and dated artifact are byte-identical for arbitrary content") {
     forAll(Gen.listOfN(5, asciiStr.suchThat(s => s.nonEmpty && !s.contains("\\"))), n = 10) { keys =>
         val df = keys.distinct.sorted.zipWithIndex.toDF("guid", "n")
