@@ -1631,7 +1631,42 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q134: Unicode NFC normalization audit ----
+
+  /** q134: NFC-normalize the corpus and audit the effect — the
+    * canonicalization pass every hash-keyed operator depends on: NFC
+    * and NFD spellings of the same text are byte-different, so exact
+    * dedup (q24), MinHash shingles (q25), URL keys (q99) and winnow
+    * fingerprints (q119) all silently miss equal-looking duplicates on
+    * an unnormalized corpus (NfcSpec pins exactly that miss-then-catch
+    * on a composed/decomposed pair). Runs the native
+    * [[graft.functions.NfcNormalize]] expression (JDK Normalizer, UAX
+    * #15 — with an ASCII fast path that skips the normalizer entirely)
+    * and emits per-doc (changed?, normalized length, normalized md5);
+    * the md5 makes the oracle VALUE-level on the normalized BYTES, both
+    * engines implementing the same Unicode composition (utf8proc on the
+    * oracle side). Map-only at any scale. */
+  def q134NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = graft.functions.NfcNormalize(s, $"text")
+    Tables.documents(s, dir)
+      .select($"doc_id", norm.as("norm"), $"text")
+      .select($"doc_id",
+        ($"norm" =!= $"text").as("changed"),
+        length($"norm").as("n_chars"),
+        md5($"norm".cast("binary")).as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val q134Sql: String =
+    """SELECT doc_id,
+      |  nfc_normalize(text) <> text AS changed,
+      |  CAST(length(nfc_normalize(text)) AS INT) AS n_chars,
+      |  md5(nfc_normalize(text)) AS norm_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q134_nfc_normalize"      -> (q134NfcNormalize _),
     "q132_wordpiece_encode"   -> (q132WordpieceEncode _),
     "q127_bpe_encode"         -> (q127BpeEncode _),
     "q122_bpe_merges"         -> (q122BpeMerges _),
@@ -1660,6 +1695,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q134_nfc_normalize"      -> q134Sql,
     "q132_wordpiece_encode"   -> q132Sql,
     "q127_bpe_encode"         -> q127Sql,
     "q122_bpe_merges"         -> q122Sql,
