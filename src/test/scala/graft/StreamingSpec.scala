@@ -201,6 +201,44 @@ class StreamingSpec extends SparkSuite {
       "half-2 matches must use purchase state recovered from half 1")
   }
 
+  test("streaming heavy hitters: MG bound holds vs batch truth; coverage guaranteed") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.HeavyHittersStream
+    val glob = stageShape("ntz-micros", "hh_stream")
+    val cap = 32 // small capacity → evictions actually happen
+    val buckets = HeavyHittersStream.DefaultBuckets
+    val sketch = HeavyHittersStream
+      .runBounded(spark, glob, cap, "hh_out").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sketch.nonEmpty)
+    // batch truth with the IDENTICAL bucketing (plain batch read — only
+    // user_id is touched, so the ts physical shape is irrelevant here)
+    val truth = spark.read.parquet(glob)
+      .select(pmod(hash(col("user_id")), lit(buckets)).cast("int").as("bucket"),
+        col("user_id").cast("string").as("item"))
+      .groupBy(col("bucket"), col("item")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bucketN = truth.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    // every sketched item satisfies est ≤ true ≤ est + dec
+    sketch.foreach { case ((b, item), (est, dec)) =>
+      val t = truth((b, item))
+      assert(est <= t && t <= est + dec,
+        s"MG bound violated for bucket $b item $item: est=$est dec=$dec true=$t")
+    }
+    // coverage: true frequency > N_bucket/(cap+1) ⇒ item IS in the sketch
+    truth.foreach { case ((b, item), t) =>
+      if (t > bucketN(b) / (cap + 1))
+        assert(sketch.contains((b, item)),
+          s"guaranteed heavy item missing: bucket $b item $item true=$t")
+    }
+    // the decrement mass respects its own bound
+    sketch.keys.map(_._1).toSet.foreach { (b: Int) =>
+      val dec = sketch.collectFirst { case ((`b`, _), (_, d)) => d }.get
+      assert(dec <= bucketN(b) / (cap + 1),
+        s"dec bound violated in bucket $b: $dec > ${bucketN(b)} / ${cap + 1}")
+    }
+  }
+
   test("stream-stream interval join == the same join run as a batch self-join") {
     val dir = tmpDir("events_attr")
     java.nio.file.Files.copy(
