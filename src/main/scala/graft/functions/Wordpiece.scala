@@ -54,11 +54,18 @@ final class WpTable(val maxLen: Int,
 
 object WordpieceEncode {
 
-  /** The unknown token emitted when no vocabulary piece matches. */
-  val Unk = "[UNK]"
+  /** The unknown token emitted when no vocabulary piece matches. Carries
+    * U+001F (the BPE-side separator, filtered out of every corpus word
+    * and REJECTED in vocabularies by [[compile]]), so no legitimate
+    * piece can collide with it — an in-band "[UNK]" string could be a
+    * real learned piece (e.g. a corpus containing the literal word
+    * "[UNK]") and would miscount as unknown (review finding). */
+  val Unk = "\u001f[UNK]"
   private val UnkU = UTF8String.fromString(Unk)
 
   def compile(vocab: Seq[String]): WpTable = {
+    require(vocab.forall(!_.contains('\u001f')),
+      "vocabulary pieces must not contain the reserved U+001F sentinel")
     val us = vocab.map(UTF8String.fromString)
     val maxLen = us.map(_.numChars()).max
     val byLen = Array.fill(maxLen + 1)(new java.util.HashSet[UTF8String]())

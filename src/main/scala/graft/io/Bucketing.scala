@@ -15,26 +15,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (and sorted) managed table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  private def save(df: DataFrame, table: String, key: String, buckets: Int,
+      mode: String): Unit =
     df.write
-      .mode("overwrite")
+      .mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write `df` as a bucketed (and sorted) managed table. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    save(df, table, key, buckets, "overwrite")
 
   /** Append to an existing bucketed table — the incremental-ingest path.
     * The bucket spec must match the original write (Spark enforces it),
     * so appended rows land in the right buckets and co-located joins
     * stay exchange-free across increments. */
   def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
-      .mode("append")
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
+    save(df, table, key, buckets, "append")
 
   /** Join two same-bucketed tables on their bucket key — planner emits a
     * SortMergeJoin with NO shuffle on either side. */

@@ -122,16 +122,24 @@ object CodesIngest {
       val codesT = s"${prefix}_codes"
       require(s.catalog.tableExists(codesT),
         s"appendBatch needs an ingested base table: $codesT")
+      // ROW-LEVEL idempotency: foreachBatch is at-least-once and this
+      // sink is not transactional, so a crash between the parquet append
+      // and the streaming commit log replays the batch — an anti-join on
+      // the (unique) vec_id makes the replay a no-op instead of a
+      // duplicate. Scan cost is the stored vec_id column only (pruned),
+      // co-located by the shared bucketing at scale.
+      val fresh = newEmb.join(s.table(codesT).select($"vec_id"),
+        Seq("vec_id"), "left_anti")
       val stats = broadcast(s.table(statsTable(prefix)))
       val cents = s.table(s"${prefix}_codebook")
-      val codes = SimilarityQueries.sq8Encode(newEmb, stats)
+      val codes = SimilarityQueries.sq8Encode(fresh, stats)
         .select($"vec_id", transform($"codes", c =>
           least(greatest(c, lit(0L)), lit(SimilarityQueries.Sq8Levels.toLong)))
           .as("codes"))
         .localCheckpoint(false)
       val pq = SimilarityQueries.pqEncodeCodes(s,
         SimilarityQueries.subcodeView(s, codes), cents)
-      val words = SimilarityQueries.binEncode(newEmb, stats)
+      val words = SimilarityQueries.binEncode(fresh, stats)
       Bucketing.appendBucketed(
         codes.join(pq, Seq("vec_id")).join(words, Seq("vec_id"))
           .select($"vec_id", $"codes", $"pq", $"w0", $"w1"),
@@ -141,9 +149,12 @@ object CodesIngest {
   /** STREAMING face of the incremental ingest: new embedding batches
     * landing in a drop dir flow through [[appendBatch]] via
     * foreachBatch — the index stays searchable (and exchange-free-
-    * joinable) while it grows, and the file-source checkpoint makes
-    * re-delivery idempotent at the batch level. Bounded driver (test
-    * path): processes everything available, then stops. */
+    * joinable) while it grows. Delivery is at-least-once (foreachBatch
+    * + non-transactional sink); idempotency comes from [[appendBatch]]'s
+    * ROW-level vec_id anti-join, so a replayed micro-batch appends
+    * nothing. Bounded driver (test path): processes everything
+    * available, then stops — the stop runs in a finally so a poisoned
+    * batch can't leak a live query holding the checkpoint. */
   def appendStreamBounded(s: SparkSession, dropGlob: String,
       prefix: String, checkpoint: String): Unit = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -161,10 +172,12 @@ object CodesIngest {
         if (!batch.isEmpty) appendBatch(batch.sparkSession, batch, prefix)
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
-    // the appends ran in foreachBatch's CLONED session; drop the cached
-    // relation (file listing) so readers in the outer session see them
-    s.catalog.refreshTable(s"${prefix}_codes")
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      // the appends ran in foreachBatch's CLONED session; drop the cached
+      // relation (file listing) so readers in the outer session see them
+      s.catalog.refreshTable(s"${prefix}_codes")
+    }
   }
 }

@@ -80,8 +80,8 @@ object HeavyHittersStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop() // a poisoned batch must not leak a live query
     val all = spark.table(queryName)
     val wMax = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
     all.withColumn("max_seen", max($"n_seen").over(wMax))
