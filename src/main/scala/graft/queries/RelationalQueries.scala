@@ -629,6 +629,92 @@ object RelationalQueries {
        |FROM m LEFT JOIN lt USING (purchase_id)
        |GROUP BY 1 ORDER BY day_s""".stripMargin
 
+  // ---- q137: EWMA anomaly detection (integer-exact) ----
+
+  /** EWMA window depth: with α = 1/2, weights halve per step and an
+    * 8-deep window carries >99.6% of the infinite-history mass — deeper
+    * lags change the prediction by less than one weight unit. */
+  private val EwmaDepth = 8
+
+  /** Anomaly threshold in cents: |x − ewma(prior)| > $150. */
+  private val EwmaThresholdCents = 15000L
+
+  /** q137: per-user EWMA anomaly detection over the event stream — the
+    * rate/metric-spike monitor every ingestion pipeline runs (flag an
+    * event whose value departs from the user's exponentially-weighted
+    * recent history). The textbook EWMA is an unbounded recursion
+    * (s_t = αx_t + (1−α)s_{t−1}) — not expressible as a frame-bounded
+    * window and driver-recursive if forced; with α = 1/2 the weights
+    * are exact powers of two, so an [[EwmaDepth]]-deep truncation
+    * carries all but 2^-8 of the mass AND turns the whole computation
+    * into INTEGER arithmetic on cents:
+    *
+    *   num = Σ_{k=1..8} lag(x,k)·2^(8−k)   den = Σ_{k present} 2^(8−k)
+    *   anomaly ⇔ |x·den − num| > T·den     (cross-multiplied — no division)
+    *
+    * den self-normalizes the partial windows at each user's history
+    * head, and every quantity is a BIGINT on exact cents
+    * (DECIMAL(18,4)·100), so the flag is hash-exact across engines —
+    * no float EWMA ulp drift can flip a verdict at the threshold.
+    *
+    * Scale: ONE window pass partitioned by user (the 8 lags evaluate in
+    * a single WindowExec over one hash exchange), and the rollup
+    * groupBy rides the window's existing user_id partitioning — one
+    * shuffle total, no global ordering anywhere. */
+  def q137EwmaAnomaly(s: SparkSession, dir: String): DataFrame =
+    ewmaAnomalyCore(s, Tables.events(s, dir))
+
+  /** q137 core over any (user_id, ts, event_id, value) frame — spec
+    * entry point. */
+  private[graft] def ewmaAnomalyCore(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val xc = (decCol($"value") * 100).cast("long")
+    val num = (1 to EwmaDepth).map { k =>
+      coalesce(lag($"xc", k).over(w), lit(0L)) * lit(1L << (EwmaDepth - k))
+    }.reduce(_ + _)
+    val den = (1 to EwmaDepth).map { k =>
+      lag($"xc", k).over(w).isNotNull.cast("long") * lit(1L << (EwmaDepth - k))
+    }.reduce(_ + _)
+    val scored = $"den" > 0L
+    val anom = scored && abs($"xc" * $"den" - $"num") >
+      lit(EwmaThresholdCents) * $"den"
+    events
+      .select($"user_id", $"ts", $"event_id", xc.as("xc"))
+      .withColumn("num", num).withColumn("den", den)
+      .select($"user_id", $"event_id",
+        scored.cast("long").as("scored"), anom.cast("long").as("anom"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"scored").as("n_scored"),
+        sum($"anom").as("n_anomalies"),
+        min(when($"anom" === 1L, $"event_id")).as("first_anomaly_id"))
+      .orderBy($"user_id")
+  }
+
+  val q137Sql: String = {
+    val numTerms = (1 to EwmaDepth).map(k =>
+      s"COALESCE(lag(xc, $k) OVER uw, 0) * ${1L << (EwmaDepth - k)}")
+      .mkString(" + ")
+    val denTerms = (1 to EwmaDepth).map(k =>
+      s"CASE WHEN lag(xc, $k) OVER uw IS NULL THEN 0 ELSE ${1L << (EwmaDepth - k)} END")
+      .mkString(" + ")
+    s"""SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN den > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       |  CAST(SUM(CASE WHEN den > 0 AND abs(xc*den - num) > ${EwmaThresholdCents}*den
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       |  MIN(CASE WHEN den > 0 AND abs(xc*den - num) > ${EwmaThresholdCents}*den
+       |      THEN event_id END) AS first_anomaly_id
+       |FROM (
+       |  SELECT user_id, event_id,
+       |    xc, ($numTerms) AS num, ($denTerms) AS den
+       |  FROM (SELECT user_id, ts, event_id,
+       |          CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS xc
+       |        FROM events)
+       |  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   /** q11: sha-256 row-key hashing (P5, taar_utils.py:110-116 — the Bigtable
     * row key). Spark's built-in `sha2` is codegen'd; no UDF. */
   def q11Sha2(s: SparkSession, dir: String): DataFrame = {
@@ -1576,6 +1662,7 @@ object RelationalQueries {
     "q112_event_time_skew"  -> (q112EventTimeSkew _),
     "q113_asof_join"        -> (q113AsofJoin _),
     "q114_interval_join"    -> (q114IntervalJoin _),
+    "q137_ewma_anomaly"     -> (q137EwmaAnomaly _),
     "q11_sha2"              -> (q11Sha2 _),
     "q12_json_trycast"      -> (q12JsonTryCast _),
     "q13_url_build_parse"   -> (q13UrlBuildParse _),
@@ -1623,6 +1710,7 @@ object RelationalQueries {
     "q112_event_time_skew"  -> q112Sql,
     "q113_asof_join"        -> q113Sql,
     "q114_interval_join"    -> q114Sql,
+    "q137_ewma_anomaly"     -> q137Sql,
     "q11_sha2"              -> q11Sql,
     "q12_json_trycast"      -> q12Sql,
     "q13_url_build_parse"   -> q13Sql,
