@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -805,7 +806,94 @@ object EtlQueries {
        |ORDER BY type_a, type_b""".stripMargin
   }
 
+  // ---- q138: Pareto-frontier (skyline) document selection ----
+
+  /** Skyline bucket width on the length axis: buckets are `a div 16`,
+    * so the bucket-summary frame is max(a)/16 rows — KB-sized at any
+    * corpus scale (the prefix-sum bounded-frame argument). */
+  private val SkyBucketWidth = 16L
+
+  /** q138: 2-D Pareto-frontier selection — "keep the documents not
+    * dominated on (length, density)": doc d is dominated iff some other
+    * doc is ≥ on both axes and > on at least one. The multi-criteria
+    * curation primitive (quality-vs-length tradeoff sets, hard-example
+    * frontiers) the single-score quota/budget ops (q81/q109) cannot
+    * express — a scalar score forces a total order; the skyline keeps
+    * every undominated tradeoff.
+    *
+    * Axes (integer-exact): a = word count; b = mean word length in
+    * milli-chars (chars·1000 div words — integer division, no float).
+    *
+    * Scale design — the textbook skyline is quadratic (every doc vs
+    * every doc: the oracle's NOT EXISTS), and the direct window
+    * formulation (running max of b over a global ORDER BY a) is a
+    * one-task sort. This plan is neither:
+    *   1. bucket docs by `a div 16`; per-bucket max(b) is a tiny
+    *      aggregate (map-side combine, KB result);
+    *   2. suffix-max those bucket maxima ordered by bucket DESC — a
+    *      single-partition window over the BOUNDED summary frame only
+    *      (higher bucket ⇒ strictly greater a, so the suffix max is
+    *      exactly "best b among all strictly-longer buckets"), then
+    *      broadcast it back;
+    *   3. within each bucket — windows PARTITIONED by bucket, parallel
+    *      across the cluster — running max(b) over strictly-greater a
+    *      (RANGE on negated a excludes ties exactly) plus max(b) per
+    *      equal-a group.
+    * Kept iff no strictly-longer doc has b ≥ mine AND my b is max among
+    * my exact length (equal (a,b) pairs are mutually undominated — both
+    * stay). Two small shuffles; nothing quadratic, nothing globally
+    * sorted. */
+  def q138ParetoFrontier(s: SparkSession, dir: String): DataFrame =
+    paretoFrontierCore(s, Tables.documents(s, dir))
+
+  /** q138 core over any (doc_id, text) frame — spec entry point. */
+  private[graft] def paretoFrontierCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val words = filter(split($"text", " "), w => w =!= "")
+    val metrics = docs
+      .select($"doc_id", size(words).cast("long").as("a"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("chars"))
+      .where($"a" > 0L)
+      .select($"doc_id", $"a", expr("(chars * 1000) div a").as("b"),
+        expr(s"a div $SkyBucketWidth").as("bucket"), (-$"a").as("nega"))
+    // bounded bucket-summary frame: suffix max of b over higher buckets
+    val bsum = metrics.groupBy($"bucket").agg(max($"b").as("bmax"))
+    val wSuf = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val suf = bsum.select($"bucket", max($"bmax").over(wSuf).as("higher_bmax"))
+    // per-bucket windows (parallel): strictly-greater-a running max + equal-a max
+    val wStrict = Window.partitionBy($"bucket").orderBy($"nega")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy($"bucket", $"a")
+    metrics.join(broadcast(suf), Seq("bucket"))
+      .withColumn("dom_b", greatest(
+        coalesce(max($"b").over(wStrict), lit(-1L)),
+        coalesce($"higher_bmax", lit(-1L))))
+      .withColumn("eq_bmax", max($"b").over(wEq))
+      .where($"b" > $"dom_b" && $"b" === $"eq_bmax")
+      .select($"doc_id", $"a".as("n_words"), $"b".as("awl_milli"))
+      .orderBy($"n_words".desc, $"awl_milli".desc, $"doc_id")
+  }
+
+  /** Oracle: the quadratic NOT-EXISTS skyline definition — an
+    * independent execution strategy (no buckets, no windows). */
+  val q138Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS a,
+       |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars
+       |  FROM documents
+       |  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0),
+       |mm AS (SELECT doc_id, a, (chars * 1000) // a AS b FROM m)
+       |SELECT t.doc_id, t.a AS n_words, t.b AS awl_milli
+       |FROM mm t
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM mm o
+       |  WHERE o.a >= t.a AND o.b >= t.b AND (o.a > t.a OR o.b > t.b))
+       |ORDER BY n_words DESC, awl_milli DESC, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q138_pareto_frontier"    -> (q138ParetoFrontier _),
     "q115_theta_sketch"       -> (q115ThetaSketch _),
     "q108_shard_manifest"     -> (q108ShardManifest _),
     "q101_weighted_sample"    -> (q101WeightedSample _),
@@ -823,6 +911,7 @@ object EtlQueries {
     * (verdict-style bounds), q92/q93 since round 7 — zero rows-only
     * entries left. */
   val oracleSql: Map[String, String] = Map(
+    "q138_pareto_frontier"    -> q138Sql,
     "q115_theta_sketch"       -> q115Sql,
     "q108_shard_manifest"     -> q108Sql,
     "q101_weighted_sample"    -> q101Sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.RelationalQueries
+import graft.queries.{EtlQueries, RelationalQueries}
 
 /** Late-round-11 additions: q137 EWMA anomaly detection (integer-exact
   * cross-multiplied flag), and friends. */
@@ -57,5 +57,49 @@ class Round11bQueriesSpec extends SparkSuite {
     // user 1: only the spike flags; user 2: the outlier's successor (202)
     // plus the spike — one extra flag, same spike verdict
     assert(out.toSeq == Seq((1L, 9L, 8L, 1L, 110L), (2L, 10L, 9L, 2L, 202L)))
+  }
+
+  // ---- q138: Pareto-frontier selection ----
+
+  /** A document with exactly n words of length len each. */
+  private def doc(id: Long, n: Int, len: Int): (Long, String) =
+    (id, Seq.fill(n)("abcdefghi".take(len)).mkString(" "))
+
+  test("q138 fixture: ties kept, same-length and cross-bucket domination dropped") {
+    val docs = Seq(
+      doc(1, 10, 6), doc(2, 10, 6), // equal (a,b) pair: mutually undominated
+      doc(3, 10, 4),                // same a as d1, lower b: dominated
+      doc(4, 20, 3),                // frontier: longest
+      doc(5, 18, 5),                // frontier: length/density tradeoff
+      doc(6, 19, 2),                // dominated by d4 WITHIN bucket 1
+      doc(7, 17, 5)                 // dominated by d5 within bucket 1 (b tie)
+    ).toDF("doc_id", "text")
+    val out = EtlQueries.paretoFrontierCore(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((4L, 20L, 3000L), (5L, 18L, 5000L),
+      (1L, 10L, 6000L), (2L, 10L, 6000L)))
+  }
+
+  test("q138 property: bucketed plan == quadratic brute force on random metrics") {
+    val r = new scala.util.Random(138)
+    val rows = (1 to 200).map(i => doc(i.toLong, 1 + r.nextInt(40), 1 + r.nextInt(9)))
+    val out = EtlQueries.paretoFrontierCore(spark, rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val m = rows.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(_.length).sum * 1000L / ws.length)
+    }
+    val brute = m.filter { case (_, a, b) =>
+      !m.exists { case (_, a2, b2) => a2 >= a && b2 >= b && (a2 > a || b2 > b) }
+    }.map(t => (t._1, t._2, t._3)).toSet
+    assert(out == brute)
+  }
+
+  test("q138 cross-bucket: a one-bucket-higher doc with equal b dominates") {
+    // a=15 (bucket 0) vs a=17 (bucket 1), same density: only the longer stays
+    val docs = Seq(doc(1, 15, 4), doc(2, 17, 4)).toDF("doc_id", "text")
+    val out = EtlQueries.paretoFrontierCore(spark, docs)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L))
   }
 }
