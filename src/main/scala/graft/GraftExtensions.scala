@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-import graft.functions.{Codec, DotProduct, IntSqDist, Md5Prefix64, NfcNormalize, Norm2, PayloadCompress, PayloadDecompress, WinnowGrams, WordpieceEncode, ZlibCompress, ZlibDecompress}
+import graft.functions.{Codec, DotProduct, HtmlText, IntSqDist, Md5Prefix64, NfcNormalize, Norm2, PayloadCompress, PayloadDecompress, WinnowGrams, WordpieceEncode, ZlibCompress, ZlibDecompress}
 
 /** Session extension entry point — the deployment-shaped way to install
   * this library's native expressions and optimizer rules on a cluster:
@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("html_text"),
+      new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
+      (exprs: Seq[Expression]) => HtmlText(exprs.head)))
     ext.injectFunction((FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(classOf[WordpieceEncode].getName, "wordpiece_encode"),
       (exprs: Seq[Expression]) => {

@@ -1665,7 +1665,145 @@ object TextQueries {
       |  md5(nfc_normalize(text)) AS norm_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q135: HTML → text extraction with boilerplate line filtering ----
+
+  /** Boilerplate gates: a line survives with ≥ [[MinLineWords]] words
+    * AND link-text ≤ half its characters (nav/footer lines are nearly
+    * all anchor text; body prose is nearly none). */
+  private val MinLineWords = 4
+
+  /** q135: markup → training text — the stage every web corpus starts
+    * with (C4/RefinedWeb/Dolma all begin at raw crawl HTML). The corpus
+    * tables carry plain text, so the query first RENDERS each document
+    * into a deterministic page (title/style/script head, h1, the text
+    * split into paragraphs, an entity-bearing constant paragraph, a
+    * pure-link nav bar, a too-short footer — the same SQL-expressible
+    * concat on both engines), then runs the op under test:
+    *
+    *  1. the native [[graft.functions.HtmlText]] scan — script/style
+    *     dropped with content, block tags → line breaks, anchors
+    *     sentinel-delimited, entities decoded, whitespace collapsed;
+    *  2. line-level boilerplate filtering with built-in (codegen'd)
+    *     HOFs — per line, word count and LINK DENSITY from the anchor
+    *     sentinels, integer-only math;
+    *  3. per-doc rollup: line counts and the md5 of the kept text — a
+    *     VALUE-level oracle on the extracted bytes.
+    *
+    * The oracle replays the scan as a regexp_replace chain + identical
+    * list math; general-case parser behavior (nesting, malformed tags,
+    * quote-aware attrs, unknown entities) is pinned in HtmlTextSpec.
+    * Scale: map-only — one linear scan per document, no regex in the
+    * extraction hot path, no shuffle anywhere. */
+  def q135HtmlExtract(s: SparkSession, dir: String): DataFrame =
+    htmlExtractCore(s, Tables.documents(s, dir))
+
+  /** q135 core over any (doc_id, source, text) frame — spec entry. */
+  private[graft] def htmlExtractCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><title>"), $"source", lit(" "),
+      $"doc_id".cast("string"),
+      lit("</title><style>p{margin:0}</style>" +
+        "<script>var x=1; if(x<2){x=3;}</script></head><body><h1>"),
+      $"source",
+      lit("</h1><p>"),
+      call_function("replace", $"text", lit(" table "), lit("</p><p>")),
+      lit("</p><p>Terms &amp; conditions apply to &lt;everyone&gt; here</p>" +
+        "<div><a href=\"/home\">Home</a> <a href=\"/next\">Next</a></div>" +
+        "<p>Contact us</p></body></html>"))
+    val sent = "\u0011\u0012"
+    // identical per-line math on both engines: normalize spacing first,
+    // then strip/measure — spacing minutiae can never split the engines
+    val norm = (l: Column) => trim(regexp_replace(l, lit(" +"), lit(" ")))
+    val strip = (l: Column) => translate(l, sent, "")
+    val noLink = (l: Column) =>
+      translate(regexp_replace(l, lit("\u0011[^\u0012]*\u0012"), lit("")), sent, "")
+    val keep = (l: Column) => {
+      val st = strip(l)
+      (size(filter(split(st, " "), w => w =!= "")) >= MinLineWords) &&
+        (length(st) - length(noLink(l))) * 2 <= length(st)
+    }
+    docs
+      .select($"doc_id", graft.functions.HtmlText(s, html).as("xt"))
+      .withColumn("lines",
+        filter(transform(split($"xt", "\n"), norm), l => l =!= ""))
+      .withColumn("kept", transform(filter($"lines", keep), strip))
+      .select($"doc_id",
+        size($"lines").cast("long").as("n_lines"),
+        size($"kept").cast("long").as("n_kept"),
+        length(array_join($"kept", "\n")).cast("long").as("n_chars"),
+        md5(array_join($"kept", "\n").cast("binary")).as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the same constructed page, the scan replayed as a
+    * regexp_replace chain (anchors → sentinels, block tags → newlines,
+    * generic tag strip, entity decode with &amp; last), then identical
+    * per-line integer math over the split lines. */
+  val q135Sql: String = {
+    val LO = "chr(17)"
+    val LC = "chr(18)"
+    val block = "p|div|h[1-6]|li|br|tr|td|ul|ol|table|section|article|" +
+      "header|footer|blockquote|pre"
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>' || source || ' ' || CAST(doc_id AS VARCHAR)
+       |    || '</title><style>p{margin:0}</style>'
+       |    || '<script>var x=1; if(x<2){x=3;}</script></head><body><h1>'
+       |    || source || '</h1><p>'
+       |    || replace(text, ' table ', '</p><p>')
+       |    || '</p><p>Terms &amp; conditions apply to &lt;everyone&gt; here</p>'
+       |    || '<div><a href="/home">Home</a> <a href="/next">Next</a></div>'
+       |    || '<p>Contact us</p></body></html>' AS html
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id,
+       |    replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace(
+       |        html,
+       |        '<!--.*?-->', '', 'g'),
+       |        '<script(\\s[^>]*)?>.*?</script[^>]*>', '', 'g'),
+       |        '<style(\\s[^>]*)?>.*?</style[^>]*>', '', 'g'),
+       |        '<a(\\s[^>]*)?>', $LO, 'g'),
+       |        '</a(\\s[^>]*)?>', $LC, 'g'),
+       |        '</?($block)(\\s[^>]*)?/?>', chr(10), 'g'),
+       |        '<[^>]*>', '', 'g'),
+       |      '&lt;', '<') AS t1
+       |  FROM h),
+       |x2 AS (
+       |  SELECT doc_id,
+       |    replace(replace(replace(replace(replace(replace(
+       |      t1, '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)),
+       |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS xt
+       |  FROM x),
+       |l AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split(xt, chr(10)),
+       |      s -> trim(regexp_replace(s, ' +', ' ', 'g'))), s -> s <> '') AS lines
+       |  FROM x2),
+       |k AS (
+       |  SELECT doc_id, lines,
+       |    list_transform(list_filter(lines,
+       |      s -> len(list_filter(string_split(
+       |             replace(replace(s, $LO, ''), $LC, ''), ' '),
+       |             w -> w <> '')) >= $MinLineWords
+       |        AND 2 * (len(replace(replace(s, $LO, ''), $LC, ''))
+       |          - len(replace(replace(regexp_replace(s,
+       |              $LO || '[^' || $LC || ']*' || $LC, '', 'g'),
+       |              $LO, ''), $LC, '')))
+       |          <= len(replace(replace(s, $LO, ''), $LC, ''))),
+       |      s -> replace(replace(s, $LO, ''), $LC, '')) AS kept
+       |  FROM l)
+       |SELECT doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(len(COALESCE(list_aggr(kept, 'string_agg', chr(10)), '')) AS BIGINT) AS n_chars,
+       |  md5(COALESCE(list_aggr(kept, 'string_agg', chr(10)), '')) AS text_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_html_extract"       -> (q135HtmlExtract _),
     "q134_nfc_normalize"      -> (q134NfcNormalize _),
     "q132_wordpiece_encode"   -> (q132WordpieceEncode _),
     "q127_bpe_encode"         -> (q127BpeEncode _),
@@ -1695,6 +1833,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q135_html_extract"       -> q135Sql,
     "q134_nfc_normalize"      -> q134Sql,
     "q132_wordpiece_encode"   -> q132Sql,
     "q127_bpe_encode"         -> q127Sql,

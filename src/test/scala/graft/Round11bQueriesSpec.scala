@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{EtlQueries, RelationalQueries}
+import graft.queries.{EtlQueries, RelationalQueries, TextQueries}
 
 /** Late-round-11 additions: q137 EWMA anomaly detection (integer-exact
   * cross-multiplied flag), and friends. */
@@ -93,6 +93,37 @@ class Round11bQueriesSpec extends SparkSuite {
       !m.exists { case (_, a2, b2) => a2 >= a && b2 >= b && (a2 > a || b2 > b) }
     }.map(t => (t._1, t._2, t._3)).toSet
     assert(out == brute)
+  }
+
+  // ---- q135: HTML extraction pipeline ----
+
+  test("q135 fixture: title/h1/nav/footer are boilerplate; prose and entities survive") {
+    val docs = Seq((1L, "srcA", "alpha beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val r = TextQueries.htmlExtractCore(spark, docs).collect()(0)
+    // 6 rendered lines: title, h1, the paragraph, the entity paragraph,
+    // the all-link nav, the 2-word footer — only the two paragraphs stay
+    assert(r.getLong(1) == 6L, "n_lines")
+    assert(r.getLong(2) == 2L, "n_kept")
+    // kept bytes: "alpha beta gamma delta\nTerms & conditions apply to
+    // <everyone> here" — entities decoded, sentinels stripped
+    assert(r.getLong(3) == 66L, "n_chars")
+  }
+
+  test("q135 link density: a half-link line stays, a mostly-link line drops") {
+    // the gate is 2*link_chars <= total_chars on the sentinel-stripped line
+    import graft.functions.HtmlText
+    def kept(html: String): Boolean = {
+      val l = HtmlText.extract(html)
+      val st = l.filterNot(c => c == HtmlText.LinkOpen || c == HtmlText.LinkClose)
+      val noLink = l.replaceAll(
+        s"${HtmlText.LinkOpen}[^${HtmlText.LinkClose}]*${HtmlText.LinkClose}", "")
+        .filterNot(c => c == HtmlText.LinkOpen || c == HtmlText.LinkClose)
+      val links = st.length - noLink.length
+      st.split(" ").count(_.nonEmpty) >= 4 && 2 * links <= st.length
+    }
+    assert(!kept("<p><a>four linked words here</a> no</p>")) // 22 link / 25 total
+    assert(kept("<p><a>two words</a> and two more</p>"))     //  9 link / 22 total
   }
 
   test("q138 cross-bucket: a one-bucket-higher doc with equal b dominates") {
