@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-import graft.functions.{Codec, DotProduct, HtmlText, IntSqDist, Md5Prefix64, NfcNormalize, Norm2, PayloadCompress, PayloadDecompress, WinnowGrams, WordpieceEncode, ZlibCompress, ZlibDecompress}
+import graft.functions.{Codec, DotProduct, HtmlText, UnigramSegment, IntSqDist, Md5Prefix64, NfcNormalize, Norm2, PayloadCompress, PayloadDecompress, WinnowGrams, WordpieceEncode, ZlibCompress, ZlibDecompress}
 
 /** Session extension entry point — the deployment-shaped way to install
   * this library's native expressions and optimizer rules on a cluster:
@@ -55,6 +55,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("html_text"),
       new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
       (exprs: Seq[Expression]) => HtmlText(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("unigram_segment"),
+      new ExpressionInfo(classOf[UnigramSegment].getName, "unigram_segment"),
+      (exprs: Seq[Expression]) => {
+        val ps = exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val fs = exprs(2).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        UnigramSegment(exprs.head,
+          (0 until ps.numElements()).map(j =>
+            (ps.getUTF8String(j).toString, fs.getLong(j))))
+      }))
     ext.injectFunction((FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(classOf[WordpieceEncode].getName, "wordpiece_encode"),
       (exprs: Seq[Expression]) => {

@@ -1631,6 +1631,157 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q136: unigram-LM (SentencePiece-style) segmentation ----
+
+  /** q136: the THIRD subword inference family — unigram-LM segmentation
+    * (Kudo 2018; SentencePiece's model), completing the tokenizer suite
+    * beside BPE merge replay (q127) and WordPiece greedy longest-match
+    * (q132). Unlike both, unigram GLOBALLY optimizes each word's
+    * tokenization: fewest pieces first, then the highest total piece
+    * frequency (the integer-exact stand-in for max Σ log p — see
+    * [[graft.functions.UnigramSegment]]; greedy provably differs, and a
+    * disagreeing fixture is pinned in UnigramSpec).
+    *
+    * The vocabulary is q122/q132's construction (corpus characters +
+    * the 20 merge outputs); each piece's frequency is the summed corpus
+    * frequency of the word TYPES containing it — derived with one
+    * broadcast containment join over the KB-sized piece list, collected
+    * once as a plan literal (the q121/q132 artifact precedent).
+    * Segmentation then runs ONCE per word type through the native DP
+    * expression inside whole-stage codegen, and the corpus pass is
+    * q127's shape: one explode + broadcast join + one aggregation
+    * shuffle. Oracle: the merge-learning CTEs, the same containment-
+    * join frequencies, and the DP unrolled position-by-position (b1..b12
+    * stages, struct-MIN realizing the lexicographic (cost, −fsum)
+    * tie-break) — a value-level oracle on the composed
+    * train→weigh→segment pipeline. */
+  def q136UnigramSegment(s: SparkSession, dir: String): DataFrame =
+    unigramCore(s, Tables.documents(s, dir), BpeMerges)
+
+  /** q136 core over any (doc_id, text) frame — spec entry point. */
+  private[graft] def unigramCore(s: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    import s.implicits._
+    val (merges, trained) = bpeTrain(s, docs, nMerges)
+    val chars = trained.select(explode(transform(
+        sequence(lit(1), length($"word")), i => $"word".substr(i, lit(1)))).as("p"))
+      .distinct().orderBy($"p").collect().map(_.getString(0)).toSeq
+    val pieces = (chars ++ merges.map(m => m._2 + m._3)).distinct.sorted
+    // piece weight = Σ corpus freq of word types containing it (KB join)
+    val pdf = pieces.toDF("piece")
+    val freqMap = trained.select($"word", $"freq")
+      .join(broadcast(pdf), $"word".contains($"piece"))
+      .groupBy($"piece").agg(sum($"freq").as("pfreq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabF = pieces.map(p => (p, freqMap.getOrElse(p, 0L)))
+    val seg = graft.functions.UnigramSegment(s, $"word", vocabF)
+    val wtok = trained.select($"word", seg.as("seg"))
+      .select($"word", $"seg.n_pieces".as("np"), $"seg.freq_sum".as("fs"))
+    val words = filter(split($"text", " "),
+      w => w =!= "" && !w.contains(BpeSep))
+    val perDoc = docs.select($"doc_id", explode(words).as("word"))
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"np").as("n_pieces"), sum($"fs").as("freq_sum"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"n_pieces", lit(0L)).as("n_pieces"),
+        coalesce($"freq_sum", lit(0L)).as("freq_sum"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: q122's learning CTEs → vocabulary + containment-join
+    * frequencies → the DP unrolled over positions 1..MaxDp with
+    * struct-MIN tie-breaks → per-doc rollup. */
+  lazy val q136Sql: String = {
+    val S = "chr(31)"
+    val MaxDp = graft.functions.UnigramSegment.MaxDp
+    def learnStage(k: Int): String = {
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s""",
+         |p$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+         |    FROM (SELECT freq, string_split(substring(s, 1 + len($S), len(s) - 2*len($S)), $S||$S) AS syms FROM $prev),
+         |         unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT freq, replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
+         |  FROM $prev, p$k p)""".stripMargin
+    }
+    def dpStage(i: Int): String =
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT word, $i AS pos, ms.c AS cost, ms.nf AS nf FROM (
+         |    SELECT p.word, MIN({'c': p.cost + 1, 'nf': p.nf - f.pfreq}) AS ms
+         |    FROM b${i - 1} p JOIN pf f
+         |      ON len(f.piece) = $i - p.pos
+         |     AND substring(p.word, p.pos + 1, len(f.piece)) = f.piece
+         |    WHERE len(p.word) >= $i
+         |    GROUP BY p.word)),
+         |b$i AS MATERIALIZED (
+         |  SELECT * FROM b${i - 1} UNION ALL SELECT * FROM d$i)""".stripMargin
+    val learn = (1 to BpeMerges).map(learnStage).mkString
+    val dp = (1 to MaxDp).map(dpStage).mkString
+    val mergeOut = (1 to BpeMerges)
+      .map(k => s"SELECT l || r AS piece FROM p$k").mkString(" UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
+       |w0 AS (
+       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
+       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
+       |  FROM v)$learn,
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT substring(word, CAST(i AS INT), 1) AS piece
+       |    FROM v, unnest(generate_series(1, len(word))) AS t(i)
+       |    UNION ALL $mergeOut)),
+       |pfj AS (
+       |  SELECT p.piece, CAST(SUM(w.freq) AS BIGINT) AS pfreq
+       |  FROM vocab p JOIN v w ON strpos(w.word, p.piece) > 0
+       |  GROUP BY p.piece),
+       |pf AS MATERIALIZED (
+       |  SELECT piece, COALESCE(pfreq, 0) AS pfreq
+       |  FROM vocab LEFT JOIN pfj USING (piece)),
+       |b0 AS (
+       |  SELECT word, 0 AS pos, 0 AS cost, CAST(0 AS BIGINT) AS nf
+       |  FROM v WHERE len(word) <= $MaxDp)$dp,
+       |wtokS AS (
+       |  SELECT sv.word,
+       |    CAST(COALESCE(b.cost, -1) AS BIGINT) AS np,
+       |    CAST(COALESCE(-b.nf, 0) AS BIGINT) AS fs
+       |  FROM (SELECT word FROM v WHERE len(word) <= $MaxDp) sv
+       |  LEFT JOIN b$MaxDp b ON b.word = sv.word AND b.pos = len(sv.word)),
+       |lc AS (
+       |  SELECT lv.word, substring(lv.word, CAST(i AS INT), 1) AS ch
+       |  FROM (SELECT word FROM v WHERE len(word) > $MaxDp) lv,
+       |       unnest(generate_series(1, len(lv.word))) AS t(i)),
+       |wtokL AS (
+       |  SELECT lc.word, CAST(len(lc.word) AS BIGINT) AS np,
+       |    CAST(COALESCE(SUM(f.pfreq), 0) AS BIGINT) AS fs
+       |  FROM lc LEFT JOIN pf f ON f.piece = lc.ch
+       |  GROUP BY lc.word),
+       |wtok AS (SELECT * FROM wtokS UNION ALL SELECT * FROM wtokL),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    w -> w <> '' AND strpos(w, $S) = 0)) AS word
+       |  FROM documents),
+       |pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(fs) AS BIGINT) AS freq_sum
+       |  FROM dw JOIN wtok USING (word) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+       |  COALESCE(n_pieces, 0) AS n_pieces, COALESCE(freq_sum, 0) AS freq_sum
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q134: Unicode NFC normalization audit ----
 
   /** q134: NFC-normalize the corpus and audit the effect — the
@@ -1803,6 +1954,7 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q136_unigram_segment"    -> (q136UnigramSegment _),
     "q135_html_extract"       -> (q135HtmlExtract _),
     "q134_nfc_normalize"      -> (q134NfcNormalize _),
     "q132_wordpiece_encode"   -> (q132WordpieceEncode _),
@@ -1833,6 +1985,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q136_unigram_segment"    -> q136Sql,
     "q135_html_extract"       -> q135Sql,
     "q134_nfc_normalize"      -> q134Sql,
     "q132_wordpiece_encode"   -> q132Sql,
