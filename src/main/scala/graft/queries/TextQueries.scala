@@ -1674,11 +1674,23 @@ object TextQueries {
       .groupBy($"piece").agg(sum($"freq").as("pfreq"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val vocabF = pieces.map(p => (p, freqMap.getOrElse(p, 0L)))
-    val seg = graft.functions.UnigramSegment(s, $"word", vocabF)
-    val wtok = trained.select($"word", seg.as("seg"))
-      .select($"word", $"seg.n_pieces".as("np"), $"seg.freq_sum".as("fs"))
+    unigramEncode(s, docs, vocabF)
+  }
+
+  /** The encode half against a FROZEN weighted vocabulary — the
+    * production shape (train once, encode every ingest batch) and the
+    * scale-probe entry point: one explode + broadcast join + one
+    * aggregation shuffle over the corpus; segmentation runs per word
+    * TYPE only. */
+  private[graft] def unigramEncode(s: SparkSession, docs: DataFrame,
+      vocabF: Seq[(String, Long)]): DataFrame = {
+    import s.implicits._
     val words = filter(split($"text", " "),
       w => w =!= "" && !w.contains(BpeSep))
+    val seg = graft.functions.UnigramSegment(s, $"word", vocabF)
+    val wtok = docs.select(explode(words).as("word")).distinct()
+      .select($"word", seg.as("seg"))
+      .select($"word", $"seg.n_pieces".as("np"), $"seg.freq_sum".as("fs"))
     val perDoc = docs.select($"doc_id", explode(words).as("word"))
       .join(broadcast(wtok), Seq("word"))
       .groupBy($"doc_id")

@@ -1,16 +1,15 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Dump executed plans of selected queries (dev tool). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().withExtensions(new graft.GraftExtensions).master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().withExtensions(new graft.GraftExtensions)
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (name <- args) {
-      println(s"===== $name =====")
-      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    args.foreach { q =>
+      println(s"===== $q =====")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.queries.{ComposeQueries, DedupQueries, EtlQueries, SimilarityQueries, TextQueries}
+import graft.queries.{ComposeQueries, DedupQueries, EtlQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Ad-hoc stage profiler for the dedup pipeline (dev tool). */
 object Profile {
@@ -383,6 +383,39 @@ object Profile {
         s.count(exact.contains).toDouble / exact.size
       println(f"[profile] OPQ-lite: ADC recall@5 raw=${recall(adcRaw)}%.3f " +
         f"rotated=${recall(adcRot)}%.3f (exact=${exact.size} pairs)")
+    }
+
+    // round-11b scaling: q135-q138 cores on 1x vs 10x-replicated inputs.
+    // Expected ~linear: q135 is map-only (one linear scan per doc);
+    // q136's encode is explode + broadcast join + one agg (vocab frozen
+    // from the 1x corpus — the production train-once shape); q137 is one
+    // user-partitioned window pass + rollup; q138 is two KB-sized
+    // summary shuffles + bucket-partitioned windows.
+    {
+      val docs1 = Tables.documents(spark, dir)
+      val docs10 = (0 until 10).map(i =>
+        docs1.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"),
+          $"text", $"source", $"lang", $"n_chars"))
+        .reduce(_ unionByName _)
+      time("html extract (q135 core) on 1x")(noop(TextQueries.htmlExtractCore(spark, docs1)))
+      time("html extract (q135 core) on 10x")(noop(TextQueries.htmlExtractCore(spark, docs10)))
+      val vocabF = {
+        val chars = ('a' to 'z').map(_.toString)
+        (chars ++ Seq("th", "the", "in", "ing", "er", "ta", "tab"))
+          .map(p => (p, (p.length * 37 + p(0).toInt).toLong))
+      }
+      time("unigram encode (q136 core) on 1x")(noop(TextQueries.unigramEncode(spark, docs1, vocabF)))
+      time("unigram encode (q136 core) on 10x")(noop(TextQueries.unigramEncode(spark, docs10, vocabF)))
+      val ev1 = Tables.events(spark, dir)
+      val ev10 = (0 until 10).map(i =>
+        ev1.select(($"event_id" + lit(i * 100000000L)).as("event_id"), $"ts",
+          ($"user_id" + lit(i * 10000000L)).as("user_id"),
+          $"event_type", $"value", $"props"))
+        .reduce(_ unionByName _)
+      time("ewma anomaly (q137 core) on 1x")(noop(RelationalQueries.ewmaAnomalyCore(spark, ev1)))
+      time("ewma anomaly (q137 core) on 10x")(noop(RelationalQueries.ewmaAnomalyCore(spark, ev10)))
+      time("pareto frontier (q138 core) on 1x")(noop(EtlQueries.paretoFrontierCore(spark, docs1)))
+      time("pareto frontier (q138 core) on 10x")(noop(EtlQueries.paretoFrontierCore(spark, docs10)))
     }
 
     // Streaming throughput probe: the corpus staged as an 8-file drop

@@ -331,4 +331,28 @@ class PlanSpec extends SparkSuite {
     val q128 = SimilarityQueries.q128BinaryAnn(spark, sf0001)
     assert(df.exceptAll(q128).isEmpty && q128.exceptAll(df).isEmpty)
   }
+
+  test("q135: map-only — the one exchange is the final sort's") {
+    assert(countShuffles(TextQueries.q135HtmlExtract(spark, sf0001)) <= 1)
+  }
+
+  test("q137: rollup rides the window's user partitioning (one data shuffle)") {
+    val df = RelationalQueries.q137EwmaAnomaly(spark, sf0001)
+    // one hash exchange (window) + the final sort's range exchange; a
+    // second hash exchange would mean the groupBy re-shuffled user_id
+    assert(countShuffles(df) <= 2)
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q138: windows partition by bucket; summary joins back via broadcast") {
+    val df = EtlQueries.q138ParetoFrontier(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the corpus-sized windows are bucket-partitioned (parallel); only
+    // the KB-sized bucket-summary suffix max may be single-partition
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.exists(_.contains("bucket")), winSpecs.mkString("\n"))
+  }
 }
