@@ -634,10 +634,10 @@ object RelationalQueries {
   /** EWMA window depth: with α = 1/2, weights halve per step and an
     * 8-deep window carries >99.6% of the infinite-history mass — deeper
     * lags change the prediction by less than one weight unit. */
-  private val EwmaDepth = 8
+  private[graft] val EwmaDepth = 8
 
   /** Anomaly threshold in cents: |x − ewma(prior)| > $150. */
-  private val EwmaThresholdCents = 15000L
+  private[graft] val EwmaThresholdCents = 15000L
 
   /** q137: per-user EWMA anomaly detection over the event stream — the
     * rate/metric-spike monitor every ingestion pipeline runs (flag an

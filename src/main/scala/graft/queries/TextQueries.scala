@@ -1794,6 +1794,91 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q139: source-pair vocabulary drift (total-variation) ----
+
+  /** q139: pairwise vocabulary drift between corpus sources — the
+    * mixture-monitoring op behind "did source X's distribution shift
+    * away from source Y" (domain reweighting, crawl-regression alarms,
+    * contamination triage). The distance is total variation on word
+    * frequencies, kept INTEGER-exact by cross-multiplying the
+    * normalizers:
+    *
+    *   tv_num(s1,s2) = Σ_w |c1(w)·n2 − c2(w)·n1|,  TV = tv_num/(2·n1·n2)
+    *
+    * Scale design — the definitional form is a DENSE vocabulary × pairs
+    * cross product (what the oracle runs); this plan never builds it.
+    * The absent-word terms telescope: words only in s1 contribute
+    * n2·(n1 − Σ_shared c1), symmetrically for s2 — so only words
+    * present in BOTH sources of a pair need a join. The query joins the
+    * per-(source, word) count frame to itself on word (sparse: a word
+    * appearing in k sources yields k·(k−1)/2 pair rows, partial-
+    * aggregated map-side), then corrects with the KB-sized totals
+    * frame. BIGINT range: c·n < 2^63 holds to ~3·10⁹ tokens per source;
+    * beyond that the counts column scales to per-million integers
+    * before the same arithmetic.
+    *
+    * The emitted `tv` double is exact-integer division (both factors
+    * < 2^53 at any gate SF), so even the float column hash-matches. */
+  def q139SourceDrift(s: SparkSession, dir: String): DataFrame =
+    sourceDriftCore(s, Tables.documents(s, dir))
+
+  /** q139 core over any (source, text) frame — spec entry point. */
+  private[graft] def sourceDriftCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val words = filter(split($"text", " "), w => w =!= "")
+    val occ = docs.select($"source", explode(words).as("word"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+    val tot = occ.groupBy($"source").agg(sum($"cnt").as("n"))
+    val occN = occ.join(broadcast(tot), Seq("source"))
+    val shared = occN.as("a").join(occN.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(sum(col("a.cnt")).as("shc1"), sum(col("b.cnt")).as("shc2"),
+        sum(abs(col("a.cnt") * col("b.n") - col("b.cnt") * col("a.n")))
+          .as("sh_abs"),
+        count(lit(1)).as("n_shared"))
+    val pairs = tot.as("a").join(tot.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+    pairs.join(shared, Seq("s1", "s2"), "left")
+      .select($"s1", $"s2", $"n1", $"n2",
+        ($"n2" * ($"n1" - coalesce($"shc1", lit(0L))) +
+         $"n1" * ($"n2" - coalesce($"shc2", lit(0L))) +
+         coalesce($"sh_abs", lit(0L))).as("tv_num"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .withColumn("tv",
+        $"tv_num".cast("double") / ((lit(2.0) * $"n1") * $"n2"))
+      .orderBy($"s1", $"s2")
+  }
+
+  /** Oracle: the dense definitional form — every (pair, vocabulary
+    * word) combination with zero-coalesced counts. An independent
+    * strategy from the query's sparse shared-word decomposition. */
+  val q139Sql: String =
+    """WITH occ AS (
+      |  SELECT source, w AS word, COUNT(*) AS cnt FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '),
+      |      w -> w <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM occ GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
+      |  FROM tot a JOIN tot b ON a.source < b.source),
+      |dense AS (
+      |  SELECT p.s1, p.s2, p.n1, p.n2,
+      |    COALESCE(o1.cnt, 0) AS c1, COALESCE(o2.cnt, 0) AS c2
+      |  FROM pairs p
+      |  CROSS JOIN (SELECT DISTINCT word FROM occ) w
+      |  LEFT JOIN occ o1 ON o1.source = p.s1 AND o1.word = w.word
+      |  LEFT JOIN occ o2 ON o2.source = p.s2 AND o2.word = w.word)
+      |SELECT s1, s2, n1, n2,
+      |  CAST(SUM(abs(c1*n2 - c2*n1)) AS BIGINT) AS tv_num,
+      |  CAST(SUM(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared,
+      |  CAST(SUM(abs(c1*n2 - c2*n1)) AS DOUBLE) / (2.0 * n1 * n2) AS tv
+      |FROM dense GROUP BY 1, 2, 3, 4 ORDER BY s1, s2""".stripMargin
+
   // ---- q134: Unicode NFC normalization audit ----
 
   /** q134: NFC-normalize the corpus and audit the effect — the
@@ -1966,6 +2051,7 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q139_source_drift"       -> (q139SourceDrift _),
     "q136_unigram_segment"    -> (q136UnigramSegment _),
     "q135_html_extract"       -> (q135HtmlExtract _),
     "q134_nfc_normalize"      -> (q134NfcNormalize _),
@@ -1997,6 +2083,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q139_source_drift"       -> q139Sql,
     "q136_unigram_segment"    -> q136Sql,
     "q135_html_extract"       -> q135Sql,
     "q134_nfc_normalize"      -> q134Sql,

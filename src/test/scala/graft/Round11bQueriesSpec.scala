@@ -133,4 +133,54 @@ class Round11bQueriesSpec extends SparkSuite {
       .select($"doc_id").collect().map(_.getLong(0)).toSeq
     assert(out == Seq(2L))
   }
+
+  // ---- q139: source-pair vocabulary drift ----
+
+  test("q139 fixture: identical sources at distance 0; disjoint at the maximum") {
+    val docs = Seq(
+      ("sA", "x y z"), ("sB", "x y z"),     // identical distributions
+      ("sC", "p q r q")                      // disjoint from both
+    ).toDF("source", "text")
+    val out = TextQueries.sourceDriftCore(spark, docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4),
+        r.getDouble(6))).toSeq
+    // AB: 0. AC: disjoint → tv_num = n2·n1 + n1·n2 = 2·3·4 = 24, tv = 1.0
+    assert(out == Seq(("sA", "sB", 0L, 0.0), ("sA", "sC", 24L, 1.0),
+      ("sB", "sC", 24L, 1.0)))
+  }
+
+  test("q139 hand case: partial overlap matches the definition") {
+    // s1: a a b (n1=3, a:2 b:1); s2: a c (n2=2, a:1 c:1)
+    // tv_num = |2·2−1·3| + |1·2−0| + |0−1·3| = 1 + 2 + 3 = 6; tv = 6/12
+    val docs = Seq(("s1", "a a b"), ("s2", "a c")).toDF("source", "text")
+    val r = TextQueries.sourceDriftCore(spark, docs).collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getDouble(6)) == (3L, 2L, 6L, 1L, 0.5))
+  }
+
+  test("q139 property: sparse decomposition == dense definitional sum") {
+    val rnd = new scala.util.Random(139)
+    val vocabW = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (1 to 30).map { i =>
+      val src = s"s${rnd.nextInt(4)}"
+      (src, (1 to (1 + rnd.nextInt(12)))
+        .map(_ => vocabW(rnd.nextInt(vocabW.length))).mkString(" "))
+    }.toDF("source", "text")
+    val out = TextQueries.sourceDriftCore(spark, docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    // dense reference
+    val rows = docs.collect().map(r => (r.getString(0), r.getString(1)))
+    val counts = rows.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2.split(" ")).groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    }
+    val totals = counts.map { case (s, m) => s -> m.values.sum }
+    val srcs = counts.keys.toSeq.sorted
+    for (Seq(s1, s2) <- srcs.combinations(2)) {
+      val (n1, n2) = (totals(s1), totals(s2))
+      val dense = vocabW.map(w =>
+        math.abs(counts(s1).getOrElse(w, 0L) * n2 -
+          counts(s2).getOrElse(w, 0L) * n1)).sum
+      assert(out((s1, s2)) == dense, s"pair ($s1,$s2)")
+    }
+  }
 }

@@ -239,6 +239,41 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming EWMA anomalies (flatMapGroupsWithState) == batch q137 rollup") {
+    // two time-split halves as micro-batches (in-order per-user delivery,
+    // the face's documented contract); a user whose history spans the cut
+    // exercises the cross-batch ring state
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("events_ewma")
+    val ev = Tables.events(spark, sf0001)
+    val cut = ev.select(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    ev.where(unix_micros($"ts") <= cut).coalesce(1).write.parquet(s"$dir/h1")
+    ev.where(unix_micros($"ts") > cut).coalesce(1).write.parquet(s"$dir/h2")
+    for ((src, dst) <- Seq("h1" -> "b1.parquet", "h2" -> "b2.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val streamed = graft.streaming.AnomalyStream
+      .runBounded(spark, s"$dir/b*.parquet", "stream_ewma")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"scored".cast("long")).as("n_scored"),
+        sum($"anomaly".cast("long")).as("n_anomalies"),
+        min(when($"anomaly", $"event_id")).as("first_anomaly_id"))
+      .orderBy($"user_id").collect()
+    val batch = RelationalQueries.q137EwmaAnomaly(spark, sf0001).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(batch.nonEmpty && batch.map(_.getLong(3)).sum > 0,
+      "fixture must contain anomalies")
+    assert(key(streamed) == key(batch))
+  }
+
   test("stream-stream interval join == the same join run as a batch self-join") {
     val dir = tmpDir("events_attr")
     java.nio.file.Files.copy(
