@@ -496,7 +496,74 @@ object GraphQueries {
        |FROM r$n ORDER BY l_partkey""".stripMargin
   }
 
+  // ---- q140: label-propagation communities (fixed synchronous rounds) ----
+
+  /** Synchronous LPA round count. Fixed and unrolled in the oracle:
+    * sync LPA can oscillate on bipartite-ish structure, so "run to
+    * convergence" is ill-defined — production implementations cap
+    * rounds; 3 is enough for the co-purchase graph's label mass to
+    * coalesce (the 1-round and 3-round partitions differ, spec). */
+  val LpaRounds = 3
+
+  /** q140: community detection by label propagation (Raghavan et al.
+    * 2007) over the co-purchase graph — the clustering dual of the
+    * PageRank family: each node starts as its own label and each
+    * synchronous round adopts the most frequent label among neighbors
+    * (own label counts once; ties break to the SMALLEST label, making
+    * every round deterministic — no random visit order).
+    *
+    * Scale design is q72's: edges are materialized ONCE partitioned on
+    * `u` and never move; each round shuffles only the node-sized label
+    * vector (join edges⋈labels on u, count votes at v, argmax via a
+    * single max(struct(cnt, −lab)) — no per-group sort). 3 rounds = 3
+    * node-sized exchanges. Oracle unrolls the same rounds with
+    * struct-MIN argmax over the shared edge CTEs. */
+  def q140LpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = copurchaseEdgesPartitioned(s, dir)
+    lpaCore(edges, LpaRounds)
+  }
+
+  /** q140 core over any mirrored (u, v) edge frame — spec entry. */
+  private[graft] def lpaCore(edges: DataFrame, rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var labels = edges.select($"u".as("v")).distinct()
+      .select($"v", $"v".as("lab"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val nbrVotes = edges
+        .join(labels.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
+        .select($"v", $"lab")
+      labels = nbrVotes.unionByName(labels) // self-vote, weight 1
+        .groupBy($"v", $"lab").agg(count(lit(1)).as("cnt"))
+        .groupBy($"v")
+        .agg(max(struct($"cnt", (-$"lab").as("nl"))).as("m"))
+        .select($"v", (-$"m.nl").as("lab"))
+        .localCheckpoint(false)
+    }
+    labels.select($"v".as("l_partkey"), $"lab".as("community"))
+      .orderBy($"l_partkey")
+  }
+
+  val q140Sql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""n$k AS (
+         |  SELECT v, lab, COUNT(*) AS cnt FROM (
+         |    SELECT e.v, l.lab FROM edges e JOIN l${k - 1} l ON l.v = e.u
+         |    UNION ALL SELECT v, lab FROM l${k - 1})
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT v, ms.lab AS lab FROM (
+         |    SELECT v, MIN({'nc': -cnt, 'lab': lab}) AS ms FROM n$k GROUP BY v))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$GraphSql,
+       |l0 AS (SELECT DISTINCT u AS v, u AS lab FROM edges)$rounds
+       |SELECT v AS l_partkey, lab AS community FROM l$LpaRounds
+       |ORDER BY l_partkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_lpa_communities"  -> (q140LpaCommunities _),
     "q66_pagerank_step"     -> (q66PagerankStep _),
     "q72_pagerank_iters"    -> (q72PagerankIters _),
     "q77_triangle_count"    -> (q77Triangles _),
@@ -505,6 +572,7 @@ object GraphQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q140_lpa_communities"  -> q140Sql,
     "q66_pagerank_step"     -> q66Sql,
     "q72_pagerank_iters"    -> q72Sql,
     "q77_triangle_count"    -> q77Sql,

@@ -416,6 +416,11 @@ object Profile {
       time("ewma anomaly (q137 core) on 10x")(noop(RelationalQueries.ewmaAnomalyCore(spark, ev10)))
       time("pareto frontier (q138 core) on 1x")(noop(EtlQueries.paretoFrontierCore(spark, docs1)))
       time("pareto frontier (q138 core) on 10x")(noop(EtlQueries.paretoFrontierCore(spark, docs10)))
+      // q139: replicated docs multiply per-(source,word) counts, not the
+      // vocabulary — the shared-word join frame is replication-invariant,
+      // so expect near-flat (the sparse form's scale story)
+      time("source drift (q139 core) on 1x")(noop(TextQueries.sourceDriftCore(spark, docs1)))
+      time("source drift (q139 core) on 10x")(noop(TextQueries.sourceDriftCore(spark, docs10)))
     }
 
     // Streaming throughput probe: the corpus staged as an 8-file drop

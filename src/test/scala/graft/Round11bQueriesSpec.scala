@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{EtlQueries, RelationalQueries, TextQueries}
+import graft.queries.{EtlQueries, GraphQueries, RelationalQueries, TextQueries}
 
 /** Late-round-11 additions: q137 EWMA anomaly detection (integer-exact
   * cross-multiplied flag), and friends. */
@@ -182,5 +182,33 @@ class Round11bQueriesSpec extends SparkSuite {
           counts(s2).getOrElse(w, 0L) * n1)).sum
       assert(out((s1, s2)) == dense, s"pair ($s1,$s2)")
     }
+  }
+  // ---- q140: label-propagation communities ----
+
+  /** Mirror a u<v pair list into the (u,v)+(v,u) edge frame. */
+  private def mirrored(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("u", "v")
+
+  test("q140 fixture: two bridged triangles resolve to two communities") {
+    val edges = mirrored(Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L)))
+    val out = GraphQueries.lpaCore(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->4L, 6L->4L))
+  }
+
+  test("q140 tie-break: equal vote counts adopt the smallest label") {
+    // star 0—1, 0—2: every round-1 vote set ties; min label must win
+    val edges = mirrored(Seq((0L,1L),(0L,2L)))
+    val out = GraphQueries.lpaCore(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L->0L, 1L->0L, 2L->0L))
+  }
+
+  test("q140 rounds matter: 1-round labels differ from the settled 3-round state") {
+    val edges = mirrored(Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L)))
+    val r1 = GraphQueries.lpaCore(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after one round the right triangle still carries mixed labels
+    assert(r1 == Map(1L->1L, 2L->1L, 3L->1L, 4L->3L, 5L->4L, 6L->4L))
   }
 }
