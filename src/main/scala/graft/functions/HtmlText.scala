@@ -140,8 +140,17 @@ object HtmlText {
           }
         }
       } else if (c == '&') {
-        val semi = html.indexOf(';', i + 1)
-        val ent = if (semi > i && semi <= i + 8) html.substring(i + 1, semi) else null
+        // bounded lookahead: the longest accepted entity name is 4 chars
+        // (+';'), so scan at most 8 — an unbounded indexOf would make
+        // '&'-dense text with no later ';' quadratic (review finding)
+        var semi = -1
+        var k = i + 1
+        val kMax = math.min(n - 1, i + 8)
+        while (semi < 0 && k <= kMax) {
+          if (html.charAt(k) == ';') semi = k
+          k += 1
+        }
+        val ent = if (semi > i) html.substring(i + 1, semi) else null
         val dec = ent match {
           case "amp" => "&"
           case "lt" => "<"

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -664,12 +664,26 @@ object RelationalQueries {
   def q137EwmaAnomaly(s: SparkSession, dir: String): DataFrame =
     ewmaAnomalyCore(s, Tables.events(s, dir))
 
+  /** Exact cents from a double value column — FLOOR of the exact
+    * DECIMAL(18,4)·100 in BOTH engines (a bare decimal→long cast
+    * truncates in Spark but ROUNDS in the oracle engine; floor is
+    * identical in both for the non-negative money values here, and a
+    * no-op while inputs honor Exact.scala's ≤2-fractional-digit
+    * contract). Single-sourced: the streaming face's equivalence
+    * depends on this exact expression (review finding). */
+  private[graft] def centsOf(c: Column): Column =
+    floor(decCol(c) * 100).cast("long")
+
+  /** The [[centsOf]] mirror for oracle SQL text. */
+  private[graft] val centsSql: String =
+    "CAST(floor(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT)"
+
   /** q137 core over any (user_id, ts, event_id, value) frame — spec
     * entry point. */
   private[graft] def ewmaAnomalyCore(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val xc = (decCol($"value") * 100).cast("long")
+    val xc = centsOf($"value")
     val num = (1 to EwmaDepth).map { k =>
       coalesce(lag($"xc", k).over(w), lit(0L)) * lit(1L << (EwmaDepth - k))
     }.reduce(_ + _)
@@ -682,13 +696,18 @@ object RelationalQueries {
     events
       .select($"user_id", $"ts", $"event_id", xc.as("xc"))
       .withColumn("num", num).withColumn("den", den)
-      .select($"user_id", $"event_id",
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
         scored.cast("long").as("scored"), anom.cast("long").as("anom"))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"),
         sum($"scored").as("n_scored"),
         sum($"anom").as("n_anomalies"),
-        min(when($"anom" === 1L, $"event_id")).as("first_anomaly_id"))
+        // FIRST anomaly in event-TIME order (ids need not be monotone in
+        // ts — min(event_id) alone would name a later anomaly, review
+        // finding); struct min orders by (tus, event_id)
+        min(when($"anom" === 1L,
+          struct($"tus".as("t"), $"event_id".as("id"))))
+          .getField("id").as("first_anomaly_id"))
       .orderBy($"user_id")
   }
 
@@ -704,12 +723,11 @@ object RelationalQueries {
        |  CAST(SUM(CASE WHEN den > 0 AND abs(xc*den - num) > ${EwmaThresholdCents}*den
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
        |  MIN(CASE WHEN den > 0 AND abs(xc*den - num) > ${EwmaThresholdCents}*den
-       |      THEN event_id END) AS first_anomaly_id
+       |      THEN {'t': tus, 'id': event_id} END).id AS first_anomaly_id
        |FROM (
-       |  SELECT user_id, event_id,
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
        |    xc, ($numTerms) AS num, ($denTerms) AS den
-       |  FROM (SELECT user_id, ts, event_id,
-       |          CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS xc
+       |  FROM (SELECT user_id, ts, event_id, $centsSql AS xc
        |        FROM events)
        |  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
        |GROUP BY user_id ORDER BY user_id""".stripMargin

@@ -1367,7 +1367,24 @@ object TextQueries {
     (merges.toSeq, cur)
   }
 
-  val q122Sql: String = {
+  /** Shared oracle text for the BPE training chain (review finding: this
+    * generator existed verbatim in four oracles — one copy now feeds
+    * q122/q127/q132/q136). [[bpeLearnPreamble]] is the v/w0 word-type
+    * CTE body (no WITH keyword — callers choose WITH vs WITH RECURSIVE);
+    * [[bpeLearnStages]] are the p1..pN / w1..wN merge-round CTEs. */
+  private def bpeLearnPreamble: String = {
+    val S = "chr(31)"
+    s"""v AS (
+       |  SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
+       |w0 AS (
+       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
+       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
+       |  FROM v)""".stripMargin
+  }
+
+  private def bpeLearnStages(nMerges: Int): String = {
     val S = "chr(31)"
     def stage(k: Int): String = {
       val prev = if (k == 1) "w0" else s"w${k - 1}"
@@ -1383,18 +1400,14 @@ object TextQueries {
          |  SELECT freq, replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
          |  FROM $prev, p$k p)""".stripMargin
     }
-    val stages = (1 to BpeMerges).map(stage).mkString
+    (1 to nMerges).map(stage).mkString
+  }
+
+  val q122Sql: String = {
     val finals = (1 to BpeMerges).map(k =>
       s"SELECT $k AS rank, l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_freq FROM p$k")
       .mkString(" UNION ALL ")
-    s"""WITH v AS (
-       |  SELECT w AS word, COUNT(*) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
-       |w0 AS (
-       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
-       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
-       |  FROM v)$stages
+    s"""WITH $bpeLearnPreamble${bpeLearnStages(BpeMerges)}
        |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
   }
 
@@ -1459,36 +1472,15 @@ object TextQueries {
   lazy val q127Sql: String = {
     val S = "chr(31)"
     val R = "chr(30)"
-    def learnStage(k: Int): String = {
-      val prev = if (k == 1) "w0" else s"w${k - 1}"
-      s""",
-         |p$k AS MATERIALIZED (
-         |  SELECT l, r, cnt FROM (
-         |    SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
-         |    FROM (SELECT freq, string_split(substring(s, 1 + len($S), len(s) - 2*len($S)), $S||$S) AS syms FROM $prev),
-         |         unnest(generate_series(1, len(syms) - 1)) AS t(i)
-         |    GROUP BY 1, 2)
-         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |w$k AS MATERIALIZED (
-         |  SELECT freq, replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
-         |  FROM $prev, p$k p)""".stripMargin
-    }
     def applyStage(k: Int): String =
       s""",
          |a$k AS MATERIALIZED (
          |  SELECT doc_id, n_words,
          |    replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
          |  FROM a${k - 1}, p$k p)""".stripMargin
-    val learn = (1 to BpeMerges).map(learnStage).mkString
+    val learn = bpeLearnStages(BpeMerges)
     val app = (1 to BpeMerges).map(applyStage).mkString
-    s"""WITH v AS (
-       |  SELECT w AS word, COUNT(*) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
-       |w0 AS (
-       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
-       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
-       |  FROM v)$learn,
+    s"""WITH $bpeLearnPreamble$learn,
        |dw AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), w -> w <> '' AND strpos(w, $S) = 0) AS ws
@@ -1569,31 +1561,10 @@ object TextQueries {
     * longest-prefix segmentation per word type → per-doc rollup. */
   lazy val q132Sql: String = {
     val S = "chr(31)"
-    def learnStage(k: Int): String = {
-      val prev = if (k == 1) "w0" else s"w${k - 1}"
-      s""",
-         |p$k AS MATERIALIZED (
-         |  SELECT l, r, cnt FROM (
-         |    SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
-         |    FROM (SELECT freq, string_split(substring(s, 1 + len($S), len(s) - 2*len($S)), $S||$S) AS syms FROM $prev),
-         |         unnest(generate_series(1, len(syms) - 1)) AS t(i)
-         |    GROUP BY 1, 2)
-         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |w$k AS MATERIALIZED (
-         |  SELECT freq, replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
-         |  FROM $prev, p$k p)""".stripMargin
-    }
-    val learn = (1 to BpeMerges).map(learnStage).mkString
+    val learn = bpeLearnStages(BpeMerges)
     val mergeOut = (1 to BpeMerges)
       .map(k => s"SELECT l || r AS piece FROM p$k").mkString(" UNION ALL ")
-    s"""WITH RECURSIVE v AS (
-       |  SELECT w AS word, COUNT(*) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
-       |w0 AS (
-       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
-       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
-       |  FROM v)$learn,
+    s"""WITH RECURSIVE $bpeLearnPreamble$learn,
        |vocab AS MATERIALIZED (
        |  SELECT DISTINCT piece FROM (
        |    SELECT substring(word, CAST(i AS INT), 1) AS piece
@@ -1663,9 +1634,10 @@ object TextQueries {
       nMerges: Int): DataFrame = {
     import s.implicits._
     val (merges, trained) = bpeTrain(s, docs, nMerges)
+    // no cluster-side sort: pieces are driver-.sorted below anyway
     val chars = trained.select(explode(transform(
         sequence(lit(1), length($"word")), i => $"word".substr(i, lit(1)))).as("p"))
-      .distinct().orderBy($"p").collect().map(_.getString(0)).toSeq
+      .distinct().collect().map(_.getString(0)).toSeq
     val pieces = (chars ++ merges.map(m => m._2 + m._3)).distinct.sorted
     // piece weight = Σ corpus freq of word types containing it (KB join)
     val pdf = pieces.toDF("piece")
@@ -1710,20 +1682,6 @@ object TextQueries {
   lazy val q136Sql: String = {
     val S = "chr(31)"
     val MaxDp = graft.functions.UnigramSegment.MaxDp
-    def learnStage(k: Int): String = {
-      val prev = if (k == 1) "w0" else s"w${k - 1}"
-      s""",
-         |p$k AS MATERIALIZED (
-         |  SELECT l, r, cnt FROM (
-         |    SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
-         |    FROM (SELECT freq, string_split(substring(s, 1 + len($S), len(s) - 2*len($S)), $S||$S) AS syms FROM $prev),
-         |         unnest(generate_series(1, len(syms) - 1)) AS t(i)
-         |    GROUP BY 1, 2)
-         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |w$k AS MATERIALIZED (
-         |  SELECT freq, replace(s, $S||p.l||$S||$S||p.r||$S, $S||p.l||p.r||$S) AS s
-         |  FROM $prev, p$k p)""".stripMargin
-    }
     def dpStage(i: Int): String =
       s""",
          |d$i AS MATERIALIZED (
@@ -1736,18 +1694,11 @@ object TextQueries {
          |    GROUP BY p.word)),
          |b$i AS MATERIALIZED (
          |  SELECT * FROM b${i - 1} UNION ALL SELECT * FROM d$i)""".stripMargin
-    val learn = (1 to BpeMerges).map(learnStage).mkString
+    val learn = bpeLearnStages(BpeMerges)
     val dp = (1 to MaxDp).map(dpStage).mkString
     val mergeOut = (1 to BpeMerges)
       .map(k => s"SELECT l || r AS piece FROM p$k").mkString(" UNION ALL ")
-    s"""WITH v AS (
-       |  SELECT w AS word, COUNT(*) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' AND strpos(w, $S) = 0 GROUP BY w),
-       |w0 AS (
-       |  SELECT freq, $S || list_aggr(list_transform(generate_series(1, len(word)),
-       |      i -> substring(word, CAST(i AS INT), 1)), 'string_agg', $S||$S) || $S AS s
-       |  FROM v)$learn,
+    s"""WITH $bpeLearnPreamble$learn,
        |vocab AS MATERIALIZED (
        |  SELECT DISTINCT piece FROM (
        |    SELECT substring(word, CAST(i AS INT), 1) AS piece

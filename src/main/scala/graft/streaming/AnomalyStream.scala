@@ -31,8 +31,8 @@ object AnomalyStream {
   case class EvIn(user_id: Long, tus: Long, event_id: Long, cents: Long)
   /** Ring of the last `Depth` cent values, oldest first. */
   case class Ring(vals: Seq[Long])
-  case class AnomOut(user_id: Long, event_id: Long, scored: Boolean,
-      anomaly: Boolean)
+  case class AnomOut(user_id: Long, event_id: Long, tus: Long,
+      scored: Boolean, anomaly: Boolean)
 
   /** The q137 flag arithmetic over a history ring (newest last). */
   private[graft] def flag(history: Seq[Long], x: Long): (Boolean, Boolean) = {
@@ -56,7 +56,7 @@ object AnomalyStream {
     val out = it.toArray.sortBy(e => (e.tus, e.event_id)).map { e =>
       val (scored, anom) = flag(hist, e.cents)
       hist = (hist :+ e.cents).takeRight(Depth)
-      AnomOut(user, e.event_id, scored, anom)
+      AnomOut(user, e.event_id, e.tus, scored, anom)
     }
     state.update(Ring(hist))
     out.iterator
@@ -69,7 +69,7 @@ object AnomalyStream {
         $"user_id".cast("long").as("user_id"),
         unix_micros($"ts").as("tus"),
         $"event_id".cast("long").as("event_id"),
-        ($"value".cast("decimal(18,4)") * 100).cast("long").as("cents"))
+        graft.queries.RelationalQueries.centsOf($"value").as("cents"))
       .as[EvIn]
     in.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(

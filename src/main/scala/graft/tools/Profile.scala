@@ -421,6 +421,23 @@ object Profile {
       // so expect near-flat (the sparse form's scale story)
       time("source drift (q139 core) on 1x")(noop(TextQueries.sourceDriftCore(spark, docs1)))
       time("source drift (q139 core) on 10x")(noop(TextQueries.sourceDriftCore(spark, docs10)))
+      // q140: 10 disjoint shifted copies of the co-purchase graph — node
+      // AND edge count scale 10x, community structure replicates; per
+      // round only the node-sized label vector exchanges
+      val e1 = graft.queries.GraphQueries.copurchaseEdgesPartitioned(spark, dir)
+      // the union of shifted copies loses e1's HashPartitioning(u) — at
+      // warehouse scale the graph lives as a u-bucketed table, so the
+      // probe re-materializes the layout the contract assumes (without
+      // it the first probe run re-shuffled the EDGES every round: 43s)
+      val e10 = graft.operators.Materialize.checkpointPartitioned(
+        (0 until 10).map(i =>
+          e1.select(($"u" + lit(i * 10000000L)).as("u"),
+            ($"v" + lit(i * 10000000L)).as("v")))
+          .reduce(_ unionByName _).repartition($"u"))
+      time("lpa 3 rounds (q140 core) on 1x")(noop(
+        graft.queries.GraphQueries.lpaCore(e1, 3)))
+      time("lpa 3 rounds (q140 core) on 10x")(noop(
+        graft.queries.GraphQueries.lpaCore(e10, 3)))
     }
 
     // Streaming throughput probe: the corpus staged as an 8-file drop

@@ -263,7 +263,8 @@ class StreamingSpec extends SparkSuite {
       .agg(count(lit(1)).as("n_events"),
         sum($"scored".cast("long")).as("n_scored"),
         sum($"anomaly".cast("long")).as("n_anomalies"),
-        min(when($"anomaly", $"event_id")).as("first_anomaly_id"))
+        min(when($"anomaly", struct($"tus".as("t"), $"event_id".as("id"))))
+          .getField("id").as("first_anomaly_id"))
       .orderBy($"user_id").collect()
     val batch = RelationalQueries.q137EwmaAnomaly(spark, sf0001).collect()
     def key(rows: Array[org.apache.spark.sql.Row]) =
