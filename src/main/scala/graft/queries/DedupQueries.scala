@@ -1547,7 +1547,129 @@ object DedupQueries {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  // ---- q142: containment dedup (asymmetric quote inclusion) ----
+
+  /** Containment threshold: |A∩B| ≥ 9/10 of the SMALLER set. */
+  val ContNum = 9
+  val ContDen = 10
+
+  /** Excerpt length (tokens) for the deterministic quote construction. */
+  val QuoteTokens = 30
+
+  /** q142: CONTAINMENT near-dup detection — the asymmetric case the
+    * whole symmetric family misses: a short document quoted verbatim
+    * inside a much longer one has Jaccard |A∩B|/|A∪B| ≈ |A|/|B| (far
+    * below q26/q29's 0.8 gate) while containment |A∩B|/min(|A|,|B|)
+    * ≈ 1. Broder's containment coefficient is the standard fix; the
+    * verdict here is the pair set with containment ≥ 9/10 AND Jaccard
+    * < the symmetric threshold — exactly the pairs q26/q29 do NOT emit
+    * (both conditions integer cross-multiplied, no float at the gate).
+    *
+    * The corpus tables carry independent word-soup docs (no genuine
+    * quotes), so the query first constructs the quote relation
+    * deterministically IN BOTH ENGINES — doc_id+1,000,000 carrying the
+    * first [[QuoteTokens]] tokens of the original plus a constant tail
+    * token: the tail's cross-quote shingles are boilerplate the df cap
+    * removes, the realistic shape (navigation chrome around quoted
+    * content).
+    *
+    * Scale design is q29's: hashed 8-byte shingle occurrences, the df
+    * cap as ONE windowed count (no second corpus scan), rare-shared
+    * pair counts with an upper-bound prune (shared_rare + min hot ≥
+    * threshold·min size — sound because hot shingles can at most all
+    * be shared), and exact verification re-shingling ONLY candidates
+    * behind a broadcast semi-join. Nothing all-pairs: candidates
+    * require a shared RARE shingle. */
+  def q142ContainmentDedup(s: SparkSession, dir: String): DataFrame =
+    containmentCore(s, withQuotes(Tables.documents(s, dir)))
+
+  /** The deterministic quote construction (both engines build this). */
+  private[graft] def withQuotes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val quote = concat(
+      array_join(slice(split($"text", " "), 1, QuoteTokens), " "),
+      lit(" q142tail"))
+    docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + lit(1000000L)).as("doc_id"),
+        quote.as("text")))
+  }
+
+  /** q142 core over any (doc_id, text) frame — spec entry point. */
+  private[graft] def containmentCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val docsSh = docs.select($"doc_id", shingles($"text").as("shingles"))
+    val occ = docsSh
+      .select($"doc_id", size($"shingles").cast("long").as("n_sh"),
+        explode($"shingles").as("sh_raw"))
+      .select($"doc_id", $"n_sh", h60(s, $"sh_raw").as("sh"))
+    val rare = occ
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .where($"df" <= PairingDfCap)
+      .select($"doc_id", $"n_sh", $"sh")
+    val stats = rare.groupBy($"doc_id").agg(
+        max($"n_sh").as("n_sh"), count(lit(1)).as("n_rare"))
+      .select($"doc_id", $"n_sh", ($"n_sh" - $"n_rare").as("n_hot"))
+    val shared = rare.as("a")
+      .join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+    // sound prune: intersection ≤ shared_rare + min(hot) — candidates
+    // only where the upper bound clears the containment gate
+    val cand = shared
+      .join(stats.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(stats.as("sb"), $"doc_b" === $"sb.doc_id")
+      .where(($"shared_rare" + least($"sa.n_hot", $"sb.n_hot")) * ContDen >=
+        least($"sa.n_sh", $"sb.n_sh") * ContNum)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(false)
+    val candIds = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val docsV = docsSh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    cand
+      .join(docsV.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(docsV.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        size(col("sa.shingles")).cast("long").as("n_a"),
+        size(col("sb.shingles")).cast("long").as("n_b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("inter"))
+      .where($"inter" * ContDen >= least($"n_a", $"n_b") * ContNum &&
+        // Jaccard BELOW the symmetric gate: 0.8 = 4/5 cross-multiplied
+        $"inter" * 5L < ($"n_a" + $"n_b" - $"inter") * 4L)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: the same quote construction + q29's plain-string candidate
+    * strategy (no hashing, dense rare-share join) + exact verification
+    * with the identical integer gates. */
+  val q142Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(string_split(text, ' ')[1:$QuoteTokens], ' ')
+       |      || ' q142tail' AS text
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSqlExpr.replace("FROM documents", "")} AS shingles FROM aug),
+       |occ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |rare AS (SELECT s FROM occ GROUP BY s HAVING COUNT(*) <= $PairingDfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM occ a JOIN rare r ON a.s = r.s
+       |  JOIN occ b ON b.s = a.s AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(sa.shingles) AS BIGINT) AS n_a,
+       |  CAST(len(sb.shingles) AS BIGINT) AS n_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter
+       |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE len(list_intersect(sa.shingles, sb.shingles)) * $ContDen >=
+       |      least(len(sa.shingles), len(sb.shingles)) * $ContNum
+       |  AND len(list_intersect(sa.shingles, sb.shingles)) * 5 <
+       |      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q142_containment_dedup"  -> (q142ContainmentDedup _),
     "q125_winnow_clusters"    -> (q125WinnowClusters _),
     "q124_incremental_winnow" -> (q124IncrementalWinnow _),
     "q119_substring_dedup"    -> (q119SubstringDedup _),
@@ -1570,6 +1692,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q142_containment_dedup"  -> q142Sql,
     "q125_winnow_clusters"    -> q125Sql,
     "q124_incremental_winnow" -> q124Sql,
     "q119_substring_dedup"    -> q119Sql,

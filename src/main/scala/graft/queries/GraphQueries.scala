@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -545,24 +545,91 @@ object GraphQueries {
       .orderBy($"l_partkey")
   }
 
-  val q140Sql: String = {
-    val rounds = (1 to LpaRounds).map { k =>
+  /** The n1/l1..nN/lN synchronous-round CTEs over an edge CTE named
+    * `edges` (shared by q140 and q141's oracle). */
+  private def lpaRoundsSql(n: Int, edges: String): String =
+    (1 to n).map { k =>
       s"""n$k AS (
          |  SELECT v, lab, COUNT(*) AS cnt FROM (
-         |    SELECT e.v, l.lab FROM edges e JOIN l${k - 1} l ON l.v = e.u
+         |    SELECT e.v, l.lab FROM $edges e JOIN l${k - 1} l ON l.v = e.u
          |    UNION ALL SELECT v, lab FROM l${k - 1})
          |  GROUP BY 1, 2),
          |l$k AS (
          |  SELECT v, ms.lab AS lab FROM (
          |    SELECT v, MIN({'nc': -cnt, 'lab': lab}) AS ms FROM n$k GROUP BY v))""".stripMargin
     }.mkString(",\n", ",\n", "")
+
+  val q140Sql: String =
     s"""$GraphSql,
-       |l0 AS (SELECT DISTINCT u AS v, u AS lab FROM edges)$rounds
+       |l0 AS (SELECT DISTINCT u AS v, u AS lab FROM edges)${lpaRoundsSql(LpaRounds, "edges")}
        |SELECT v AS l_partkey, lab AS community FROM l$LpaRounds
        |ORDER BY l_partkey""".stripMargin
+
+  // ---- q141: incremental community assignment (new nodes, frozen labels) ----
+
+  /** New-node selector: every 5th part key is "today's batch". */
+  val LpaNewMod = 5
+
+  /** q141: the INCREMENTAL face of q140 — q89/q124's daily-ingest
+    * contract applied to the graph family: yesterday's graph is already
+    * labeled (3-round LPA over OLD-node edges only); today's new nodes
+    * attach by ONE assignment round — each adopts the most frequent
+    * community among its old neighbors (same struct-argmax tie-break),
+    * and a new node with no old neighbor founds its own community
+    * (label = its id). Nothing corpus-sized recomputes: the corpus
+    * labels are frozen, the assignment joins only the batch-incident
+    * edge slice against the node-sized label vector.
+    *
+    * Output: one row per NEW node with its assigned community and its
+    * old-neighbor count (0 = founder). Oracle: the same filtered edge
+    * CTEs, the shared LPA round text, and one assignment round. */
+  def q141LpaAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = copurchaseEdgesPartitioned(s, dir)
+    val isNew = (c: Column) => pmod(c, lit(LpaNewMod.toLong)) === 0L
+    val oldEdges = edges.where(!isNew($"u") && !isNew($"v"))
+    val labels = lpaCore(oldEdges, LpaRounds)
+      .select($"l_partkey".as("u"), $"community")
+    // batch-incident slice: old neighbor u -> new node v
+    val newNodes = edges.select($"u".as("v")).where(isNew($"v")).distinct()
+    val votes = edges.where(!isNew($"u") && isNew($"v"))
+      .join(labels, Seq("u"))
+      .groupBy($"v", $"community").agg(count(lit(1)).as("cnt"))
+    val assigned = votes.groupBy($"v")
+      .agg(max(struct($"cnt", (-$"community").as("nl"))).as("m"),
+        sum($"cnt").as("n_old_neighbors"))
+      .select($"v", (-$"m.nl").as("community"), $"n_old_neighbors")
+    newNodes.join(assigned, Seq("v"), "left")
+      .select($"v".as("l_partkey"),
+        coalesce($"community", $"v").as("community"), // founder
+        coalesce($"n_old_neighbors", lit(0L)).as("n_old_neighbors"))
+      .orderBy($"l_partkey")
   }
 
+  val q141Sql: String =
+    s"""$GraphSql,
+       |oedges AS (SELECT u, v FROM edges
+       |           WHERE u % $LpaNewMod <> 0 AND v % $LpaNewMod <> 0),
+       |l0 AS (SELECT DISTINCT u AS v, u AS lab FROM oedges)${lpaRoundsSql(LpaRounds, "oedges")},
+       |newn AS (SELECT DISTINCT u AS v FROM edges WHERE u % $LpaNewMod = 0),
+       |votes AS (
+       |  SELECT e.v, l.lab AS community, COUNT(*) AS cnt
+       |  FROM edges e JOIN l$LpaRounds l ON l.v = e.u
+       |  WHERE e.u % $LpaNewMod <> 0 AND e.v % $LpaNewMod = 0
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT v, ms.lab AS community, n_old FROM (
+       |    SELECT v, MIN({'nc': -cnt, 'lab': community}) AS ms,
+       |      CAST(SUM(cnt) AS BIGINT) AS n_old
+       |    FROM votes GROUP BY v))
+       |SELECT n.v AS l_partkey,
+       |  COALESCE(a.community, n.v) AS community,
+       |  COALESCE(a.n_old, 0) AS n_old_neighbors
+       |FROM newn n LEFT JOIN assigned a ON a.v = n.v
+       |ORDER BY l_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q141_lpa_assign"       -> (q141LpaAssign _),
     "q140_lpa_communities"  -> (q140LpaCommunities _),
     "q66_pagerank_step"     -> (q66PagerankStep _),
     "q72_pagerank_iters"    -> (q72PagerankIters _),
@@ -572,6 +639,7 @@ object GraphQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q141_lpa_assign"       -> q141Sql,
     "q140_lpa_communities"  -> q140Sql,
     "q66_pagerank_step"     -> q66Sql,
     "q72_pagerank_iters"    -> q72Sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{EtlQueries, GraphQueries, RelationalQueries, TextQueries}
+import graft.queries.{DedupQueries, EtlQueries, GraphQueries, RelationalQueries, TextQueries}
 
 /** Late-round-11 additions: q137 EWMA anomaly detection (integer-exact
   * cross-multiplied flag), and friends. */
@@ -210,5 +210,92 @@ class Round11bQueriesSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // after one round the right triangle still carries mixed labels
     assert(r1 == Map(1L->1L, 2L->1L, 3L->1L, 4L->3L, 5L->4L, 6L->4L))
+  }
+
+  // ---- q142: containment dedup ----
+
+  /** n distinct words wN.. as a doc text. */
+  private def wordDoc(id: Long, from: Int, n: Int): (Long, String) =
+    (id, (from until from + n).map(i => s"w$i").mkString(" "))
+
+  test("q142 fixture: a verbatim quote inside a longer doc is containment, not Jaccard") {
+    // doc 1: 60 words; doc 2: its first 20 words verbatim + its own tail
+    val big = wordDoc(1, 0, 60)
+    val quote = (2L, (0 until 20).map(i => s"w$i").mkString(" ") + " tailx taily")
+    val other = wordDoc(3, 200, 40) // unrelated
+    val docs = Seq(big, quote, other).toDF("doc_id", "text")
+    val out = DedupQueries.containmentCore(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // shingles: big 58, quote 21 (18 quoted + 2 mixed + ... 22 tokens -> 20
+    // distinct 3-gram windows), inter = the 18 pure-quote shingles
+    assert(out.length == 1, s"exactly the (1,2) pair: $out")
+    val (a, b, na, nb, inter) = out.head
+    assert((a, b) == (1L, 2L))
+    assert(nb < na, "the quote is the smaller side")
+    assert(inter * DedupQueries.ContDen >= nb * DedupQueries.ContNum,
+      "containment above the gate")
+    assert(inter * 5 < (na + nb - inter) * 4, "Jaccard below the symmetric gate")
+  }
+
+  test("q142 exclusion: a symmetric near-duplicate pair is q26's, not q142's") {
+    // two docs identical except one trailing word: Jaccard ~0.9 >= 0.8
+    val d1 = wordDoc(1, 0, 40)
+    val d2 = (2L, (0 until 40).map(i => s"w$i").mkString(" ") + " extra")
+    val docs = Seq(d1, d2).toDF("doc_id", "text")
+    assert(DedupQueries.containmentCore(spark, docs).count() == 0L)
+  }
+
+  test("q142 construction: every long-doc quote is detected on a corpus slice") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val out = DedupQueries.containmentCore(spark,
+      DedupQueries.withQuotes(docs)).collect()
+    // the original→own-quote pairs dominate; extra pairs are legitimate
+    // (the corpus carries planted near-dups, whose quotes are contained
+    // in each other's originals too)
+    // short docs drop out by design: their quote IS a symmetric near-dup
+    // (jaccard ≥ 0.8), which q142 excludes as q26's territory
+    val ownQuote = out.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(ownQuote >= 30, s"own-quote pairs: $ownQuote of ${out.length}")
+    assert(ownQuote * 10 >= out.length * 9, "own-quote pairs dominate")
+  }
+
+  // ---- q141: incremental community assignment ----
+
+  test("q141: adoption, equal-vote tie-break, and founders on a hand graph") {
+    // old communities (3-round LPA over old-only edges): {1,2,3} -> 1,
+    // {6,7,8} -> 6. New nodes (id % 5 == 0): 5 adopts 1 (two old
+    // neighbors in community 1); 20 ties 1-vs-6 -> smaller label 1;
+    // 10/15 connect only to each other -> founders
+    val edges = mirrored(Seq(
+      (1L,2L),(1L,3L),(2L,3L), (6L,7L),(6L,8L),(7L,8L),
+      (2L,5L),(3L,5L), (1L,20L),(6L,20L), (10L,15L)))
+    import graft.queries.GraphQueries
+    val isNew = (x: Long) => x % GraphQueries.LpaNewMod == 0
+    val oldE = edges.where(!($"u" % 5 === 0) && !($"v" % 5 === 0))
+    val labels = GraphQueries.lpaCore(oldE, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L->1L, 2L->1L, 3L->1L, 6L->6L, 7L->6L, 8L->6L))
+    // full incremental path via a corpus-shaped core: reuse the query
+    // body by running lpaCore + assignment inline (the q141 fixture dual)
+    val out = {
+      val lab = GraphQueries.lpaCore(oldE, 3)
+        .select($"l_partkey".as("u"), $"community")
+      val newNodes = edges.select($"u".as("v")).where($"v" % 5 === 0).distinct()
+      val votes = edges.where(!($"u" % 5 === 0) && $"v" % 5 === 0)
+        .join(lab, Seq("u"))
+        .groupBy($"v", $"community").agg(count(lit(1)).as("cnt"))
+      val assigned = votes.groupBy($"v")
+        .agg(max(struct($"cnt", (-$"community").as("nl"))).as("m"),
+          sum($"cnt").as("n"))
+        .select($"v", (-$"m.nl").as("community"), $"n")
+      newNodes.join(assigned, Seq("v"), "left")
+        .select($"v", coalesce($"community", $"v").as("community"),
+          coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(out == Seq((5L, 1L, 2L), (10L, 10L, 0L), (15L, 15L, 0L),
+      (20L, 1L, 2L)))
   }
 }
