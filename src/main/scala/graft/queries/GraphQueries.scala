@@ -73,8 +73,10 @@ object GraphQueries {
         .repartition($"u"))
   }
 
-  /** The distinct u<v pair set (half the edge list). */
-  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-basket u<v pair OCCURRENCES (one row per co-containing order) —
+    * the shared pre-aggregation of [[copurchasePairs]] (distinct) and
+    * the q143 weighted edges (count = co-occurrence strength). */
+  private def copurchasePairOcc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val baskets = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
@@ -90,8 +92,11 @@ object GraphQueries {
     baskets
       .select(explode(pairExpr).as("p"))
       .select($"p.u", $"p.v")
-      .distinct()
   }
+
+  /** The distinct u<v pair set (half the edge list). */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    copurchasePairOcc(s, dir).distinct()
 
   /** q66: one PageRank iteration from the uniform start (r₀ = 1) over the
     * part co-purchase graph: r₁(v) = 0.15 + 0.85 · Σ_{u∈N(v)} 1/deg(u).
@@ -628,7 +633,79 @@ object GraphQueries {
        |FROM newn n LEFT JOIN assigned a ON a.v = n.v
        |ORDER BY l_partkey""".stripMargin
 
+  // ---- q143: bounded-hop weighted shortest paths (Bellman–Ford) ----
+
+  /** Relaxation rounds: dist after K rounds = cheapest path from any
+    * seed using ≤ K edges. Fixed and unrolled in the oracle. */
+  val WspRounds = 4
+
+  /** q143: weighted single-source(-set) shortest paths — the weighted
+    * dual of q79's BFS: edge weight = co-purchase STRENGTH (shared
+    * basket count), so the distance is the cheapest ≤[[WspRounds]]-hop
+    * route from the seed set, not the fewest hops. Bellman–Ford by
+    * synchronous relaxation: each round joins the stationary
+    * u-partitioned edge list with the node-sized distance vector and
+    * folds min(old, via-u) — integer weights, so every distance is
+    * hash-exact.
+    *
+    * Scale design is q72/q140's: the WEIGHTED edge list is materialized
+    * once partitioned on u; each of the 4 rounds exchanges only the
+    * node-sized (u, dist) vector. The relax-union-min round is the
+    * standard Pregel superstep expressed as join+agg. */
+  def q143WeightedPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wpairs = copurchasePairOcc(s, dir)
+      .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+    val wedges = graft.operators.Materialize.checkpointPartitioned(
+      wpairs.select(explode(array(
+          struct($"u", $"v", $"w"),
+          struct($"v".as("u"), $"u".as("v"), $"w"))).as("e"))
+        .select($"e.u", $"e.v", $"e.w")
+        .repartition($"u"))
+    weightedPathsCore(wedges, BfsSeedMax, WspRounds)
+  }
+
+  /** q143 core over any mirrored weighted (u, v, w) edge frame — spec
+    * entry point. Seeds = nodes with u < seedMax, distance 0. */
+  private[graft] def weightedPathsCore(wedges: DataFrame, seedMax: Long,
+      rounds: Int): DataFrame = {
+    import wedges.sparkSession.implicits._
+    var dist = wedges.select($"u").where($"u" < seedMax).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val relax = wedges.join(dist.hint("shuffle_hash"), Seq("u"))
+        .select($"v".as("u"), ($"dist" + $"w").as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy($"u").agg(min($"dist").as("dist"))
+        .localCheckpoint(false)
+    }
+    dist.select($"u".as("l_partkey"), $"dist").orderBy($"l_partkey")
+  }
+
+  val q143Sql: String = {
+    val rounds = (1 to WspRounds).map { k =>
+      s"""d$k AS (
+         |  SELECT u, MIN(dist) AS dist FROM (
+         |    SELECT u, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.v AS u, d.dist + e.w AS dist
+         |    FROM wedges e JOIN d${k - 1} d ON d.u = e.u)
+         |  GROUP BY u)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$GraphSql,
+       |wpairs AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM lie a JOIN lie b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |wedges AS (SELECT u, v, w FROM wpairs UNION ALL SELECT v, u, w FROM wpairs),
+       |d0 AS (SELECT DISTINCT u, CAST(0 AS BIGINT) AS dist
+       |       FROM wedges WHERE u < $BfsSeedMax)$rounds
+       |SELECT u AS l_partkey, dist FROM d$WspRounds ORDER BY l_partkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q143_weighted_paths"   -> (q143WeightedPaths _),
     "q141_lpa_assign"       -> (q141LpaAssign _),
     "q140_lpa_communities"  -> (q140LpaCommunities _),
     "q66_pagerank_step"     -> (q66PagerankStep _),
@@ -639,6 +716,7 @@ object GraphQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q143_weighted_paths"   -> q143Sql,
     "q141_lpa_assign"       -> q141Sql,
     "q140_lpa_communities"  -> q140Sql,
     "q66_pagerank_step"     -> q66Sql,

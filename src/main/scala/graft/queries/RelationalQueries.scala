@@ -733,6 +733,52 @@ object RelationalQueries {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---- q144: event-type transition matrix ----
+
+  /** q144: first-order Markov transition counts over per-user event
+    * sequences — the behavioral-model input (and funnel-diagnosis dual
+    * of q67's top-path mining, which keeps whole sequences; this keeps
+    * the EDGE statistics): for consecutive events of the same user in
+    * (ts, event_id) order, count every (from_type → to_type) step and
+    * carry the from-row total so the transition PROBABILITY is the
+    * downstream rational n_trans/n_from — integers only, no float at
+    * the gate.
+    *
+    * Scale: one window pass partitioned by user (the lag evaluates in
+    * a single WindowExec) + one aggregation on the tiny (from, to)
+    * domain with map-side combine; the row-total join is a broadcast
+    * of a type-count frame. */
+  def q144TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .where($"from_type".isNotNull)
+      .select($"from_type", $"event_type".as("to_type"))
+    val trans = steps.groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = trans.groupBy($"from_type").agg(sum($"n_trans").as("n_from"))
+    trans.join(broadcast(fromTot), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n_trans", $"n_from")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q144Sql: String =
+    """WITH steps AS (
+      |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n_trans
+      |  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      |        FROM trans GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n_trans, o.n_from
+      |FROM trans t JOIN tot o USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** q11: sha-256 row-key hashing (P5, taar_utils.py:110-116 — the Bigtable
     * row key). Spark's built-in `sha2` is codegen'd; no UDF. */
   def q11Sha2(s: SparkSession, dir: String): DataFrame = {
@@ -1681,6 +1727,7 @@ object RelationalQueries {
     "q113_asof_join"        -> (q113AsofJoin _),
     "q114_interval_join"    -> (q114IntervalJoin _),
     "q137_ewma_anomaly"     -> (q137EwmaAnomaly _),
+    "q144_transition_matrix" -> (q144TransitionMatrix _),
     "q11_sha2"              -> (q11Sha2 _),
     "q12_json_trycast"      -> (q12JsonTryCast _),
     "q13_url_build_parse"   -> (q13UrlBuildParse _),
@@ -1729,6 +1776,7 @@ object RelationalQueries {
     "q113_asof_join"        -> q113Sql,
     "q114_interval_join"    -> q114Sql,
     "q137_ewma_anomaly"     -> q137Sql,
+    "q144_transition_matrix" -> q144Sql,
     "q11_sha2"              -> q11Sql,
     "q12_json_trycast"      -> q12Sql,
     "q13_url_build_parse"   -> q13Sql,

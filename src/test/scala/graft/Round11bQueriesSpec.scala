@@ -298,4 +298,57 @@ class Round11bQueriesSpec extends SparkSuite {
     assert(out == Seq((5L, 1L, 2L), (10L, 10L, 0L), (15L, 15L, 0L),
       (20L, 1L, 2L)))
   }
+
+  // ---- q143: bounded-hop weighted shortest paths ----
+
+  /** Mirror weighted u<v pairs. */
+  private def wMirrored(pairs: Seq[(Long, Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1, p._3))).toDF("u", "v", "w")
+
+  test("q143: the cheapest route beats the fewest-hop route; rounds bound reach") {
+    // seed 0. Direct 0->9 costs 10; the 3-hop detour 0->1->2->9 costs 3.
+    // Node 30 hangs 5 hops out: unreached at 4 rounds.
+    val wedges = wMirrored(Seq(
+      (0L, 9L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 9L, 1L),
+      (9L, 20L, 1L), (20L, 21L, 1L), (21L, 22L, 1L), (22L, 30L, 1L)))
+    val out = GraphQueries.weightedPathsCore(wedges, 1L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(9L) == 3L, "weighted distance takes the 3-hop detour")
+    assert(out(1L) == 1L && out(2L) == 2L)
+    assert(out(20L) == 4L, "via the detour: 3 + 1 (4 edges fit the horizon)")
+    // 21/22: the cheap detour would need 5/6 edges — beyond the horizon,
+    // so the ≤4-edge optimum rides the expensive direct 0->9 prefix
+    assert(out(21L) == 12L && out(22L) == 13L)
+    assert(!out.contains(30L), "5 hops out: beyond the 4-round horizon")
+  }
+
+  test("q143: a later round can IMPROVE an early greedy distance") {
+    // round 1 reaches 5 directly at cost 9; round 3 finds 1+1+1
+    val wedges = wMirrored(Seq(
+      (0L, 5L, 9L), (0L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L)))
+    val out = GraphQueries.weightedPathsCore(wedges, 1L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) == 3L)
+  }
+
+  // ---- q144: event-type transition matrix ----
+
+  test("q144: hand-built sequences produce exact transition counts") {
+    // user 1: a b a b ; user 2: a a b  — transitions:
+    // a->b: 2 (u1) + 1 (u2) = 3; b->a: 1 (u1); a->a: 1 (u2)
+    val events = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"), (1L, 4L, 4L, "b"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "a"), (2L, 3L, 7L, "b"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"),
+        $"event_id", $"event_type")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = events
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .where($"from_type".isNotNull)
+      .groupBy($"from_type", $"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(steps == Map(("a","b") -> 3L, ("b","a") -> 1L, ("a","a") -> 1L))
+  }
 }
