@@ -17,6 +17,19 @@ object Profile {
   def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+
+  /** q144's shape over any events frame (window lag + tiny-domain agg). */
+  private def transitionsOn(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = ev.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .where($"from_type".isNotNull)
+      .select($"from_type", $"event_type".as("to_type"))
+    steps.groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n_trans"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().withExtensions(new graft.GraftExtensions).master("local[32]")
@@ -438,6 +451,24 @@ object Profile {
         graft.queries.GraphQueries.lpaCore(e1, 3)))
       time("lpa 3 rounds (q140 core) on 10x")(noop(
         graft.queries.GraphQueries.lpaCore(e10, 3)))
+      // q143: same disjoint-copy graphs with unit-ish weights derived
+      // from the ids — per round only the distance vector exchanges
+      def weighted(e: DataFrame) =
+        e.select($"u", $"v", (pmod($"u" + $"v", lit(7L)) + 1L).as("w"))
+      time("weighted paths (q143 core) on 1x")(noop(
+        graft.queries.GraphQueries.weightedPathsCore(weighted(e1), 10L, 4)))
+      time("weighted paths (q143 core) on 10x")(noop(
+        graft.queries.GraphQueries.weightedPathsCore(weighted(e10), 10L, 4)))
+      // q142: map-only shingle+window df machinery; quotes double the corpus
+      time("containment (q142 core) on 1x")(noop(
+        graft.queries.DedupQueries.containmentCore(spark,
+          graft.queries.DedupQueries.withQuotes(docs1))))
+      time("containment (q142 core) on 10x")(noop(
+        graft.queries.DedupQueries.containmentCore(spark,
+          graft.queries.DedupQueries.withQuotes(docs10))))
+      // q144: one window pass + tiny-domain agg over replicated events
+      time("transitions (q144 shape) on 1x")(noop(transitionsOn(spark, ev1)))
+      time("transitions (q144 shape) on 10x")(noop(transitionsOn(spark, ev10)))
     }
 
     // Streaming throughput probe: the corpus staged as an 8-file drop
