@@ -32,10 +32,18 @@ object Cli {
       .getOrCreate()
   }
 
-  /** Read a table by extension: .json (incl. .json.bz2) or parquet. */
-  def readTable(spark: SparkSession, path: String): DataFrame =
-    if (path.contains(".json")) spark.read.option("multiLine", "true").json(path)
+  /** Read a table by the FINAL path segment's extension: .json /
+    * .jsonl (incl. .bz2-compressed) or parquet. Matching on the last
+    * segment only — not `path.contains(".json")` — so a parquet
+    * directory that merely embeds ".json" in its name (e.g.
+    * `my.json.snapshots/`) still reads as parquet. */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val seg = path.stripSuffix("/").split('/').last.toLowerCase
+    val base = seg.stripSuffix(".bz2").stripSuffix(".gz")
+    if (base.endsWith(".json") || base.endsWith(".jsonl"))
+      spark.read.option("multiLine", "true").json(path)
     else spark.read.parquet(path)
+  }
 
   def date(opts: Map[String, String]): LocalDate =
     LocalDate.parse(opts.getOrElse("date", LocalDate.now().toString))

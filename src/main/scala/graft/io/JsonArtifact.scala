@@ -28,9 +28,30 @@ object JsonArtifact {
 
   private val DateFmt = DateTimeFormatter.ofPattern("yyyyMMdd")
 
+  /** Row-count ceiling for the driver-side collect, overridable via
+    * `graft.artifact.maxRows`. The "artifacts are small" contract is
+    * ASSERTED, not assumed: an oversized frame fails with a contract
+    * error naming the artifact instead of silently OOMing the driver.
+    * The guard costs nothing extra — `take(max + 1)` is the same scan
+    * the collect would run, stopped one row past the ceiling. */
+  val DefaultMaxRows = 1000000
+
+  private def maxRows(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("graft.artifact.maxRows")
+      .map(_.toInt).getOrElse(DefaultMaxRows)
+
+  private def guarded[T](rows: Array[T], max: Int, fname: String): Array[T] = {
+    require(rows.length <= max,
+      s"artifact '$fname' exceeds the small-artifact contract: more than " +
+        s"$max rows (graft.artifact.maxRows); artifacts are driver-collected " +
+        "outputs of distributed reductions and must stay KB-scale")
+    rows
+  }
+
   /** Serialize each row as a JSON object (one per line, jsonl). */
   def writeRows(df: DataFrame, prefix: String, fname: String, asOf: LocalDate): (String, String) = {
-    val body = df.toJSON.collect().mkString("\n")
+    val max = maxRows(df)
+    val body = guarded(df.toJSON.take(max + 1), max, fname).mkString("\n")
     writeBytes(df, body.getBytes(StandardCharsets.UTF_8), prefix, fname, asOf)
   }
 
@@ -42,9 +63,12 @@ object JsonArtifact {
     import org.apache.spark.sql.functions.{col, struct, to_json}
     // ONE action: key and record come from the same row, so a
     // nondeterministic recompute between two collects can't mis-zip them.
-    val kj = df.select(col(keyCol).cast("string"),
-        to_json(struct(df.columns.map(col): _*)))
-      .collect().map(r => (r.getString(0), r.getString(1)))
+    val max = maxRows(df)
+    val kj = guarded(
+      df.select(col(keyCol).cast("string"),
+          to_json(struct(df.columns.map(col): _*)))
+        .take(max + 1), max, fname)
+      .map(r => (r.getString(0), r.getString(1)))
     val body = kj
       .map { case (k, r) => "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\": " + r }
       .mkString("{", ", ", "}")

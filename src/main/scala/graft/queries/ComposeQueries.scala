@@ -33,13 +33,26 @@ import graft.Tables
   *     ~60-byte/doc frame, checkpointed once, consumed by every later
   *     stage and the final verdict assembly;
   *  2. the shingle pass: hashed shingle occurrences minted ONLY for
-  *     stage-3 survivors ∪ benchmark docs (broadcast semi-join prunes
-  *     the scan), checkpointed, and shared by the LSH chain, Jaccard
-  *     verification (hashed sets, the q88 trick), and decontamination —
-  *     no third pass exists.
+  *     stage-3 survivors ∪ benchmark docs (semi-join prunes the scan),
+  *     checkpointed, and shared by the LSH chain, Jaccard verification
+  *     (hashed sets, the q88 trick), and decontamination — no third
+  *     pass exists.
   * All inter-stage frames are id-level (8–40 byte rows); the only
-  * corpus-row-count shuffles are the exact-dedup group-by and the LSH
-  * band exchange, both uniform by content hash. The oracle recomputes
+  * corpus-row-count shuffles are the exact-dedup group-by, the LSH
+  * band exchange, and the survivor-id semi-joins, all uniform by
+  * content hash or doc id.
+  *
+  * Broadcast discipline: the SURVIVOR id set grows linearly with corpus
+  * document count, so its two semi-joins carry NO broadcast hint — the
+  * planner broadcasts below `autoBroadcastJoinThreshold` (the sf-test
+  * regime) and degrades to a shuffle semi-join on uniform doc ids past
+  * it (the 100 TB regime; Spark's runtime bloom filter still prunes the
+  * probe side map-side there). A forced `broadcast()` here would
+  * override the threshold and OOM the driver at ~10⁹ docs instead of
+  * degrading (round-11 verdict). PlanSpec pins the transition. The
+  * hints that REMAIN are size-bounded by construction: candidate-pair
+  * ids (LSH-band-collision-bounded), benchmark ids (corpus/DecontamMod)
+  * and the distinct benchmark shingle set (benchmark-sized). The oracle recomputes
   * the whole chain independently (raw-string shingles, recursive-CTE
   * closure), so the gate catches any inter-stage schema or semantic
   * drift — the point of shipping the composition as its own query. */
@@ -74,12 +87,11 @@ object ComposeQueries {
     val s3Ids = s2k.where(!$"x_dup").select($"doc_id")
     val benchIds = flags.where($"is_bench").select($"doc_id")
     // pass 2: hashed shingle occurrences for s3 ∪ bench docs only
-    val occ = docs
-      .join(broadcast(s3Ids.unionByName(benchIds)), Seq("doc_id"), "left_semi")
+    val occ = survivorPrune(docs, s3Ids.unionByName(benchIds))
       .select($"doc_id", explode(DedupQueries.shingles($"text")).as("sh"))
       .select($"doc_id", DedupQueries.h60(s, $"sh").as("h"))
       .localCheckpoint(false)
-    val memberOcc = occ.join(broadcast(s3Ids), Seq("doc_id"), "left_semi")
+    val memberOcc = survivorPrune(occ, s3Ids)
     // near-dup: the q88-shape LSH chain over the shared occurrences
     val cand = DedupQueries.lshCandidates(
         DedupQueries.bandLabels(DedupQueries.minhashFromHashedOcc(memberOcc)))
@@ -130,6 +142,15 @@ object ComposeQueries {
       .withColumn("keep", $"verdict" === "kept")
       .orderBy($"doc_id")
   }
+
+  /** Semi-join restriction of a corpus frame to a SURVIVOR id set —
+    * deliberately UNHINTED (see the broadcast-discipline scaladoc): the
+    * survivor set is corpus-proportional, so the planner must stay free
+    * to pick broadcast below `autoBroadcastJoinThreshold` and a shuffle
+    * semi-join on uniform doc ids above it. Both q100 prune sites route
+    * through here; PlanSpec pins the strategy at both regimes. */
+  private[graft] def survivorPrune(corpus: DataFrame, ids: DataFrame): DataFrame =
+    corpus.join(ids, Seq("doc_id"), "left_semi")
 
   /** The oracle re-derives the whole chain independently: raw-string
     * shingles (no 60-bit hashing anywhere — cross-checks the hashed

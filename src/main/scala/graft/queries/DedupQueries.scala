@@ -1650,7 +1650,7 @@ object DedupQueries {
        |    array_to_string(string_split(text, ' ')[1:$QuoteTokens], ' ')
        |      || ' q142tail' AS text
        |  FROM documents),
-       |sh AS (SELECT doc_id, ${shinglesSqlExpr.replace("FROM documents", "")} AS shingles FROM aug),
+       |sh AS (SELECT doc_id, $shinglesSqlExpr AS shingles FROM aug),
        |occ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |rare AS (SELECT s FROM occ GROUP BY s HAVING COUNT(*) <= $PairingDfCap),
        |cand AS (

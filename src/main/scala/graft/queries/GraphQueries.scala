@@ -586,8 +586,14 @@ object GraphQueries {
     * edge slice against the node-sized label vector.
     *
     * Output: one row per NEW node with its assigned community and its
-    * old-neighbor count (0 = founder). Oracle: the same filtered edge
-    * CTEs, the shared LPA round text, and one assignment round. */
+    * LABELED-old-neighbor count (0 = founder). The count covers old
+    * neighbors that received a label from the old-edge LPA run — an old
+    * node whose only edges go to new nodes has no old-graph edges, so it
+    * carries no frozen label and casts no vote; a new node whose old
+    * neighbors are all unlabeled therefore founds its own community with
+    * n_old_neighbors = 0 (both engines agree; the oracle votes join has
+    * the same membership). Oracle: the same filtered edge CTEs, the
+    * shared LPA round text, and one assignment round. */
   def q141LpaAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = copurchaseEdgesPartitioned(s, dir)

@@ -58,6 +58,43 @@ class JobsSpec extends SparkSuite {
     assert(body == """{"a@x": {"guid":"a@x","n":1}, "b@x": {"guid":"b@x","n":2}}""")
   }
 
+  test("JsonArtifact: oversized frame fails the small-artifact contract, naming the artifact") {
+    val df = Seq(("a@x", 1L), ("b@x", 2L), ("c@x", 3L)).toDF("guid", "n").orderBy("guid")
+    val dir = tmpDir("artifact-big")
+    spark.conf.set("graft.artifact.maxRows", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        JsonArtifact.writeRows(df, dir, "too_big.json", asOf)
+      }
+      assert(e.getMessage.contains("too_big.json") &&
+        e.getMessage.contains("small-artifact contract"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        JsonArtifact.writeKeyedObject(df, "guid", dir, "too_big2.json", asOf)
+      }
+      assert(e2.getMessage.contains("too_big2.json"), e2.getMessage)
+      // at exactly the ceiling the write still succeeds
+      spark.conf.set("graft.artifact.maxRows", "3")
+      val (latest, _) = JsonArtifact.writeRows(df, dir, "ok.json", asOf)
+      assert(new String(JsonArtifact.readBzip2(latest, df), "UTF-8")
+        .linesIterator.size == 3)
+    } finally spark.conf.unset("graft.artifact.maxRows")
+  }
+
+  test("Cli.readTable: dispatch on the FINAL segment's extension, not substring") {
+    // a parquet directory whose NAME embeds ".json" must read as parquet
+    val dir = tmpDir("cli") + "/my.json.snapshots"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(dir)
+    val back = graft.cli.Cli.readTable(spark, dir)
+    assert(back.columns.sorted.toSeq == Seq("id", "s") && back.count() == 2)
+    // and a real .json file still reads as JSON
+    val jdir = tmpDir("cli-json")
+    val jpath = jdir + "/t.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(jpath),
+      """[{"id": 1, "s": "a"}]""".getBytes("UTF-8"))
+    val j = graft.cli.Cli.readTable(spark, jpath)
+    assert(j.count() == 1 && j.columns.contains("s"))
+  }
+
   test("KvSink: sha256 row keys, zlib payload roundtrip, opt-out delete (K4/K5/P5/P6/J3)") {
     val profiles = Seq(("client1", "de", 5L), ("client2", "en", 7L))
       .toDF("client_id", "locale", "total_uri")

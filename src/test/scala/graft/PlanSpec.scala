@@ -345,6 +345,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q100: survivor prune is unhinted — broadcast below the threshold, " +
+      "shuffle semi-join past it (no forced corpus-proportional broadcast)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val ids = docs.select($"doc_id").where($"doc_id" % 3 =!= 0)
+    // small-regime: the planner is FREE to broadcast (size-based choice)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val pSmall = plan(ComposeQueries.survivorPrune(docs, ids))
+      assert(pSmall.contains("BroadcastHashJoin") && pSmall.contains("LeftSemi"),
+        pSmall)
+      // at-scale regime: the survivor frame crosses the threshold the way
+      // a 10⁹-doc id set does in absolute bytes — the join must DEGRADE
+      // to a shuffle semi-join, never carry a forced broadcast (a
+      // broadcast() hint here would override the threshold → driver OOM)
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val pBig = plan(ComposeQueries.survivorPrune(docs, ids))
+        assert(!pBig.contains("BroadcastHashJoin") &&
+          !pBig.contains("BroadcastExchange"), pBig)
+        assert((pBig.contains("SortMergeJoin") || pBig.contains("ShuffledHashJoin"))
+          && pBig.contains("LeftSemi"), pBig)
+      }
+    }
+  }
+
   test("q138: windows partition by bucket; summary joins back via broadcast") {
     val df = EtlQueries.q138ParetoFrontier(spark, sf0001)
     val p = plan(df)
