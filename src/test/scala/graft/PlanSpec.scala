@@ -109,8 +109,13 @@ class PlanSpec extends SparkSuite {
     // degree agg over the partitioned edges is itself shuffle-free
     assert(countShuffles(edges.groupBy($"u").agg(count(lit(1)))) == 0)
     assert(countShuffles(iteration(edges)) == 1)
-    // control: the same iteration over unpartitioned edges re-shuffles them
-    assert(countShuffles(iteration(GraphQueries.copurchaseEdges(spark, sf0001))) >= 2)
+    // control: the same iteration over a LAYOUT-LESS edge frame (the
+    // mirrored union loses the memoized frame's HashPartitioning) with
+    // the real loop's shuffle_hash join re-shuffles the edges — at
+    // sf-test size an unhinted join would hide the re-shuffle behind a
+    // contrib broadcast, which the 100 TB loop never gets
+    val flat = GraphQueries.copurchaseEdges(spark, sf0001).hint("shuffle_hash")
+    assert(countShuffles(iteration(flat)) >= 2)
   }
 
   test("q72 chained iterations: round N's REAL plan carries exactly one exchange") {
