@@ -290,18 +290,25 @@ object GraphQueries {
 
   /** Shared oracle CTE prefix: the capped co-purchase graph (distinct
     * pairs, mirrored edges, degrees) — the SQL mirror of
-    * [[copurchasePairs]]/[[copurchaseEdges]]. */
-  private val GraphSql: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |elig AS (SELECT l_orderkey FROM li GROUP BY 1
+    * [[copurchasePairs]]/[[copurchaseEdges]]. `mat = true` marks every
+    * CTE MATERIALIZED: DuckDB inlines CTEs by default, so an oracle
+    * that references `edges` once per unrolled round (q145's 10) would
+    * otherwise re-evaluate the whole graph build per reference. */
+  private def graphSql(mat: Boolean): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""WITH li AS $m(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |elig AS $m(SELECT l_orderkey FROM li GROUP BY 1
        |         HAVING COUNT(*) BETWEEN 2 AND $MaxBasket),
-       |lie AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN elig USING (l_orderkey)),
-       |pairs AS (
+       |lie AS $m(SELECT li.l_orderkey, li.l_partkey FROM li JOIN elig USING (l_orderkey)),
+       |pairs AS $m(
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
        |  FROM lie a JOIN lie b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-       |deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u)""".stripMargin
+       |edges AS $m(SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |deg AS $m(SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u)""".stripMargin
+  }
+
+  private val GraphSql: String = graphSql(mat = false)
 
   // ---- q77: triangle counting (degree-ordered orientation) ----
 
@@ -568,46 +575,162 @@ object GraphQueries {
     lpaCore(edges, LpaRounds)
   }
 
+  /** One synchronous LPA round: every node adopts the most frequent
+    * label among its neighbors plus itself (self-vote weight 1), ties to
+    * the SMALLEST label — deterministic argmax via max(struct(cnt, −lab)),
+    * no per-group sort. The edge side stays stationary on `u`
+    * (shuffle_hash against the node-sized label vector); the vote
+    * aggregation is the round's one node-sized exchange. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges
+      .join(labels.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
+      .select($"v", $"lab")
+      .unionByName(labels) // self-vote, weight 1
+      .groupBy($"v", $"lab").agg(count(lit(1)).as("cnt"))
+      .groupBy($"v")
+      .agg(max(struct($"cnt", (-$"lab").as("nl"))).as("m"))
+      .select($"v", (-$"m.nl").as("lab"))
+  }
+
+  /** Initial LPA labels: every node its own label. */
+  private[graft] def lpaInit(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.select($"u".as("v")).distinct()
+      .select($"v", $"v".as("lab"))
+  }
+
   /** q140 core over any mirrored (u, v) edge frame — spec entry. */
   private[graft] def lpaCore(edges: DataFrame, rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    var labels = edges.select($"u".as("v")).distinct()
-      .select($"v", $"v".as("lab"))
-      .localCheckpoint(false)
-    for (_ <- 1 to rounds) {
-      val nbrVotes = edges
-        .join(labels.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
-        .select($"v", $"lab")
-      labels = nbrVotes.unionByName(labels) // self-vote, weight 1
-        .groupBy($"v", $"lab").agg(count(lit(1)).as("cnt"))
-        .groupBy($"v")
-        .agg(max(struct($"cnt", (-$"lab").as("nl"))).as("m"))
-        .select($"v", (-$"m.nl").as("lab"))
-        .localCheckpoint(false)
-    }
+    var labels = lpaInit(edges).localCheckpoint(false)
+    for (_ <- 1 to rounds)
+      labels = lpaRound(edges, labels).localCheckpoint(false)
     labels.select($"v".as("l_partkey"), $"lab".as("community"))
       .orderBy($"l_partkey")
   }
 
   /** The n1/l1..nN/lN synchronous-round CTEs over an edge CTE named
-    * `edges` (shared by q140 and q141's oracle). */
-  private def lpaRoundsSql(n: Int, edges: String): String =
+    * `edges` (shared by q140, q141 and q145's oracles). `mat` as in
+    * [[graphSql]] — q145 references each label frame up to three times
+    * (next round, d1, d2), so inlined CTEs would grow exponentially. */
+  private def lpaRoundsSql(n: Int, edges: String, mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
     (1 to n).map { k =>
-      s"""n$k AS (
+      s"""n$k AS $m(
          |  SELECT v, lab, COUNT(*) AS cnt FROM (
          |    SELECT e.v, l.lab FROM $edges e JOIN l${k - 1} l ON l.v = e.u
          |    UNION ALL SELECT v, lab FROM l${k - 1})
          |  GROUP BY 1, 2),
-         |l$k AS (
+         |l$k AS $m(
          |  SELECT v, ms.lab AS lab FROM (
          |    SELECT v, MIN({'nc': -cnt, 'lab': lab}) AS ms FROM n$k GROUP BY v))""".stripMargin
     }.mkString(",\n", ",\n", "")
+  }
 
   val q140Sql: String =
     s"""$GraphSql,
        |l0 AS (SELECT DISTINCT u AS v, u AS lab FROM edges)${lpaRoundsSql(LpaRounds, "edges")}
        |SELECT v AS l_partkey, lab AS community FROM l$LpaRounds
        |ORDER BY l_partkey""".stripMargin
+
+  // ---- q145: label propagation to convergence (delta stop + oscillation guard) ----
+
+  /** Round cap for convergence-driven LPA — like [[PrMaxIters]], a
+    * production convergence loop always carries one. */
+  val LpaMaxRounds = 10
+
+  /** Rounds between convergence checks (q82's batched-stop rationale:
+    * each check is a driver sync + replan). Kept at 2 so the oscillation
+    * lookback (labels two rounds ago) is exactly the previous segment
+    * boundary — one 3-frame join answers both stop questions. */
+  val LpaCheckEvery = 2
+
+  /** q145: q140's production form — label propagation iterated until a
+    * CHECKED round (every [[LpaCheckEvery]]) either CONVERGES (zero
+    * labels changed vs the previous round; sync LPA is then a fixed
+    * point, so overshooting a mid-segment fixed point is harmless) or
+    * OSCILLATES (zero labels changed vs TWO rounds ago while the
+    * one-round delta is nonzero — the 2-cycle sync LPA is known for on
+    * bipartite-ish structure; q140 pinned 3 rounds precisely to dodge
+    * it, this is the delta-based stop rule that handles it), capped at
+    * [[LpaMaxRounds]].
+    *
+    * Scale design is q140's (stationary u-partitioned edges, one
+    * node-sized exchange per round) plus q82's batched stop check: both
+    * deltas ride ONE exchange-free 3-frame join per segment (everything
+    * is HashPartitioning(v)) feeding a 1-row aggregate to the driver —
+    * the minimum a stop decision needs.
+    *
+    * The stop decision is hash-exact cross-engine (integer labels,
+    * integer change counts), so `n_rounds`/`converged`/`oscillated` are
+    * part of the oracle-checked output: the oracle unrolls
+    * [[LpaMaxRounds]] rounds, derives the per-checkpoint deltas, and
+    * SELECTS the stop round itself — unlike q82's pinned iteration
+    * count, the round count here differs per SF (4/6/8 at
+    * sf0.001/0.01/0.1, Q145Probe), so the oracle must compute it. */
+  def q145LpaConverge(s: SparkSession, dir: String): DataFrame =
+    lpaConvergeCore(copurchaseEdgesPartitioned(s, dir))
+
+  /** q145 core over any mirrored (u, v) edge frame — spec entry (the
+    * oscillation fixture drives it directly). */
+  private[graft] def lpaConvergeCore(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    var labels = lpaInit(edges).localCheckpoint(false)
+    var rounds = 0
+    var d1 = -1L // labels changed vs previous round
+    var d2 = -1L // labels changed vs two rounds ago
+    while (rounds < LpaMaxRounds && d1 != 0 && d2 != 0) {
+      val lm2 = labels // segment start = round k−2 (LpaCheckEvery = 2)
+      val lm1 = lpaRound(edges, lm2).localCheckpoint(false)
+      labels = lpaRound(edges, lm1).localCheckpoint(false)
+      // both stop deltas in ONE action: 3-frame join, all sides
+      // HashPartitioning(v), 1-row aggregate to the driver
+      val row = labels
+        .join(lm1.select($"v", $"lab".as("lab1")), Seq("v"))
+        .join(lm2.select($"v", $"lab".as("lab2")), Seq("v"))
+        .agg(sum(when($"lab" =!= $"lab1", 1L).otherwise(0L)).as("d1"),
+          sum(when($"lab" =!= $"lab2", 1L).otherwise(0L)).as("d2"))
+        .head()
+      d1 = row.getLong(0); d2 = row.getLong(1)
+      rounds += LpaCheckEvery
+    }
+    labels.select($"v".as("l_partkey"), $"lab".as("community"),
+        lit(rounds.toLong).as("n_rounds"),
+        lit(d1 == 0).as("converged"),
+        lit(d1 != 0 && d2 == 0).as("oscillated"))
+      .orderBy($"l_partkey")
+  }
+
+  /** Oracle: unroll [[LpaMaxRounds]] rounds, derive (d1, d2) at every
+    * checked round, then COMPUTE the stop round n = first checked k with
+    * d1 = 0 or d2 = 0 (else the cap) and select that round's labels via
+    * a CASE over the checkpoint frames — the oracle re-derives the stop
+    * decision rather than trusting a pinned count. */
+  val q145Sql: String = {
+    val checked = (LpaCheckEvery to LpaMaxRounds by LpaCheckEvery).toSeq
+    val dRows = checked.map { k =>
+      s"""  SELECT $k AS k,
+         |    (SELECT COUNT(*) FROM l$k a JOIN l${k - 1} b ON a.v = b.v AND a.lab <> b.lab) AS d1,
+         |    (SELECT COUNT(*) FROM l$k a JOIN l${k - 2} b ON a.v = b.v AND a.lab <> b.lab) AS d2""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val joins = checked.tail.map(k => s"JOIN l$k USING (v)").mkString(" ")
+    val cases = checked.map(k => s"WHEN $k THEN l$k.lab").mkString(" ")
+    s"""${graphSql(mat = true)},
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS lab FROM edges)${lpaRoundsSql(LpaMaxRounds, "edges", mat = true)},
+       |d AS (
+       |$dRows),
+       |stop AS (SELECT CAST(COALESCE(MIN(k), $LpaMaxRounds) AS BIGINT) AS n
+       |         FROM d WHERE d1 = 0 OR d2 = 0)
+       |SELECT l${checked.head}.v AS l_partkey,
+       |  CASE (SELECT n FROM stop) $cases END AS community,
+       |  (SELECT n FROM stop) AS n_rounds,
+       |  (SELECT COUNT(*) > 0 FROM d WHERE k = (SELECT n FROM stop) AND d1 = 0) AS converged,
+       |  (SELECT COUNT(*) > 0 FROM d
+       |   WHERE k = (SELECT n FROM stop) AND d1 > 0 AND d2 = 0) AS oscillated
+       |FROM l${checked.head} $joins
+       |ORDER BY l_partkey""".stripMargin
+  }
 
   // ---- q141: incremental community assignment (new nodes, frozen labels) ----
 
@@ -743,6 +866,7 @@ object GraphQueries {
     "q143_weighted_paths"   -> (q143WeightedPaths _),
     "q141_lpa_assign"       -> (q141LpaAssign _),
     "q140_lpa_communities"  -> (q140LpaCommunities _),
+    "q145_lpa_converge"     -> ((s, d) => q145LpaConverge(s, d)),
     "q66_pagerank_step"     -> (q66PagerankStep _),
     "q72_pagerank_iters"    -> (q72PagerankIters _),
     "q77_triangle_count"    -> (q77Triangles _),
@@ -754,6 +878,7 @@ object GraphQueries {
     "q143_weighted_paths"   -> q143Sql,
     "q141_lpa_assign"       -> q141Sql,
     "q140_lpa_communities"  -> q140Sql,
+    "q145_lpa_converge"     -> q145Sql,
     "q66_pagerank_step"     -> q66Sql,
     "q72_pagerank_iters"    -> q72Sql,
     "q77_triangle_count"    -> q77Sql,
