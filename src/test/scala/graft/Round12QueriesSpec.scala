@@ -38,6 +38,43 @@ class Round12QueriesSpec extends SparkSuite {
     assert(n == 2 && conv && !osc)
   }
 
+  // ---- q146: edge-churn incremental community maintenance ----
+
+  test("q146 fixture: incremental == full recompute; changed flags exact") {
+    import org.apache.spark.sql.functions.col
+    // old graph: triangles {1,2,3} and {7,8,9}, pair {4,5}; today's batch
+    // bridges 3–4, 5–7 and attaches the brand-new node 10 to 1
+    val old = Seq((1L,2L),(1L,3L),(2L,3L),(7L,8L),(7L,9L),(8L,9L),(4L,5L))
+    val batch = Seq((3L,4L),(5L,7L),(1L,10L))
+    val full = mirrored(old ++ batch)
+    val isBatch = (col("u") + col("v")).isin(7L, 12L, 11L) // sums unique to batch
+    val out = GraphQueries.lpaChurnCore(full, isBatch).collect()
+    val labels = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the equivalence contract: identical to a full q140-shape recompute
+    val fullRun = GraphQueries.lpaCore(full, GraphQueries.LpaRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == fullRun)
+    assert(labels == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L, 5L->1L,
+      7L->7L, 8L->7L, 9L->7L, 10L->1L))
+    // changed = exactly the nodes whose community moved (4, 5) plus the
+    // new-to-graph node (10); batch endpoints 3, 7 and the rest of the
+    // frontier were RECONSIDERED but kept their labels
+    val changed = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(changed == Set(4L, 5L, 10L))
+  }
+
+  test("q146 fixture: batch touching nothing leaves every label unchanged") {
+    import org.apache.spark.sql.functions.col
+    // the new bridge joins two settled triangles but the 3-round labels
+    // do not move — incremental must report zero changes and still
+    // equal the full recompute
+    val full = mirrored(Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L)))
+    val out = GraphQueries.lpaChurnCore(full, col("u") + col("v") === 7L).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->4L, 6L->4L))
+    assert(!out.exists(_.getBoolean(2)))
+  }
+
   test("q145 fixture: a sync-LPA 2-cycle stops via the OSCILLATION guard") {
     // brute-force-found oscillator for the deterministic rule (self-vote,
     // ties to smallest): labels at round 4 equal round 2 while the
