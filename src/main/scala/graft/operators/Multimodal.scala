@@ -367,8 +367,122 @@ object Multimodal {
     if (o.isEmpty) None else Some((w, h, o))
   }
 
+  // ---- MP4 (ISO BMFF) container METADATA parse ----
+  //
+  // Frame PIXELS of compressed codecs stay stubbed (no JRE codec), but
+  // the container structure is a pure byte parse — the same class of
+  // work as the Y4M header walk: length-prefixed boxes
+  // [u32 size][4cc type][payload], nested. Dims come from the video
+  // track's stsd visual sample entry (pixel dims; tkhd's 16.16
+  // presentation dims are the fallback), frame count from stsz's
+  // sample_count (stts sum as fallback), duration from the video
+  // track's mdhd (media timescale) with mvhd as fallback.
+
+  private[graft] def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && new String(p, 4, 4, "US-ASCII") == "ftyp"
+
+  private def u16(p: Array[Byte], o: Int): Int =
+    ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+  private def u32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+  private def u64(p: Array[Byte], o: Int): Long =
+    (u32(p, o) << 32) | u32(p, o + 4)
+
+  /** Child boxes of the byte range [from, to): (type, payloadFrom,
+    * payloadTo). Malformed sizes (backward, overflowing, truncated
+    * header) end the walk rather than throw — never-throws contract. */
+  private def mp4Boxes(p: Array[Byte], from: Int, to: Int): List[(String, Int, Int)] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    var pos = from
+    var ok = true
+    while (ok && pos + 8 <= to) {
+      val size32 = u32(p, pos)
+      val typ = new String(p, pos + 4, 4, "US-ASCII")
+      val (hdr, end) =
+        if (size32 == 1L && pos + 16 <= to) (16, pos + u64(p, pos + 8))
+        else if (size32 == 0L) (8, to.toLong)
+        else (8, pos + size32)
+      if (size32 == 1L && pos + 16 > to) ok = false
+      else if (end < pos + hdr || end > to) ok = false
+      else { out += ((typ, pos + hdr, end.toInt)); pos = end.toInt }
+    }
+    out.result()
+  }
+
+  private def mp4Find(p: Array[Byte], from: Int, to: Int, typ: String): Option[(Int, Int)] =
+    mp4Boxes(p, from, to).collectFirst { case (`typ`, a, b) => (a, b) }
+
+  /** MP4 metadata: (width, height, frame count, duration in ms) of the
+    * first VIDEO track (mdia/hdlr handler `vide`). None when the moov
+    * structure is absent or malformed. */
+  def mp4Meta(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      if (!isMp4(payload)) return None
+      val (moovA, moovB) = mp4Find(payload, 0, payload.length, "moov").getOrElse(return None)
+      // the first trak whose handler is 'vide'
+      val vtrak = mp4Boxes(payload, moovA, moovB).collectFirst {
+        case ("trak", a, b) if mp4Find(payload, a, b, "mdia").exists { case (ma, mb) =>
+          mp4Find(payload, ma, mb, "hdlr").exists { case (ha, _) =>
+            ha + 12 <= payload.length &&
+              new String(payload, ha + 8, 4, "US-ASCII") == "vide"
+          }
+        } => (a, b)
+      }.getOrElse(return None)
+      val (mdiaA, mdiaB) = mp4Find(payload, vtrak._1, vtrak._2, "mdia").get
+      val stbl = for {
+        minf <- mp4Find(payload, mdiaA, mdiaB, "minf")
+        st <- mp4Find(payload, minf._1, minf._2, "stbl")
+      } yield st
+      // dims: stsd's first visual sample entry (width/height u16 at
+      // entry offsets 32/34: 8 hdr + 6 reserved + 2 dataref + 16
+      // predefined/reserved), tkhd's 16.16 presentation dims fallback
+      val stsdDims = stbl.flatMap { case (sa, sb) =>
+        mp4Find(payload, sa, sb, "stsd").flatMap { case (a, b) =>
+          if (a + 8 > b || u32(payload, a + 4) < 1) None
+          else mp4Boxes(payload, a + 8, b).headOption.collect {
+            case (_, ea, eb) if ea + 28 <= eb =>
+              (u16(payload, ea + 24), u16(payload, ea + 26))
+          }
+        }
+      }
+      val tkhdDims = mp4Find(payload, vtrak._1, vtrak._2, "tkhd").flatMap { case (a, b) =>
+        val off = if ((payload(a) & 0xff) == 1) a + 88 else a + 76
+        if (off + 8 <= b) Some(((u32(payload, off) >> 16).toInt,
+          (u32(payload, off + 4) >> 16).toInt))
+        else None
+      }
+      val (w, h) = stsdDims.orElse(tkhdDims).getOrElse(return None)
+      // frame count: stsz sample_count, else the stts entry sum
+      val nFrames = stbl.flatMap { case (sa, sb) =>
+        mp4Find(payload, sa, sb, "stsz").collect {
+          case (a, b) if a + 12 <= b => u32(payload, a + 8)
+        }.orElse(mp4Find(payload, sa, sb, "stts").collect {
+          case (a, b) if a + 8 <= b =>
+            val n = u32(payload, a + 4).toInt
+            (0 until n).iterator.map(i => a + 8 + 8 * i)
+              .takeWhile(_ + 8 <= b).map(o => u32(payload, o)).sum
+        })
+      }.getOrElse(return None)
+      // duration: media timescale (mdhd) preferred, movie (mvhd) fallback
+      def scaled(a: Int, b: Int, tsOff0: Int): Option[Long] = {
+        val v1 = (payload(a) & 0xff) == 1
+        val (tsOff, dur) =
+          if (v1) (a + tsOff0 + 8, if (a + tsOff0 + 20 <= b) Some(u64(payload, a + tsOff0 + 12)) else None)
+          else (a + tsOff0, if (a + tsOff0 + 8 <= b) Some(u32(payload, a + tsOff0 + 4)) else None)
+        for (d <- dur; ts = u32(payload, tsOff) if ts > 0) yield d * 1000L / ts
+      }
+      val durMs = mp4Find(payload, mdiaA, mdiaB, "mdhd")
+        .flatMap { case (a, b) => scaled(a, b, 12) }
+        .orElse(mp4Find(payload, moovA, moovB, "mvhd")
+          .flatMap { case (a, b) => scaled(a, b, 12) })
+        .getOrElse(0L)
+      if (w <= 0 || h <= 0) None else Some((w, h, nFrames, durMs))
+    } catch { case _: Exception => None }
+
   /** Container probe without decoding pixels: (width, height, nFrames,
-    * container). MJPEG reads the first frame's header only. */
+    * container). MJPEG reads the first frame's header only; MP4 is a
+    * pure box-structure parse (pixels stay undecodable on the JVM). */
   def probeVideo(payload: Array[Byte]): Option[(Int, Int, Long, String)] =
     try {
       if (isY4m(payload))
@@ -378,6 +492,8 @@ object Multimodal {
           decodeImage(java.util.Arrays.copyOfRange(payload, offs.head._1, offs.head._2))
             .map { case (w, h, _) => (w, h, offs.size.toLong, "mjpeg") }
         }
+      else if (isMp4(payload))
+        mp4Meta(payload).map { case (w, h, n, _) => (w, h, n, "mp4") }
       else None
     } catch { case _: Exception => None }
 
@@ -439,11 +555,13 @@ object Multimodal {
       else None
     } catch { case _: Exception => None }
 
-  /** Stride STUB for COMPRESSED CODEC containers only (MP4/H.264, VP9,
+  /** Stride STUB for COMPRESSED CODEC frame PIXELS only (H.264, VP9,
     * AV1, ...): no video codec ships with the JRE or this container, so
     * the deterministic placeholder strides the raw payload. MJPEG and Y4M
     * never reach this — [[sampleVideoFrames]] decodes them for real — and
-    * the Spark-side plumbing (schema, batching, null degradation) is
+    * MP4 container METADATA (dims, frame count, duration) is parsed for
+    * real by [[mp4Meta]]; only the pixel decode remains stubbed. The
+    * Spark-side plumbing (schema, batching, null degradation) is
     * identical for both paths, so swapping in a codec changes only this
     * function. */
   def sampleVideoFramesStub(payload: Array[Byte], n: Int): Array[Long] =

@@ -231,6 +231,75 @@ class MultimodalSpec extends SparkSuite {
       assert(math.abs(v - truth) <= 3, s"${s.toSeq} vs 70/140")
   }
 
+  // ---- MP4 container metadata (pure box-structure parse) ----
+
+  private def mp4Box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length)
+    bb.put(typ.getBytes("US-ASCII"))
+    bb.put(body)
+    bb.array()
+  }
+  private def be32(v: Long) =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def be16(v: Int) =
+    java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+
+  /** Minimal conformant MP4: ftyp + moov(mvhd, trak(tkhd, mdia(mdhd,
+    * hdlr, minf(stbl(stsd(avc1), stsz))))) + mdat. */
+  private def mp4Bytes(w: Int, h: Int, frames: Long, timescale: Long,
+      duration: Long, handler: String = "vide",
+      withStsd: Boolean = true): Array[Byte] = {
+    val avc1 = mp4Box("avc1", new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(w), be16(h), new Array[Byte](50))
+    val stsd = mp4Box("stsd", be32(0), be32(1), avc1)
+    val stsz = mp4Box("stsz", be32(0), be32(0), be32(frames))
+    val stbl =
+      if (withStsd) mp4Box("stbl", stsd, stsz) else mp4Box("stbl", stsz)
+    val minf = mp4Box("minf", stbl)
+    val hdlr = mp4Box("hdlr", be32(0), be32(0),
+      handler.getBytes("US-ASCII"), new Array[Byte](13))
+    val mdhd = mp4Box("mdhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(duration), be16(0x55c4), be16(0))
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val tkhd = mp4Box("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
+      be32(duration), new Array[Byte](8), new Array[Byte](8),
+      new Array[Byte](36), be32(w.toLong << 16), be32(h.toLong << 16))
+    val trak = mp4Box("trak", tkhd, mdia)
+    val mvhd = mp4Box("mvhd", be32(0), be32(0), be32(0), be32(600),
+      be32(1800), new Array[Byte](80))
+    val moov = mp4Box("moov", mvhd, trak)
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), be32(512),
+      "isom".getBytes("US-ASCII"))
+    ftyp ++ moov ++ mp4Box("mdat", Array.fill[Byte](32)(0x42))
+  }
+
+  test("MP4: box-structure parse yields real dims, frame count, duration") {
+    val clip = mp4Bytes(640, 360, 90L, 30L, 90L)
+    assert(Multimodal.probeVideo(clip).contains((640, 360, 90L, "mp4")))
+    // duration = 90 media units at timescale 30 = 3000 ms
+    assert(Multimodal.mp4Meta(clip).contains((640, 360, 90L, 3000L)))
+  }
+
+  test("MP4: tkhd presentation dims are the fallback when stsd is absent") {
+    val clip = mp4Bytes(320, 240, 12L, 24L, 48L, withStsd = false)
+    assert(Multimodal.probeVideo(clip).contains((320, 240, 12L, "mp4")))
+    assert(Multimodal.mp4Meta(clip).contains((320, 240, 12L, 2000L)))
+  }
+
+  test("MP4: audio-only and malformed containers degrade to None") {
+    // a soun track is not a video track
+    assert(Multimodal.probeVideo(mp4Bytes(640, 360, 90L, 30L, 90L,
+      handler = "soun")).isEmpty)
+    // truncated moov: box sizes overrun the payload
+    val clip = mp4Bytes(640, 360, 90L, 30L, 90L)
+    assert(Multimodal.probeVideo(clip.take(clip.length / 2)).isEmpty)
+    // a size-0 first box claiming to-end with no moov inside
+    assert(Multimodal.mp4Meta("    ftypxxxx"
+      .getBytes("US-ASCII")).isEmpty)
+  }
+
   test("q42 feature dispatch: video kind carries dims + frame count") {
     val media = Seq(
       (1L, mjpegBytes(12, 6, Seq(30, 90)), "video/x-motion-jpeg"),
