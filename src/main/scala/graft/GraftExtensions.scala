@@ -57,15 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => HtmlText(exprs.head)))
     ext.injectFunction((FunctionIdentifier("unigram_segment"),
       new ExpressionInfo(classOf[UnigramSegment].getName, "unigram_segment"),
-      (exprs: Seq[Expression]) => {
-        val ps = exprs(1).eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val fs = exprs(2).eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        UnigramSegment(exprs.head,
-          (0 until ps.numElements()).map(j =>
-            (ps.getUTF8String(j).toString, fs.getLong(j))))
-      }))
+      (exprs: Seq[Expression]) => UnigramSegment.fromExprs(exprs)))
     ext.injectFunction((FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(classOf[WordpieceEncode].getName, "wordpiece_encode"),
       (exprs: Seq[Expression]) => {

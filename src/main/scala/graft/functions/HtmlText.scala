@@ -135,7 +135,12 @@ object HtmlText {
             i = skipToClose(tagEnd, name)
           else {
             if (BlockTags.contains(name)) pendingBreak = true
-            else if (name == "a") emit(if (closing) LinkClose else LinkOpen)
+            // a self-closed anchor (<a/>) is an EMPTY link: emitting a
+            // LinkOpen sentinel with no matching close would leave it
+            // unpaired downstream (and diverge from the oracle's regex
+            // chain, which strips the tag without a sentinel) — skip it
+            else if (name == "a" && !selfClosed)
+              emit(if (closing) LinkClose else LinkOpen)
             i = tagEnd
           }
         }

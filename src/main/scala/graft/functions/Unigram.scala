@@ -144,21 +144,50 @@ object UnigramSegment {
     else new GenericInternalRow(Array[Any](cost(n).toLong, fsum(n)))
   }
 
+  /** Shared SQL-surface builder (used by both the extensions injection
+    * and [[register]] — previously duplicated verbatim): checks arity
+    * and foldability up front and reads the freq array through its
+    * DECLARED element type — `array(3, 9, 1)` without L suffixes
+    * arrives as array<int>, which `getLong` would fail on with an
+    * opaque ClassCastException mid-eval. Failures surface as clear
+    * requirement errors during analysis. */
+  def fromExprs(exprs: Seq[Expression]): UnigramSegment = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, ShortType}
+    Predef.require(exprs.length == 3,
+      "unigram_segment(word, pieces array<string>, freqs array<bigint>) takes 3 arguments")
+    Predef.require(exprs(1).foldable && exprs(2).foldable,
+      "unigram_segment vocab arrays (pieces, freqs) must be foldable literals")
+    Predef.require(exprs(1).dataType.isInstanceOf[ArrayType] &&
+      exprs(1).dataType.asInstanceOf[ArrayType].elementType == StringType,
+      s"unigram_segment pieces must be array<string>, got ${exprs(1).dataType.sql}")
+    val fs = exprs(2).eval(null).asInstanceOf[ArrayData]
+    val ps = exprs(1).eval(null).asInstanceOf[ArrayData]
+    Predef.require(ps != null && fs != null,
+      "unigram_segment vocab arrays must not be null")
+    Predef.require(ps.numElements() == fs.numElements(),
+      s"unigram_segment pieces/freqs must be the same length " +
+        s"(${ps.numElements()} vs ${fs.numElements()})")
+    val freqOf: Int => Long = exprs(2).dataType match {
+      case ArrayType(LongType, _)    => fs.getLong _
+      case ArrayType(IntegerType, _) => j => fs.getInt(j).toLong
+      case ArrayType(ShortType, _)   => j => fs.getShort(j).toLong
+      case t => throw new IllegalArgumentException(
+        s"unigram_segment freqs must be an integral array, got ${t.sql}")
+    }
+    UnigramSegment(exprs.head,
+      (0 until ps.numElements()).map(j =>
+        (ps.getUTF8String(j).toString, freqOf(j))))
+  }
+
   /** Idempotent SQL-surface registration: args are (word, pieces
     * array<string> literal, freqs array<bigint> literal). */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.util.ArrayData
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("unigram_segment")))
       reg.createOrReplaceTempFunction(
-        "unigram_segment", exprs => {
-          val ps = exprs(1).eval(null).asInstanceOf[ArrayData]
-          val fs = exprs(2).eval(null).asInstanceOf[ArrayData]
-          UnigramSegment(exprs.head,
-            (0 until ps.numElements()).map(j =>
-              (ps.getUTF8String(j).toString, fs.getLong(j))))
-        }, "built-in")
+        "unigram_segment", fromExprs, "built-in")
   }
 
   def apply(spark: SparkSession, c: Column, vocab: Seq[(String, Long)]): Column = {

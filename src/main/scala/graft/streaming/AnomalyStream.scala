@@ -62,8 +62,32 @@ object AnomalyStream {
     out.iterator
   }
 
-  /** Per-event verdicts over a (possibly streaming) events frame. */
-  def anomalies(events: DataFrame)(implicit spark: SparkSession): Dataset[AnomOut] = {
+  /** Default idle-state TTL, mirroring AsofStream's: a user whose last
+    * event is older than this has its ring reclaimed (processing-time
+    * timeout), so the store is bounded by users ACTIVE within the
+    * window, not users ever seen — under user churn NoTimeout state
+    * grows without bound. A user returning after expiry rebuilds the
+    * EWMA history from scratch (first event unscored), exactly what the
+    * batch query computes over a retention-bounded input. */
+  val StateTtl = "30 days"
+
+  private def foldWithTtl(user: Long, it: Iterator[EvIn],
+      state: GroupState[Ring], ttl: String): Iterator[AnomOut] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = fold(user, it, state)
+      if (state.exists) state.setTimeoutDuration(ttl)
+      out
+    }
+
+  /** Per-event verdicts over a (possibly streaming) events frame.
+    * `ttl = None` disables state expiry (NoTimeout) — the bounded test
+    * drivers need it: under ProcessingTimeTimeout the engine keeps
+    * scheduling timeout-evaluation batches, so `processAllAvailable`
+    * never returns on a finite drop-dir. Production runs keep the
+    * default TTL (the AsofStream contract). */
+  def anomalies(events: DataFrame, ttl: Option[String] = Some(StateTtl))
+      (implicit spark: SparkSession): Dataset[AnomOut] = {
     import spark.implicits._
     val in = events.select(
         $"user_id".cast("long").as("user_id"),
@@ -71,15 +95,23 @@ object AnomalyStream {
         $"event_id".cast("long").as("event_id"),
         graft.queries.RelationalQueries.centsOf($"value").as("cents"))
       .as[EvIn]
-    in.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+    val grouped = in.groupByKey(_.user_id)
+    ttl match {
+      case Some(t) => grouped.flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout())(
+        (u: Long, it: Iterator[EvIn], st: GroupState[Ring]) =>
+          foldWithTtl(u, it, st, t))
+      case None => grouped.flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
         (u: Long, it: Iterator[EvIn], st: GroupState[Ring]) => fold(u, it, st))
+    }
   }
 
-  /** Drive to completion on a bounded drop-dir; returns all emissions. */
+  /** Drive to completion on a bounded drop-dir; returns all emissions
+    * (test path; ttl = None so processAllAvailable terminates). */
   def runBounded(spark: SparkSession, glob: String, queryName: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val q = anomalies(EventStream.readEvents(spark, glob))
+    val q = anomalies(EventStream.readEvents(spark, glob), ttl = None)
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory")

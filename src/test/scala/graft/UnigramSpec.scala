@@ -86,4 +86,26 @@ class UnigramSpec extends SparkSuite {
         "array(3L, 9L, 1L)).n_pieces AS np").collect()(0).getLong(0)
     assert(r == 1L)
   }
+
+  test("unigram_segment SQL surface: INT freq literals accepted (no L suffix)") {
+    // array(3, 9, 1) arrives as array<int>; the builder must read it by
+    // its declared element type, not getLong into a ClassCastException
+    val int = spark.sql("SELECT unigram_segment('abc', array('a','bc','abc'), " +
+      "array(3, 9, 1)) AS s").collect()(0).get(0)
+    val big = spark.sql("SELECT unigram_segment('abc', array('a','bc','abc'), " +
+      "array(3L, 9L, 1L)) AS s").collect()(0).get(0)
+    assert(int == big)
+  }
+
+  test("unigram_segment SQL surface: non-literal vocab fails analysis clearly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT unigram_segment(w, array('a'), array(length(w))) " +
+        "FROM VALUES ('x') t(w)").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT unigram_segment('x', array('a','b'), array(1L))").collect()
+    }
+    assert(e2.getMessage.contains("same length"), e2.getMessage)
+  }
 }
