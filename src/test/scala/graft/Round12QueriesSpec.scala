@@ -38,6 +38,27 @@ class Round12QueriesSpec extends SparkSuite {
     assert(n == 2 && conv && !osc)
   }
 
+  // ---- shared edge memo ----
+
+  test("edge memo: unpersisted blocks trigger a rebuild, not a dead-lineage failure") {
+    val e1 = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+    val n1 = e1.count()
+    val ids = GraphQueries.sharedRddIds(spark)
+    assert(ids.nonEmpty)
+    // simulate a harness releasing per-query state without sparing the
+    // shared frame: the memo must detect the dead lineage and rebuild
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (ids(id)) rdd.unpersist(blocking = true) }
+    val e2 = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+    assert(e2.count() == n1)
+    val ids2 = GraphQueries.sharedRddIds(spark)
+    assert(ids2.nonEmpty && ids2.intersect(ids).isEmpty, s"$ids -> $ids2")
+    // and a memo HIT returns the same live frame (no rebuild)
+    assert(GraphQueries.sharedRddIds(spark) == ids2)
+    GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+    assert(GraphQueries.sharedRddIds(spark) == ids2)
+  }
+
   // ---- q146: edge-churn incremental community maintenance ----
 
   test("q146 fixture: incremental == full recompute; changed flags exact") {
