@@ -459,6 +459,22 @@ object Profile {
         graft.queries.GraphQueries.weightedPathsCore(weighted(e1), 10L, 4)))
       time("weighted paths (q143 core) on 10x")(noop(
         graft.queries.GraphQueries.weightedPathsCore(weighted(e10), 10L, 4)))
+      // q145: disjoint copies replicate the community structure, so each
+      // copy follows the 1x label trajectory and the CHECKED stop round
+      // is identical — expect near-linear time, same n_rounds
+      time("lpa converge (q145 core) on 1x")(noop(
+        graft.queries.GraphQueries.lpaConvergeCore(e1)))
+      time("lpa converge (q145 core) on 10x")(noop(
+        graft.queries.GraphQueries.lpaConvergeCore(e10)))
+      // q146: the (u+v)%7 batch selector lands on a different slice per
+      // shifted copy (2i·10⁷ mod 7 varies), which is the point — churn
+      // volume scales with the graph, and so should the incremental work
+      time("lpa edge churn (q146 core) on 1x")(noop(
+        graft.queries.GraphQueries.lpaChurnCore(e1,
+          (col("u") + col("v")) % lit(7L) === 0L)))
+      time("lpa edge churn (q146 core) on 10x")(noop(
+        graft.queries.GraphQueries.lpaChurnCore(e10,
+          (col("u") + col("v")) % lit(7L) === 0L)))
       // q142: map-only shingle+window df machinery; quotes double the corpus
       time("containment (q142 core) on 1x")(noop(
         graft.queries.DedupQueries.containmentCore(spark,
