@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-import graft.functions.{Codec, DotProduct, HtmlText, UnigramSegment, IntSqDist, Md5Prefix64, NfcNormalize, Norm2, PayloadCompress, PayloadDecompress, WinnowGrams, WordpieceEncode, ZlibCompress, ZlibDecompress}
+import graft.functions.{Codec, DotProduct, HtmlText, UnigramSegment, IntSqDist, Md5Prefix64, NfcNormalize, Norm2, PayloadCompress, PayloadDecompress, SignedHadamard, WinnowGrams, WordpieceEncode, ZlibCompress, ZlibDecompress}
 
 /** Session extension entry point — the deployment-shaped way to install
   * this library's native expressions and optimizer rules on a cluster:
@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_isqd"),
       new ExpressionInfo(classOf[IntSqDist].getName, "vec_isqd"),
       (exprs: Seq[Expression]) => IntSqDist(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_hadamard"),
+      new ExpressionInfo(classOf[SignedHadamard].getName, "vec_hadamard"),
+      (exprs: Seq[Expression]) => SignedHadamard(exprs.head)))
     ext.injectFunction((FunctionIdentifier("md5_prefix64"),
       new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
       (exprs: Seq[Expression]) => Md5Prefix64(exprs.head,

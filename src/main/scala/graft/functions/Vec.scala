@@ -126,6 +126,41 @@ case class IntSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed Walsh–Hadamard rotation of a bigint array (power-of-2 length n):
+  * out[j] = Σᵢ H[j][i]·D[i]·in[i] with H[j][i] = (−1)^popcount(j&i)
+  * (Sylvester order) and D[i] = (−1)^popcount(i·2654435761) — a fixed
+  * pseudo-random sign diagonal (Knuth's multiplicative constant; the
+  * structured rotation of the fast-JL / OPQ-lite family). Because
+  * (HD)(HD)ᵀ = n·I, squared L2 distances scale EXACTLY by n and rankings
+  * are invariant, while the energy of every input dimension spreads
+  * uniformly over all outputs — the product-quantization subspace
+  * balancing OPQ buys with a learned rotation, here with an integer-
+  * exact, oracle-replayable one. Computed as the O(n log n) butterfly;
+  * long sums are associative-exact, so the result is bit-identical to
+  * the popcount formula (VecSpec pins the equivalence). */
+case class SignedHadamard(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_hadamard"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_hadamard needs a bigint array, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Vec.hadamardLL(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Vec.hadamardLL($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignedHadamard =
+    copy(child = newChild)
+}
+
 object Vec {
   private def checkLen(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
@@ -171,6 +206,39 @@ object Vec {
     acc
   }
 
+  /** (−1)^popcount(i·2654435761): the fixed sign diagonal D of
+    * [[SignedHadamard]] — SQL dual `bit_count(i * 2654435761) % 2`. */
+  def hadamardDiagSign(i: Int): Long =
+    if ((java.lang.Long.bitCount(i.toLong * 2654435761L) & 1) == 0) 1L else -1L
+
+  /** Signed Walsh–Hadamard transform, O(n log n) integer butterfly.
+    * Exactly Σᵢ (−1)^popcount(j&i)·D[i]·in[i] — long addition is
+    * associative, so butterfly order loses nothing. */
+  def hadamardLL(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n == 0 || (n & (n - 1)) != 0)
+      throw new IllegalArgumentException(
+        s"vec_hadamard needs a power-of-2 length, got $n")
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) { v(i) = a.getLong(i) * hadamardDiagSign(i); i += 1 }
+    var h = 1
+    while (h < n) {
+      var s = 0
+      while (s < n) {
+        var k = s
+        while (k < s + h) {
+          val x = v(k); val y = v(k + h)
+          v(k) = x + y; v(k + h) = x - y
+          k += 1
+        }
+        s += h * 2
+      }
+      h *= 2
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  }
+
   /** Idempotent: a no-op when the function already exists (installed by
     * [[graft.GraftExtensions]] at session build, or by a prior call). */
   def register(spark: SparkSession): Unit = {
@@ -185,6 +253,9 @@ object Vec {
     if (!reg.functionExists(FunctionIdentifier("vec_isqd")))
       reg.createOrReplaceTempFunction(
         "vec_isqd", exprs => IntSqDist(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("vec_hadamard")))
+      reg.createOrReplaceTempFunction(
+        "vec_hadamard", exprs => SignedHadamard(exprs.head), "built-in")
   }
 
   def dotCol(spark: SparkSession, a: Column, b: Column): Column = {
@@ -200,5 +271,10 @@ object Vec {
   def isqdCol(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("vec_isqd", a, b)
+  }
+
+  def hadamardCol(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_hadamard", a)
   }
 }

@@ -963,19 +963,26 @@ object DedupQueries {
   def q94DupRunLength(s: SparkSession, dir: String): DataFrame =
     dupRunCore(s, Tables.documents(s, dir))
 
-  /** q94 body over an arbitrary documents frame (Profile probes it on
-    * replicated corpora); grams come from the shared [[dupGramsCol]]. */
-  private[graft] def dupRunCore(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** The duplicated-gram islands frame (doc_id, p, dup, run_key) — q94's
+    * detection machinery, single-sourced so q147's span REMOVAL scrubs
+    * exactly the runs q94 MEASURES (the SQL dual is [[dupRunCtes]]). */
+  private def dupRunKeyed(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val occ = docs
       .select($"doc_id", posexplode(dupGramsCol).as(Seq("p0", "g_raw")))
       .select($"doc_id", ($"p0" + 1).cast("long").as("p"), h60(s, $"g_raw").as("g"))
-    val keyed = occ
+    occ
       .withColumn("dup", count(lit(1)).over(Window.partitionBy($"g")) >= 2)
       .withColumn("run_key",
         when($"dup", $"p" - sum(when($"dup", 1L).otherwise(0L))
           .over(Window.partitionBy($"doc_id").orderBy($"p"))))
-    keyed.groupBy($"doc_id", $"run_key")
+  }
+
+  /** q94 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora); grams come from the shared [[dupGramsCol]]. */
+  private[graft] def dupRunCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    dupRunKeyed(s, docs).groupBy($"doc_id", $"run_key")
       .agg(count(lit(1)).as("cnt"))
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_grams"),
@@ -986,9 +993,12 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
-  val q94Sql: String = {
+  /** Oracle CTE chain t/g/cf/fl/rk for the duplicated-gram islands —
+    * shared by q94 (run measurement) and q147 (span removal), so the two
+    * stay island-identical by construction. */
+  private def dupRunCtes: String = {
     val gram = (0 until DupGramN).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |g AS (SELECT doc_id,
        |        unnest(generate_series(1, len(tk) - ${DupGramN - 1})) AS p,
        |        unnest(list_transform(generate_series(1, len(tk) - ${DupGramN - 1}),
@@ -999,7 +1009,11 @@ object DedupQueries {
        |rk AS (SELECT doc_id, p, dup,
        |         CASE WHEN dup THEN p - SUM(CASE WHEN dup THEN 1 ELSE 0 END)
        |           OVER (PARTITION BY doc_id ORDER BY p) END AS run_key
-       |       FROM fl),
+       |       FROM fl)""".stripMargin
+  }
+
+  val q94Sql: String =
+    s"""WITH $dupRunCtes,
        |ru AS (SELECT doc_id, run_key, COUNT(*) AS cnt FROM rk GROUP BY doc_id, run_key),
        |agg AS (SELECT doc_id, SUM(cnt) AS n_grams,
        |          COALESCE(MAX(CASE WHEN run_key IS NOT NULL THEN cnt END), 0) AS max_run,
@@ -1009,7 +1023,99 @@ object DedupQueries {
        |  CAST(max_run AS BIGINT) AS max_run, CAST(n_runs AS BIGINT) AS n_runs,
        |  max_run <= $RunDropMax AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---- q147: duplicated-span removal with document rebuild ----
+
+  /** q147: exact duplicated-SPAN removal — the REWRITE stage of Lee et
+    * al.'s ExactSubstr dedup ("Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022): every maximal run of ≥
+    * [[RunMin]] consecutive corpus-duplicated [[DupGramN]]-grams (q94's
+    * islands, single-sourced via the shared keyed frame) is converted to
+    * its covering TOKEN interval [s, s+c+N−2] and those tokens are
+    * scrubbed from the document, which is then rebuilt from the
+    * survivors. ALL occurrences of a duplicated span are removed —
+    * including the first — matching the reference implementation's
+    * self-similar pass (github.com/google-research/deduplicate-text-
+    * datasets, which documents the same both-copies quirk); q106 is the
+    * keep-first counterpart at aligned-segment granularity. Adjacent
+    * qualifying runs may overlap in token space (a single clean gram
+    * between two runs is fewer than N−1 tokens of separation); removal
+    * is by coverage UNION, so no merge pass is needed.
+    *
+    * Scale — the rebuild is MAP-ONLY, unlike q106's 2×-text shuffle:
+    * q94's three linear shuffles produce qualifying runs; runs collapse
+    * to a per-document INTERVAL LIST (collect_list — bounded by
+    * n_grams/RunMin per doc, token-index pairs only, never text), which
+    * equi-joins back to the documents table on doc_id; then one HOF pass
+    * filters tokens by position against the interval array and rebuilds
+    * the text in place. Total shuffled bytes beyond q94's hashes: the
+    * interval lists (KB per partition). The oracle re-derives coverage
+    * UNHASHED via an exploded position join, so the gate also proves the
+    * hashed islands scrub exactly the right tokens. */
+  def q147SpanScrub(s: SparkSession, dir: String): DataFrame =
+    spanScrubCore(s, Tables.documents(s, dir))
+
+  /** q147 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora). */
+  private[graft] def spanScrubCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val runs = dupRunKeyed(s, docs)
+      .where($"run_key".isNotNull)
+      .groupBy($"doc_id", $"run_key")
+      .agg(min($"p").as("s"), count(lit(1)).as("c"))
+      .where($"c" >= RunMin)
+      .select($"doc_id", $"s", ($"s" + $"c" + lit(DupGramN.toLong - 2)).as("e"))
+    val ivs = runs.groupBy($"doc_id")
+      .agg(collect_list(struct($"s", $"e")).as("ivs"))
+    val rebuilt = graft.functions.Cols.bind(toks($"text")) { t =>
+      val kept = filter(
+        transform(sequence(lit(1), size(t)), i =>
+          struct(i.cast("long").as("i"), element_at(t, i).as("w"))),
+        x => !exists($"ivs", iv =>
+          x.getField("i") >= iv.getField("s") && x.getField("i") <= iv.getField("e")))
+      struct(size(t).cast("long").as("n_toks"),
+        size(kept).cast("long").as("n_kept"),
+        md5(array_join(transform(kept, x => x.getField("w")), " ")
+          .cast("binary")).as("rebuilt_md5"))
+    }
+    docs
+      .join(ivs, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"ivs", array().cast("array<struct<s:bigint,e:bigint>>")).as("ivs"),
+        $"text")
+      .select($"doc_id", size($"ivs").cast("long").as("n_spans"), rebuilt.as("r"))
+      .select($"doc_id", $"r.n_toks".as("n_toks"), $"n_spans",
+        $"r.n_kept".as("n_kept"), $"r.rebuilt_md5".as("rebuilt_md5"))
+      .orderBy($"doc_id")
   }
+
+  /** Oracle: shared islands CTEs, then UNHASHED coverage via an exploded
+    * (doc_id, position) equi-join — an independent derivation of the
+    * scrub mask. */
+  val q147Sql: String =
+    s"""WITH $dupRunCtes,
+       |ru AS (SELECT doc_id, run_key, MIN(p) AS s, COUNT(*) AS c
+       |       FROM rk WHERE run_key IS NOT NULL GROUP BY doc_id, run_key),
+       |iv AS (SELECT doc_id, s, s + c + ${DupGramN - 2} AS e
+       |       FROM ru WHERE c >= $RunMin),
+       |cov AS (SELECT DISTINCT doc_id, i FROM (
+       |    SELECT doc_id, unnest(generate_series(s, e)) AS i FROM iv)),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i,
+       |          unnest(tk) AS w
+       |        FROM t),
+       |k AS (SELECT tok.doc_id, tok.i, tok.w, (cov.doc_id IS NULL) AS keep
+       |      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+       |ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM iv GROUP BY doc_id),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_toks,
+       |          SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       |          md5(COALESCE(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY i), ''))
+       |            AS rebuilt_md5
+       |        FROM k GROUP BY doc_id)
+       |SELECT agg.doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       |  CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(n_kept AS BIGINT) AS n_kept, rebuilt_md5
+       |FROM agg LEFT JOIN ns ON agg.doc_id = ns.doc_id
+       |ORDER BY agg.doc_id""".stripMargin
 
   // ---- q99: URL-canonicalization dedup (C4-style pre-text dedup key) ----
 
@@ -1687,6 +1793,7 @@ object DedupQueries {
     "q88_cluster_keeper"      -> (q88ClusterKeeper _),
     "q89_incremental_dedup"   -> (q89IncrementalDedup _),
     "q94_dup_run_length"      -> (q94DupRunLength _),
+    "q147_span_scrub"         -> (q147SpanScrub _),
     "q99_url_dedup"           -> (q99UrlDedup _),
     "q104_source_similarity"  -> (q104SourceSimilarity _),
   )
@@ -1710,6 +1817,7 @@ object DedupQueries {
     "q88_cluster_keeper"      -> q88Sql,
     "q89_incremental_dedup"   -> q89Sql,
     "q94_dup_run_length"      -> q94Sql,
+    "q147_span_scrub"         -> q147Sql,
     "q99_url_dedup"           -> q99Sql,
     "q104_source_similarity"  -> q104Sql,
   )

@@ -575,10 +575,10 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rn")
   }
 
-  /** The q111 CTE chain up to `sc` (per-pair ADC distances) — shared
-    * with q123's refine oracle, so the two stay hash-identical. */
-  private val pqScCtes: String =
-    s"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+  /** SQ8 per-dim code CTEs e/st/c — shared by the PQ (q111/q123) and
+    * OPQ-rotated (q148) oracle chains. */
+  private val sq8CodeCtes: String =
+    s"""e AS (SELECT vec_id, unnest(embedding) AS x,
        |             unnest(generate_series(1, len(embedding))) AS d
        |           FROM embeddings),
        |st AS (SELECT d, MIN(CAST(x AS DOUBLE)) AS lo, MAX(CAST(x AS DOUBLE)) AS hi
@@ -587,10 +587,14 @@ object SimilarityQueries {
        |        CASE WHEN st.hi > st.lo
        |          THEN CAST(floor((CAST(e.x AS DOUBLE) - st.lo) / (st.hi - st.lo) * $Sq8Levels) AS BIGINT)
        |          ELSE 0 END AS code
-       |      FROM e JOIN st USING (d)),
-       |sub AS (SELECT vec_id, (d - 1) // $PqSubDim AS m, (d - 1) % $PqSubDim AS j, code
-       |        FROM c),
-       |seeds AS (SELECT m, CAST(vec_id AS INT) AS k, j, code AS cent
+       |      FROM e JOIN st USING (d))""".stripMargin
+
+  /** The seeds→sc chain (train / encode / LUT / per-pair ADC distances)
+    * over whatever `sub` view precedes it — shared verbatim by q111,
+    * q123's refine oracle, and q148, so all three stay hash-identical
+    * in the trained-quantizer stages. */
+  private val pqTrainScanCtes: String =
+    s"""seeds AS (SELECT m, CAST(vec_id AS INT) AS k, j, code AS cent
        |          FROM sub WHERE vec_id < $PqK),
        |ad AS (SELECT s.vec_id, s.m, sd.k,
        |         SUM((s.code - sd.cent) * (s.code - sd.cent)) AS dd
@@ -621,15 +625,26 @@ object SimilarityQueries {
        |         AND p.vec_id <> l.query_id
        |       GROUP BY 1, 2)""".stripMargin
 
-  val q111Sql: String =
-    s"""$pqScCtes
-       |SELECT query_id, neighbor_id, adist, rn FROM (
+  /** The q111 CTE chain up to `sc` (per-pair ADC distances). */
+  private val pqScCtes: String =
+    s"""WITH $sq8CodeCtes,
+       |sub AS (SELECT vec_id, (d - 1) // $PqSubDim AS m, (d - 1) % $PqSubDim AS j, code
+       |        FROM c),
+       |$pqTrainScanCtes""".stripMargin
+
+  /** Final top-k ranking SELECT over `sc` — shared by q111 and q148. */
+  private val pqRankSelect: String =
+    s"""SELECT query_id, neighbor_id, adist, rn FROM (
        |  SELECT query_id, neighbor_id, adist,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY adist ASC, neighbor_id ASC) AS rn
        |  FROM sc)
        |WHERE rn <= $TopK
        |ORDER BY query_id, rn""".stripMargin
+
+  val q111Sql: String =
+    s"""$pqScCtes
+       |$pqRankSelect""".stripMargin
 
   /** q118: q111's ADC search run against the INGESTED codes table
     * ([[graft.jobs.CodesIngest]]) instead of in-plan training+encoding —
@@ -659,6 +674,87 @@ object SimilarityQueries {
     pqAdcScan(s, codesTable.select($"vec_id", $"pq"),
       pqQueryLuts(s, qsubs, cents))
   }
+
+  // ---- q148: OPQ-lite structured-rotation PQ ADC ANN ----
+
+  /** q148: PQ-ADC search over a SIGNED-HADAMARD-rotated code space — the
+    * OPQ idea (Ge et al., "Optimized Product Quantization", CVPR 2013:
+    * rotate before splitting into subspaces so each carries comparable
+    * energy) realized with a STRUCTURED rotation, the fast-JL/FALCONN
+    * HD construction FAISS ships as OPQ's random-rotation baseline. The
+    * signed Hadamard keeps the WHOLE pipeline in integers: rotate the
+    * SQ8 codes by out[j] = Σᵢ(−1)^popcount(j&i)·D[i]·codes[i] (D a
+    * fixed pseudo-random ±1 diagonal), then train / encode / ADC-scan
+    * EXACTLY as q111 on the rotated ints. Because (HD)(HD)ᵀ = 64·I,
+    * true squared distances scale by exactly 64 — rankings invariant —
+    * while every input dimension's energy spreads uniformly over all 64
+    * outputs, so the 8 subspaces see balanced variance by construction
+    * (both properties integer-exact, pinned in Round12QueriesSpec /
+    * VecSpec). Every stage stays integer (rotated values |v| ≤ 64·255,
+    * ADC sums ≪ 2⁶³), so codes, codebook, and the full ranking
+    * hash-match DuckDB — a value-level oracle for a trained quantizer
+    * over a rotated space, which a LEARNED rotation cannot give (a
+    * float eigenbasis is not SQL-replayable; that variant lives as the
+    * Profile OPQ probe, where the PCA rotation lifts recall@5
+    * 0.16 → 0.36 at sf0.1 — SCALE.md).
+    *
+    * Measured honestly: on THIS corpus — synthetic, near-isotropic —
+    * the structured rotation is recall-NEUTRAL (±1–3 hits of 25 across
+    * sf0.001/0.01/0.1, recorded in SCALE.md), matching the OPQ
+    * literature where a non-learned rotation pays only on anisotropic
+    * data; the spec pins the exact invariants and a no-collapse floor,
+    * not a lift. The operator is the production knob (at-ingest rotated
+    * codes, verifiable end to end), with PCA the measured upgrade path.
+    *
+    * Scale: the rotation is one O(d log d) integer butterfly per row
+    * (native codegen expression [[graft.functions.SignedHadamard]]),
+    * map-only, fused into the encode pass — at ingest it is a stored
+    * column exactly like q118's codes. Everything downstream is q111's
+    * argument unchanged: KB codebook broadcast, map-side ADC, one
+    * k-rows-per-query exchange. */
+  def q148OpqAnn(s: SparkSession, dir: String): DataFrame =
+    opqAdcCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** q148 body over an arbitrary (vec_id, embedding) frame. */
+  private[graft] def opqAdcCore(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val subcodes = opqSubcodes(s, emb).localCheckpoint(false)
+    val cents = pqTrainCodebook(s, subcodes).localCheckpoint(false)
+    val pqcodes = pqEncodeCodes(s, subcodes, cents)
+    val luts = pqQueryLuts(s, subcodes.where($"vec_id" < NumQueries), cents)
+    pqAdcScan(s, pqcodes, luts)
+  }
+
+  /** (vec_id, m, sub) subspace view of the ROTATED SQ8 codes — [[pqSubcodes]]
+    * with the signed-Hadamard rotation fused between encode and split. */
+  private[graft] def opqSubcodes(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val stats = sq8Stats(emb).localCheckpoint(false) // 1 row, shared encode input
+    val rotated = sq8Encode(emb, stats)
+      .select($"vec_id", graft.functions.Vec.hadamardCol(s, $"codes").as("codes"))
+    subcodeView(s, rotated)
+  }
+
+  /** Oracle: the shared SQ8 CTEs, the Hadamard weight matrix as a
+    * generate_series cross product (bit_count is the popcount dual of
+    * the butterfly), one rotation aggregation, then the SHARED
+    * train/encode/LUT/scan chain verbatim. */
+  val q148Sql: String =
+    s"""WITH $sq8CodeCtes,
+       |had AS (SELECT jj.j AS j, ii.i AS i,
+       |          (CASE WHEN bit_count(CAST(jj.j AS BIGINT) & CAST(ii.i AS BIGINT)) % 2 = 0
+       |                THEN 1 ELSE -1 END)
+       |        * (CASE WHEN bit_count(CAST(ii.i AS BIGINT) * 2654435761) % 2 = 0
+       |                THEN 1 ELSE -1 END) AS w
+       |        FROM (SELECT unnest(generate_series(0, ${EmbDim - 1})) AS j) jj
+       |        CROSS JOIN (SELECT unnest(generate_series(0, ${EmbDim - 1})) AS i) ii),
+       |r AS (SELECT c.vec_id, h.j + 1 AS d, CAST(SUM(h.w * c.code) AS BIGINT) AS code
+       |      FROM c JOIN had h ON c.d - 1 = h.i
+       |      GROUP BY c.vec_id, h.j),
+       |sub AS (SELECT vec_id, (d - 1) // $PqSubDim AS m, (d - 1) % $PqSubDim AS j, code
+       |        FROM r),
+       |$pqTrainScanCtes
+       |$pqRankSelect""".stripMargin
 
   /** q102: hard-negative mining for contrastive training — for each
     * query vector, the [[TopK]] most-similar vectors carrying a
@@ -1616,6 +1712,7 @@ object SimilarityQueries {
     "q59_kmeans_assign"     -> (q59KmeansAssign _),
     "q95_sq8_ann"           -> (q95Sq8Ann _),
     "q111_pq_adc_ann"       -> (q111PqAdcAnn _),
+    "q148_opq_ann"          -> (q148OpqAnn _),
     "q118_pq_codes_ann"     -> (q118PqCodesAnn _),
   )
 
@@ -1638,6 +1735,7 @@ object SimilarityQueries {
     "q59_kmeans_assign"     -> q59Sql,
     "q95_sq8_ann"           -> q95Sql,
     "q111_pq_adc_ann"       -> q111Sql,
+    "q148_opq_ann"          -> q148Sql,
     "q118_pq_codes_ann"     -> q111Sql, // identical ranking from stored codes
   )
 }

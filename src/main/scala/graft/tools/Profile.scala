@@ -187,6 +187,10 @@ object Profile {
 
     time("dup-run (q94 core) on 1x")(noop(DedupQueries.dupRunCore(spark, base)))
     time("dup-run (q94 core) on 10x")(noop(DedupQueries.dupRunCore(spark, base10)))
+    // q147 rides q94's islands + a map-only rebuild — expectation: q94's
+    // ~linear curve plus a constant per-row HOF factor
+    time("span-scrub (q147 core) on 1x")(noop(DedupQueries.spanScrubCore(spark, base)))
+    time("span-scrub (q147 core) on 10x")(noop(DedupQueries.spanScrubCore(spark, base10)))
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     time("sq8 ann (q95 core) on 1x")(noop(SimilarityQueries.sq8Core(spark, emb)))
     val emb10 = (0 until 10).map(i =>
@@ -282,6 +286,10 @@ object Profile {
     val embCols10 = embL10.select($"vec_id", $"embedding")
     time("q111 pq-adc (core) on 1x")(noop(SimilarityQueries.pqAdcCore(spark, embCols)))
     time("q111 pq-adc (core) on 10x")(noop(SimilarityQueries.pqAdcCore(spark, embCols10)))
+    // q148 = q111 + one O(d log d) integer butterfly per row (map-only):
+    // expect q111's curve shifted by a constant per-row factor
+    time("q148 opq-adc (core) on 1x")(noop(SimilarityQueries.opqAdcCore(spark, embCols)))
+    time("q148 opq-adc (core) on 10x")(noop(SimilarityQueries.opqAdcCore(spark, embCols10)))
 
     // Event-time operators over a 10x-replicated event stream. USERS are
     // replicated (user_id shifted), so per-user event density — the

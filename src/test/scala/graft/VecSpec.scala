@@ -84,6 +84,35 @@ class VecSpec extends SparkSuite {
     assert(n.isNullAt(0))
   }
 
+  test("vec_hadamard butterfly equals the popcount formula; guards length; codegen") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 256).toLong))
+    }.toDF("id", "a")
+    // reference: out[j] = sum_i (-1)^popcount(j&i) * D[i] * in[i]
+    def naive(in: Array[Long]): Seq[Long] = {
+      val n = in.length
+      (0 until n).map { j =>
+        (0 until n).map { i =>
+          val h = if (java.lang.Long.bitCount((j & i).toLong) % 2 == 0) 1L else -1L
+          h * graft.functions.Vec.hadamardDiagSign(i) * in(i)
+        }.sum
+      }
+    }
+    val got = rows.select($"a",
+      graft.functions.Vec.hadamardCol(spark, $"a").as("h")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == naive(r.getSeq[Long](0).toArray))
+    }
+    // non-power-of-2 length fails loudly (a truncated code row is a bug)
+    val bad = Seq(Tuple1(Array(1L, 2L, 3L))).toDF("a")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.Vec.hadamardCol(spark, $"a")).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("power-of-2")))
+  }
+
   test("vec_dot stays inside WholeStageCodegen (the point of the rewrite)") {
     // parquet-backed, not a local Seq — ConvertToLocalRelation would fold
     // a literal relation into LocalTableScan and hide the projection
