@@ -197,6 +197,23 @@ object DedupQueries {
       .agg(minCols.head, minCols.tail: _*)
   }
 
+  /** MAP-ONLY per-row signature — the same [[NumHashes]] minhash values
+    * as [[minhashSignatures]] (identical md5 chains over the decimal
+    * string of the 60-bit shingle key; equality pinned in
+    * StreamingSpec), computed as a per-row HOF fold with NO shuffle.
+    * The batch path hashes each distinct shingle once and is faster on
+    * a repetitive corpus; this form exists for STREAMING frames, where
+    * a distinct+join+groupBy signature is not expressible per
+    * micro-batch row. Shingle-less docs yield an all-null signature
+    * (array_min over empty), matching the batch path. */
+  private[graft] def perRowSignature(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map { j =>
+      array_min(transform(col("shingles"), sh =>
+        h60(s, concat(lit(s"$j:"), h60(s, sh).cast("string"))))).as(s"mh_$j")
+    }
+    docs.select(col("doc_id") +: sigCols: _*)
+  }
+
   def q25MinhashSig(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     minhashSignatures(

@@ -749,6 +749,80 @@ object TextQueries {
        |  FROM documents)
        |WHERE rk <= $SourceQuota ORDER BY source, rk""".stripMargin
 
+  // ---- q149: per-source adaptive quality gate (exact domain quantile) ----
+
+  /** Quantile denominator: the gate drops (roughly) the bottom 1/4 of
+    * each source by score — ties at the threshold are KEPT. */
+  val GateDen = 4L
+
+  /** q149: per-source ADAPTIVE quality gate — drop each source's bottom
+    * quartile by an integer quality score (here document length, the
+    * per-domain-calibrated form of Gopher's length rule: a threshold
+    * that is right for a books domain starves a forum domain, so each
+    * source gets its own cut). q81 caps sources by COUNT with a
+    * data-independent hash rank; this gates by the score DISTRIBUTION,
+    * with the threshold itself data-dependent. Exact rank semantics,
+    * no interpolation: thr(source) = the smallest score s with
+    * |{docs: score ≤ s}| ≥ ⌈n/4⌉ (cross-multiplied to GateDen·cum ≥ n —
+    * pure integers), keep = score ≥ thr, so ≥ 75% of every source
+    * survives and ties at the threshold are kept.
+    *
+    * Scale design — the threshold is computed over the (source, score)
+    * DOMAIN, never by sorting rows: (1) one map-side-combinable count
+    * aggregation collapses the corpus to domain-sized (source, score, c)
+    * rows — bounded by sources × distinct lengths, NOT corpus rows;
+    * (2) the cumulative rank runs on that tiny frame (a per-source
+    * window whose partitions are score-domain-sized, immune to a
+    * 10⁹-doc source — the reason this is not percent_rank over rows);
+    * (3) per-source thresholds (|sources| rows) broadcast back and the
+    * gate is a map-only filter. Contrast q47 (interpolated percentile
+    * VALUES via the builtin aggregate) and q93 (GK sketch when the
+    * domain is unbounded). */
+  def q149AdaptiveGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    adaptiveGateCore(s, Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("score")))
+  }
+
+  /** q149 body over any (doc_id, source, score) frame (fixtures and
+    * Profile probes bind their own). */
+  private[graft] def adaptiveGateCore(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dom = scored.groupBy($"source", $"score").agg(count(lit(1)).as("c"))
+    val tot = dom.groupBy($"source").agg(sum($"c").as("n_docs"))
+    val cum = dom
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"score")))
+    val thr = cum.join(tot, "source")
+      .where($"cum" * GateDen >= $"n_docs")
+      .groupBy($"source").agg(min($"score").as("thr"))
+    scored.join(broadcast(thr.join(tot, "source")), "source")
+      .groupBy($"source")
+      .agg(first($"n_docs").as("n_docs"), first($"thr").as("thr"),
+        sum(when($"score" >= $"thr", 1L).otherwise(0L)).as("n_kept"))
+      .select($"source", $"n_docs", $"thr", $"n_kept")
+      .orderBy($"source")
+  }
+
+  val q149Sql: String =
+    s"""WITH sc AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+       |            FROM documents),
+       |dom AS (SELECT source, score, COUNT(*) AS c FROM sc GROUP BY source, score),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM dom GROUP BY source),
+       |cum AS (SELECT source, score,
+       |          SUM(c) OVER (PARTITION BY source ORDER BY score) AS cum
+       |        FROM dom),
+       |thr AS (SELECT cum.source, MIN(score) AS thr
+       |        FROM cum JOIN tot ON cum.source = tot.source
+       |        WHERE cum * $GateDen >= n_docs
+       |        GROUP BY cum.source)
+       |SELECT sc.source, MIN(tot.n_docs) AS n_docs, MIN(thr.thr) AS thr,
+       |  CAST(SUM(CASE WHEN sc.score >= thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM sc JOIN thr ON sc.source = thr.source
+       |  JOIN tot ON sc.source = tot.source
+       |GROUP BY sc.source ORDER BY sc.source""".stripMargin
+
   // ---- q85: temperature-balanced corpus mixing ----
 
   /** Integer quantization factor for the per-language weights:
@@ -2020,6 +2094,7 @@ object TextQueries {
     "q78_repetition_ratio"  -> (q78RepetitionRatio _),
     "q80_pii_redact"        -> (q80PiiRedact _),
     "q81_source_quota"      -> (q81SourceQuota _),
+    "q149_adaptive_gate"    -> (q149AdaptiveGate _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2052,6 +2127,7 @@ object TextQueries {
     "q78_repetition_ratio"  -> q78Sql,
     "q80_pii_redact"        -> q80Sql,
     "q81_source_quota"      -> q81Sql,
+    "q149_adaptive_gate"    -> q149Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,

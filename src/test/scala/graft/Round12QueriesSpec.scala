@@ -217,4 +217,23 @@ class Round12QueriesSpec extends SparkSuite {
     assert(rOpq >= rRaw - 3,
       s"structured rotation must stay within the neutral band: opq=$rOpq raw=$rRaw of ${exact.size}")
   }
+
+  // ---- q149: per-source adaptive quality gate ----
+
+  test("q149 fixture: exact rank threshold, ties kept, per-source calibration") {
+    val rows =
+      (1L to 8L).map(i => (i, "a", i)) ++            // thr = 2nd smallest = 2
+      (20L to 23L).map(i => (i, "b", 5L)) ++          // all tied: thr=5, all kept
+      Seq((30L, "c", 1L), (31L, "c", 1L), (32L, "c", 1L), (33L, "c", 9L)) ++
+      (40L to 51L).map(i => (i, "d", i - 39L))        // n=12: thr=3, kept=10
+    val out = TextQueries.adaptiveGateCore(spark,
+      rows.toDF("doc_id", "source", "score")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((8L, 2L, 7L)))
+    assert(out("b") == ((4L, 5L, 4L)))
+    // cum(score=1) = 3 and 3*4 >= 4: the threshold lands on the tie
+    // block and the tie-keep rule keeps the whole source
+    assert(out("c") == ((4L, 1L, 4L)))
+    assert(out("d") == ((12L, 3L, 10L)))
+  }
 }

@@ -289,4 +289,63 @@ class StreamingSpec extends SparkSuite {
     assert(batch.nonEmpty, "fixture must produce attribution pairs")
     assert(pairs(streamed) == pairs(batch))
   }
+
+  test("per-row minhash signature == the batch exploded-path signature") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.DedupQueries
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", DedupQueries.shingles($"text").as("shingles"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(DedupQueries.perRowSignature(spark, docs)) ==
+      rows(DedupQueries.minhashSignatures(docs)
+        .select(col("doc_id") +:
+          (0 until DedupQueries.NumHashes).map(j => col(s"mh_$j")): _*)))
+  }
+
+  test("streaming near-dup gate == the batch bucket-min dual; catches q26's pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.DedupQueries
+    val dir = tmpDir("docs_gate")
+    // two drop files split by doc_id, consumed one per micro-batch —
+    // the cross-batch state path is exercised, arrival follows doc_id
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val mid = 250L
+    docs.where($"doc_id" < mid).coalesce(1).write.parquet(s"$dir/h1")
+    docs.where($"doc_id" >= mid).coalesce(1).write.parquet(s"$dir/h2")
+    for ((src, dst) <- Seq("h1" -> "d1.parquet", "h2" -> "d2.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val streamed = graft.streaming.DedupStream
+      .runBounded(spark, s"$dir/d*.parquet", "stream_gate",
+        maxFilesPerTrigger = Some(1))
+      .collect()
+    // batch dual: every band bucket's min doc_id broadcast to members
+    val bl = DedupQueries.bandLabels(DedupQueries.minhashSignatures(
+      docs.select($"doc_id", DedupQueries.shingles($"text").as("shingles"))))
+    val wMin = org.apache.spark.sql.expressions.Window.partitionBy($"band_id", $"bh")
+    val dual = bl.withColumn("m", min($"doc_id").over(wMin))
+      .where($"m" < $"doc_id")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_band_hits"), min($"m").as("first_match"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = streamed.filter(_.getLong(1) > 0)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dual.nonEmpty, "fixture must contain band collisions")
+    assert(got == dual)
+    // every q26 VERIFIED pair shares a band, so its later member must be
+    // flagged by the gate (banding recall 1.0 for caught pairs)
+    val cands = streamed.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val pairs26 = DedupQueries.q26MinhashPairs(spark, sf0001).collect()
+    assert(pairs26.nonEmpty)
+    pairs26.foreach { r =>
+      assert(cands.contains(math.max(r.getLong(0), r.getLong(1))),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) must flag its later member")
+    }
+  }
 }
