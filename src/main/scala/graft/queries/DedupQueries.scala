@@ -207,11 +207,19 @@ object DedupQueries {
     * micro-batch row. Shingle-less docs yield an all-null signature
     * (array_min over empty), matching the batch path. */
   private[graft] def perRowSignature(s: SparkSession, docs: DataFrame): DataFrame = {
-    val sigCols = (0 until NumHashes).map { j =>
-      array_min(transform(col("shingles"), sh =>
-        h60(s, concat(lit(s"$j:"), h60(s, sh).cast("string"))))).as(s"mh_$j")
+    // the shingle digests are bind-bound so each shingle pays ONE inner
+    // md5 + NumHashes chain digests, not NumHashes·2 (HOF lambdas get no
+    // CSE — the Cols.bind rationale; review finding r12)
+    val sig = graft.functions.Cols.bind(
+        transform(col("shingles"), sh => h60(s, sh))) { hs =>
+      struct((0 until NumHashes).map { j =>
+        array_min(transform(hs, h =>
+          h60(s, concat(lit(s"$j:"), h.cast("string"))))).as(s"mh_$j")
+      }: _*)
     }
-    docs.select(col("doc_id") +: sigCols: _*)
+    docs.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j =>
+        col(s"sig.mh_$j").as(s"mh_$j")): _*)
   }
 
   def q25MinhashSig(s: SparkSession, dir: String): DataFrame = {
@@ -1086,8 +1094,7 @@ object DedupQueries {
       .agg(collect_list(struct($"s", $"e")).as("ivs"))
     val rebuilt = graft.functions.Cols.bind(toks($"text")) { t =>
       val kept = filter(
-        transform(sequence(lit(1), size(t)), i =>
-          struct(i.cast("long").as("i"), element_at(t, i).as("w"))),
+        transform(t, (w, i) => struct((i + 1).cast("long").as("i"), w.as("w"))),
         x => !exists($"ivs", iv =>
           x.getField("i") >= iv.getField("s") && x.getField("i") <= iv.getField("e")))
       struct(size(t).cast("long").as("n_toks"),
@@ -1095,7 +1102,10 @@ object DedupQueries {
         md5(array_join(transform(kept, x => x.getField("w")), " ")
           .cast("binary")).as("rebuilt_md5"))
     }
-    docs
+    // null-text rows drop on BOTH engines (the q106 family precedent —
+    // the oracle's string_split(NULL) unnests to nothing; an unfiltered
+    // Spark side would emit null metrics and fail the row-count gate)
+    docs.where($"text".isNotNull)
       .join(ivs, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"ivs", array().cast("array<struct<s:bigint,e:bigint>>")).as("ivs"),

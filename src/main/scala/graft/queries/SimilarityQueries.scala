@@ -468,10 +468,16 @@ object SimilarityQueries {
     * pieces below — which the codes-at-ingest path (q118 /
     * [[graft.jobs.CodesIngest]]) reuses with a bucketed table between
     * encode and scan. */
-  private[graft] def pqAdcCore(s: SparkSession, emb: DataFrame): DataFrame = {
+  private[graft] def pqAdcCore(s: SparkSession, emb: DataFrame): DataFrame =
+    adcFromSubcodes(s, pqSubcodes(s, emb))
+
+  /** The shared train/encode/LUT/scan orchestration over any subspace
+    * view — ONE definition so q111 and q148 cannot drift (review
+    * finding r12). */
+  private def adcFromSubcodes(s: SparkSession, subcodesIn: DataFrame): DataFrame = {
     import s.implicits._
     // checkpointed once: consumed by seed-assign, PQ-encode, and the LUT
-    val subcodes = pqSubcodes(s, emb).localCheckpoint(false)
+    val subcodes = subcodesIn.localCheckpoint(false)
     val cents = pqTrainCodebook(s, subcodes)
       .localCheckpoint(false) // ≤ M·K rows; encode + LUT consumers
     val pqcodes = pqEncodeCodes(s, subcodes, cents)
@@ -715,15 +721,10 @@ object SimilarityQueries {
   def q148OpqAnn(s: SparkSession, dir: String): DataFrame =
     opqAdcCore(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
 
-  /** q148 body over an arbitrary (vec_id, embedding) frame. */
-  private[graft] def opqAdcCore(s: SparkSession, emb: DataFrame): DataFrame = {
-    import s.implicits._
-    val subcodes = opqSubcodes(s, emb).localCheckpoint(false)
-    val cents = pqTrainCodebook(s, subcodes).localCheckpoint(false)
-    val pqcodes = pqEncodeCodes(s, subcodes, cents)
-    val luts = pqQueryLuts(s, subcodes.where($"vec_id" < NumQueries), cents)
-    pqAdcScan(s, pqcodes, luts)
-  }
+  /** q148 body over an arbitrary (vec_id, embedding) frame — q111's
+    * shared orchestration over the rotated subspace view. */
+  private[graft] def opqAdcCore(s: SparkSession, emb: DataFrame): DataFrame =
+    adcFromSubcodes(s, opqSubcodes(s, emb))
 
   /** (vec_id, m, sub) subspace view of the ROTATED SQ8 codes — [[pqSubcodes]]
     * with the signed-Hadamard rotation fused between encode and split. */

@@ -32,6 +32,10 @@ import graft.queries.DedupQueries
   * unbounded deployments where "duplicate of last N days" is the
   * product contract.
   *
+  * Admission rule: shingle-less docs (< 3 tokens) are admitted WITHOUT
+  * a gate check — their all-null signatures would otherwise collide in
+  * one degenerate band bucket and cross-flag every short doc.
+  *
   * Batch≡stream: the bounded driver's output equals the batch dual —
   * bandLabels(minhashSignatures(docs)) with each bucket's min doc_id
   * broadcast to its members — pinned in StreamingSpec on the sf0.001
@@ -65,8 +69,13 @@ object DedupStream {
     * frame — map-only: per-row signature + band projection. */
   private[graft] def bandRows(spark: SparkSession, docs: DataFrame): Dataset[BandRow] = {
     import spark.implicits._
+    // shingle-less docs (< 3 tokens) never band: their all-null
+    // signatures would all collide in the constant md5('') bucket and
+    // flag every short doc as a duplicate of the first one (review
+    // finding r12) — they are admitted without a gate check instead
     val sig = DedupQueries.perRowSignature(spark,
-      docs.select($"doc_id", DedupQueries.shingles($"text").as("shingles")))
+      docs.select($"doc_id", DedupQueries.shingles($"text").as("shingles"))
+        .where(size($"shingles") > 0))
     DedupQueries.bandLabels(sig)
       .select(concat($"band_id".cast("string"), lit(":"), $"bh").as("bucket"),
         $"doc_id")
@@ -79,16 +88,12 @@ object DedupStream {
       (implicit spark: SparkSession): Dataset[Hit] = {
     import spark.implicits._
     val grouped = bandRows(spark, docs).groupByKey(_.bucket)
-    ttl match {
-      case Some(_) => grouped.flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.ProcessingTimeTimeout())(
-        (b: String, it: Iterator[BandRow], st: GroupState[BucketState]) =>
-          fold(b, it, st, ttl))
-      case None => grouped.flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
-        (b: String, it: Iterator[BandRow], st: GroupState[BucketState]) =>
-          fold(b, it, st, None))
-    }
+    val conf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    grouped.flatMapGroupsWithState(OutputMode.Append(), conf)(
+      (b: String, it: Iterator[BandRow], st: GroupState[BucketState]) =>
+        fold(b, it, st, ttl))
   }
 
   /** Drive to completion on a bounded documents drop-dir and roll hits

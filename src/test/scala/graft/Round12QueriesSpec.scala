@@ -124,7 +124,9 @@ class Round12QueriesSpec extends SparkSuite {
     val out = scrub(Seq(
       1L -> s"a1 a2 a3 $passage a4 a5",
       2L -> s"b1 b2 $passage b3 b4 b5",
-      3L -> "c1 c2 c3 c4 c5 c6 c7"))
+      3L -> "c1 c2 c3 c4 c5 c6 c7",
+      9L -> null)) // null text drops on both engines (oracle parity)
+    assert(!out.contains(9L))
     // doc 1: 13 toks, 4-gram run at p=4 covers tokens 4..11 (the passage)
     assert(out(1L) == ((13L, 1L, 5L, md5Hex("a1 a2 a3 a4 a5"))))
     assert(out(2L) == ((13L, 1L, 5L, md5Hex("b1 b2 b3 b4 b5"))))

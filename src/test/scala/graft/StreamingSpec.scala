@@ -326,8 +326,10 @@ class StreamingSpec extends SparkSuite {
         maxFilesPerTrigger = Some(1))
       .collect()
     // batch dual: every band bucket's min doc_id broadcast to members
+    // (shingle-less docs excluded — the gate's admission rule)
     val bl = DedupQueries.bandLabels(DedupQueries.minhashSignatures(
-      docs.select($"doc_id", DedupQueries.shingles($"text").as("shingles"))))
+      docs.select($"doc_id", DedupQueries.shingles($"text").as("shingles"))
+        .where(size($"shingles") > 0)))
     val wMin = org.apache.spark.sql.expressions.Window.partitionBy($"band_id", $"bh")
     val dual = bl.withColumn("m", min($"doc_id").over(wMin))
       .where($"m" < $"doc_id")
@@ -347,5 +349,25 @@ class StreamingSpec extends SparkSuite {
       assert(cands.contains(math.max(r.getLong(0), r.getLong(1))),
         s"pair (${r.getLong(0)}, ${r.getLong(1)}) must flag its later member")
     }
+  }
+
+  test("near-dup gate: shingle-less docs are admitted ungated, not cross-flagged") {
+    import spark.implicits._
+    val dir = tmpDir("docs_short")
+    // two unrelated < 3-token docs would share the degenerate all-null
+    // band bucket if banded (review finding); a true duplicate pair
+    // proves the gate still fires
+    val t = (1 to 20).map(i => s"tok$i").mkString(" ")
+    Seq((1L, "hello world"), (2L, "buy now"), (3L, t), (4L, t))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/docs.parquet"))
+    val out = graft.streaming.DedupStream
+      .runBounded(spark, s"$dir/docs*.parquet", "stream_gate_short")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 }
