@@ -384,4 +384,57 @@ class PlanSpec extends SparkSuite {
     val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(winSpecs.exists(_.contains("bucket")), winSpecs.mkString("\n"))
   }
+
+  test("q149: text never scanned; thresholds broadcast back to the gate") {
+    val qe = TextQueries.q149AdaptiveGate(spark, sf0001).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the gate is (doc_id, source, n_chars) arithmetic — a plan that
+    // drags the text column through a 100 TB quantile is wrong
+    scans.foreach(s => assert(!s.schema.fieldNames.contains("text"),
+      s.schema.treeString))
+    // the |sources|-row threshold frame must come back as a broadcast,
+    // not shuffle the corpus
+    assert(plan(TextQueries.q149AdaptiveGate(spark, sf0001))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("q147: two text scans (islands + rebuild), coverage is a HOF not a join") {
+    val qe = DedupQueries.q147SpanScrub(spark, sf0001).queryExecution
+    val textScans = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.schema.fieldNames.contains("text") => s
+    }
+    // one scan feeds the duplicated-gram islands, one the rebuild —
+    // the same 2x-text floor any rewrite pays (q106's bound), with the
+    // rewrite side's text never SHUFFLED (the interval list joins on
+    // doc_id; token filtering happens in the projection)
+    assert(textScans.size == 2, s"expected 2 text scans, got ${textScans.size}")
+    val p = plan(DedupQueries.q147SpanScrub(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q148: rotation rides the encode projection — float scans and exchanges match q111") {
+    // the OPQ rotation must add ZERO scans and ZERO shuffles to q111's
+    // plan: it is one native expression fused into the encode pass
+    // the downstream train/scan stages sit behind the subcodes
+    // localCheckpoint (shared orchestration — cannot differ); the stage
+    // that CAN differ is the subcode build, so pin that one directly
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    def floatScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.schema.fieldNames.contains("embedding") => s
+      }.size
+    val raw = SimilarityQueries.pqSubcodes(spark, emb)
+    val opq = SimilarityQueries.opqSubcodes(spark, emb)
+    assert(floatScans(opq) == floatScans(raw))
+    assert(plan(opq).contains("vec_hadamard"), "rotation must be in the plan")
+    assert(countShuffles(SimilarityQueries.opqSubcodes(spark, emb)) ==
+      countShuffles(SimilarityQueries.pqSubcodes(spark, emb)))
+  }
 }
