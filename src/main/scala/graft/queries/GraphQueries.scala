@@ -164,7 +164,10 @@ object GraphQueries {
       if (m == null) Set.empty[Int]
       else m.values.flatten.flatMap(rddIdOf(_)).toSet
     }
-    edges ++ hists
+    // LIVE ids only, as documented: a memo entry whose blocks were
+    // externally unpersisted is dead lineage awaiting rebuild — its id
+    // must not be reported as shared state
+    (edges ++ hists).filter(s.sparkContext.getPersistentRDDs.contains)
   }
 
   /** Mirrored edge list hash-partitioned on `u` — the canonical layout

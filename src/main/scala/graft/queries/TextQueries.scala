@@ -784,9 +784,13 @@ object TextQueries {
       .select($"doc_id", $"source", $"n_chars".cast("long").as("score")))
   }
 
-  /** q149 body over any (doc_id, source, score) frame (fixtures and
-    * Profile probes bind their own). */
-  private[graft] def adaptiveGateCore(s: SparkSession, scored: DataFrame): DataFrame = {
+  /** Exact rank-`1/mult` threshold per source over the (source, score)
+    * DOMAIN: the smallest score whose cumulative count reaches
+    * ⌈n/mult⌉ (cross-multiplied — mult·cum ≥ n). mult = 4 is q149's
+    * bottom-quartile cut, mult = 2 the lower median q150's robust
+    * statistics build on. Returns (source, thr, n_docs). */
+  private def domainRankThreshold(scored: DataFrame, mult: Long): DataFrame = {
+    val s = scored.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val dom = scored.groupBy($"source", $"score").agg(count(lit(1)).as("c"))
@@ -794,9 +798,17 @@ object TextQueries {
     val cum = dom
       .withColumn("cum", sum($"c").over(
         Window.partitionBy($"source").orderBy($"score")))
-    val thr = cum.join(tot, "source")
-      .where($"cum" * GateDen >= $"n_docs")
-      .groupBy($"source").agg(min($"score").as("thr"))
+    cum.join(tot, "source")
+      .where($"cum" * mult >= $"n_docs")
+      .groupBy($"source").agg(min($"score").as("thr"), first($"n_docs").as("n_docs"))
+  }
+
+  /** q149 body over any (doc_id, source, score) frame (fixtures and
+    * Profile probes bind their own). */
+  private[graft] def adaptiveGateCore(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    val thr = domainRankThreshold(scored, GateDen).select($"source", $"thr")
+    val tot = scored.groupBy($"source").agg(count(lit(1)).as("n_docs"))
     scored.join(broadcast(thr.join(tot, "source")), "source")
       .groupBy($"source")
       .agg(first($"n_docs").as("n_docs"), first($"thr").as("thr"),
@@ -822,6 +834,79 @@ object TextQueries {
        |FROM sc JOIN thr ON sc.source = thr.source
        |  JOIN tot ON sc.source = tot.source
        |GROUP BY sc.source ORDER BY sc.source""".stripMargin
+
+  // ---- q150: per-source robust outlier detection (median/MAD) ----
+
+  /** Outlier gate multiplier: |x − med| > [[MadK]]·MAD flags a doc. The
+    * classic k ≈ 3σ rule transported to the robust scale estimate. */
+  val MadK = 3L
+
+  /** q150: per-source ROBUST outlier detection — median/MAD, the
+    * data-cleaning dual of q149's quantile gate: a mean/stddev rule
+    * (q48's moments) is itself dragged by the outliers it is meant to
+    * find, so corpus QA flags docs by distance from the MEDIAN in units
+    * of the MEDIAN absolute deviation (Hampel's rule; |x−med| > 3·MAD).
+    * Both statistics are EXACT lower medians (2·cum ≥ n over the value
+    * domain — [[domainRankThreshold]] with mult = 2, the machinery
+    * q149 introduced, applied twice: once to scores, once to the
+    * derived |x − med| deviations), and the flag is pure integer
+    * arithmetic — no float, no approximation, so counts hash-match the
+    * oracle exactly. A constant source (MAD = 0) flags exactly the
+    * docs that deviate at all, the rule's natural degenerate case.
+    *
+    * Scale: two domain aggregations + two domain windows + two
+    * broadcast joins — the q149 argument applied twice; the corpus is
+    * scanned twice (score mint + deviation mint), both map-only into
+    * partial aggregation, and nothing row-sized ever sorts or windows. */
+  def q150MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    madOutliersCore(s, Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("score")))
+  }
+
+  /** q150 body over any (doc_id, source, score) frame. */
+  private[graft] def madOutliersCore(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    val med = domainRankThreshold(scored, 2L)
+      .select($"source", $"thr".as("med"), $"n_docs")
+    val dev = scored.join(broadcast(med), "source")
+      .select($"doc_id", $"source", abs($"score" - $"med").as("score"))
+    val mad = domainRankThreshold(dev, 2L).select($"source", $"thr".as("mad"))
+    dev.join(broadcast(mad), "source")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), first($"mad").as("mad"),
+        sum(when($"score" > $"mad" * MadK, 1L).otherwise(0L)).as("n_outliers"))
+      .join(broadcast(med.select($"source", $"med")), "source")
+      .select($"source", $"n_docs", $"med", $"mad", $"n_outliers")
+      .orderBy($"source")
+  }
+
+  /** Oracle: the exact-rank median CTE applied twice — identical rule
+    * text for scores and deviations. */
+  private def sqlLowerMedian(in: String, out: String): String =
+    s"""${out}_dom AS (SELECT source, score, COUNT(*) AS c FROM $in GROUP BY source, score),
+       |${out}_tot AS (SELECT source, SUM(c) AS n FROM ${out}_dom GROUP BY source),
+       |${out}_cum AS (SELECT source, score,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY score) AS cum
+       |  FROM ${out}_dom),
+       |$out AS (SELECT c.source, MIN(c.score) AS thr
+       |  FROM ${out}_cum c JOIN ${out}_tot t ON c.source = t.source
+       |  WHERE c.cum * 2 >= t.n GROUP BY c.source)""".stripMargin
+
+  val q150Sql: String =
+    s"""WITH sc AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+       |            FROM documents),
+       |${sqlLowerMedian("sc", "med")},
+       |dv AS (SELECT sc.doc_id, sc.source, abs(sc.score - med.thr) AS score
+       |       FROM sc JOIN med ON sc.source = med.source),
+       |${sqlLowerMedian("dv", "mad")}
+       |SELECT dv.source, COUNT(*) AS n_docs, MIN(med.thr) AS med,
+       |  MIN(mad.thr) AS mad,
+       |  CAST(SUM(CASE WHEN dv.score > $MadK * mad.thr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM dv JOIN mad ON dv.source = mad.source
+       |  JOIN med ON dv.source = med.source
+       |GROUP BY dv.source ORDER BY dv.source""".stripMargin
 
   // ---- q85: temperature-balanced corpus mixing ----
 
@@ -2095,6 +2180,7 @@ object TextQueries {
     "q80_pii_redact"        -> (q80PiiRedact _),
     "q81_source_quota"      -> (q81SourceQuota _),
     "q149_adaptive_gate"    -> (q149AdaptiveGate _),
+    "q150_mad_outliers"     -> (q150MadOutliers _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2128,6 +2214,7 @@ object TextQueries {
     "q80_pii_redact"        -> q80Sql,
     "q81_source_quota"      -> q81Sql,
     "q149_adaptive_gate"    -> q149Sql,
+    "q150_mad_outliers"     -> q150Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,

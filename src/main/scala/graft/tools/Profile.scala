@@ -191,6 +191,17 @@ object Profile {
     // ~linear curve plus a constant per-row HOF factor
     time("span-scrub (q147 core) on 1x")(noop(DedupQueries.spanScrubCore(spark, base)))
     time("span-scrub (q147 core) on 10x")(noop(DedupQueries.spanScrubCore(spark, base10)))
+    // q149/q150: work is domain-sized after the first map-only agg —
+    // replicas share the score domain, so expect near-flat curves
+    val scoredQ = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("score"))
+    val scoredQ10 = (0 until 10).map(i =>
+      scoredQ.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"), $"source", $"score"))
+      .reduce(_ unionByName _)
+    time("adaptive gate (q149 core) on 1x")(noop(TextQueries.adaptiveGateCore(spark, scoredQ)))
+    time("adaptive gate (q149 core) on 10x")(noop(TextQueries.adaptiveGateCore(spark, scoredQ10)))
+    time("mad outliers (q150 core) on 1x")(noop(TextQueries.madOutliersCore(spark, scoredQ)))
+    time("mad outliers (q150 core) on 10x")(noop(TextQueries.madOutliersCore(spark, scoredQ10)))
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     time("sq8 ann (q95 core) on 1x")(noop(SimilarityQueries.sq8Core(spark, emb)))
     val emb10 = (0 until 10).map(i =>

@@ -238,4 +238,24 @@ class Round12QueriesSpec extends SparkSuite {
     assert(out("c") == ((4L, 1L, 4L)))
     assert(out("d") == ((12L, 3L, 10L)))
   }
+
+  // ---- q150: per-source median/MAD outliers ----
+
+  test("q150 fixture: exact lower medians; Hampel flag; MAD=0 degenerate case") {
+    val rows = Seq(
+      // a: med=3 (cum 3 of 5), devs [0,1,1,2,97] -> MAD=1; 97 > 3 flags
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L), (5L, "a", 100L),
+      // b: constant-ish -> MAD=0; ANY deviation flags (the natural
+      // degenerate case of the rule)
+      (10L, "b", 7L), (11L, "b", 7L), (12L, "b", 7L), (13L, "b", 8L),
+      // c: symmetric, no outliers
+      (20L, "c", 10L), (21L, "c", 20L), (22L, "c", 30L))
+    val out = TextQueries.madOutliersCore(spark,
+      rows.toDF("doc_id", "source", "score")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((5L, 3L, 1L, 1L)))
+    assert(out("b") == ((4L, 7L, 0L, 1L)))
+    assert(out("c") == ((3L, 20L, 10L, 0L)))
+  }
 }
