@@ -57,9 +57,17 @@ object GraphQueries {
     * lever). On a multi-app cluster the same sharing is a bucketed edge
     * table written at ingest ([[graft.io.Bucketing]]; `jobs/CodesIngest`
     * is the materialize-at-ingest precedent); the memo is its in-app
-    * equivalent. */
+    * equivalent.
+    *
+    * Values are SoftReferences: a cached DataFrame strongly references
+    * its SparkSession, so a plain value would keep the weak KEY strongly
+    * reachable and the WeakHashMap could never evict (its documented
+    * failure mode — review finding r12). Behind a soft ref the whole
+    * session+frames chain is reclaimable under memory pressure, and a
+    * cleared ref behaves exactly like the dead-lineage miss: rebuild. */
   private val edgeCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
 
   /** Mirrored WEIGHTED edge list (u, v, w = shared-basket count) of the
     * capped co-purchase graph, materialized once hash-partitioned on `u`
@@ -84,8 +92,10 @@ object GraphQueries {
       // liveness check, not just presence: a checkpointed frame whose
       // blocks were unpersisted (e.g. a harness deterministically
       // releasing per-query state) has TRUNCATED lineage and cannot
-      // recompute — reusing it would fail the job, so rebuild instead
+      // recompute — reusing it would fail the job, so rebuild instead.
+      // A GC-cleared soft ref takes the same rebuild path.
       perDir.get(dir)
+        .flatMap(r => Option(r.get()))
         .filter(df => rddIdOf(df).exists(s.sparkContext.getPersistentRDDs.contains))
         .getOrElse {
           import s.implicits._
@@ -96,7 +106,7 @@ object GraphQueries {
                 struct($"v".as("u"), $"u".as("v"), $"w"))).as("e"))
               .select($"e.u", $"e.v", $"e.w")
               .repartition($"u"))
-          perDir(dir) = built
+          perDir(dir) = new java.lang.ref.SoftReference(built)
           built
         }
     }
@@ -117,7 +127,8 @@ object GraphQueries {
     * of the operator — instead of re-deriving yesterday's run per
     * invocation. */
   private val histCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Vector[DataFrame]]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[Vector[DataFrame]]]]()
 
   private def lpaHistoryMemo(s: SparkSession, dir: String,
       oldE: DataFrame): Vector[DataFrame] = histCache.synchronized {
@@ -127,11 +138,12 @@ object GraphQueries {
       m
     }
     perDir.get(dir)
+      .flatMap(r => Option(r.get()))
       .filter(_.forall(df =>
         rddIdOf(df).exists(s.sparkContext.getPersistentRDDs.contains)))
       .getOrElse {
         val built = lpaHistory(oldE)
-        perDir(dir) = built
+        perDir(dir) = new java.lang.ref.SoftReference(built)
         built
       }
   }
@@ -157,12 +169,13 @@ object GraphQueries {
   def sharedRddIds(s: SparkSession): Set[Int] = {
     val edges = edgeCache.synchronized {
       val m = edgeCache.get(s)
-      if (m == null) Set.empty[Int] else m.values.flatMap(rddIdOf(_)).toSet
+      if (m == null) Set.empty[Int]
+      else m.values.flatMap(r => Option(r.get())).flatMap(rddIdOf(_)).toSet
     }
     val hists = histCache.synchronized {
       val m = histCache.get(s)
       if (m == null) Set.empty[Int]
-      else m.values.flatten.flatMap(rddIdOf(_)).toSet
+      else m.values.flatMap(r => Option(r.get())).flatten.flatMap(rddIdOf(_)).toSet
     }
     // LIVE ids only, as documented: a memo entry whose blocks were
     // externally unpersisted is dead lineage awaiting rebuild — its id

@@ -775,25 +775,34 @@ object TextQueries {
     * window whose partitions are score-domain-sized, immune to a
     * 10⁹-doc source — the reason this is not percent_rank over rows);
     * (3) per-source thresholds (|sources| rows) broadcast back and the
-    * gate is a map-only filter. Contrast q47 (interpolated percentile
-    * VALUES via the builtin aggregate) and q93 (GK sketch when the
-    * domain is unbounded). */
+    * gate COUNT is itself Σc over the checkpointed domain — the corpus
+    * is touched exactly once, by step (1). Contrast q47 (interpolated
+    * percentile VALUES via the builtin aggregate) and q93 (GK sketch
+    * when the domain is unbounded). */
   def q149AdaptiveGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     adaptiveGateCore(s, Tables.documents(s, dir)
       .select($"doc_id", $"source", $"n_chars".cast("long").as("score")))
   }
 
-  /** Exact rank-`1/mult` threshold per source over the (source, score)
-    * DOMAIN: the smallest score whose cumulative count reaches
-    * ⌈n/mult⌉ (cross-multiplied — mult·cum ≥ n). mult = 4 is q149's
-    * bottom-quartile cut, mult = 2 the lower median q150's robust
-    * statistics build on. Returns (source, thr, n_docs). */
-  private def domainRankThreshold(scored: DataFrame, mult: Long): DataFrame = {
-    val s = scored.sparkSession
-    import s.implicits._
+  /** The (source, score, c) value domain of a scored frame — the ONE
+    * corpus-width aggregation q149/q150 pay; everything downstream is
+    * domain-sized. Callers localCheckpoint it (KB frame, multiple
+    * consumers — the §9 rule: plan-branch reuse does not dedupe the
+    * corpus scan). */
+  private def scoreDomain(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.groupBy($"source", $"score").agg(count(lit(1)).as("c"))
+  }
+
+  /** Exact rank-`1/mult` threshold per source over an ALREADY-AGGREGATED
+    * (source, score, c) domain: the smallest score whose cumulative
+    * count reaches ⌈n/mult⌉ (cross-multiplied — mult·cum ≥ n). mult = 4
+    * is q149's bottom-quartile cut, mult = 2 the lower median q150's
+    * robust statistics build on. Returns (source, thr, n_docs). */
+  private def domainRankThreshold(dom: DataFrame, mult: Long): DataFrame = {
+    import dom.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val dom = scored.groupBy($"source", $"score").agg(count(lit(1)).as("c"))
     val tot = dom.groupBy($"source").agg(sum($"c").as("n_docs"))
     val cum = dom
       .withColumn("cum", sum($"c").over(
@@ -804,15 +813,17 @@ object TextQueries {
   }
 
   /** q149 body over any (doc_id, source, score) frame (fixtures and
-    * Profile probes bind their own). */
+    * Profile probes bind their own). ONE corpus scan: the gate count is
+    * itself derived from the checkpointed domain (Σc over score ≥ thr),
+    * so no per-row pass follows the domain mint. */
   private[graft] def adaptiveGateCore(s: SparkSession, scored: DataFrame): DataFrame = {
     import s.implicits._
-    val thr = domainRankThreshold(scored, GateDen).select($"source", $"thr")
-    val tot = scored.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-    scored.join(broadcast(thr.join(tot, "source")), "source")
+    val dom = scoreDomain(scored).localCheckpoint(false) // KB; 2 consumers
+    val thr = domainRankThreshold(dom, GateDen)
+    dom.join(broadcast(thr), "source")
       .groupBy($"source")
       .agg(first($"n_docs").as("n_docs"), first($"thr").as("thr"),
-        sum(when($"score" >= $"thr", 1L).otherwise(0L)).as("n_kept"))
+        sum(when($"score" >= $"thr", $"c").otherwise(0L)).as("n_kept"))
       .select($"source", $"n_docs", $"thr", $"n_kept")
       .orderBy($"source")
   }
@@ -854,10 +865,12 @@ object TextQueries {
     * oracle exactly. A constant source (MAD = 0) flags exactly the
     * docs that deviate at all, the rule's natural degenerate case.
     *
-    * Scale: two domain aggregations + two domain windows + two
-    * broadcast joins — the q149 argument applied twice; the corpus is
-    * scanned twice (score mint + deviation mint), both map-only into
-    * partial aggregation, and nothing row-sized ever sorts or windows. */
+    * Scale: ONE corpus scan — the (source, score) domain is minted and
+    * checkpointed once, and the deviation "corpus" the MAD median sees
+    * is a DOMAIN-to-domain re-aggregation (|score−med| keyed, counts
+    * summed), so both medians, the Hampel counts, and the totals are
+    * all Σc arithmetic over KB frames; nothing row-sized ever sorts,
+    * windows, or rescans. */
   def q150MadOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     madOutliersCore(s, Tables.documents(s, dir)
@@ -867,16 +880,21 @@ object TextQueries {
   /** q150 body over any (doc_id, source, score) frame. */
   private[graft] def madOutliersCore(s: SparkSession, scored: DataFrame): DataFrame = {
     import s.implicits._
-    val med = domainRankThreshold(scored, 2L)
-      .select($"source", $"thr".as("med"), $"n_docs")
-    val dev = scored.join(broadcast(med), "source")
-      .select($"doc_id", $"source", abs($"score" - $"med").as("score"))
-    val mad = domainRankThreshold(dev, 2L).select($"source", $"thr".as("mad"))
-    dev.join(broadcast(mad), "source")
+    val dom = scoreDomain(scored).localCheckpoint(false) // KB; 2 consumers
+    val med = domainRankThreshold(dom, 2L)
+      .select($"source", $"thr".as("med"))
+    // deviation domain: |score − med| re-keyed, counts summed — a
+    // domain-to-domain fold, never a second corpus pass
+    val devDom = dom.join(broadcast(med), "source")
+      .groupBy($"source", abs($"score" - $"med").as("score"))
+      .agg(sum($"c").as("c"))
+      .localCheckpoint(false) // KB; 2 consumers
+    val mad = domainRankThreshold(devDom, 2L).select($"source", $"thr".as("mad"))
+    devDom.join(broadcast(mad), "source")
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), first($"mad").as("mad"),
-        sum(when($"score" > $"mad" * MadK, 1L).otherwise(0L)).as("n_outliers"))
-      .join(broadcast(med.select($"source", $"med")), "source")
+      .agg(sum($"c").as("n_docs"), first($"mad").as("mad"),
+        sum(when($"score" > $"mad" * MadK, $"c").otherwise(0L)).as("n_outliers"))
+      .join(broadcast(med), "source")
       .select($"source", $"n_docs", $"med", $"mad", $"n_outliers")
       .orderBy($"source")
   }

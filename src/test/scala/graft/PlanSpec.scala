@@ -385,20 +385,32 @@ class PlanSpec extends SparkSuite {
     assert(winSpecs.exists(_.contains("bucket")), winSpecs.mkString("\n"))
   }
 
-  test("q149: text never scanned; thresholds broadcast back to the gate") {
+  test("q149: one corpus touch behind the domain checkpoint; text never scanned") {
+    import org.apache.spark.sql.functions._
+    // the FINAL plan runs entirely on the checkpointed KB domain: ZERO
+    // file scans downstream — thresholds, gate counts, and totals are
+    // all Σc arithmetic; the corpus is touched once, by the domain mint
     val qe = TextQueries.q149AdaptiveGate(spark, sf0001).queryExecution
-    val scans = qe.sparkPlan.collect {
+    val postScans = qe.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    assert(scans.nonEmpty)
-    // the gate is (doc_id, source, n_chars) arithmetic — a plan that
-    // drags the text column through a 100 TB quantile is wrong
-    scans.foreach(s => assert(!s.schema.fieldNames.contains("text"),
-      s.schema.treeString))
-    // the |sources|-row threshold frame must come back as a broadcast,
-    // not shuffle the corpus
+    assert(postScans.isEmpty,
+      s"corpus must not be re-scanned past the domain checkpoint: $postScans")
+    // the |sources|-row threshold frame comes back as a broadcast
     assert(plan(TextQueries.q149AdaptiveGate(spark, sf0001))
       .contains("BroadcastHashJoin"))
+    // and the domain mint itself (the one corpus touch) prunes to
+    // (doc_id, source, n_chars) — a plan that drags the text column
+    // through a 100 TB quantile is wrong
+    val mint = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("score"))
+      .groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
+    val mintScans = mint.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(mintScans.size == 1)
+    mintScans.foreach(s => assert(!s.schema.fieldNames.contains("text"),
+      s.schema.treeString))
   }
 
   test("q147: two text scans (islands + rebuild), coverage is a HOF not a join") {
