@@ -20,11 +20,18 @@ import graft.queries.DedupQueries
   * the band BUCKET (band_id, band-hash): `flatMapGroupsWithState` whose
   * state is ONE LONG — the minimum doc_id ever seen in the bucket.
   * A bucket's rows are folded in doc_id order inside each micro-batch,
-  * so the result is invariant to micro-batch slicing; across batches
-  * the face assumes arrival order follows doc_id (the ingest-sequence
-  * contract the other faces share — out-of-order arrival changes which
+  * and a hit fires whenever the bucket is ALREADY OCCUPIED — regardless
+  * of id order — so out-of-order arrival (a smaller doc_id landing in a
+  * LATER micro-batch than a larger bucket-mate) changes only which
   * member of a pair is called the duplicate, never whether the pair is
-  * caught).
+  * caught (review finding r12: the old `minSeen < doc_id` emit test
+  * silently missed exactly that cross-batch case). Under the
+  * ingest-sequence contract (arrival follows doc_id, the other faces'
+  * assumption) the occupied-test degenerates to the old rule and the
+  * output equals the batch dual row for row; out of order, `matched`
+  * reports the smallest bucket-mate seen SO FAR, which is the honest
+  * streaming answer (the batch dual's global bucket min is unknowable
+  * at emit time).
   *
   * State size: 8 bytes per DISTINCT occupied band bucket — the entire
   * seen-corpus index compressed to its bucket minima; an optional TTL
@@ -49,14 +56,19 @@ object DedupStream {
   /** Default state TTL (disabled in bounded test drivers). */
   val StateTtl = "30 days"
 
-  /** One bucket fold: emit a hit for every row some strictly-earlier
-    * doc precedes; state = bucket min doc_id. */
+  /** One bucket fold: emit a hit for every row that finds the bucket
+    * already occupied (by ANY bucket-mate, earlier- or later-id — the
+    * pair-catch guarantee must survive cross-batch out-of-order
+    * arrival); state = bucket min doc_id. */
   private[graft] def fold(bucket: String, it: Iterator[BandRow],
       state: GroupState[BucketState], ttl: Option[String]): Iterator[Hit] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var minSeen = state.getOption.map(_.minId).getOrElse(Long.MaxValue)
     val hits = it.toSeq.sortBy(_.doc_id).flatMap { r =>
-      val h = if (minSeen < r.doc_id) Some(Hit(r.doc_id, bucket, minSeen)) else None
+      // minSeen == doc_id only on a replayed row — a doc is not its own
+      // duplicate, so a redelivery must not self-flag
+      val h = if (minSeen != Long.MaxValue && minSeen != r.doc_id)
+        Some(Hit(r.doc_id, bucket, minSeen)) else None
       if (r.doc_id < minSeen) minSeen = r.doc_id
       h
     }

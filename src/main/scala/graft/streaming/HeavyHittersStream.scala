@@ -56,16 +56,47 @@ object HeavyHittersStream {
       .toSeq.iterator
   }
 
-  /** Heavy users of an event stream: items = user ids, hash-bucketed. */
-  def heavyUsers(events: DataFrame, cap: Int, buckets: Int = DefaultBuckets)
+  /** Default idle-state TTL (the AsofStream/AnomalyStream contract): a
+    * bucket receiving no items for this long has its sketch reclaimed.
+    * Unlike those faces' per-user state, bucket count is already bounded
+    * ([[DefaultBuckets]]), so expiry here bounds STALENESS, not
+    * cardinality — an idle bucket's counters describe traffic that no
+    * longer exists, and a revived bucket restarts its window (est ≤ true
+    * ≤ est + dec still holds, over the post-expiry suffix). */
+  val StateTtl = "30 days"
+
+  private[graft] def foldWithTtl(cap: Int)(bucket: Int, it: Iterator[In],
+      state: GroupState[SketchState], ttl: String): Iterator[HhOut] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = fold(cap)(bucket, it, state)
+      if (state.exists) state.setTimeoutDuration(ttl)
+      out
+    }
+
+  /** Heavy users of an event stream: items = user ids, hash-bucketed.
+    * `ttl = None` disables state expiry (NoTimeout) — bounded test
+    * drivers need it, since under ProcessingTimeTimeout the engine keeps
+    * scheduling timeout batches and `processAllAvailable` never returns
+    * on a finite drop-dir. Production keeps the default TTL. */
+  def heavyUsers(events: DataFrame, cap: Int, buckets: Int = DefaultBuckets,
+      ttl: Option[String] = Some(StateTtl))
       (implicit spark: SparkSession): Dataset[HhOut] = {
     import spark.implicits._
     val in = events.select(
         pmod(hash($"user_id"), lit(buckets)).cast("int").as("bucket"),
         $"user_id".cast("string").as("item")).as[In]
-    in.groupByKey(_.bucket)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        (b: Int, it: Iterator[In], st: GroupState[SketchState]) => fold(cap)(b, it, st))
+    val grouped = in.groupByKey(_.bucket)
+    ttl match {
+      case Some(t) => grouped.flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.ProcessingTimeTimeout())(
+        (b: Int, it: Iterator[In], st: GroupState[SketchState]) =>
+          foldWithTtl(cap)(b, it, st, t))
+      case None => grouped.flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(
+        (b: Int, it: Iterator[In], st: GroupState[SketchState]) =>
+          fold(cap)(b, it, st))
+    }
   }
 
   /** Drive to completion on a bounded drop-dir; returns each bucket's
@@ -74,7 +105,7 @@ object HeavyHittersStream {
       queryName: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val q = heavyUsers(EventStream.readEvents(spark, glob), cap)
+    val q = heavyUsers(EventStream.readEvents(spark, glob), cap, ttl = None)
       .writeStream
       .outputMode(OutputMode.Update())
       .format("memory")

@@ -351,6 +351,64 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("near-dup gate: cross-batch OUT-OF-ORDER pair is still caught") {
+    // review finding r12 (medium): a smaller doc_id arriving in a LATER
+    // micro-batch than its larger bucket-mate was silently missed by the
+    // old `minSeen < doc_id` emit test. The occupied-bucket rule must
+    // catch the pair and report the bucket-mate seen so far as the match.
+    import spark.implicits._
+    val dir = tmpDir("docs_ooo")
+    val t = (1 to 20).map(i => s"tok$i").mkString(" ")
+    def dropOne(row: (Long, String), name: String, mtime: Long): Unit = {
+      val stage = s"$dir/stage_$name"
+      Seq(row).toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime) // FileStreamSource orders by mtime
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    dropOne((10L, t), "a1.parquet", t0)         // larger id arrives FIRST
+    dropOne((5L, t), "a2.parquet", t0 + 30000)  // smaller id, later batch
+    val out = graft.streaming.DedupStream
+      .runBounded(spark, s"$dir/a*.parquet", "stream_gate_ooo",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getBoolean(3)))).toMap
+    val nb = graft.queries.DedupQueries.NumBands.toLong
+    // doc 10 saw empty buckets; doc 5 found every band occupied by 10
+    assert(out == Map(10L -> ((0L, -1L, false)), 5L -> ((nb, 10L, true))))
+  }
+
+  test("heavy-hitters stream: TTL expiry reclaims an idle bucket's sketch") {
+    import graft.streaming.HeavyHittersStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    // live state + items: fold runs and the timeout is re-armed
+    val live = TestGroupState.create[SketchState](
+      Optional.of(SketchState(Map("u1" -> 3L), 0L, 3L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out = graft.streaming.HeavyHittersStream.foldWithTtl(4)(
+      0, Iterator(In(0, "u2")), live, "30 days").toSeq
+    assert(out.map(h => h.item -> h.est).toMap == Map("u1" -> 3L, "u2" -> 1L))
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "surviving state must re-arm its processing-time timeout")
+    // timed-out state: sketch removed, nothing emitted
+    val dead = TestGroupState.create[SketchState](
+      Optional.of(SketchState(Map("u1" -> 3L), 1L, 4L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val gone = graft.streaming.HeavyHittersStream.foldWithTtl(4)(
+      0, Iterator.empty, dead, "30 days").toSeq
+    assert(gone.isEmpty && dead.isRemoved,
+      "a timed-out bucket must drop its sketch and emit nothing")
+  }
+
   test("near-dup gate: shingle-less docs are admitted ungated, not cross-flagged") {
     import spark.implicits._
     val dir = tmpDir("docs_short")
