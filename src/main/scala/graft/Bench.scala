@@ -141,7 +141,8 @@ object Bench {
     // memo revalidates liveness, but sparing it is the point).
     def releaseQueryState(): Unit = {
       spark.catalog.clearCache()
-      val keep = graft.queries.GraphQueries.sharedRddIds(spark)
+      val keep = graft.queries.GraphQueries.sharedRddIds(spark) ++
+        graft.queries.DedupQueries.sharedRddIds(spark)
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(blocking = false) }
     }
@@ -234,7 +235,12 @@ object Bench {
       val conc = concurrentWall
         .map(w => s""","concurrent_streams":$streams,"concurrent_wall_sec":${sec(w)},"concurrent_failed":${streamFailures.get()}""")
         .getOrElse("")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","comparable":${failed.isEmpty},"load":[${sec(loadStart)},${sec(loadEnd)}],"nproc":[$nprocStart,$nprocEnd],"failed":$fs$conc,"queries":$qs,"sf":"$sfDir"}"""
+      // "warmups" + "memo_spared" mark the round-12/13 methodology
+      // changes (per-query untimed warm-up reps; shared memoized frames
+      // spared by releaseQueryState) the same way "stat":"min" marks the
+      // round-7 statistic switch — consumers must not read these totals
+      // as like-for-like against records lacking the markers (ADVICE r12)
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","warmups":$warmups,"memo_spared":true,"comparable":${failed.isEmpty},"load":[${sec(loadStart)},${sec(loadEnd)}],"nproc":[$nprocStart,$nprocEnd],"failed":$fs$conc,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full names to the file; unique qNN prefixes on stdout (tail-window
     // budget — see scaladoc). Prefix collisions (none today) fall back to

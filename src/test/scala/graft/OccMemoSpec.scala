@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.DedupQueries
+
+/** The family-shared corpus gram-occurrence memo (VERDICT r12 item 4):
+  * q25/q26/q29/q83/q88/q100 ride ONE tagged occurrence materialization
+  * per (session, dir). Pins (a) memo-path ≡ direct-path values, (b) the
+  * scan-sharing: a warm consumer's plan reads the checkpoint, not the
+  * corpus text, (c) rebuild-if-absent (a cleared memo rebuilds and
+  * still matches). */
+class OccMemoSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  test("memoized signature path == direct minhashSignatures; rebuild matches") {
+    DedupQueries.clearMemos(spark)
+    val direct = rows(DedupQueries.minhashSignatures(
+      Tables.documents(spark, sf0001)
+        .select($"doc_id", DedupQueries.shingles($"text").as("shingles")))
+      .orderBy($"doc_id"))
+    val viaMemo = rows(DedupQueries.q25MinhashSig(spark, sf0001))
+    assert(viaMemo == direct)
+    // rebuild-if-absent: clearing the memo must not change values
+    DedupQueries.clearMemos(spark)
+    assert(rows(DedupQueries.q25MinhashSig(spark, sf0001)) == direct)
+  }
+
+  test("warm consumers read the checkpoint: q83's plan holds no text scan; " +
+      "one shared RDD id serves the family") {
+    DedupQueries.clearMemos(spark)
+    DedupQueries.q25MinhashSig(spark, sf0001).write.format("noop")
+      .mode("overwrite").save() // warms the memo
+    val shared = DedupQueries.sharedRddIds(spark)
+    assert(shared.size == 1, s"one corpus dir => one live memo frame: $shared")
+    // q83 (kind-1 slice) rides the SAME frame: no FileSourceScanExec of
+    // the documents text anywhere in its plan
+    val scans = DedupQueries.q83DupGramFraction(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.schema.fieldNames.contains("text") => s
+      }
+    assert(scans.isEmpty,
+      s"warm q83 must not re-tokenize the corpus: $scans")
+    assert(DedupQueries.sharedRddIds(spark) == shared,
+      "q83 must not have minted a second occurrence frame")
+    // q26 verification legitimately re-shingles CANDIDATE docs from
+    // text (broadcast semi-join, candidate-bounded): the verify join
+    // references docsV as both sides (doc_a/doc_b), so the static plan
+    // carries that pruned scan twice — the SIGNATURE chain itself must
+    // contribute zero text scans (3 scans = the old per-query mint)
+    val scans26 = DedupQueries.q26MinhashPairs(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.schema.fieldNames.contains("text") => s
+      }
+    assert(scans26.size == 2,
+      s"q26 = memo chain + candidate-verify scans only, got ${scans26.size}")
+  }
+}

@@ -325,21 +325,15 @@ class StreamingSpec extends SparkSuite {
       .runBounded(spark, s"$dir/d*.parquet", "stream_gate",
         maxFilesPerTrigger = Some(1))
       .collect()
-    // batch dual: every band bucket's min doc_id broadcast to members
-    // (shingle-less docs excluded — the gate's admission rule)
-    val bl = DedupQueries.bandLabels(DedupQueries.minhashSignatures(
-      docs.select($"doc_id", DedupQueries.shingles($"text").as("shingles"))
-        .where(size($"shingles") > 0)))
-    val wMin = org.apache.spark.sql.expressions.Window.partitionBy($"band_id", $"bh")
-    val dual = bl.withColumn("m", min($"doc_id").over(wMin))
-      .where($"m" < $"doc_id")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_band_hits"), min($"m").as("first_match"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val got = streamed.filter(_.getLong(1) > 0)
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(dual.nonEmpty, "fixture must contain band collisions")
-    assert(got == dual)
+    // batch dual = q151, the ORACLE-CHECKED admission gate (round 13):
+    // under ordered arrival the stream must reproduce it row for row,
+    // which transitively hash-checks the stream face against DuckDB
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    val dual = DedupQueries.q151AdmissionGate(spark, sf0001).collect()
+    assert(dual.exists(_.getLong(1) > 0), "fixture must contain band collisions")
+    assert(key(streamed.sortBy(_.getLong(0))) == key(dual))
     // every q26 VERIFIED pair shares a band, so its later member must be
     // flagged by the gate (banding recall 1.0 for caught pairs)
     val cands = streamed.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
