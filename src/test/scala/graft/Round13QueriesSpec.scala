@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, TextQueries}
+import graft.queries.{DedupQueries, SimilarityQueries, TextQueries}
 
 /** Round-13 operator pins: q151 streaming-gate batch dual, q153
   * continuous-score GK gate. */
@@ -62,6 +62,76 @@ class Round13QueriesSpec extends SparkSuite {
       "b" -> rows.filter(_._1 == "b").map(_._2).sorted.apply(249))
     assert(thrs.exists { case (s0, t) => t != exact(s0) },
       s"fixture must exhibit sketch-vs-exact divergence: $thrs vs $exact")
+  }
+
+  test("q152 anisotropic fixture: learned-rotation ADC recall beats the " +
+      "Hadamard baseline; verdicts hold") {
+    val S = SimilarityQueries
+    // anisotropic, NON-axis-aligned corpus: latent coords with strongly
+    // decaying scales mixed through a fixed dense rotation-ish matrix —
+    // the regime where OPQ-P (PCA rotation) pays and a structured
+    // energy-spreading rotation cannot (it decorrelates nothing)
+    val rnd = new scala.util.Random(13)
+    val d = S.EmbDim
+    val mix = Array.fill(d, d)(rnd.nextGaussian())
+    val scales = Array.tabulate(d)(j => if (j < 6) 40.0 * math.pow(0.7, j) else 0.05)
+    // unit-normalized (the embedding-model convention): cosine and L2
+    // rankings coincide, so the ADC (an L2 estimator) is measured on
+    // rotation quality, not on the norm-variation mismatch
+    val vecs = (0L until 256L).map { id =>
+      val z = Array.tabulate(d)(j => rnd.nextGaussian() * scales(j))
+      val x = Array.tabulate(d)(i =>
+        (0 until d).map(j => mix(i)(j) * z(j)).sum / d)
+      val nrm = math.sqrt(x.map(v => v * v).sum)
+      (id, x.map(v => (v / nrm).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding").localCheckpoint(true)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact float-cosine truth (the q30 shape over the fixture)
+    val en = emb.withColumn("en2", S.norm2($"embedding"))
+    val qs = en.where($"vec_id" < S.NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"en2".as("qn2"))
+    val sim6 = round(S.cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    val exact = ids(en.join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), sim6.as("sim"))
+      .withColumn("rn", row_number().over(w)).where($"rn" <= S.TopK))
+    val hadamard = ids(S.opqAdcCore(spark, emb))
+    val learned = ids(S.learnedAdcFromRotated(spark,
+      S.pcaRotate(spark, emb, S.opqLearnedModel(spark, emb))))
+    val (rH, rL) = (hadamard.count(exact.contains), learned.count(exact.contains))
+    assert(rL > rH,
+      s"learned rotation must beat Hadamard on anisotropic data: " +
+        s"learned=$rL hadamard=$rH of ${exact.size}")
+    // the quantizer scale is load-bearing: PER-DIM SQ8 after the learned
+    // rotation re-normalizes away the variance structure (noise dims
+    // re-inflated to signal scale) and the chain collapses
+    val perDim = ids(S.pqAdcCore(spark,
+      S.pcaRotate(spark, emb, S.opqLearnedModel(spark, emb))))
+    assert(rL > perDim.count(exact.contains),
+      s"global-scale SQ8 must beat per-dim after rotation " +
+        s"(perDim=${perDim.count(exact.contains)})")
+    // and the named query's verdict columns on the fixture
+    val out = S.learnedOpqCore(spark, emb).collect()
+    assert(out.length == S.NumQueries * S.TopK)
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"dist_ok failed: $r")
+      assert(r.getBoolean(4), s"mono_ok failed: $r")
+      assert(r.getBoolean(5), s"basis_ok failed: $r")
+    }
+  }
+
+  test("q152 named query: full grid, verdicts uniformly true on the corpus") {
+    val out = SimilarityQueries.q152LearnedOpqAnn(spark, sf0001).collect()
+    assert(out.length ==
+      SimilarityQueries.NumQueries * SimilarityQueries.TopK)
+    out.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"verdict failed: $r")
+    }
   }
 
   test("q153 named query: verdicts uniformly true on the corpus; " +
