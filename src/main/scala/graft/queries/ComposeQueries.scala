@@ -68,18 +68,40 @@ object ComposeQueries {
     pipelineCore(s, Tables.documents(s, dir),
       occIn = Some(DedupQueries.shingleOccStrict(s, dir)))
 
+  /** q154: q100's chain with the PER-SOURCE ADAPTIVE GATE (q149)
+    * composed as its own stage — the round-12 verdict's ask: the
+    * pipeline's `low_quality` rule is one global threshold, while the
+    * calibrated gate drops each source's bottom [[TextQueries.GateDen]]
+    * quantile by length AMONG the docs that reached it, so a
+    * short-form source is cut against its own distribution, not a
+    * books-domain yardstick. Stage order: after dedup/decontamination
+    * (the gate must calibrate on surviving docs only — duplicate-heavy
+    * sources would otherwise drag their own threshold down), before
+    * quota; reason code `source_gate`. The gate costs ONE extra
+    * aggregation of the already-id-level survivor frame to its
+    * (source, score) value domain (q149's argument: domain-sized, not
+    * corpus-sized), a KB threshold broadcast back, and no third corpus
+    * scan — `score` rides the pass-1 flags frame. */
+  def q154PipelineGated(s: SparkSession, dir: String): DataFrame =
+    pipelineCore(s, Tables.documents(s, dir),
+      occIn = Some(DedupQueries.shingleOccStrict(s, dir)), sourceGate = true)
+
   /** q100 body over an arbitrary documents frame (Profile probes it on
     * replicated corpora; `docs` is consumed by both corpus passes).
     * `occIn` optionally supplies an already-hashed corpus shingle
     * occurrence frame (the named query passes the family-shared memo);
-    * absent, the pass-2 mint runs over `docs` as before. */
+    * absent, the pass-2 mint runs over `docs` as before. `sourceGate`
+    * enables q154's per-source adaptive stage. */
   private[graft] def pipelineCore(s: SparkSession, docs: DataFrame,
-      occIn: Option[DataFrame] = None): DataFrame = {
+      occIn: Option[DataFrame] = None, sourceGate: Boolean = false): DataFrame = {
     import s.implicits._
-    // pass 1: per-doc flags (one corpus scan, tiny checkpointed frame)
+    // pass 1: per-doc flags (one corpus scan, tiny checkpointed frame);
+    // `score` (the q149 gate's integer quality score) rides along so the
+    // q154 gate stage never needs a corpus re-scan
     val flags = docs
       .select($"doc_id", $"source",
         md5($"text").as("text_hash"),
+        $"n_chars".cast("long").as("score"),
         ($"doc_id" % DedupQueries.DecontamMod === 0).as("is_bench"),
         TextQueries.encodingOkCol.as("enc_ok"),
         TextQueries.qualityOkCol.as("qual_ok"))
@@ -90,7 +112,8 @@ object ComposeQueries {
     val s2k = s2.join(
         s2.groupBy($"text_hash").agg(min($"doc_id").as("keeper_id")),
         Seq("text_hash"))
-      .select($"doc_id", $"source", ($"doc_id" =!= $"keeper_id").as("x_dup"))
+      .select($"doc_id", $"source", $"score",
+        ($"doc_id" =!= $"keeper_id").as("x_dup"))
       .localCheckpoint(false)
     val exactDropIds = s2k.where($"x_dup").select($"doc_id")
     val s3Ids = s2k.where(!$"x_dup").select($"doc_id")
@@ -129,21 +152,39 @@ object ComposeQueries {
     val contamIds = memberOcc.join(broadcast(benchSh), Seq("h"), "left_semi")
       .select($"doc_id").distinct()
       .localCheckpoint(false)
-    // quota: hash-rank per source among stage-5 survivors
     val s5 = s2k.where(!$"x_dup")
       .join(nearDropIds, Seq("doc_id"), "left_anti")
       .join(contamIds, Seq("doc_id"), "left_anti")
+    // q154's optional stage: per-source adaptive gate over the s5
+    // survivors — q149's exact-rank machinery on the (source, score)
+    // VALUE DOMAIN of the already-id-level frame (domain-sized window,
+    // KB threshold broadcast back; no corpus scan)
+    val gateDropIds = if (!sourceGate) None else Some {
+      val dom = s5.groupBy($"source", $"score").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // KB; threshold + (implicit) audit consumers
+      val thr = TextQueries.domainRankThreshold(dom, TextQueries.GateDen)
+        .select($"source", $"thr")
+      // two consumers (s6 anti-join, verdict marker) — checkpoint (§9)
+      s5.join(broadcast(thr), Seq("source"))
+        .where($"score" < $"thr").select($"doc_id")
+        .localCheckpoint(false)
+    }
+    val s6 = gateDropIds.fold(s5)(gd => s5.join(gd, Seq("doc_id"), "left_anti"))
+    // quota: hash-rank per source among the surviving docs
     val w = Window.partitionBy($"source")
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-    val quotaDropIds = s5.select($"doc_id", $"source")
+    val quotaDropIds = s6.select($"doc_id", $"source")
       .withColumn("rk", row_number().over(w))
       .where($"rk" > TextQueries.SourceQuota).select($"doc_id")
     // verdict assembly: first failing stage in pipeline order
-    flags
+    val marked = flags
       .join(exactDropIds.withColumn("m_x", lit(true)), Seq("doc_id"), "left")
       .join(nearDropIds.withColumn("m_n", lit(true)), Seq("doc_id"), "left")
       .join(contamIds.withColumn("m_c", lit(true)), Seq("doc_id"), "left")
       .join(quotaDropIds.withColumn("m_q", lit(true)), Seq("doc_id"), "left")
+    val withGate = gateDropIds.fold(marked.withColumn("m_g", lit(null).cast("boolean")))(
+      gd => marked.join(gd.withColumn("m_g", lit(true)), Seq("doc_id"), "left"))
+    withGate
       .select($"doc_id",
         when($"is_bench", "benchmark")
           .when(!$"enc_ok", "bad_encoding")
@@ -151,6 +192,7 @@ object ComposeQueries {
           .when($"m_x", "exact_dup")
           .when($"m_n", "near_dup")
           .when($"m_c", "contaminated")
+          .when($"m_g", "source_gate")
           .when($"m_q", "quota")
           .otherwise("kept").as("verdict"))
       .withColumn("keep", $"verdict" === "kept")
@@ -171,12 +213,41 @@ object ComposeQueries {
     * Spark plan), recursive-CTE closure for the cluster step, and plain
     * IN-subquery membership for the sequential restriction. Hash-chain
     * text for the restricted sig CTEs is single-sourced from
-    * DedupQueries so the two oracles can never drift. */
-  lazy val q100Sql: String = {
+    * DedupQueries so the two oracles can never drift. q100 and q154
+    * share ONE builder (`gated` inserts the per-source threshold chain —
+    * q149's CTE shapes — and the `source_gate` verdict arm). */
+  lazy val q100Sql: String = pipelineSql(gated = false)
+  lazy val q154Sql: String = pipelineSql(gated = true)
+
+  private def pipelineSql(gated: Boolean): String = {
     val D = DedupQueries
     val mod = D.DecontamMod
+    val scoreCol = if (gated) ",\n    CAST(n_chars AS BIGINT) AS score" else ""
+    // gate chain: exact per-source rank threshold over the s5 survivors'
+    // (source, score) domain — q149's cumulative-window recipe verbatim
+    val gateCtes = if (!gated) "" else
+      s""",
+         |s5s AS (SELECT s5.doc_id, s5.source, f.score
+         |        FROM s5 JOIN f ON f.doc_id = s5.doc_id),
+         |gdom AS (SELECT source, score, COUNT(*) AS c FROM s5s GROUP BY 1, 2),
+         |gtot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM gdom GROUP BY source),
+         |gcum AS (SELECT source, score,
+         |           SUM(c) OVER (PARTITION BY source ORDER BY score) AS cum
+         |         FROM gdom),
+         |gthr AS (SELECT gcum.source, MIN(score) AS thr
+         |         FROM gcum JOIN gtot ON gcum.source = gtot.source
+         |         WHERE cum * ${TextQueries.GateDen} >= n
+         |         GROUP BY gcum.source),
+         |gdrop AS (SELECT s5s.doc_id FROM s5s JOIN gthr ON s5s.source = gthr.source
+         |          WHERE s5s.score < gthr.thr),
+         |s6 AS (SELECT doc_id, source FROM s5s
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM gdrop))""".stripMargin
+    val quotaSrc = if (gated) "s6" else "s5"
+    val gateArm = if (!gated) "" else
+      s"""
+         |         WHEN f.doc_id IN (SELECT doc_id FROM gdrop) THEN 'source_gate'""".stripMargin
     s"""WITH RECURSIVE f AS (
-       |  SELECT doc_id, source, md5(text) AS text_hash,
+       |  SELECT doc_id, source, md5(text) AS text_hash$scoreCol,
        |    (doc_id % $mod = 0) AS is_bench,
        |    ${TextQueries.encodingOkSql} AS enc_ok,
        |    ${TextQueries.qualityOkSql} AS qual_ok
@@ -220,11 +291,11 @@ object ComposeQueries {
        |           WHERE o.doc_id IN (SELECT doc_id FROM s3)),
        |s5 AS (SELECT doc_id, source FROM s3
        |       WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)
-       |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |         AND doc_id NOT IN (SELECT doc_id FROM contam))$gateCtes,
        |qr AS (SELECT doc_id,
        |         ROW_NUMBER() OVER (PARTITION BY source
        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-       |       FROM s5),
+       |       FROM $quotaSrc),
        |qdrop AS (SELECT doc_id FROM qr WHERE rk > ${TextQueries.SourceQuota})
        |SELECT doc_id, verdict, (verdict = 'kept') AS keep FROM (
        |  SELECT f.doc_id,
@@ -233,7 +304,7 @@ object ComposeQueries {
        |         WHEN NOT qual_ok THEN 'low_quality'
        |         WHEN f.doc_id IN (SELECT doc_id FROM xdrop) THEN 'exact_dup'
        |         WHEN f.doc_id IN (SELECT doc_id FROM ndrop) THEN 'near_dup'
-       |         WHEN f.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+       |         WHEN f.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'$gateArm
        |         WHEN f.doc_id IN (SELECT doc_id FROM qdrop) THEN 'quota'
        |         ELSE 'kept' END AS verdict
        |  FROM f)
@@ -331,11 +402,13 @@ object ComposeQueries {
 
   val queries: Map[String, Q] = Map(
     "q100_pipeline_verdict" -> (q100PipelineVerdict _),
+    "q154_pipeline_gated"   -> (q154PipelineGated _),
     "q126_hybrid_rrf"       -> (q126HybridRrf _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q100_pipeline_verdict" -> q100Sql,
+    "q154_pipeline_gated"   -> q154Sql,
     "q126_hybrid_rrf"       -> q126Sql,
   )
 }

@@ -816,7 +816,7 @@ object TextQueries {
     * count reaches ⌈n/mult⌉ (cross-multiplied — mult·cum ≥ n). mult = 4
     * is q149's bottom-quartile cut, mult = 2 the lower median q150's
     * robust statistics build on. Returns (source, thr, n_docs). */
-  private def domainRankThreshold(dom: DataFrame, mult: Long): DataFrame = {
+  private[queries] def domainRankThreshold(dom: DataFrame, mult: Long): DataFrame = {
     import dom.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val tot = dom.groupBy($"source").agg(sum($"c").as("n_docs"))

@@ -31,6 +31,38 @@ class Round13QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q154: gate stage composes sequentially — earlier verdicts unchanged " +
+      "from q100, gated docs come only from q100's gate-or-later stages, " +
+      "and >= 75% of each source's gate entrants survive") {
+    import graft.queries.ComposeQueries
+    val v100 = ComposeQueries.q100PipelineVerdict(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = ComposeQueries.q154PipelineGated(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val v154 = out.toMap
+    assert(v154.values.count(_ == "source_gate") > 0, "gate must not be vacuous")
+    val late = Set("source_gate", "quota", "kept")
+    v154.foreach { case (id, v) =>
+      if (!late(v)) assert(v100(id) == v,
+        s"pre-gate stage verdict must match q100: doc=$id q154=$v q100=${v100(id)}")
+      else assert(late(v100(id)),
+        s"gate entrants are exactly q100's post-contam survivors: doc=$id " +
+          s"q154=$v q100=${v100(id)}")
+    }
+    // per-source survival: ties-kept exact rank semantics guarantee
+    // >= 1 - 1/GateDen of the entrants pass the gate
+    val src = Tables.documents(spark, sf0001).select($"doc_id", $"source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(d => late(d._2)).groupBy(d => src(d._1)).foreach {
+      case (source, ds) =>
+        val n = ds.length.toLong
+        val gated = ds.count(_._2 == "source_gate").toLong
+        assert((n - gated) * graft.queries.TextQueries.GateDen >=
+          n * (graft.queries.TextQueries.GateDen - 1),
+          s"$source: $gated of $n entrants gated — exceeds the quantile cut")
+    }
+  }
+
   test("q153 divergence fixture: low-accuracy sketch threshold diverges from " +
       "the exact quantile yet stays within its rank guarantee") {
     // 1000 distinct float scores per source — the unbounded-domain case
