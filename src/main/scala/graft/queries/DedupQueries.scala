@@ -1899,14 +1899,31 @@ object DedupQueries {
     * ground truth hash-checked (the q113/q116 AsofStream precedent). */
   def q151AdmissionGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = minhashSignaturesMemo(s, dir).where($"mh_0".isNotNull)
+    admissionFromSig(s,
+      minhashSignaturesMemo(s, dir).where($"mh_0".isNotNull),
+      Tables.documents(s, dir).select($"doc_id"))
+  }
+
+  /** q151 body over an arbitrary documents frame (Profile probes it on
+    * replicated corpora — the direct signature mint, no memo). */
+  private[graft] def admissionGateCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    admissionFromSig(s,
+      minhashSignatures(docs.select($"doc_id", shingles($"text").as("shingles")))
+        .where($"mh_0".isNotNull),
+      docs.select($"doc_id"))
+  }
+
+  private def admissionFromSig(s: SparkSession, sig: DataFrame,
+      docIds: DataFrame): DataFrame = {
+    import s.implicits._
     val bl = bandLabels(sig)
     val bm = bl.groupBy($"band_id", $"bh").agg(min($"doc_id").as("m"))
     val hits = bl.join(bm, Seq("band_id", "bh"))
       .where($"m" < $"doc_id")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_band_hits"), min($"m").as("first_match"))
-    Tables.documents(s, dir).select($"doc_id")
+    docIds
       .join(hits, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_band_hits", lit(0L)).as("n_band_hits"),

@@ -202,6 +202,17 @@ object Profile {
     time("adaptive gate (q149 core) on 10x")(noop(TextQueries.adaptiveGateCore(spark, scoredQ10)))
     time("mad outliers (q150 core) on 1x")(noop(TextQueries.madOutliersCore(spark, scoredQ)))
     time("mad outliers (q150 core) on 10x")(noop(TextQueries.madOutliersCore(spark, scoredQ10)))
+    // q153: the sketch pass is one map-side-combinable percentile_approx
+    // over the (source, score) rows (state O(Acc·log n)/source); the
+    // exact audit adds the source-keyed sort — expect both ~linear in
+    // rows, with the sketch term the production-relevant one. Float
+    // scores = the unbounded domain q149 cannot aggregate.
+    val scoredF = scoredQ.select($"source",
+      ($"score".cast("double") / 7.0).as("score"))
+    val scoredF10 = scoredQ10.select($"source",
+      (($"score" + ($"doc_id" % 13)).cast("double") / 7.0).as("score"))
+    time("gk gate (q153 core) on 1x")(noop(TextQueries.gkGateCore(spark, scoredF)))
+    time("gk gate (q153 core) on 10x")(noop(TextQueries.gkGateCore(spark, scoredF10)))
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     time("sq8 ann (q95 core) on 1x")(noop(SimilarityQueries.sq8Core(spark, emb)))
     val emb10 = (0 until 10).map(i =>
@@ -240,6 +251,19 @@ object Profile {
     time("q98 encoding (core) on 10x")(noop(TextQueries.encodingCore(spark, full10)))
     time("q100 pipeline (core) on 1x")(noop(ComposeQueries.pipelineCore(spark, base)))
     time("q100 pipeline (core) on 10x")(noop(ComposeQueries.pipelineCore(spark, full10)))
+    // q154: q100 plus one domain-sized aggregation + broadcast-back on
+    // the id-level survivor frame — the delta over q100 should be noise
+    time("q154 gated pipeline (core) on 1x")(
+      noop(ComposeQueries.pipelineCore(spark, base, sourceGate = true)))
+    time("q154 gated pipeline (core) on 10x")(
+      noop(ComposeQueries.pipelineCore(spark, full10, sourceGate = true)))
+    // q151: signature mint (the family cost center, memoized in the
+    // named query) + map-only banding + one (band,bh)-keyed partial agg
+    // + the re-keyed hit join — expect the q25/q26 ~linear shape
+    time("q151 admission gate (core) on 1x")(
+      noop(DedupQueries.admissionGateCore(spark, base)))
+    time("q151 admission gate (core) on 10x")(
+      noop(DedupQueries.admissionGateCore(spark, full10)))
     // q99 map-only canonicalization + one agg; q103 map-only; q104's
     // occurrence frame is distinct (source, shingle-hash) — replication-
     // INVARIANT, so 10x docs should cost ~the extra scan only
@@ -415,7 +439,22 @@ object Profile {
         s.count(exact.contains).toDouble / exact.size
       println(f"[profile] OPQ-lite: ADC recall@5 raw=${recall(adcRaw)}%.3f " +
         f"rotated=${recall(adcRot)}%.3f (exact=${exact.size} pairs)")
+      // q152 production form (allocation + global-scale SQ8) vs the
+      // q148 Hadamard baseline on the SAME exact truth — the recall
+      // comparison the learned rotation exists for (reported; the
+      // anisotropic-fixture assertion lives in Round13QueriesSpec)
+      val adcHad = ids(SimilarityQueries.opqAdcCore(spark, embCols))
+      val adcLearned = ids(SimilarityQueries.learnedAdcFromRotated(spark,
+        SimilarityQueries.pcaRotate(spark, embCols,
+          SimilarityQueries.opqLearnedModel(spark, embCols)).localCheckpoint(true)))
+      println(f"[profile] q152: ADC recall@5 hadamard=${recall(adcHad)}%.3f " +
+        f"learned=${recall(adcLearned)}%.3f (exact=${exact.size} pairs)")
     }
+    // q152 scaling: covariance fold is one corpus pass to a ~17 KB
+    // driver buffer; rotation map-only literals; downstream is q111's
+    // chain — expect the q111/q148 ~linear shape plus the fold.
+    time("q152 learned-opq (core) on 1x")(noop(SimilarityQueries.learnedOpqCore(spark, embCols)))
+    time("q152 learned-opq (core) on 10x")(noop(SimilarityQueries.learnedOpqCore(spark, embCols10)))
 
     // round-11b scaling: q135-q138 cores on 1x vs 10x-replicated inputs.
     // Expected ~linear: q135 is map-only (one linear scan per doc);
