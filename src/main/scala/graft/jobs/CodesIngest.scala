@@ -36,8 +36,12 @@ object CodesIngest {
 
   /** Stable per-corpus table prefix (managed tables live in the session
     * warehouse; one corpus dir = one table pair, overwritten per run). */
+  // md5 suffix: sanitization alone is non-injective ("sf0.1" and
+  // "sf0_1" collapse) — two corpora must never share a codes table
+  // (the GraphIngest review finding, applied to the precedent job too)
   def tablePrefix(dir: String): String =
-    "emb_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    "emb_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
+      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
 
   /** Ingest the embeddings table of `dir`; returns (codesTable,
     * codebookTable). Idempotent — a pair already in this session's

@@ -39,9 +39,14 @@ object GraphIngest {
   val Buckets = 8
 
   /** Stable per-corpus table prefix (managed tables live in the session
-    * warehouse; one corpus dir = one table pair, reused per run). */
+    * warehouse; one corpus dir = one table pair, reused per run). The
+    * sanitized dir keeps names readable; the md5 suffix makes the map
+    * INJECTIVE — sanitization alone collapses "sf0.1" and "sf0_1" to
+    * one name, and two corpora silently sharing a table pair would
+    * serve each other's graph data (review finding r13). */
   def tablePrefix(dir: String): String =
-    "graph_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    "graph_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
+      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
 
   def edgesTable(dir: String): String = s"${tablePrefix(dir)}_edges"
   def histTable(dir: String): String = s"${tablePrefix(dir)}_lpahist"

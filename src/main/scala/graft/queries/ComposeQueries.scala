@@ -120,13 +120,16 @@ object ComposeQueries {
     val benchIds = flags.where($"is_bench").select($"doc_id")
     // pass 2: hashed shingle occurrences for s3 ∪ bench docs only —
     // pruned from the FAMILY-SHARED occurrence memo when the named query
-    // runs (shingleOcc = the memo's kind-0 slice), so the second text
-    // scan is paid once per (session, dir) rather than per invocation;
-    // the survivor restriction itself stays the unhinted semi-join
-    val shOcc = occIn.getOrElse(
-      docs.select($"doc_id", explode(DedupQueries.shingles($"text")).as("sh"))
+    // runs (already minted, so the prune comes after), while the direct
+    // path keeps round 12's prune-BEFORE-tokenize shape: a semi-join
+    // cannot push below Generate, so minting first would run the shingle
+    // HOF (the per-row cost center) over the whole corpus instead of the
+    // survivors (review finding r13)
+    val passIds = s3Ids.unionByName(benchIds)
+    val occ = occIn.map(o => survivorPrune(o, passIds))
+      .getOrElse(survivorPrune(docs, passIds)
+        .select($"doc_id", explode(DedupQueries.shingles($"text")).as("sh"))
         .select($"doc_id", DedupQueries.h60(s, $"sh").as("h")))
-    val occ = survivorPrune(shOcc, s3Ids.unionByName(benchIds))
       .localCheckpoint(false)
     val memberOcc = survivorPrune(occ, s3Ids)
     // near-dup: the q88-shape LSH chain over the shared occurrences

@@ -81,16 +81,28 @@ object DedupQueries {
 
   private[graft] def taggedOccCorpus(s: SparkSession, dir: String): DataFrame =
     occMemo.getOrBuild(s, dir) {
-      val mint = graft.functions.Cols.bind(toks(col("text"))) { t =>
-        concat(
-          transform(shingleArr(t), g => struct(lit(0).as("kind"), g.as("g"))),
-          transform(dupGramArr(t), g => struct(lit(1).as("kind"), g.as("g"))))
-      }
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode_outer(mint).as("o"))
-        .select(col("doc_id"), col("o.kind").as("kind"), h60(s, col("o.g")).as("h"))
+      taggedMintOcc(s, Tables.documents(s, dir), outer = true)
         .localCheckpoint(false)
     }
+
+  /** THE tagged-occurrence mint — one definition serving the family
+    * memo (outer = true: gram-less docs keep a null padding row) and
+    * [[q88TaggedOcc]]'s direct form (outer = false), so the Profile
+    * probe and the production memo cannot drift (review finding r13:
+    * the single-sourcing rule this file cites for oracle text applies
+    * to the mint expression too). */
+  private def taggedMintOcc(s: SparkSession, docs: DataFrame,
+      outer: Boolean): DataFrame = {
+    val mint = graft.functions.Cols.bind(toks(col("text"))) { t =>
+      concat(
+        transform(shingleArr(t), g => struct(lit(0).as("kind"), g.as("g"))),
+        transform(dupGramArr(t), g => struct(lit(1).as("kind"), g.as("g"))))
+    }
+    docs
+      .select(col("doc_id"),
+        (if (outer) explode_outer(mint) else explode(mint)).as("o"))
+      .select(col("doc_id"), col("o.kind").as("kind"), h60(s, col("o.g")).as("h"))
+  }
 
   /** The (doc_id, h) shingle-occurrence view of [[taggedOccCorpus]] in
     * the OUTER form [[minhashSignatures]] mints (null h row for a
@@ -655,17 +667,8 @@ object DedupQueries {
     * 3-token shingles, kind 1 = positional [[DupGramN]]-grams, hashed to
     * 60 bits — one corpus scan, one tokenization (also probed by
     * tools/Profile). */
-  private[graft] def q88TaggedOcc(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val mint = graft.functions.Cols.bind(toks($"text")) { t =>
-      concat(
-        transform(shingleArr(t), g => struct(lit(0).as("kind"), g.as("g"))),
-        transform(dupGramArr(t), g => struct(lit(1).as("kind"), g.as("g"))))
-    }
-    Tables.documents(s, dir)
-      .select($"doc_id", explode(mint).as("o"))
-      .select($"doc_id", $"o.kind".as("kind"), h60(s, $"o.g").as("h"))
-  }
+  private[graft] def q88TaggedOcc(s: SparkSession, dir: String): DataFrame =
+    taggedMintOcc(s, Tables.documents(s, dir), outer = false)
 
   def q88ClusterKeeper(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

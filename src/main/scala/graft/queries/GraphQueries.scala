@@ -117,8 +117,14 @@ object GraphQueries {
     import s.implicits._
     val t = graft.jobs.GraphIngest.histTable(dir)
     if (s.catalog.tableExists(t))
+      // EAGER checkpoint: the frames must hold their blocks before any
+      // caller can act on them — a lazy checkpoint here registers a
+      // never-computed RDD that frameLive counts as live, so a re-ingest
+      // (which DROPs this very table before rewriting it) would leave
+      // the memo serving dead frames that scan deleted files (review
+      // finding r13). Node-sized × LpaRounds rows — cheap to force.
       (1 to LpaRounds).map(k => s.table(t).where($"round" === k)
-        .select($"v", $"lab").localCheckpoint(false)).toVector
+        .select($"v", $"lab").localCheckpoint(true)).toVector
     else lpaHistory(oldE)
   }
 
