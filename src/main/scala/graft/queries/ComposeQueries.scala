@@ -96,15 +96,17 @@ object ComposeQueries {
       occIn: Option[DataFrame] = None, sourceGate: Boolean = false): DataFrame = {
     import s.implicits._
     // pass 1: per-doc flags (one corpus scan, tiny checkpointed frame);
-    // `score` (the q149 gate's integer quality score) rides along so the
-    // q154 gate stage never needs a corpus re-scan
+    // when the gate stage is on, `score` (the q149 gate's integer
+    // quality score) rides along so q154 never needs a corpus re-scan —
+    // ungated callers may bind docs frames without an n_chars column
+    // (fixture specs), so the column is conditional
+    val score = if (sourceGate) Seq($"n_chars".cast("long").as("score")) else Nil
     val flags = docs
-      .select($"doc_id", $"source",
+      .select(Seq($"doc_id", $"source",
         md5($"text").as("text_hash"),
-        $"n_chars".cast("long").as("score"),
         ($"doc_id" % DedupQueries.DecontamMod === 0).as("is_bench"),
         TextQueries.encodingOkCol.as("enc_ok"),
-        TextQueries.qualityOkCol.as("qual_ok"))
+        TextQueries.qualityOkCol.as("qual_ok")) ++ score: _*)
       .localCheckpoint(false)
     val s2 = flags.where(!$"is_bench" && $"enc_ok" && $"qual_ok")
     // exact dedup among s2 survivors; checkpointed: two consumers (the
@@ -112,8 +114,8 @@ object ComposeQueries {
     val s2k = s2.join(
         s2.groupBy($"text_hash").agg(min($"doc_id").as("keeper_id")),
         Seq("text_hash"))
-      .select($"doc_id", $"source", $"score",
-        ($"doc_id" =!= $"keeper_id").as("x_dup"))
+      .select(Seq($"doc_id", $"source",
+        ($"doc_id" =!= $"keeper_id").as("x_dup")) ++ score.map(_ => $"score"): _*)
       .localCheckpoint(false)
     val exactDropIds = s2k.where($"x_dup").select($"doc_id")
     val s3Ids = s2k.where(!$"x_dup").select($"doc_id")
