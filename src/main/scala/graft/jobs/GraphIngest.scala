@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Bucketing
+import graft.operators.Materialize
 import graft.queries.GraphQueries
 
 /** Graph-state-at-ingest (VERDICT r12 item 1): persist the graph
@@ -71,6 +72,21 @@ object GraphIngest {
     // queries already run this session share one materialization
     val edges = GraphQueries.weightedEdgesPartitioned(s, dir)
     val hist = GraphQueries.lpaHistoryForIngest(s, dir)
+    ingestTables(s, edges.select($"u", $"v", $"w"), hist, edgesT, histT)
+    (edgesT, histT)
+  }
+
+  /** Write an arbitrary (mirrored weighted edge frame, per-round label
+    * history) pair as the bucketed state tables — the writer shared by
+    * [[ingest]] (dir-derived frames) and [[advanceState]] (rolled-
+    * forward frames); GraphIngestSpec drives it directly with a
+    * synthetic old/batch split. Both inputs must be MATERIALIZED
+    * (checkpointed) before this runs: it DROPs the very tables a
+    * table-read-through frame would lazily scan (the round-13 review
+    * finding's hazard class). */
+  private[graft] def ingestTables(s: SparkSession, edges: DataFrame,
+      hist: Vector[DataFrame], edgesT: String, histT: String): Unit = {
+    import s.implicits._
     // DROP only clears the CURRENT metastore; a managed-table directory
     // left by a previous JVM still fails CTAS with
     // LOCATION_ALREADY_EXISTS (the CodesIngest finding). Clear both.
@@ -80,13 +96,66 @@ object GraphIngest {
         s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
       loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     }
-    Bucketing.writeBucketed(edges.select($"u", $"v", $"w"), edgesT, "u", Buckets)
+    Bucketing.writeBucketed(edges, edgesT, "u", Buckets)
     val histUnion = hist.zipWithIndex
       .map { case (df, i) => df.select(lit(i + 1).as("round"), $"v", $"lab") }
       .reduce(_ unionByName _)
     Bucketing.writeBucketed(histUnion, histT, "v", Buckets)
-    (edgesT, histT)
   }
+
+  /** Advance the persisted graph state of `prefix` by ONE day's edge
+    * batch — the daily-ingest contract q146 documents, made durable:
+    *
+    *  1. the mirrored weighted batch rows APPEND bucket-aligned into the
+    *     edges table (delta rows; the read path aggregates Σw per (u, v),
+    *     which rides the bucketing exchange-free — HashPartitioning(u)
+    *     satisfies the (u, v) clustering);
+    *  2. the label history rolls forward via
+    *     [[GraphQueries.lpaAdvance]] — churn-neighborhood-sized work per
+    *     round against yesterday's stored rounds, NEVER a full-graph
+    *     re-run — and the patched rounds overwrite the history table,
+    *     becoming the next day's baseline. advance ≡ from-scratch
+    *     rebuild is hash-pinned per round in GraphIngestSpec.
+    *
+    * `batch` must be the MIRRORED weighted (u, v, w) delta (both
+    * orientations), delivered exactly once — edge rows carry no unique
+    * key, so replay idempotency is the caller's contract (unlike
+    * [[CodesIngest.appendBatch]]'s vec_id anti-join). The patched rounds
+    * are eagerly materialized BEFORE the history table is rewritten —
+    * they derive from the table being dropped. Session memos keyed to a
+    * DIR whose tables this advanced are stale afterwards; pair with
+    * [[GraphQueries.clearMemos]] (the spec prefix path has no memo). */
+  def advanceState(s: SparkSession, prefix: String, batch: DataFrame): Unit =
+    GraphIngest.synchronized {
+      import s.implicits._
+      val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
+      require(s.catalog.tableExists(edgesT) && s.catalog.tableExists(histT),
+        s"advanceState needs ingested base tables: $edgesT, $histT")
+      val batchC = batch.select($"u", $"v", $"w").localCheckpoint(false)
+      // the new full graph, duplicate (u, v) delta rows merged — LPA
+      // votes count edge ROWS, so the frame must be pair-distinct
+      val full = Materialize.checkpointPartitioned(
+        s.table(edgesT).select($"u", $"v", $"w").unionByName(batchC)
+          .groupBy($"u", $"v").agg(sum($"w").as("w"))
+          .repartition($"u"))
+      val hist = (1 to GraphQueries.LpaRounds).map(k =>
+        s.table(histT).where($"round" === k)
+          .select($"v", $"lab").localCheckpoint(true)).toVector
+      val e0 = batchC.select($"u".as("v")).distinct()
+      val (patched, _) = GraphQueries.lpaAdvance(full.select($"u", $"v"), e0, hist)
+      // force the roll-forward into blocks before the rewrite drops its
+      // lineage source (eager: these frames MUST NOT lazily re-scan)
+      val patchedEager = patched.map(_.localCheckpoint(true))
+      Bucketing.appendBucketed(batchC, edgesT, "u", Buckets)
+      s.sql(s"DROP TABLE IF EXISTS $histT")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), histT.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      val histUnion = patchedEager.zipWithIndex
+        .map { case (df, i) => df.select(lit(i + 1).as("round"), $"v", $"lab") }
+        .reduce(_ unionByName _)
+      Bucketing.writeBucketed(histUnion, histT, "v", Buckets)
+    }
 
   /** Drop the persisted graph state of `dir` (test hook / re-ingest). */
   def drop(s: SparkSession, dir: String): Unit = GraphIngest.synchronized {

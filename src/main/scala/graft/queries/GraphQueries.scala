@@ -66,7 +66,12 @@ object GraphQueries {
   private[graft] def weightedEdgesSource(s: SparkSession, dir: String): (DataFrame, Boolean) = {
     import s.implicits._
     val t = graft.jobs.GraphIngest.edgesTable(dir)
-    if (s.catalog.tableExists(t)) (s.table(t), true)
+    // table path aggregates Σw per pair: advanceState appends DELTA rows,
+    // so a pair may span several physical rows; the agg rides the u
+    // buckets exchange-free (HashPartitioning(u) clusters (u, v)) and is
+    // the identity on a never-advanced table
+    if (s.catalog.tableExists(t))
+      (s.table(t).groupBy($"u", $"v").agg(sum($"w").as("w")), true)
     else (copurchasePairOcc(s, dir)
       .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
       .select(explode(array(struct($"u", $"v", $"w"),
@@ -146,7 +151,7 @@ object GraphQueries {
 
   /** Yesterday's run WITH per-round history: [[LpaRounds]] label frames
     * over the old-graph edges (round 1..N), each checkpointed. */
-  private def lpaHistory(oldE: DataFrame): Vector[DataFrame] = {
+  private[graft] def lpaHistory(oldE: DataFrame): Vector[DataFrame] = {
     var hist = Vector.empty[DataFrame]
     var lab = lpaInit(oldE).localCheckpoint(false)
     for (_ <- 1 to LpaRounds) {
@@ -949,8 +954,31 @@ object GraphQueries {
     val batch = full.where(isBatch)
     // yesterday's run WITH per-round history (the persisted state)
     val hist = histIn.getOrElse(lpaHistory(oldE))
-    // frontier-bounded re-propagation over the new graph
     val e0 = batch.select($"u".as("v")).distinct().localCheckpoint(false)
+    val (_, delta) = lpaAdvance(full, e0, hist)
+    hist.last
+      .join(delta.select($"v", $"lab".as("dlab")), Seq("v"), "full_outer")
+      .select($"v".as("l_partkey"),
+        coalesce($"dlab", $"lab").as("community"),
+        $"dlab".isNotNull.as("changed"))
+      .orderBy($"l_partkey")
+  }
+
+  /** Frontier-bounded LPA re-propagation over a churned graph — q146's
+    * loop factored so [[graft.jobs.GraphIngest.advanceState]] can
+    * PERSIST the roll-forward: given the NEW full (u, v) edge frame, the
+    * churn-endpoint node set `e0`, and yesterday's per-round history,
+    * returns (patched per-round history over the new graph, final
+    * delta). Each patched round k ≡ a from-scratch lpaHistory(full)(k)
+    * (GraphIngestSpec hash-pins it) but is computed with only
+    * churn-neighborhood-sized joins per round — the candidate frontier
+    * grows one hop per round from `e0` (a label after k rounds depends
+    * only on the k-hop neighborhood). */
+  private[graft] def lpaAdvance(full: DataFrame, e0In: DataFrame,
+      hist: Vector[DataFrame]): (Vector[DataFrame], DataFrame) = {
+    import full.sparkSession.implicits._
+    val e0 = e0In.localCheckpoint(false)
+    var patched = Vector.empty[DataFrame]
     var delta: DataFrame = null
     for (k <- 1 to LpaRounds) {
       val cand = (if (delta == null) e0
@@ -965,9 +993,7 @@ object GraphQueries {
       // node the votes join can reference.
       val lprev =
         if (k == 1) lpaInit(full)
-        else hist(k - 2)
-          .join(delta.select($"v", $"lab".as("dlab")), Seq("v"), "full_outer")
-          .select($"v", coalesce($"dlab", $"lab").as("lab"))
+        else patched(k - 2)
       val votes = full.join(cand, Seq("v"), "left_semi")
         .join(lprev.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
         .select($"v", $"lab")
@@ -981,13 +1007,11 @@ object GraphQueries {
         .where(!($"olab" <=> $"lab"))
         .select($"v", $"lab")
         .localCheckpoint(false)
+      patched :+= hist(k - 1)
+        .join(delta.select($"v", $"lab".as("dlab")), Seq("v"), "full_outer")
+        .select($"v", coalesce($"dlab", $"lab").as("lab"))
     }
-    hist.last
-      .join(delta.select($"v", $"lab".as("dlab")), Seq("v"), "full_outer")
-      .select($"v".as("l_partkey"),
-        coalesce($"dlab", $"lab").as("community"),
-        $"dlab".isNotNull.as("changed"))
-      .orderBy($"l_partkey")
+    (patched, delta)
   }
 
   /** Oracle: the full q140-shape recompute over the NEW graph (the

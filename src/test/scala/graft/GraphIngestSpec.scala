@@ -68,6 +68,53 @@ class GraphIngestSpec extends SparkSuite {
     assert(rows(GraphQueries.q146LpaEdgeChurn(spark, sf0001)) == computedQ146)
   }
 
+  test("advanceState: one day's edge batch appends bucket-aligned and rolls " +
+      "the label history forward — advance == from-scratch rebuild per round") {
+    import graft.queries.GraphQueries.{ChurnMod, LpaRounds}
+    val prefix = "graphadv_test"
+    // synthetic yesterday/today split of the real corpus graph: old =
+    // (u+v)%ChurnMod != 0 (the q146 convention), batch = the complement
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % ChurnMod === 0
+    val old = full.where(!isBatch).localCheckpoint(true)
+    val batch = full.where(isBatch).localCheckpoint(true)
+    val oldHist = GraphQueries.lpaHistory(old.select($"u", $"v"))
+      .map(_.localCheckpoint(true))
+    GraphIngest.ingestTables(spark, old, oldHist,
+      s"${prefix}_edges", s"${prefix}_lpahist")
+
+    GraphIngest.advanceState(spark, prefix, batch)
+
+    // edges: aggregated table == the full graph exactly
+    val readBack = rows(spark.table(s"${prefix}_edges")
+      .groupBy($"u", $"v").agg(sum($"w").as("w")).orderBy($"u", $"v"))
+    assert(readBack == rows(full.orderBy($"u", $"v")))
+    // history: every stored round == a from-scratch LPA over the full
+    // graph (the roll-forward's correctness contract)
+    val scratch = GraphQueries.lpaHistory(full.select($"u", $"v"))
+    (1 to LpaRounds).foreach { k =>
+      val stored = rows(spark.table(s"${prefix}_lpahist")
+        .where($"round" === k).select($"v", $"lab").orderBy($"v"))
+      assert(stored == rows(scratch(k - 1).orderBy($"v")),
+        s"round $k: advanced history must equal the rebuild")
+    }
+    // a second day advances again on top of the advanced state: shift
+    // ids past the corpus so the new edges attach as fresh nodes
+    val batch2 = full.where(isBatch)
+      .select(($"u" + 1000000L).as("u"), ($"v" + 1000000L).as("v"), $"w")
+      .localCheckpoint(true)
+    GraphIngest.advanceState(spark, prefix, batch2)
+    val full2 = full.unionByName(batch2).localCheckpoint(true)
+    val scratch2 = GraphQueries.lpaHistory(full2.select($"u", $"v"))
+    val storedLast = rows(spark.table(s"${prefix}_lpahist")
+      .where($"round" === LpaRounds).select($"v", $"lab").orderBy($"v"))
+    assert(storedLast == rows(scratch2(LpaRounds - 1).orderBy($"v")),
+      "second advance must equal the two-day rebuild")
+    Seq(s"${prefix}_edges", s"${prefix}_lpahist").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed edge table joins a u-keyed frame with no edge-side exchange") {
     GraphIngest.drop(spark, sf0001)
     GraphQueries.clearMemos(spark)
