@@ -1,0 +1,111 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Bucketing
+import graft.queries.SimilarityQueries
+
+/** Learned-rotation codes at ingest — q118's materialize-at-write
+  * pattern on the q152 tier, closing the q152 scaladoc's "at ingest the
+  * rotated codes are a stored column" promise.
+  *
+  * Four tables per corpus:
+  *  - `<prefix>_codes` — (vec_id, codes, pq) BUCKETED by vec_id, where
+  *    `codes` are the GLOBAL-scale SQ8 codes of the ROTATED embedding
+  *    (eigenvalue-allocated PCA basis) and `pq` the trained subspace
+  *    assignments; search reads pq for the scan and the pushed-filter
+  *    query rows' codes for LUTs, exactly the q118 read shape.
+  *  - `<prefix>_codebook` — the trained (m, k, cent) codebook.
+  *  - `<prefix>_model` — the learned rotation itself: (j, brow) basis
+  *    rows. d rows of d doubles — KB. Persisting the MODEL is what
+  *    makes the stored index AUDITABLE: a verifier re-encodes with the
+  *    stored basis and must reproduce the stored ranking
+  *    integer-for-integer (q155's stored_ok verdict); re-LEARNING the
+  *    basis instead would compare against a second eigensolve whose
+  *    covariance fold carries ~1e-12 partition-order jitter — enough to
+  *    flip an SQ8 cell at a floor boundary and fail spuriously.
+  *  - `<prefix>_stats` — 1 row: the global (glo, ghi) quantizer range
+  *    and the centering mean μ (stored RAW, not as derived shifts, so
+  *    the read-back model recomputes shifts through the identical
+  *    driver-side fold — bit-exact round trip).
+  *
+  * At 100 TB ingest is one covariance fold (a ~17 KB driver buffer) +
+  * one rotate-and-encode pass + the PQ training aggregates; search
+  * never touches the float corpus. */
+object RotIngest {
+
+  val Buckets = 8
+
+  // md5 suffix: sanitization alone is non-injective (the GraphIngest
+  // review finding)
+  def tablePrefix(dir: String): String =
+    "rot_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
+      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
+
+  def codesTable(dir: String): String = s"${tablePrefix(dir)}_codes"
+  def codebookTable(dir: String): String = s"${tablePrefix(dir)}_codebook"
+  def modelTable(dir: String): String = s"${tablePrefix(dir)}_model"
+  def statsTable(dir: String): String = s"${tablePrefix(dir)}_stats"
+
+  /** Ingest `dir`'s embeddings; returns (codesTable, codebookTable).
+    * Idempotent per session (the CodesIngest rationale: concurrent
+    * rebuilds would race DROP+CTAS against other readers, and reuse is
+    * the production read path). */
+  def ingest(s: SparkSession, dir: String): (String, String) =
+    RotIngest.synchronized {
+      val all = Seq(codesTable(dir), codebookTable(dir), modelTable(dir),
+        statsTable(dir))
+      if (all.forall(s.catalog.tableExists)) (all(0), all(1))
+      else buildTables(s, dir)
+    }
+
+  private def buildTables(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      .localCheckpoint(false)
+    val model = SimilarityQueries.opqLearnedModel(s, emb)
+    val (_, basis, mu) = model
+    val rotated = SimilarityQueries.pcaRotate(s, emb, model)
+      .localCheckpoint(false)
+    val stats = SimilarityQueries.sq8GlobalStats(rotated).localCheckpoint(false)
+    val codes = SimilarityQueries.sq8EncodeGlobal(rotated, stats)
+      .localCheckpoint(false)
+    val sub = SimilarityQueries.subcodeView(s, codes)
+    val cents = SimilarityQueries.pqTrainCodebook(s, sub).localCheckpoint(false)
+    val pq = SimilarityQueries.pqEncodeCodes(s, sub, cents)
+    Seq(codesTable(dir), codebookTable(dir), modelTable(dir), statsTable(dir))
+      .foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+    Bucketing.writeBucketed(codes.join(pq, Seq("vec_id"))
+      .select($"vec_id", $"codes", $"pq"), codesTable(dir), "vec_id", Buckets)
+    cents.write.mode("overwrite").format("parquet").saveAsTable(codebookTable(dir))
+    basis.indices
+      .map(j => (j, basis(j).toSeq))
+      .toDF("j", "brow")
+      .write.mode("overwrite").format("parquet").saveAsTable(modelTable(dir))
+    stats.withColumn("mu", typedLit(mu.toSeq))
+      .write.mode("overwrite").format("parquet").saveAsTable(statsTable(dir))
+    (codesTable(dir), codebookTable(dir))
+  }
+
+  /** Read the stored rotation back as a [[SimilarityQueries.pcaRotate]]
+    * model (KB collect — d rows of d doubles; eigenvalues are not
+    * stored and not needed to rotate, so zeros stand in). */
+  def readModel(s: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    import s.implicits._
+    val rows = s.table(modelTable(dir))
+      .select($"j", $"brow").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val mu = s.table(statsTable(dir)).select($"mu").head()
+      .getSeq[Double](0).toArray
+    (Array.fill(rows.length)(0.0), rows.map(_._2), mu)
+  }
+}

@@ -947,6 +947,65 @@ object SimilarityQueries {
        |WHERE e.vec_id < $NumQueries
        |ORDER BY query_id, rn""".stripMargin
 
+  // ---- q155: learned-rotation codes at ingest ----
+
+  /** q155: q152's search over an INGESTED rotated-codes table
+    * ([[graft.jobs.RotIngest]]) — the q118 production pattern on the
+    * learned-rotation tier, closing q152's "at ingest the rotated codes
+    * are a stored column" promise. Ingest materializes (vec_id, codes,
+    * pq) bucketed by vec_id (codes = global-scale SQ8 of the rotated
+    * floats), the trained codebook, AND the learned rotation model
+    * itself; the search plan then reads only code columns — pq for the
+    * scan, the pushed-filter query rows' codes for LUTs — never the
+    * float corpus.
+    *
+    * Verdict oracle (a learned basis is not SQL-replayable — the q152
+    * argument): the (query, rank) grid, the recomputable q_norm2
+    * anchor, `mono_ok`, and the audit that gives the stored index
+    * teeth: `stored_ok` — re-running the WHOLE chain in-plan from the
+    * STORED model (rotate → global-SQ8 → train → encode → ADC; integer
+    * arithmetic end to end, so bit-reproducible from the same basis)
+    * must reproduce the stored ranking neighbor-for-neighbor and
+    * distance-for-distance. Any draft/corruption in the stored codes,
+    * codebook, or model flips it. The audit reads floats; production
+    * drops it (q93's audit precedent) and ships the code-only scan. */
+  def q155RotCodesAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val R = graft.jobs.RotIngest
+    val (codesT, cbT) = R.ingest(s, dir)
+    val stored = pqCodesScan(s, s.table(codesT), s.table(cbT))
+      .select($"query_id", $"rn", $"neighbor_id", $"adist")
+    // audit: the stored model drives a full in-plan recompute
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      .localCheckpoint(false)
+    val rotated = pcaRotate(s, emb, R.readModel(s, dir)).localCheckpoint(false)
+    val inPlan = adcFromSubcodes(s, subcodeView(s,
+        sq8EncodeGlobal(rotated, s.table(R.statsTable(dir)).select($"glo", $"ghi"))))
+      .select($"query_id", $"rn", $"neighbor_id".as("n2"), $"adist".as("a2"))
+    val qn = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), round(norm2($"embedding"), 6).as("q_norm2"))
+    val wq = Window.partitionBy($"query_id").orderBy($"rn".asc)
+    stored
+      .join(inPlan, Seq("query_id", "rn"), "left")
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("mono_ok",
+        $"adist" >= coalesce(lag($"adist", 1).over(wq), lit(Long.MinValue)))
+      .select($"query_id", $"rn", $"q_norm2",
+        ($"n2" <=> $"neighbor_id" && $"a2" <=> $"adist").as("stored_ok"),
+        $"mono_ok")
+      .orderBy($"query_id", $"rn")
+  }
+
+  /** Oracle: grid + anchor + TRUE verdicts (the q152 shape). */
+  val q155Sql: String =
+    s"""SELECT e.vec_id AS query_id, r.rn,
+       |  round(${sqlNorm2("e.embedding")}, 6) AS q_norm2,
+       |  TRUE AS stored_ok, TRUE AS mono_ok
+       |FROM embeddings e
+       |CROSS JOIN (SELECT unnest(generate_series(1, $TopK)) AS rn) r
+       |WHERE e.vec_id < $NumQueries
+       |ORDER BY query_id, rn""".stripMargin
+
   /** q102: hard-negative mining for contrastive training — for each
     * query vector, the [[TopK]] most-similar vectors carrying a
     * DIFFERENT class label. Random negatives are easy (far away) and
@@ -1905,6 +1964,7 @@ object SimilarityQueries {
     "q111_pq_adc_ann"       -> (q111PqAdcAnn _),
     "q148_opq_ann"          -> (q148OpqAnn _),
     "q152_learned_opq"      -> (q152LearnedOpqAnn _),
+    "q155_rot_codes_ann"    -> (q155RotCodesAnn _),
     "q118_pq_codes_ann"     -> (q118PqCodesAnn _),
   )
 
@@ -1929,6 +1989,7 @@ object SimilarityQueries {
     "q111_pq_adc_ann"       -> q111Sql,
     "q148_opq_ann"          -> q148Sql,
     "q152_learned_opq"      -> q152Sql,
+    "q155_rot_codes_ann"    -> q155Sql,
     "q118_pq_codes_ann"     -> q111Sql, // identical ranking from stored codes
   )
 }

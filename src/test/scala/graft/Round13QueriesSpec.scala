@@ -63,6 +63,28 @@ class Round13QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q155: stored rotated codes reproduce the in-plan ranking (stored_ok " +
+      "uniformly true); the search stage itself reads no float column") {
+    val S = SimilarityQueries
+    val out = S.q155RotCodesAnn(spark, sf0001).collect()
+    assert(out.length == S.NumQueries * S.TopK)
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"stored_ok failed: $r")
+      assert(r.getBoolean(4), s"mono_ok failed: $r")
+    }
+    // production read path: the code-only scan never touches floats
+    val R = graft.jobs.RotIngest
+    val (codesT, cbT) = R.ingest(spark, sf0001)
+    val searchScans = graft.queries.SimilarityQueries
+      .pqCodesScan(spark, spark.table(codesT), spark.table(cbT))
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.schema.fieldNames.contains("embedding") => s
+      }
+    assert(searchScans.isEmpty,
+      s"q155 search must read only code columns: $searchScans")
+  }
+
   test("q153 divergence fixture: low-accuracy sketch threshold diverges from " +
       "the exact quantile yet stays within its rank guarantee") {
     // 1000 distinct float scores per source — the unbounded-domain case
