@@ -1,0 +1,76 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.io.Bucketing
+import graft.queries.DedupQueries
+
+/** Occurrence-frame-at-ingest for the dedup/text family — the third
+  * member of the materialize-at-ingest trio ([[CodesIngest]] for ANN
+  * codes, [[GraphIngest]] for graph state): persist the tagged corpus
+  * gram-occurrence frame (doc_id, kind, h) — kind 0 = distinct 3-token
+  * shingles, kind 1 = positional 5-grams, h = the 60-bit md5 key — as a
+  * doc_id-bucketed table, so a FRESH process serving
+  * q25/q26/q29/q83/q88/q100/q151 pays one bucketed code-column scan
+  * instead of re-tokenizing the corpus text (the round-12 finding the
+  * session memo closed within a process, made durable across
+  * processes).
+  *
+  * [[DedupQueries.taggedOccCorpus]] reads through the table when it
+  * exists; absent, the memoized text mint runs as before
+  * (rebuild-if-absent — the table is derived and deterministic, so the
+  * two paths yield identical rows; OccMemoSpec pins the equality and
+  * the no-text-scan warm path). The table read is NOT checkpointed: at
+  * 100 TB the occurrence frame is corpus-occurrence-sized, and the
+  * bucketed parquet scan (~17 B/row, column-pruned) IS the cheap form —
+  * pinning it in executor memory would be the mistake.
+  *
+  * At 100 TB ingest is one tokenization pass per load; bucketing by
+  * doc_id co-locates the frame with any doc-keyed table (the per-doc
+  * aggregations q25/q29 run shuffle-partial over the buckets). */
+object OccIngest {
+
+  val Buckets = 8
+
+  // md5 suffix: sanitization alone is non-injective (the GraphIngest
+  // review finding)
+  def tablePrefix(dir: String): String =
+    "occ_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
+      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
+
+  def occTable(dir: String): String = s"${tablePrefix(dir)}_tagged"
+
+  /** Ingest `dir`'s tagged occurrence frame; returns the table name.
+    * Idempotent per session (the CodesIngest rationale — concurrent
+    * rebuilds would race DROP+CTAS against readers; reuse is the
+    * production read path). Builds THROUGH the session memo so the
+    * writer and any queries already run share one tokenization; the
+    * memo frame is an eager-by-first-action localCheckpoint over the
+    * TEXT (never over this table), so writing after the DROP below
+    * cannot scan deleted files. */
+  def ingest(s: SparkSession, dir: String): String = OccIngest.synchronized {
+    val t = occTable(dir)
+    if (s.catalog.tableExists(t)) t
+    else {
+      val occ = DedupQueries.taggedOccCorpusFromText(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      Bucketing.writeBucketed(occ, t, "doc_id", Buckets)
+      t
+    }
+  }
+
+  /** Drop the persisted occurrence frame of `dir` (test hook). Clears
+    * the session memo too: a memoized table-scan frame would otherwise
+    * serve a dropped table. */
+  def drop(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
+    val t = occTable(dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    DedupQueries.clearMemos(s)
+  }
+}

@@ -79,7 +79,25 @@ object DedupQueries {
   private val occMemo = new graft.operators.FrameMemo[DataFrame](
     "dedup-tagged-occ", graft.operators.FrameMemo.frameLive)
 
-  private[graft] def taggedOccCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def taggedOccCorpus(s: SparkSession, dir: String): DataFrame = {
+    // read-through over the jobs/OccIngest bucketed table when one
+    // exists (durable across processes — the GraphIngest pattern): the
+    // table scan is NOT memoized or checkpointed, because at 100 TB the
+    // occurrence frame is corpus-occurrence-sized and the column-pruned
+    // bucketed scan IS the cheap form; pinning it in memory would be
+    // the mistake. Absent the table, the memoized text mint runs —
+    // rebuild-if-absent, identical rows (OccMemoSpec pins both).
+    val t = graft.jobs.OccIngest.occTable(dir)
+    if (s.catalog.tableExists(t))
+      s.table(t).select(col("doc_id"), col("kind"), col("h"))
+    else taggedOccCorpusFromText(s, dir)
+  }
+
+  /** The memoized TEXT mint of the tagged occurrence frame — the
+    * ingest writer's source (never the table: the eager-by-first-action
+    * checkpoint here is over documents text, so [[graft.jobs.OccIngest]]
+    * can DROP and rewrite its table without wedging the frame). */
+  private[graft] def taggedOccCorpusFromText(s: SparkSession, dir: String): DataFrame =
     occMemo.getOrBuild(s, dir) {
       taggedMintOcc(s, Tables.documents(s, dir), outer = true)
         .localCheckpoint(false)

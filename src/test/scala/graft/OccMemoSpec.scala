@@ -29,6 +29,37 @@ class OccMemoSpec extends SparkSuite {
     assert(rows(DedupQueries.q25MinhashSig(spark, sf0001)) == direct)
   }
 
+  test("OccIngest: persisted table serves the family across a cold memo — " +
+      "values identical, no text scan, rebuild-if-absent on drop") {
+    import graft.jobs.OccIngest
+    OccIngest.drop(spark, sf0001)
+    val direct = rows(DedupQueries.q25MinhashSig(spark, sf0001))
+    val q83Direct = rows(DedupQueries.q83DupGramFraction(spark, sf0001))
+
+    OccIngest.ingest(spark, sf0001)
+    assert(spark.catalog.tableExists(OccIngest.occTable(sf0001)))
+    // idempotent: a second ingest reuses the table
+    assert(OccIngest.ingest(spark, sf0001) == OccIngest.occTable(sf0001))
+    // cold process simulated: memo cleared, table present — the family
+    // reads the TABLE (no text scan anywhere in a consumer's plan)
+    DedupQueries.clearMemos(spark)
+    assert(rows(DedupQueries.q25MinhashSig(spark, sf0001)) == direct)
+    assert(rows(DedupQueries.q83DupGramFraction(spark, sf0001)) == q83Direct)
+    val scans = DedupQueries.q83DupGramFraction(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.schema.fieldNames.contains("text") => s
+      }
+    assert(scans.isEmpty, s"table-backed q83 must not tokenize text: $scans")
+    // and nothing was memoized for it — the bucketed scan IS the cheap
+    // form; pinning a corpus-occurrence-sized frame would be the mistake
+    assert(DedupQueries.sharedRddIds(spark).isEmpty,
+      "the table read path must not checkpoint the occurrence frame")
+    // rebuild-if-absent: dropping the table falls back to the text mint
+    OccIngest.drop(spark, sf0001)
+    assert(rows(DedupQueries.q25MinhashSig(spark, sf0001)) == direct)
+  }
+
   test("warm consumers read the checkpoint: q83's plan holds no text scan; " +
       "one shared RDD id serves the family") {
     DedupQueries.clearMemos(spark)
