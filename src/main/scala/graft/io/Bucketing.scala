@@ -41,4 +41,29 @@ object Bucketing {
       leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Drop a managed table AND its warehouse directory. DROP alone only
+    * clears the CURRENT metastore; a directory left by a previous JVM
+    * (fresh derby catalog, persistent warehouse dir) still fails the
+    * next CTAS with LOCATION_ALREADY_EXISTS — the CodesIngest finding,
+    * now shared by every ingest job instead of re-remembered per site
+    * (round-13 review). */
+  def dropManaged(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+  }
+
+  /** Per-corpus table-name prefix: a sanitized dir (readable) + an md5
+    * suffix (INJECTIVE — sanitization alone collapses "sf0.1" and
+    * "sf0_1", and two corpora silently sharing a table would serve each
+    * other's data; round-13 review finding). One definition for all
+    * ingest jobs. NOTE for operators: changing this convention renames
+    * every persisted table — tables written under an older convention
+    * are orphaned (never dropped by the new names) and must be cleaned
+    * from the warehouse on upgrade. */
+  def corpusPrefix(kind: String, dir: String): String =
+    kind + "_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
+      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
 }

@@ -34,14 +34,9 @@ object CodesIngest {
 
   val Buckets = 8
 
-  /** Stable per-corpus table prefix (managed tables live in the session
-    * warehouse; one corpus dir = one table pair, overwritten per run). */
-  // md5 suffix: sanitization alone is non-injective ("sf0.1" and
-  // "sf0_1" collapse) — two corpora must never share a codes table
-  // (the GraphIngest review finding, applied to the precedent job too)
-  def tablePrefix(dir: String): String =
-    "emb_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
-      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
+  /** Stable per-corpus table prefix — [[Bucketing.corpusPrefix]]'s
+    * injective sanitize+md5 naming (one corpus dir = one table set). */
+  def tablePrefix(dir: String): String = Bucketing.corpusPrefix("emb", dir)
 
   /** Ingest the embeddings table of `dir`; returns (codesTable,
     * codebookTable). Idempotent — a pair already in this session's
@@ -88,15 +83,8 @@ object CodesIngest {
     val subcodes = SimilarityQueries.subcodeView(s, codes)
     val cents = SimilarityQueries.pqTrainCodebook(s, subcodes).localCheckpoint(false)
     val pq = SimilarityQueries.pqEncodeCodes(s, subcodes, cents)
-    // DROP only clears the CURRENT metastore; a managed-table directory
-    // left by a previous JVM (fresh derby catalog, persistent warehouse
-    // dir) still fails CTAS with LOCATION_ALREADY_EXISTS. Clear both.
-    Seq(codesT, cbT, statsTable(codesT.stripSuffix("_codes"))).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-    }
+    Seq(codesT, cbT, statsTable(codesT.stripSuffix("_codes")))
+      .foreach(graft.io.Bucketing.dropManaged(s, _))
     val words = SimilarityQueries.binEncode(emb, stats)
     Bucketing.writeBucketed(
       codes.join(pq, Seq("vec_id")).join(words, Seq("vec_id"))

@@ -39,15 +39,9 @@ object GraphIngest {
 
   val Buckets = 8
 
-  /** Stable per-corpus table prefix (managed tables live in the session
-    * warehouse; one corpus dir = one table pair, reused per run). The
-    * sanitized dir keeps names readable; the md5 suffix makes the map
-    * INJECTIVE — sanitization alone collapses "sf0.1" and "sf0_1" to
-    * one name, and two corpora silently sharing a table pair would
-    * serve each other's graph data (review finding r13). */
-  def tablePrefix(dir: String): String =
-    "graph_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
-      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
+  /** Stable per-corpus table prefix — [[Bucketing.corpusPrefix]]'s
+    * injective sanitize+md5 naming (one corpus dir = one table pair). */
+  def tablePrefix(dir: String): String = Bucketing.corpusPrefix("graph", dir)
 
   def edgesTable(dir: String): String = s"${tablePrefix(dir)}_edges"
   def histTable(dir: String): String = s"${tablePrefix(dir)}_lpahist"
@@ -87,15 +81,7 @@ object GraphIngest {
   private[graft] def ingestTables(s: SparkSession, edges: DataFrame,
       hist: Vector[DataFrame], edgesT: String, histT: String): Unit = {
     import s.implicits._
-    // DROP only clears the CURRENT metastore; a managed-table directory
-    // left by a previous JVM still fails CTAS with
-    // LOCATION_ALREADY_EXISTS (the CodesIngest finding). Clear both.
-    Seq(edgesT, histT).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-    }
+    Seq(edgesT, histT).foreach(Bucketing.dropManaged(s, _))
     Bucketing.writeBucketed(edges, edgesT, "u", Buckets)
     val histUnion = hist.zipWithIndex
       .map { case (df, i) => df.select(lit(i + 1).as("round"), $"v", $"lab") }
@@ -103,37 +89,87 @@ object GraphIngest {
     Bucketing.writeBucketed(histUnion, histT, "v", Buckets)
   }
 
+  /** Write a SELF-CONSISTENT state pair under `prefix`: the given
+    * mirrored weighted edges AND the LPA history computed over that
+    * SAME graph — the only valid base for [[advanceState]].
+    *
+    * This is deliberately distinct from [[ingest]]: ingest(dir) writes
+    * the q146 DEMO pair — edges = today's full graph, history =
+    * yesterday's ChurnMod-OLD subgraph — because that is what
+    * q146LpaEdgeChurn's read path consumes. That pair's history does
+    * NOT describe its edges table's graph, so advancing it would
+    * silently break the advance ≡ rebuild contract (round-13 review
+    * finding #1); advanceState refuses nothing it cannot detect, so the
+    * split into two constructors IS the guard. */
+  def ingestConsistent(s: SparkSession, prefix: String, edges: DataFrame): Unit =
+    GraphIngest.synchronized {
+      import s.implicits._
+      val edgesC = edges.select($"u", $"v", $"w").localCheckpoint(true)
+      val hist = GraphQueries.lpaHistory(edgesC.select($"u", $"v"))
+        .map(_.localCheckpoint(true))
+      ingestTables(s, edgesC, hist, s"${prefix}_edges", s"${prefix}_lpahist")
+    }
+
   /** Advance the persisted graph state of `prefix` by ONE day's edge
     * batch — the daily-ingest contract q146 documents, made durable:
     *
-    *  1. the mirrored weighted batch rows APPEND bucket-aligned into the
+    *  1. the label history rolls forward via
+    *     [[GraphQueries.lpaAdvance]] — churn-neighborhood-sized work per
+    *     round against yesterday's stored rounds, NEVER a full-graph LPA
+    *     re-run — and the patched rounds become the next day's baseline;
+    *  2. the mirrored weighted batch rows APPEND bucket-aligned into the
     *     edges table (delta rows; the read path aggregates Σw per (u, v),
     *     which rides the bucketing exchange-free — HashPartitioning(u)
-    *     satisfies the (u, v) clustering);
-    *  2. the label history rolls forward via
-    *     [[GraphQueries.lpaAdvance]] — churn-neighborhood-sized work per
-    *     round against yesterday's stored rounds, NEVER a full-graph
-    *     re-run — and the patched rounds overwrite the history table,
-    *     becoming the next day's baseline. advance ≡ from-scratch
-    *     rebuild is hash-pinned per round in GraphIngestSpec.
+    *     satisfies the (u, v) clustering).
+    *
+    * PRECONDITION: the history table holds the LPA history OVER the edges
+    * table's own graph — the pair [[ingestConsistent]] writes, or the one
+    * a previous advanceState left. The q146 demo pair [[ingest]] writes
+    * (edges = today, history = yesterday's subgraph) is NOT a valid base
+    * (see [[ingestConsistent]]). advance ≡ from-scratch rebuild is
+    * hash-pinned per round in GraphIngestSpec, including weight-merging
+    * overlap batches and a chained second day.
+    *
+    * Per-advance cost, stated honestly (round-13 review finding #3): the
+    * ROUNDS are churn-neighborhood-sized, but the setup pays ONE linear
+    * edge-key pass — the table ∪ batch must be re-aggregated to
+    * pair-distinct form because LPA votes count edge ROWS and prior
+    * advances may have appended overlapping delta rows. That pass is one
+    * scan + one keyed exchange (the same order as any single graph
+    * query's setup, and LpaRounds× cheaper than the full re-run the
+    * roll-forward replaces); the checkpoint behind it is disk-backed.
+    *
+    * Crash-consistency: the new history is written COMPLETELY to a
+    * `<hist>__next` staging table BEFORE the edges append; the commit
+    * order is stage-hist → append-edges → swap-hist. A crash before the
+    * append loses nothing (orphan staging table, overwritten next run);
+    * a crash between append and swap leaves the batch in the edges
+    * table with the OLD history still current and the advanced rounds
+    * parked in `__next` — re-run advanceState with an EMPTY batch to
+    * complete the roll-forward (the setup re-aggregation makes the
+    * replayed append visible to it), or rebuild via [[ingestConsistent]].
+    * Without a transactional catalog this two-phase order is the
+    * strongest available: every window leaves a detectable artifact,
+    * never silently wrong state.
     *
     * `batch` must be the MIRRORED weighted (u, v, w) delta (both
     * orientations), delivered exactly once — edge rows carry no unique
     * key, so replay idempotency is the caller's contract (unlike
-    * [[CodesIngest.appendBatch]]'s vec_id anti-join). The patched rounds
-    * are eagerly materialized BEFORE the history table is rewritten —
-    * they derive from the table being dropped. Session memos keyed to a
-    * DIR whose tables this advanced are stale afterwards; pair with
+    * [[CodesIngest.appendBatch]]'s vec_id anti-join). Session memos keyed
+    * to a DIR whose tables this advanced are stale afterwards; pair with
     * [[GraphQueries.clearMemos]] (the spec prefix path has no memo). */
   def advanceState(s: SparkSession, prefix: String, batch: DataFrame): Unit =
     GraphIngest.synchronized {
       import s.implicits._
       val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
       require(s.catalog.tableExists(edgesT) && s.catalog.tableExists(histT),
-        s"advanceState needs ingested base tables: $edgesT, $histT")
+        s"advanceState needs a CONSISTENT base pair (ingestConsistent, " +
+          s"or a prior advanceState): $edgesT, $histT")
       val batchC = batch.select($"u", $"v", $"w").localCheckpoint(false)
       // the new full graph, duplicate (u, v) delta rows merged — LPA
-      // votes count edge ROWS, so the frame must be pair-distinct
+      // votes count edge ROWS, so the frame must be pair-distinct; one
+      // linear edge-key pass (see the cost note above), checkpointed
+      // because the rounds probe it repeatedly
       val full = Materialize.checkpointPartitioned(
         s.table(edgesT).select($"u", $"v", $"w").unionByName(batchC)
           .groupBy($"u", $"v").agg(sum($"w").as("w"))
@@ -143,27 +179,24 @@ object GraphIngest {
           .select($"v", $"lab").localCheckpoint(true)).toVector
       val e0 = batchC.select($"u".as("v")).distinct()
       val (patched, _) = GraphQueries.lpaAdvance(full.select($"u", $"v"), e0, hist)
-      // force the roll-forward into blocks before the rewrite drops its
-      // lineage source (eager: these frames MUST NOT lazily re-scan)
-      val patchedEager = patched.map(_.localCheckpoint(true))
-      Bucketing.appendBucketed(batchC, edgesT, "u", Buckets)
-      s.sql(s"DROP TABLE IF EXISTS $histT")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), histT.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-      val histUnion = patchedEager.zipWithIndex
+      // phase 1: stage the COMPLETE new history before any durable
+      // mutation (a crash here costs only an orphan staging table)
+      val nextT = s"${histT}__next"
+      Bucketing.dropManaged(s, nextT)
+      val histUnion = patched.zipWithIndex
         .map { case (df, i) => df.select(lit(i + 1).as("round"), $"v", $"lab") }
         .reduce(_ unionByName _)
-      Bucketing.writeBucketed(histUnion, histT, "v", Buckets)
+      Bucketing.writeBucketed(histUnion, nextT, "v", Buckets)
+      // phase 2: append the batch, then swap the staged history in
+      Bucketing.appendBucketed(batchC, edgesT, "u", Buckets)
+      Bucketing.dropManaged(s, histT)
+      s.sql(s"ALTER TABLE $nextT RENAME TO $histT")
     }
 
-  /** Drop the persisted graph state of `dir` (test hook / re-ingest). */
+  /** Drop the persisted graph state of `dir` (test hook / re-ingest),
+    * including any advanceState staging table. */
   def drop(s: SparkSession, dir: String): Unit = GraphIngest.synchronized {
-    Seq(edgesTable(dir), histTable(dir)).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-    }
+    Seq(edgesTable(dir), histTable(dir), s"${histTable(dir)}__next")
+      .foreach(Bucketing.dropManaged(s, _))
   }
 }

@@ -32,45 +32,61 @@ object OccIngest {
 
   val Buckets = 8
 
-  // md5 suffix: sanitization alone is non-injective (the GraphIngest
-  // review finding)
-  def tablePrefix(dir: String): String =
-    "occ_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
-      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
+  def tablePrefix(dir: String): String = Bucketing.corpusPrefix("occ", dir)
 
   def occTable(dir: String): String = s"${tablePrefix(dir)}_tagged"
+
+  /** Positive-only per-(session, dir) cache of the existence check —
+    * [[DedupQueries.taggedOccCorpus]] runs on every consumer query
+    * construction, and an uncached `tableExists` there is a per-query
+    * catalog RPC against the external metastore the 100 TB deployment
+    * targets (round-13 review). Positive-only because a table, once
+    * seen, is only removed by [[drop]] (which invalidates); a NEGATIVE
+    * result must stay uncached so an ingest later in the session
+    * becomes visible. WeakHashMap on the session (the FrameMemo
+    * convention) so the cache cannot pin a dead session. */
+  private val known =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+
+  private[graft] def tableKnown(s: SparkSession, dir: String): Boolean =
+    known.synchronized {
+      var set = known.get(s)
+      if (set == null) { set = scala.collection.mutable.Set(); known.put(s, set) }
+      set.contains(dir) || {
+        val exists = s.catalog.tableExists(occTable(dir))
+        if (exists) set += dir
+        exists
+      }
+    }
 
   /** Ingest `dir`'s tagged occurrence frame; returns the table name.
     * Idempotent per session (the CodesIngest rationale — concurrent
     * rebuilds would race DROP+CTAS against readers; reuse is the
     * production read path). Builds THROUGH the session memo so the
     * writer and any queries already run share one tokenization; the
-    * memo frame is an eager-by-first-action localCheckpoint over the
-    * TEXT (never over this table), so writing after the DROP below
-    * cannot scan deleted files. */
+    * memo frame is a localCheckpoint over the TEXT (never over this
+    * table), so writing after the DROP below cannot scan deleted
+    * files. */
   def ingest(s: SparkSession, dir: String): String = OccIngest.synchronized {
     val t = occTable(dir)
     if (s.catalog.tableExists(t)) t
     else {
       val occ = DedupQueries.taggedOccCorpusFromText(s, dir)
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      Bucketing.dropManaged(s, t)
       Bucketing.writeBucketed(occ, t, "doc_id", Buckets)
       t
     }
   }
 
-  /** Drop the persisted occurrence frame of `dir` (test hook). Clears
-    * the session memo too: a memoized table-scan frame would otherwise
-    * serve a dropped table. */
+  /** Drop the persisted occurrence frame of `dir` (test hook) and
+    * invalidate the existence cache. The session memo is left alone:
+    * it only ever holds TEXT-minted frames (never a scan of this
+    * table), so it stays valid — and reusable — across a drop. */
   def drop(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
-    val t = occTable(dir)
-    s.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-    DedupQueries.clearMemos(s)
+    Bucketing.dropManaged(s, occTable(dir))
+    known.synchronized {
+      val set = known.get(s)
+      if (set != null) set -= dir
+    }
   }
 }

@@ -38,11 +38,7 @@ object RotIngest {
 
   val Buckets = 8
 
-  // md5 suffix: sanitization alone is non-injective (the GraphIngest
-  // review finding)
-  def tablePrefix(dir: String): String =
-    "rot_" + dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
-      "_" + org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
+  def tablePrefix(dir: String): String = Bucketing.corpusPrefix("rot", dir)
 
   def codesTable(dir: String): String = s"${tablePrefix(dir)}_codes"
   def codebookTable(dir: String): String = s"${tablePrefix(dir)}_codebook"
@@ -66,7 +62,7 @@ object RotIngest {
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       .localCheckpoint(false)
     val model = SimilarityQueries.opqLearnedModel(s, emb)
-    val (_, basis, mu) = model
+    val (vals, basis, mu) = model
     val rotated = SimilarityQueries.pcaRotate(s, emb, model)
       .localCheckpoint(false)
     val stats = SimilarityQueries.sq8GlobalStats(rotated).localCheckpoint(false)
@@ -76,18 +72,13 @@ object RotIngest {
     val cents = SimilarityQueries.pqTrainCodebook(s, sub).localCheckpoint(false)
     val pq = SimilarityQueries.pqEncodeCodes(s, sub, cents)
     Seq(codesTable(dir), codebookTable(dir), modelTable(dir), statsTable(dir))
-      .foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-      }
+      .foreach(Bucketing.dropManaged(s, _))
     Bucketing.writeBucketed(codes.join(pq, Seq("vec_id"))
       .select($"vec_id", $"codes", $"pq"), codesTable(dir), "vec_id", Buckets)
     cents.write.mode("overwrite").format("parquet").saveAsTable(codebookTable(dir))
     basis.indices
-      .map(j => (j, basis(j).toSeq))
-      .toDF("j", "brow")
+      .map(j => (j, basis(j).toSeq, vals(j)))
+      .toDF("j", "brow", "eigval")
       .write.mode("overwrite").format("parquet").saveAsTable(modelTable(dir))
     stats.withColumn("mu", typedLit(mu.toSeq))
       .write.mode("overwrite").format("parquet").saveAsTable(statsTable(dir))
@@ -95,17 +86,19 @@ object RotIngest {
   }
 
   /** Read the stored rotation back as a [[SimilarityQueries.pcaRotate]]
-    * model (KB collect — d rows of d doubles; eigenvalues are not
-    * stored and not needed to rotate, so zeros stand in). */
+    * model (KB collect — d rows of d doubles). Eigenvalues are stored
+    * and returned REAL, in the permuted order: a zero stand-in would be
+    * a silent trap for any consumer that re-derives the subspace
+    * allocation from model._1 (round-13 review finding). */
   def readModel(s: SparkSession, dir: String)
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
     import s.implicits._
     val rows = s.table(modelTable(dir))
-      .select($"j", $"brow").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .select($"j", $"brow", $"eigval").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     val mu = s.table(statsTable(dir)).select($"mu").head()
       .getSeq[Double](0).toArray
-    (Array.fill(rows.length)(0.0), rows.map(_._2), mu)
+    (rows.map(_._3), rows.map(_._2), mu)
   }
 }

@@ -86,10 +86,12 @@ object DedupQueries {
     // occurrence frame is corpus-occurrence-sized and the column-pruned
     // bucketed scan IS the cheap form; pinning it in memory would be
     // the mistake. Absent the table, the memoized text mint runs —
-    // rebuild-if-absent, identical rows (OccMemoSpec pins both).
-    val t = graft.jobs.OccIngest.occTable(dir)
-    if (s.catalog.tableExists(t))
-      s.table(t).select(col("doc_id"), col("kind"), col("h"))
+    // rebuild-if-absent, identical rows (OccMemoSpec pins both). The
+    // existence check rides OccIngest's positive-only session cache so
+    // this hot construction path is not a per-query catalog RPC.
+    if (graft.jobs.OccIngest.tableKnown(s, dir))
+      s.table(graft.jobs.OccIngest.occTable(dir))
+        .select(col("doc_id"), col("kind"), col("h"))
     else taggedOccCorpusFromText(s, dir)
   }
 

@@ -69,7 +69,8 @@ class GraphIngestSpec extends SparkSuite {
   }
 
   test("advanceState: one day's edge batch appends bucket-aligned and rolls " +
-      "the label history forward — advance == from-scratch rebuild per round") {
+      "the label history forward — advance == from-scratch rebuild per round, " +
+      "including weight-merging overlap rows and a chained second day") {
     import graft.queries.GraphQueries.{ChurnMod, LpaRounds}
     val prefix = "graphadv_test"
     // synthetic yesterday/today split of the real corpus graph: old =
@@ -79,17 +80,17 @@ class GraphIngestSpec extends SparkSuite {
     val isBatch = ($"u" + $"v") % ChurnMod === 0
     val old = full.where(!isBatch).localCheckpoint(true)
     val batch = full.where(isBatch).localCheckpoint(true)
-    val oldHist = GraphQueries.lpaHistory(old.select($"u", $"v"))
-      .map(_.localCheckpoint(true))
-    GraphIngest.ingestTables(spark, old, oldHist,
-      s"${prefix}_edges", s"${prefix}_lpahist")
+    // the documented base: a SELF-CONSISTENT pair (edges + history over
+    // those same edges) — the q146 demo pair ingest(dir) writes is not
+    // a valid advance base (see the GraphIngest scaladocs)
+    GraphIngest.ingestConsistent(spark, prefix, old)
 
     GraphIngest.advanceState(spark, prefix, batch)
 
     // edges: aggregated table == the full graph exactly
-    val readBack = rows(spark.table(s"${prefix}_edges")
-      .groupBy($"u", $"v").agg(sum($"w").as("w")).orderBy($"u", $"v"))
-    assert(readBack == rows(full.orderBy($"u", $"v")))
+    def aggRead = spark.table(s"${prefix}_edges")
+      .groupBy($"u", $"v").agg(sum($"w").as("w")).orderBy($"u", $"v")
+    assert(rows(aggRead) == rows(full.orderBy($"u", $"v")))
     // history: every stored round == a from-scratch LPA over the full
     // graph (the roll-forward's correctness contract)
     val scratch = GraphQueries.lpaHistory(full.select($"u", $"v"))
@@ -99,20 +100,34 @@ class GraphIngestSpec extends SparkSuite {
       assert(stored == rows(scratch(k - 1).orderBy($"v")),
         s"round $k: advanced history must equal the rebuild")
     }
-    // a second day advances again on top of the advanced state: shift
-    // ids past the corpus so the new edges attach as fresh nodes
-    val batch2 = full.where(isBatch)
+    // a second day: NEW nodes (ids shifted past the corpus) PLUS an
+    // OVERLAP slice re-sending existing pairs with fresh weight — the
+    // case the read path's sum(w)-per-pair merge exists for (a (u, v)
+    // pair now spans base + delta physical rows)
+    val shifted = full.where(isBatch)
       .select(($"u" + 1000000L).as("u"), ($"v" + 1000000L).as("v"), $"w")
-      .localCheckpoint(true)
+    // symmetric selector keeps the overlap delta MIRRORED (the contract)
+    val overlap = full.where(isBatch && ($"u" + $"v") % 5 === 0)
+      .select($"u", $"v", lit(3L).as("w"))
+    val batch2 = shifted.unionByName(overlap).localCheckpoint(true)
     GraphIngest.advanceState(spark, prefix, batch2)
-    val full2 = full.unionByName(batch2).localCheckpoint(true)
+    // expected edges: pairwise-summed union (overlap pairs gain +3)
+    val full2 = full.unionByName(batch2)
+      .groupBy($"u", $"v").agg(sum($"w").as("w")).localCheckpoint(true)
+    assert(rows(aggRead) == rows(full2.orderBy($"u", $"v")),
+      "overlap delta rows must merge by weight sum on read")
+    // history: EVERY round of the two-day advance == rebuild over the
+    // merged graph (overlap pairs change no pair-set, only weights —
+    // LPA is weight-blind, so the rebuild sees the same vote structure)
     val scratch2 = GraphQueries.lpaHistory(full2.select($"u", $"v"))
-    val storedLast = rows(spark.table(s"${prefix}_lpahist")
-      .where($"round" === LpaRounds).select($"v", $"lab").orderBy($"v"))
-    assert(storedLast == rows(scratch2(LpaRounds - 1).orderBy($"v")),
-      "second advance must equal the two-day rebuild")
-    Seq(s"${prefix}_edges", s"${prefix}_lpahist").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    (1 to LpaRounds).foreach { k =>
+      val stored = rows(spark.table(s"${prefix}_lpahist")
+        .where($"round" === k).select($"v", $"lab").orderBy($"v"))
+      assert(stored == rows(scratch2(k - 1).orderBy($"v")),
+        s"round $k: second advance must equal the two-day rebuild")
+    }
+    Seq(s"${prefix}_edges", s"${prefix}_lpahist", s"${prefix}_lpahist__next")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("bucketed edge table joins a u-keyed frame with no edge-side exchange") {

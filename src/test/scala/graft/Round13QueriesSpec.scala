@@ -72,17 +72,24 @@ class Round13QueriesSpec extends SparkSuite {
       assert(r.getBoolean(3), s"stored_ok failed: $r")
       assert(r.getBoolean(4), s"mono_ok failed: $r")
     }
-    // production read path: the code-only scan never touches floats
+    // production read path: pin the actual READ SCHEMAS (the vacuous
+    // form — "no embedding column in a plan over a table that has
+    // none" — could never fail; round-13 review finding). The neighbor
+    // side must be pruned to exactly (vec_id, pq) and the query-LUT
+    // side to (vec_id, codes): column pruning is q118's byte argument.
     val R = graft.jobs.RotIngest
     val (codesT, cbT) = R.ingest(spark, sf0001)
-    val searchScans = graft.queries.SimilarityQueries
+    val schemas = graft.queries.SimilarityQueries
       .pqCodesScan(spark, spark.table(codesT), spark.table(cbT))
       .queryExecution.sparkPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.schema.fieldNames.contains("embedding") => s
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.requiredSchema.fieldNames.toSet
       }
-    assert(searchScans.isEmpty,
-      s"q155 search must read only code columns: $searchScans")
+    assert(schemas.exists(_ == Set("vec_id", "pq")),
+      s"neighbor scan must prune to (vec_id, pq): $schemas")
+    assert(schemas.exists(_ == Set("vec_id", "codes")),
+      s"query-LUT scan must prune to (vec_id, codes): $schemas")
+    assert(schemas.forall(!_.contains("embedding")), schemas.toString)
   }
 
   test("q153 divergence fixture: low-accuracy sketch threshold diverges from " +
