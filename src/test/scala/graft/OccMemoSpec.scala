@@ -60,6 +60,47 @@ class OccMemoSpec extends SparkSuite {
     assert(rows(DedupQueries.q25MinhashSig(spark, sf0001)) == direct)
   }
 
+  test("OccIngest.appendBatch: daily growth tokenizes only the new docs — " +
+      "merged table == full re-ingest row-for-row, a replayed batch appends " +
+      "nothing, and consumers over the grown corpus match the pure text path") {
+    import graft.jobs.OccIngest
+    val dir = tmpDir("occ_grow")
+    val docs = Tables.documents(spark, sf0001).localCheckpoint(true)
+    // day-1 corpus = ~80% of docs; day-2 batch = the complement
+    val isNew = $"doc_id" % 5 === 0
+    docs.where(!isNew).write.mode("append").parquet(s"$dir/documents.parquet")
+    OccIngest.ingest(spark, dir)
+    val t = OccIngest.occTable(dir)
+    val baseRows = spark.table(t).count()
+
+    // day-2: the new docs land in the dir (the daily-growth model) AND
+    // flow through appendBatch; the pre-growth text memo is now stale
+    val newDocs = docs.where(isNew).localCheckpoint(true)
+    newDocs.write.mode("append").parquet(s"$dir/documents.parquet")
+    DedupQueries.clearMemos(spark)
+    OccIngest.appendBatch(spark, dir, newDocs)
+    val mergedRows = spark.table(t).count()
+    assert(mergedRows > baseRows)
+
+    // merged table == the full-corpus mint (what a full re-ingest writes)
+    val merged = spark.table(t).select($"doc_id", $"kind", $"h")
+    val full = DedupQueries.taggedOccForDocs(spark,
+      Tables.documents(spark, dir).select($"doc_id", $"text"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental append must reproduce the full re-ingest exactly")
+
+    // at-least-once delivery: the replayed batch appends nothing
+    OccIngest.appendBatch(spark, dir, newDocs)
+    assert(spark.table(t).count() == mergedRows, "replay must be a no-op")
+
+    // a consumer over the grown corpus reads the merged table and equals
+    // the pure text path of the same (grown) corpus
+    val viaTable = rows(DedupQueries.q25MinhashSig(spark, dir))
+    OccIngest.drop(spark, dir)
+    DedupQueries.clearMemos(spark)
+    assert(rows(DedupQueries.q25MinhashSig(spark, dir)) == viaTable)
+  }
+
   test("warm consumers read the checkpoint: q83's plan holds no text scan; " +
       "one shared RDD id serves the family") {
     DedupQueries.clearMemos(spark)
