@@ -13,15 +13,26 @@ import graft.queries.GraphQueries
   * state survives the process instead of living only in the
   * per-session [[graft.operators.FrameMemo]].
   *
-  * Two tables per corpus dir:
+  * Tables per corpus dir:
   *  - `<prefix>_edges` — the mirrored WEIGHTED co-purchase edge list
-  *    (u, v, w) BUCKETED by `u` ([[graft.io.Bucketing]]): the canonical
-  *    layout every iterative graph query wants (stationary edge side of
-  *    each round's join already distributed on the join key). All ten
-  *    graph queries derive their edge views from this frame.
+  *    (u, v, w, batch_id) BUCKETED by `u` ([[graft.io.Bucketing]]): the
+  *    canonical layout every iterative graph query wants (stationary
+  *    edge side of each round's join already distributed on the join
+  *    key). All ten graph queries derive their edge views from this
+  *    frame. `batch_id` is null on base rows and carries the caller's
+  *    id on [[advanceState]] delta rows — the replay-idempotency and
+  *    crash-recovery key (see below).
   *  - `<prefix>_lpahist` — q146's REQUIRED persisted state: yesterday's
   *    per-round LPA label history over the OLD graph (round, v, lab),
   *    bucketed by `v` — node-sized × [[GraphQueries.LpaRounds]] rows.
+  *  - `<prefix>_meta` — 1-row provenance: `consistent` is true only for
+  *    pairs whose history describes the edges table's own graph (the
+  *    [[ingestConsistent]]/advanceState lineage). [[advanceState]]
+  *    `require`s it, turning the round-13 doc-only ingest-vs-
+  *    ingestConsistent guard into a mechanism.
+  *  - `<prefix>_pending` — 1-row in-flight marker (the advancing
+  *    batch_id), present only between an advance's first durable
+  *    mutation and its commit; [[heal]] consumes it.
   *
   * The session memos in [[GraphQueries]] become read-through caches
   * over these tables: a fresh process with the tables present pays one
@@ -46,6 +57,9 @@ object GraphIngest {
   def edgesTable(dir: String): String = s"${tablePrefix(dir)}_edges"
   def histTable(dir: String): String = s"${tablePrefix(dir)}_lpahist"
 
+  private def metaTable(prefix: String): String = s"${prefix}_meta"
+  private def pendingTable(prefix: String): String = s"${prefix}_pending"
+
   /** Ingest the graph state of `dir`; returns (edgesTable, histTable).
     * Idempotent — a pair already in this session's catalog is reused
     * (same dir ⇒ same derived tables; the [[CodesIngest.ingestFrame]]
@@ -63,140 +77,259 @@ object GraphIngest {
       edgesT: String, histT: String): (String, String) = {
     import s.implicits._
     // build through the session memos, so the ingest writer and any
-    // queries already run this session share one materialization
+    // queries already run this session share one materialization.
+    // consistent = false: this is the q146 DEMO pair — edges = today's
+    // full graph, history = yesterday's ChurnMod-OLD subgraph (what
+    // q146LpaEdgeChurn's read path consumes) — NOT a valid advance base
     val edges = GraphQueries.weightedEdgesPartitioned(s, dir)
     val hist = GraphQueries.lpaHistoryForIngest(s, dir)
-    ingestTables(s, edges.select($"u", $"v", $"w"), hist, edgesT, histT)
+    ingestTables(s, edges.select($"u", $"v", $"w"), hist, edgesT, histT,
+      consistent = false)
     (edgesT, histT)
   }
 
   /** Write an arbitrary (mirrored weighted edge frame, per-round label
     * history) pair as the bucketed state tables — the writer shared by
-    * [[ingest]] (dir-derived frames) and [[advanceState]] (rolled-
-    * forward frames); GraphIngestSpec drives it directly with a
-    * synthetic old/batch split. Both inputs must be MATERIALIZED
-    * (checkpointed) before this runs: it DROPs the very tables a
-    * table-read-through frame would lazily scan (the round-13 review
-    * finding's hazard class). */
+    * [[ingest]] (dir-derived frames) and [[ingestConsistent]]. Both
+    * inputs must be MATERIALIZED (checkpointed) before this runs: it
+    * DROPs the very tables a table-read-through frame would lazily scan
+    * (the round-13 review finding's hazard class). */
   private[graft] def ingestTables(s: SparkSession, edges: DataFrame,
-      hist: Vector[DataFrame], edgesT: String, histT: String): Unit = {
+      hist: Vector[DataFrame], edgesT: String, histT: String,
+      consistent: Boolean): Unit = {
     import s.implicits._
-    Seq(edgesT, histT).foreach(Bucketing.dropManaged(s, _))
-    Bucketing.writeBucketed(edges, edgesT, "u", Buckets)
+    val prefix = edgesT.stripSuffix("_edges")
+    Seq(edgesT, histT, metaTable(prefix), pendingTable(prefix))
+      .foreach(Bucketing.dropManaged(s, _))
+    Bucketing.writeBucketed(
+      edges.withColumn("batch_id", lit(null).cast("string")),
+      edgesT, "u", Buckets)
     val histUnion = hist.zipWithIndex
       .map { case (df, i) => df.select(lit(i + 1).as("round"), $"v", $"lab") }
       .reduce(_ unionByName _)
     Bucketing.writeBucketed(histUnion, histT, "v", Buckets)
+    Seq(consistent).toDF("consistent").write.mode("overwrite")
+      .format("parquet").saveAsTable(metaTable(prefix))
   }
 
   /** Write a SELF-CONSISTENT state pair under `prefix`: the given
     * mirrored weighted edges AND the LPA history computed over that
-    * SAME graph — the only valid base for [[advanceState]].
-    *
-    * This is deliberately distinct from [[ingest]]: ingest(dir) writes
-    * the q146 DEMO pair — edges = today's full graph, history =
-    * yesterday's ChurnMod-OLD subgraph — because that is what
-    * q146LpaEdgeChurn's read path consumes. That pair's history does
-    * NOT describe its edges table's graph, so advancing it would
-    * silently break the advance ≡ rebuild contract (round-13 review
-    * finding #1); advanceState refuses nothing it cannot detect, so the
-    * split into two constructors IS the guard. */
+    * SAME graph — the only valid base for [[advanceState]], and the
+    * only writer that stamps `consistent = true` in the provenance
+    * table (advanceState `require`s the stamp — GraphIngestSpec pins
+    * the fail-fast on the [[ingest]] demo pair). */
   def ingestConsistent(s: SparkSession, prefix: String, edges: DataFrame): Unit =
     GraphIngest.synchronized {
       import s.implicits._
       val edgesC = edges.select($"u", $"v", $"w").localCheckpoint(true)
       val hist = GraphQueries.lpaHistory(edgesC.select($"u", $"v"))
         .map(_.localCheckpoint(true))
-      ingestTables(s, edgesC, hist, s"${prefix}_edges", s"${prefix}_lpahist")
+      ingestTables(s, edgesC, hist, s"${prefix}_edges", s"${prefix}_lpahist",
+        consistent = true)
     }
 
   /** Advance the persisted graph state of `prefix` by ONE day's edge
     * batch — the daily-ingest contract q146 documents, made durable:
     *
-    *  1. the label history rolls forward via
+    *  1. the mirrored weighted batch rows APPEND bucket-aligned into the
+    *     edges table, tagged with `batchId` (delta rows; the read path
+    *     aggregates Σw per (u, v), which rides the bucketing
+    *     exchange-free — HashPartitioning(u) satisfies the (u, v)
+    *     clustering);
+    *  2. the label history rolls forward via
     *     [[GraphQueries.lpaAdvance]] — churn-neighborhood-sized work per
     *     round against yesterday's stored rounds, NEVER a full-graph LPA
-    *     re-run — and the patched rounds become the next day's baseline;
-    *  2. the mirrored weighted batch rows APPEND bucket-aligned into the
-    *     edges table (delta rows; the read path aggregates Σw per (u, v),
-    *     which rides the bucketing exchange-free — HashPartitioning(u)
-    *     satisfies the (u, v) clustering).
+    *     re-run — and the patched rounds become the next day's baseline.
     *
-    * PRECONDITION: the history table holds the LPA history OVER the edges
-    * table's own graph — the pair [[ingestConsistent]] writes, or the one
-    * a previous advanceState left. The q146 demo pair [[ingest]] writes
-    * (edges = today, history = yesterday's subgraph) is NOT a valid base
-    * (see [[ingestConsistent]]). advance ≡ from-scratch rebuild is
-    * hash-pinned per round in GraphIngestSpec, including weight-merging
-    * overlap batches and a chained second day.
+    * PRECONDITIONS, both mechanized (round-13 review #2/#7): the
+    * provenance row must say `consistent` (the pair [[ingestConsistent]]
+    * writes, or one a previous advanceState left — the [[ingest]] demo
+    * pair and legacy pairs without provenance fail fast with a rebuild
+    * message), and `batchId` must be unique per logical batch — replay
+    * idempotency is a row-level (u, v, batch_id) anti-join against the
+    * stored delta rows (the [[CodesIngest.appendBatch]] contract lifted
+    * to edge batches), so an at-least-once redelivery appends nothing
+    * and a partially-applied batch completes. advance ≡ from-scratch
+    * rebuild is hash-pinned per round in GraphIngestSpec, including
+    * weight-merging overlap batches, a chained second day, and a
+    * double-delivered day.
     *
     * Per-advance cost, stated honestly (round-13 review finding #3): the
     * ROUNDS are churn-neighborhood-sized, but the setup pays ONE linear
-    * edge-key pass — the table ∪ batch must be re-aggregated to
+    * edge-key pass — the post-append table must be re-aggregated to
     * pair-distinct form because LPA votes count edge ROWS and prior
     * advances may have appended overlapping delta rows. That pass is one
     * scan + one keyed exchange (the same order as any single graph
     * query's setup, and LpaRounds× cheaper than the full re-run the
     * roll-forward replaces); the checkpoint behind it is disk-backed.
     *
-    * Crash-consistency: the new history is written COMPLETELY to a
-    * `<hist>__next` staging table BEFORE the edges append; the commit
-    * order is stage-hist → append-edges → swap-hist. A crash before the
-    * append loses nothing (orphan staging table, overwritten next run);
-    * a crash between append and swap leaves the batch in the edges
-    * table with the OLD history still current and the advanced rounds
-    * parked in `__next` — re-run advanceState with an EMPTY batch to
-    * complete the roll-forward (the setup re-aggregation makes the
-    * replayed append visible to it), or rebuild via [[ingestConsistent]].
-    * Without a transactional catalog this two-phase order is the
-    * strongest available: every window leaves a detectable artifact,
-    * never silently wrong state.
+    * Crash-consistency — every window now SELF-HEALS (round-13 advice:
+    * the old stage-first order could swap stale history back in). The
+    * commit order is mark-pending → append-tagged-batch → stage the new
+    * history COMPLETELY to `<hist>__next` → swap → clear-pending, and
+    * [[heal]] (run automatically at the start of every advance) closes
+    * each window:
+    *  - crash before the append: the pending batch has no tagged rows —
+    *    heal re-derives an empty frontier, so the roll-forward is the
+    *    identity and the marker clears; the lost batch simply replays;
+    *  - crash during/after the append: heal recovers the frontier FROM
+    *    the tagged rows (this is what batch_id buys) and completes the
+    *    roll-forward against the graph as stored; a redelivery then
+    *    appends only what is missing;
+    *  - crash between the history drop and the rename: heal just
+    *    completes the swap — `__next` was staged complete from the
+    *    post-append graph, so renaming it IS the commit;
+    *  - crash after the swap: the re-derived delta is empty, so heal is
+    *    the identity and clears the marker.
+    * An unreadable pending marker degrades to a FULL-frontier heal
+    * (cost: one full LPA — a rebuild, never wrong state).
     *
     * `batch` must be the MIRRORED weighted (u, v, w) delta (both
-    * orientations), delivered exactly once — edge rows carry no unique
-    * key, so replay idempotency is the caller's contract (unlike
-    * [[CodesIngest.appendBatch]]'s vec_id anti-join). Session memos keyed
-    * to a DIR whose tables this advanced are stale afterwards; pair with
+    * orientations). Session memos keyed to a DIR whose tables this
+    * advanced are stale afterwards; pair with
     * [[GraphQueries.clearMemos]] (the spec prefix path has no memo). */
-  def advanceState(s: SparkSession, prefix: String, batch: DataFrame): Unit =
+  def advanceState(s: SparkSession, prefix: String, batchId: String,
+      batch: DataFrame): Unit =
+    advanceStateUntil(s, prefix, batchId, batch, stopAfter = "done")
+
+  /** Failpoint-instrumented body of [[advanceState]] — `stopAfter`
+    * simulates a crash after the named step ("pending" | "append" |
+    * "stage" | "drophist"); production passes "done". The seam exists so
+    * GraphIngestSpec can drive REAL crash windows through the REAL code
+    * path and pin that [[heal]] closes each one. */
+  private[graft] def advanceStateUntil(s: SparkSession, prefix: String,
+      batchId: String, batch: DataFrame, stopAfter: String): Unit =
     GraphIngest.synchronized {
       import s.implicits._
       val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
-      require(s.catalog.tableExists(edgesT) && s.catalog.tableExists(histT),
+      require(s.catalog.tableExists(edgesT),
         s"advanceState needs a CONSISTENT base pair (ingestConsistent, " +
-          s"or a prior advanceState): $edgesT, $histT")
-      val batchC = batch.select($"u", $"v", $"w").localCheckpoint(false)
-      // the new full graph, duplicate (u, v) delta rows merged — LPA
-      // votes count edge ROWS, so the frame must be pair-distinct; one
-      // linear edge-key pass (see the cost note above), checkpointed
-      // because the rounds probe it repeatedly
-      val full = Materialize.checkpointPartitioned(
-        s.table(edgesT).select($"u", $"v", $"w").unionByName(batchC)
-          .groupBy($"u", $"v").agg(sum($"w").as("w"))
-          .repartition($"u"))
-      val hist = (1 to GraphQueries.LpaRounds).map(k =>
-        s.table(histT).where($"round" === k)
-          .select($"v", $"lab").localCheckpoint(true)).toVector
-      val e0 = batchC.select($"u".as("v")).distinct()
-      val (patched, _) = GraphQueries.lpaAdvance(full.select($"u", $"v"), e0, hist)
-      // phase 1: stage the COMPLETE new history before any durable
-      // mutation (a crash here costs only an orphan staging table)
-      val nextT = s"${histT}__next"
-      Bucketing.dropManaged(s, nextT)
-      val histUnion = patched.zipWithIndex
-        .map { case (df, i) => df.select(lit(i + 1).as("round"), $"v", $"lab") }
-        .reduce(_ unionByName _)
-      Bucketing.writeBucketed(histUnion, nextT, "v", Buckets)
-      // phase 2: append the batch, then swap the staged history in
-      Bucketing.appendBucketed(batchC, edgesT, "u", Buckets)
-      Bucketing.dropManaged(s, histT)
-      s.sql(s"ALTER TABLE $nextT RENAME TO $histT")
+          s"or a prior advanceState): $edgesT")
+      require(batchId != null && batchId.nonEmpty, "advanceState needs a batchId")
+      requireConsistent(s, prefix)
+      // heal BEFORE checking the history table: a crash inside a prior
+      // advance's swap legitimately leaves it missing with the staged
+      // __next parked — heal commits it
+      healLocked(s, prefix)
+      require(s.catalog.tableExists(histT),
+        s"advanceState needs a CONSISTENT base pair (ingestConsistent, " +
+          s"or a prior advanceState): $histT")
+      // pair-distinct merge of the delta itself: Σw per (u, v) is the
+      // read semantics anyway, and it makes (u, v, batchId) a unique row
+      // key — the anti-join below is then exact row-level idempotency
+      val batchC = batch.select($"u", $"v", $"w")
+        .groupBy($"u", $"v").agg(sum($"w").as("w"))
+        .withColumn("batch_id", lit(batchId))
+        .localCheckpoint(false)
+      val fresh = batchC.join(
+        s.table(edgesT).where($"batch_id" === batchId)
+          .select($"u", $"v", $"batch_id"),
+        Seq("u", "v", "batch_id"), "left_anti")
+      if (fresh.isEmpty) return // fully-applied redelivery (or empty batch)
+      // phase 1: durable in-flight marker BEFORE any table mutation —
+      // heal derives everything else from the tagged rows it governs
+      Bucketing.dropManaged(s, pendingTable(prefix))
+      Seq(batchId).toDF("batch_id").write.mode("overwrite")
+        .format("parquet").saveAsTable(pendingTable(prefix))
+      if (stopAfter == "pending") return
+      // phase 2: append the tagged delta rows bucket-aligned
+      Bucketing.appendBucketed(fresh.select($"u", $"v", $"w", $"batch_id"),
+        edgesT, "u", Buckets)
+      if (stopAfter == "append") return
+      // phase 3+: roll the history forward from the post-append table
+      // and commit — shared verbatim with heal's recovery path
+      rollForward(s, prefix, frontierOf(s, prefix, Some(batchId)), stopAfter)
     }
 
+  private def requireConsistent(s: SparkSession, prefix: String): Unit = {
+    val metaT = metaTable(prefix)
+    require(s.catalog.tableExists(metaT) &&
+        s.table(metaT).head().getBoolean(0),
+      s"advanceState needs provenance `consistent = true` ($metaT): the " +
+        "ingest(dir) demo pair (edges = today, history = yesterday's " +
+        "subgraph) and pre-provenance pairs cannot be advanced — rebuild " +
+        "the base with ingestConsistent")
+  }
+
+  /** The churn frontier of a (possibly partially) applied batch,
+    * re-derived FROM the stored tagged rows — the batch is mirrored, so
+    * its `u` column covers every endpoint. batchId = None is the
+    * degraded full-frontier form (every endpoint): a full LPA recompute
+    * through the same roll-forward — rebuild cost, never wrong state. */
+  private def frontierOf(s: SparkSession, prefix: String,
+      batchId: Option[String]): DataFrame = {
+    import s.implicits._
+    val edges = s.table(s"${prefix}_edges")
+    batchId.fold(edges)(b => edges.where($"batch_id" === b))
+      .select($"u".as("v")).distinct()
+  }
+
+  /** Steps 3..6 of the advance — also heal's recovery path: aggregate
+    * the post-append table to the pair-distinct full graph (the honest
+    * one-linear-pass setup cost), roll the stored history forward over
+    * the given frontier, stage to `__next`, swap, clear the marker. */
+  private def rollForward(s: SparkSession, prefix: String,
+      e0: DataFrame, stopAfter: String): Unit = {
+    import s.implicits._
+    val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
+    val full = Materialize.checkpointPartitioned(
+      s.table(edgesT).groupBy($"u", $"v").agg(sum($"w").as("w"))
+        .repartition($"u"))
+    val hist = (1 to GraphQueries.LpaRounds).map(k =>
+      s.table(histT).where($"round" === k)
+        .select($"v", $"lab").localCheckpoint(true)).toVector
+    val (patched, _) = GraphQueries.lpaAdvance(full.select($"u", $"v"), e0, hist)
+    val nextT = s"${histT}__next"
+    Bucketing.dropManaged(s, nextT)
+    val histUnion = patched.zipWithIndex
+      .map { case (df, i) => df.select(lit(i + 1).as("round"), $"v", $"lab") }
+      .reduce(_ unionByName _)
+    Bucketing.writeBucketed(histUnion, nextT, "v", Buckets)
+    if (stopAfter == "stage") return
+    Bucketing.dropManaged(s, histT)
+    if (stopAfter == "drophist") return
+    s.sql(s"ALTER TABLE $nextT RENAME TO $histT")
+    Bucketing.dropManaged(s, pendingTable(prefix))
+  }
+
+  /** Complete any parked [[advanceState]] — runs automatically at the
+    * start of every advance and is safe (and idempotent) to call any
+    * time. No pending marker ⇒ no-op (a `__next` orphan without a
+    * marker can only predate the marker protocol; it is dropped). With
+    * a marker: if the history table is missing the staged `__next` IS
+    * the committed state (it was written complete from the post-append
+    * graph) — the swap just finishes; otherwise the roll-forward is
+    * re-derived from the tagged rows, which is the identity when the
+    * swap had already happened. */
+  def heal(s: SparkSession, prefix: String): Unit =
+    GraphIngest.synchronized { healLocked(s, prefix) }
+
+  private def healLocked(s: SparkSession, prefix: String): Unit = {
+    import s.implicits._
+    val histT = s"${prefix}_lpahist"
+    val nextT = s"${histT}__next"
+    if (!s.catalog.tableExists(pendingTable(prefix))) {
+      if (s.catalog.tableExists(nextT)) Bucketing.dropManaged(s, nextT)
+      return
+    }
+    if (!s.catalog.tableExists(histT) && s.catalog.tableExists(nextT)) {
+      // crash inside the swap: staging was complete — commit it
+      s.sql(s"ALTER TABLE $nextT RENAME TO $histT")
+      Bucketing.dropManaged(s, pendingTable(prefix))
+      return
+    }
+    val batchId = // unreadable marker ⇒ None ⇒ full-frontier recompute
+      try Some(s.table(pendingTable(prefix)).head().getString(0))
+      catch { case scala.util.control.NonFatal(_) => None }
+    rollForward(s, prefix, frontierOf(s, prefix, batchId), stopAfter = "done")
+  }
+
   /** Drop the persisted graph state of `dir` (test hook / re-ingest),
-    * including any advanceState staging table. */
+    * including provenance, marker, and any advanceState staging table. */
   def drop(s: SparkSession, dir: String): Unit = GraphIngest.synchronized {
-    Seq(edgesTable(dir), histTable(dir), s"${histTable(dir)}__next")
+    val prefix = tablePrefix(dir)
+    Seq(edgesTable(dir), histTable(dir), s"${histTable(dir)}__next",
+      metaTable(prefix), pendingTable(prefix))
       .foreach(Bucketing.dropManaged(s, _))
   }
 }

@@ -85,7 +85,7 @@ class GraphIngestSpec extends SparkSuite {
     // a valid advance base (see the GraphIngest scaladocs)
     GraphIngest.ingestConsistent(spark, prefix, old)
 
-    GraphIngest.advanceState(spark, prefix, batch)
+    GraphIngest.advanceState(spark, prefix, "day1", batch)
 
     // edges: aggregated table == the full graph exactly
     def aggRead = spark.table(s"${prefix}_edges")
@@ -110,7 +110,7 @@ class GraphIngestSpec extends SparkSuite {
     val overlap = full.where(isBatch && ($"u" + $"v") % 5 === 0)
       .select($"u", $"v", lit(3L).as("w"))
     val batch2 = shifted.unionByName(overlap).localCheckpoint(true)
-    GraphIngest.advanceState(spark, prefix, batch2)
+    GraphIngest.advanceState(spark, prefix, "day2", batch2)
     // expected edges: pairwise-summed union (overlap pairs gain +3)
     val full2 = full.unionByName(batch2)
       .groupBy($"u", $"v").agg(sum($"w").as("w")).localCheckpoint(true)
@@ -126,8 +126,100 @@ class GraphIngestSpec extends SparkSuite {
       assert(stored == rows(scratch2(k - 1).orderBy($"v")),
         s"round $k: second advance must equal the two-day rebuild")
     }
-    Seq(s"${prefix}_edges", s"${prefix}_lpahist", s"${prefix}_lpahist__next")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropPrefix(prefix)
+  }
+
+  private def dropPrefix(prefix: String): Unit =
+    Seq("_edges", "_lpahist", "_lpahist__next", "_meta", "_pending")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
+
+  private def histRows(prefix: String, k: Int): Seq[Seq[Any]] =
+    rows(spark.table(s"${prefix}_lpahist")
+      .where($"round" === k).select($"v", $"lab").orderBy($"v"))
+
+  private def edgeAggRows(prefix: String): Seq[Seq[Any]] =
+    rows(spark.table(s"${prefix}_edges")
+      .groupBy($"u", $"v").agg(sum($"w").as("w")).orderBy($"u", $"v"))
+
+  test("advanceState replay safety is a mechanism: a double-delivered batch " +
+      "appends nothing and leaves edges + history identical") {
+    import graft.queries.GraphQueries.{ChurnMod, LpaRounds}
+    val prefix = "graphreplay_test"
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % ChurnMod === 0
+    GraphIngest.ingestConsistent(spark, prefix, full.where(!isBatch))
+    val batch = full.where(isBatch).localCheckpoint(true)
+    GraphIngest.advanceState(spark, prefix, "day1", batch)
+    val edges1 = edgeAggRows(prefix)
+    val hist1 = (1 to LpaRounds).map(histRows(prefix, _))
+    val physRows = spark.table(s"${prefix}_edges").count()
+    // the same logical batch re-delivered (at-least-once): no-op
+    GraphIngest.advanceState(spark, prefix, "day1", batch)
+    assert(spark.table(s"${prefix}_edges").count() == physRows,
+      "redelivered batch must append zero physical rows")
+    assert(edgeAggRows(prefix) == edges1)
+    (1 to LpaRounds).foreach(k => assert(histRows(prefix, k) == hist1(k - 1)))
+    dropPrefix(prefix)
+  }
+
+  test("provenance gate: the ingest(dir) demo pair fails fast on advance " +
+      "with a rebuild message") {
+    GraphIngest.drop(spark, sf0001)
+    GraphQueries.clearMemos(spark)
+    GraphIngest.ingest(spark, sf0001)
+    val batch = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("u", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      GraphIngest.advanceState(spark, GraphIngest.tablePrefix(sf0001), "x", batch)
+    }
+    assert(e.getMessage.contains("ingestConsistent"), e.getMessage)
+    GraphIngest.drop(spark, sf0001)
+    GraphQueries.clearMemos(spark)
+  }
+
+  test("every crash window self-heals: pending-only, mid-append, staged, " +
+      "and dropped-history crashes all converge to advance == rebuild on " +
+      "the next advanceState (or a bare heal), with redelivery a no-op") {
+    import graft.queries.GraphQueries.{ChurnMod, LpaRounds}
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % ChurnMod === 0
+    val old = full.where(!isBatch).localCheckpoint(true)
+    val batch = full.where(isBatch).localCheckpoint(true)
+    val scratch = GraphQueries.lpaHistory(full.select($"u", $"v"))
+      .map(df => rows(df.orderBy($"v")))
+    val fullEdges = rows(full.orderBy($"u", $"v"))
+
+    for (window <- Seq("pending", "append", "stage", "drophist")) {
+      val prefix = s"graphcrash_${window}_test"
+      GraphIngest.ingestConsistent(spark, prefix, old)
+      // the REAL advance path, crashed after the named step
+      GraphIngest.advanceStateUntil(spark, prefix, "day1", batch, window)
+      assert(spark.catalog.tableExists(s"${prefix}_pending"),
+        s"$window: the in-flight marker must survive the crash")
+      // the caller's at-least-once redelivery heals the park and lands
+      // (or skips) the batch — no operator intervention
+      GraphIngest.advanceState(spark, prefix, "day1", batch)
+      assert(!spark.catalog.tableExists(s"${prefix}_pending"), window)
+      assert(edgeAggRows(prefix) == fullEdges,
+        s"$window: healed edges must equal the full graph")
+      (1 to LpaRounds).foreach(k => assert(histRows(prefix, k) == scratch(k - 1),
+        s"$window round $k: healed history must equal the rebuild"))
+      dropPrefix(prefix)
+    }
+
+    // a bare heal (no redelivery) after the worst window — batch fully
+    // appended, history dropped, staged __next parked — must commit the
+    // staged state rather than regress it (the round-13 advice's trap)
+    val prefix = "graphheal_test"
+    GraphIngest.ingestConsistent(spark, prefix, old)
+    GraphIngest.advanceStateUntil(spark, prefix, "day1", batch, "drophist")
+    assert(!spark.catalog.tableExists(s"${prefix}_lpahist"))
+    GraphIngest.heal(spark, prefix)
+    assert(!spark.catalog.tableExists(s"${prefix}_pending"))
+    (1 to LpaRounds).foreach(k => assert(histRows(prefix, k) == scratch(k - 1),
+      s"bare-heal round $k must equal the rebuild"))
+    dropPrefix(prefix)
   }
 
   test("bucketed edge table joins a u-keyed frame with no edge-side exchange") {
