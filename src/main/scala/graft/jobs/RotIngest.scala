@@ -33,7 +33,8 @@ import graft.queries.SimilarityQueries
   *
   * At 100 TB ingest is one covariance fold (a ~17 KB driver buffer) +
   * one rotate-and-encode pass + the PQ training aggregates; search
-  * never touches the float corpus. */
+  * never touches the float corpus, and increments ([[appendBatch]])
+  * encode against the STORED model without retraining anything. */
 object RotIngest {
 
   val Buckets = 8
@@ -45,22 +46,36 @@ object RotIngest {
   def modelTable(dir: String): String = s"${tablePrefix(dir)}_model"
   def statsTable(dir: String): String = s"${tablePrefix(dir)}_stats"
 
+  private def tables(prefix: String): Seq[String] =
+    Seq(s"${prefix}_codes", s"${prefix}_codebook", s"${prefix}_model",
+      s"${prefix}_stats")
+
   /** Ingest `dir`'s embeddings; returns (codesTable, codebookTable).
     * Idempotent per session (the CodesIngest rationale: concurrent
     * rebuilds would race DROP+CTAS against other readers, and reuse is
     * the production read path). */
   def ingest(s: SparkSession, dir: String): (String, String) =
+    ingestFrame(s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      tablePrefix(dir))
+
+  /** Ingest an arbitrary (vec_id, embedding) frame under `prefix` —
+    * the [[CodesIngest.ingestFrame]] shape (specs drive base/increment
+    * splits through it). The frame must contain the codebook seed rows
+    * (vec_id < [[SimilarityQueries.PqK]], q111's seeding rule);
+    * increments via [[appendBatch]] have no such constraint. */
+  private[graft] def ingestFrame(s: SparkSession, emb: DataFrame,
+      prefix: String): (String, String) =
     RotIngest.synchronized {
-      val all = Seq(codesTable(dir), codebookTable(dir), modelTable(dir),
-        statsTable(dir))
+      val all = tables(prefix)
       if (all.forall(s.catalog.tableExists)) (all(0), all(1))
-      else buildTables(s, dir)
+      else buildTables(s, emb, prefix)
     }
 
-  private def buildTables(s: SparkSession, dir: String): (String, String) = {
+  private def buildTables(s: SparkSession, embIn: DataFrame,
+      prefix: String): (String, String) = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      .localCheckpoint(false)
+    val Seq(codesT, cbT, modelT, statsT) = tables(prefix)
+    val emb = embIn.localCheckpoint(false)
     val model = SimilarityQueries.opqLearnedModel(s, emb)
     val (vals, basis, mu) = model
     val rotated = SimilarityQueries.pcaRotate(s, emb, model)
@@ -71,19 +86,63 @@ object RotIngest {
     val sub = SimilarityQueries.subcodeView(s, codes)
     val cents = SimilarityQueries.pqTrainCodebook(s, sub).localCheckpoint(false)
     val pq = SimilarityQueries.pqEncodeCodes(s, sub, cents)
-    Seq(codesTable(dir), codebookTable(dir), modelTable(dir), statsTable(dir))
-      .foreach(Bucketing.dropManaged(s, _))
+    tables(prefix).foreach(Bucketing.dropManaged(s, _))
     Bucketing.writeBucketed(codes.join(pq, Seq("vec_id"))
-      .select($"vec_id", $"codes", $"pq"), codesTable(dir), "vec_id", Buckets)
-    cents.write.mode("overwrite").format("parquet").saveAsTable(codebookTable(dir))
+      .select($"vec_id", $"codes", $"pq"), codesT, "vec_id", Buckets)
+    cents.write.mode("overwrite").format("parquet").saveAsTable(cbT)
     basis.indices
       .map(j => (j, basis(j).toSeq, vals(j)))
       .toDF("j", "brow", "eigval")
-      .write.mode("overwrite").format("parquet").saveAsTable(modelTable(dir))
+      .write.mode("overwrite").format("parquet").saveAsTable(modelT)
     stats.withColumn("mu", typedLit(mu.toSeq))
-      .write.mode("overwrite").format("parquet").saveAsTable(statsTable(dir))
-    (codesTable(dir), codebookTable(dir))
+      .write.mode("overwrite").format("parquet").saveAsTable(statsT)
+    (codesT, cbT)
   }
+
+  /** Incremental ingest on the LEARNED tier (VERDICT r13 item 3):
+    * encode a batch of NEW (vec_id, embedding) rows against the STORED
+    * model — basis and centering via [[readModelPrefix]], global (glo,
+    * ghi) range from the stats table, subspace assignment against the
+    * stored codebook; nothing is re-learned (the index contract the
+    * q155 scaladoc states: the stored model IS the encoder) — and
+    * append them bucket-aligned so co-located joins stay exchange-free
+    * across increments. [[CodesIngest.appendBatch]]'s frozen-stats
+    * shape applied to the rotated tier:
+    *
+    *  - replay idempotency: a vec_id anti-join against the stored codes
+    *    (at-least-once delivery appends nothing on redelivery); scan
+    *    cost is the stored vec_id column only (pruned, bucketed);
+    *  - drift clamps: rotated values outside the frozen global [lo, hi]
+    *    clamp to [0, [[SimilarityQueries.Sq8Levels]]] — the FAISS
+    *    ScalarQuantizer behavior; in-range values encode identically to
+    *    the base pass (the floor is ≤ Sq8Levels by construction), so
+    *    append ≡ frozen full encode row-for-row (RotAppendSpec pins it);
+    *  - PQ assignment is an argmin over the stored centroids —
+    *    well-defined for any input.
+    *
+    * Re-ingest (rebuild) when drift makes the frozen rotation/range
+    * unrepresentative — same judgement call as the base tier. */
+  def appendBatch(s: SparkSession, newEmb: DataFrame, prefix: String): Unit =
+    RotIngest.synchronized {
+      import s.implicits._
+      val Seq(codesT, cbT, modelT, statsT) = tables(prefix)
+      require(tables(prefix).forall(s.catalog.tableExists),
+        s"appendBatch needs an ingested base (codes/codebook/model/stats): $prefix")
+      val fresh = newEmb.select($"vec_id", $"embedding")
+        .join(s.table(codesT).select($"vec_id"), Seq("vec_id"), "left_anti")
+      val rotated = SimilarityQueries.pcaRotate(s, fresh, readModelPrefix(s, prefix))
+      val stats = s.table(statsT).select($"glo", $"ghi")
+      val codes = SimilarityQueries.sq8EncodeGlobal(rotated, stats)
+        .select($"vec_id", transform($"codes", c =>
+          least(greatest(c, lit(0L)), lit(SimilarityQueries.Sq8Levels.toLong)))
+          .as("codes"))
+        .localCheckpoint(false)
+      val pq = SimilarityQueries.pqEncodeCodes(s,
+        SimilarityQueries.subcodeView(s, codes), s.table(cbT))
+      Bucketing.appendBucketed(
+        codes.join(pq, Seq("vec_id")).select($"vec_id", $"codes", $"pq"),
+        codesT, "vec_id", Buckets)
+    }
 
   /** Read the stored rotation back as a [[SimilarityQueries.pcaRotate]]
     * model (KB collect — d rows of d doubles). Eigenvalues are stored
@@ -91,13 +150,17 @@ object RotIngest {
     * a silent trap for any consumer that re-derives the subspace
     * allocation from model._1 (round-13 review finding). */
   def readModel(s: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double]) =
+    readModelPrefix(s, tablePrefix(dir))
+
+  private[graft] def readModelPrefix(s: SparkSession, prefix: String)
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
     import s.implicits._
-    val rows = s.table(modelTable(dir))
+    val rows = s.table(s"${prefix}_model")
       .select($"j", $"brow", $"eigval").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val mu = s.table(statsTable(dir)).select($"mu").head()
+    val mu = s.table(s"${prefix}_stats").select($"mu").head()
       .getSeq[Double](0).toArray
     (rows.map(_._3), rows.map(_._2), mu)
   }

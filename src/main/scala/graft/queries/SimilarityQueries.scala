@@ -835,6 +835,13 @@ object SimilarityQueries {
     * m·[[PqSubDim]]+… fill subspace m). */
   private[graft] def opqEigenAllocation(vals: Array[Double]): Array[Int] = {
     val d = vals.length
+    // the whole PQ family assumes equal subspace widths (subcodeView
+    // splits codes into PqM contiguous PqSubDim slices); with d % PqM
+    // != 0 the greedy below would also empty its candidate filter once
+    // all subspaces fill and throw from minBy — fail with the real
+    // constraint instead (round-13 advice)
+    require(d % PqM == 0,
+      s"eigenvalue allocation needs dim divisible by PqM: d=$d, PqM=$PqM")
     val perSub = d / PqM
     val load = Array.fill(PqM)(0.0)
     val count = Array.fill(PqM)(0)

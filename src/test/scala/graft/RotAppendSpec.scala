@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Bucketing
+import graft.jobs.RotIngest
+import graft.queries.SimilarityQueries
+
+/** Incremental maintenance of the LEARNED-rotation ANN index (VERDICT
+  * r13 item 3): appends encode against the STORED basis/range/codebook
+  * (nothing re-learned), re-deliver idempotently, clamp drift, and stay
+  * searchable — CodesAppendSpec's frozen-encoder contract on the q155
+  * tier. */
+class RotAppendSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("rot-tier appendBatch: frozen-model encode == full encode from the " +
+      "stored model, redelivery a no-op, drift clamped, search unchanged") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    val total = emb.count()
+    val prefix = "rot_append_spec"
+    Seq("_codes", "_codebook", "_model", "_stats")
+      .foreach(sfx => Bucketing.dropManaged(spark, s"$prefix$sfx"))
+    // base = first 400 vectors (contains the PqK codebook seed rows);
+    // the rest arrive later and can rotate OUTSIDE the frozen global
+    // range (the drift-clamp path)
+    val (codesT, cbT) = RotIngest.ingestFrame(spark,
+      emb.where($"vec_id" < 400), prefix)
+    assert(spark.table(codesT).count() == 400)
+
+    RotIngest.appendBatch(spark, emb.where($"vec_id" >= 400), prefix)
+    assert(spark.table(codesT).count() == total)
+
+    // frozen-model contract: the merged table equals one full encode of
+    // the grown corpus against the STORED model + stats + codebook
+    val model = RotIngest.readModelPrefix(spark, prefix)
+    val rotated = SimilarityQueries.pcaRotate(spark, emb, model)
+    val stats = spark.table(s"${prefix}_stats").select($"glo", $"ghi")
+    val codes = SimilarityQueries.sq8EncodeGlobal(rotated, stats)
+      .select($"vec_id", transform($"codes", c =>
+        least(greatest(c, lit(0L)), lit(SimilarityQueries.Sq8Levels.toLong)))
+        .as("codes"))
+    val pq = SimilarityQueries.pqEncodeCodes(spark,
+      SimilarityQueries.subcodeView(spark, codes), spark.table(cbT))
+    val expected = codes.join(pq, Seq("vec_id"))
+      .select($"vec_id", $"codes", $"pq")
+    val stored = spark.table(codesT)
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty,
+      "append must equal the frozen full encode row-for-row")
+
+    // drift clamps into the code domain
+    val Seq(lo, hi) = stored.select(explode($"codes").as("c"))
+      .agg(min($"c"), max($"c")).collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(lo >= 0L && hi <= SimilarityQueries.Sq8Levels.toLong,
+      s"codes out of range: $lo..$hi")
+
+    // at-least-once redelivery appends nothing (vec_id anti-join)
+    RotIngest.appendBatch(spark, emb.where($"vec_id" >= 400), prefix)
+    assert(spark.table(codesT).count() == total, "replay must be a no-op")
+
+    // the q155 search face over the incrementally-built table equals
+    // the same scan over the frozen full encode
+    val viaTable = SimilarityQueries.pqCodesScan(spark, stored, spark.table(cbT))
+    val inPlan = SimilarityQueries.pqCodesScan(spark, expected, spark.table(cbT))
+    assert(viaTable.exceptAll(inPlan).isEmpty && inPlan.exceptAll(viaTable).isEmpty)
+
+    Seq("_codes", "_codebook", "_model", "_stats")
+      .foreach(sfx => Bucketing.dropManaged(spark, s"$prefix$sfx"))
+  }
+}
