@@ -1342,6 +1342,89 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rn")
   }
 
+  /** Selectivity crossover for [[q156FilteredAnnAuto]]: below it the
+    * predicate is worth resolving first (pre-filter); at/above it most
+    * of the corpus qualifies, so the unfiltered shortlist is nearly a
+    * filtered one and post-filtering avoids the second predicate-
+    * shaped corpus scan pattern at 100 TB (where "corpus" is an index
+    * and the shortlist comes from it, not a brute scan). */
+  val FilteredAnnSelThreshold = 0.5
+
+  /** Shortlist over-fetch for the post-filter branch. */
+  val FilteredAnnOverFetch = 4
+
+  /** The planner decision the q120 scaladoc deferred (VERDICT r13 item
+    * 4), factored pure so the crossover is spec-pinnable. */
+  private[graft] def filteredAnnChoose(selectivity: Double): String =
+    if (selectivity < FilteredAnnSelThreshold) "pre" else "post"
+
+  /** q156: q120 with the strategy CHOSEN — estimate the predicate's
+    * selectivity from the metadata table (ONE count aggregate over the
+    * cheap documents side; a 1-row driver read) and dispatch:
+    * pre-filter below [[FilteredAnnSelThreshold]] (selective predicate
+    * → resolve it first, score only survivors), post-filter with exact
+    * fallback at/above it (permissive predicate → the unfiltered
+    * shortlist already contains the answer for almost every query).
+    *
+    * Both branches are EXACT, so the chooser is a pure plan decision:
+    * the post branch keeps a query's shortlist answer only when ≥
+    * [[TopK]] matches survive inside it — in the (sim DESC, id ASC)
+    * total order every out-of-shortlist match ranks below every
+    * shortlist row, so ≥ k in-shortlist matches ⇒ they ARE the exact
+    * top-k — and re-scores the deficient remainder through the
+    * pre-filter shape restricted to those query ids (a KB frame in the
+    * regime this branch is chosen for). FilteredAnnSpec pins the
+    * crossover on selectivities either side of the threshold and the
+    * post+fallback ≡ pre equality under an over-fetch starved enough
+    * to force the fallback. Oracle: q120's SQL — strategy must be
+    * value-invisible. */
+  def q156FilteredAnnAuto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sel = Tables.documents(s, dir)
+      .agg(avg(when($"lang" === "en", 1.0).otherwise(0.0))).head().getDouble(0)
+    if (filteredAnnChoose(sel) == "pre") q120FilteredAnn(s, dir)
+    else postFilterExact(s, dir, FilteredAnnOverFetch)
+  }
+
+  /** The post-filter branch with the exactness fallback — q156's body
+    * when the predicate is permissive. */
+  private[graft] def postFilterExact(s: SparkSession, dir: String,
+      overFetch: Int): DataFrame = {
+    import s.implicits._
+    val en = Tables.documents(s, dir).where($"lang" === "en").select($"doc_id")
+    val emb = Tables.embeddings(s, dir).withColumn("en2", norm2($"embedding"))
+    val qs = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"en2".as("qn2"))
+    val sim6 = round(cosinePre($"qe", $"embedding", $"qn2", $"en2"), 6)
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    // unfiltered global shortlist (k·c rows/query) — consumed twice
+    // (survivor cut + deficiency census), so checkpointed
+    val shortlist = emb.join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), sim6.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK * overFetch)
+      .localCheckpoint(false)
+    val surv = shortlist.join(broadcast(en), $"neighbor_id" === $"doc_id", "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+      .localCheckpoint(false)
+    // exactly-TopK survivors ⇔ the shortlist answer is provably exact
+    val okIds = surv.groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .where($"n" === TopK).select($"query_id")
+    val exactPart = surv.join(broadcast(okIds), Seq("query_id"), "left_semi")
+    // deficient queries (KB set in this branch's regime): exact
+    // pre-filter scoring restricted to them
+    val qsDef = qs.join(broadcast(okIds), Seq("query_id"), "left_anti")
+    val corpusEn = emb.join(broadcast(en), $"vec_id" === $"doc_id", "left_semi")
+    val fallback = corpusEn.join(broadcast(qsDef), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), sim6.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= TopK)
+    exactPart.select($"query_id", $"neighbor_id", $"sim", $"rn")
+      .unionByName(fallback.select($"query_id", $"neighbor_id", $"sim", $"rn"))
+      .orderBy($"query_id", $"rn")
+  }
+
   val q120Sql: String = {
     val cos = sqlCosine("q.embedding", "e.embedding")
     s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < $NumQueries),
@@ -1959,6 +2042,7 @@ object SimilarityQueries {
     "q123_refine_ann"       -> (q123RefineAnn _),
     "q121_pca_project"      -> (q121PcaProject _),
     "q120_filtered_ann"     -> (q120FilteredAnn _),
+    "q156_filtered_ann_auto" -> (q156FilteredAnnAuto _),
     "q117_semdedup_learned" -> (q117SemDedupLearnedK _),
     "q110_semdedup"         -> (q110SemDedup _),
     "q102_hard_negatives"   -> (q102HardNegatives _),
@@ -1984,6 +2068,7 @@ object SimilarityQueries {
     "q123_refine_ann"       -> q123Sql,
     "q121_pca_project"      -> q121Sql,
     "q120_filtered_ann"     -> q120Sql,
+    "q156_filtered_ann_auto" -> q120Sql, // strategy must be value-invisible
     "q117_semdedup_learned" -> q117Sql,
     "q110_semdedup"         -> q110Sql,
     "q102_hard_negatives"   -> q102Sql,

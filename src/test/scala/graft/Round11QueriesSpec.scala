@@ -128,6 +128,37 @@ class Round11QueriesSpec extends SparkSuite {
       s"bounded over-fetch must demonstrate the miss mode (recall=$recall)")
   }
 
+  test("q156 auto chooser: crossover pinned either side of the threshold; " +
+      "post+fallback branch is EXACT even when starved into the fallback; " +
+      "the named query equals the pre-filter ground truth") {
+    import SimilarityQueries.FilteredAnnSelThreshold
+    // the decision, either side of the crossover
+    assert(SimilarityQueries.filteredAnnChoose(FilteredAnnSelThreshold - 0.01) == "pre")
+    assert(SimilarityQueries.filteredAnnChoose(FilteredAnnSelThreshold + 0.01) == "post")
+    assert(SimilarityQueries.filteredAnnChoose(FilteredAnnSelThreshold) == "post")
+    val exact = SimilarityQueries.q120FilteredAnn(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"sim", $"rn").collect()
+      .map(_.toSeq).toSet
+    // over-fetch 1: many queries lack TopK matching rows in a k-row
+    // shortlist, so the deficiency fallback carries real weight — the
+    // result must STILL be exact (q120PostFilter at the same over-fetch
+    // is measurably lossy, pinned above)
+    val starved = SimilarityQueries.postFilterExact(spark, sf0001, 1)
+      .select($"query_id", $"neighbor_id", $"sim", $"rn").collect()
+      .map(_.toSeq).toSet
+    assert(starved == exact, "post+fallback must be exact under starvation")
+    val normal = SimilarityQueries.postFilterExact(spark, sf0001,
+      SimilarityQueries.FilteredAnnOverFetch)
+      .select($"query_id", $"neighbor_id", $"sim", $"rn").collect()
+      .map(_.toSeq).toSet
+    assert(normal == exact)
+    // the registered entry (whichever branch the corpus selectivity picks)
+    val auto = SimilarityQueries.q156FilteredAnnAuto(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"sim", $"rn").collect()
+      .map(_.toSeq).toSet
+    assert(auto == exact)
+  }
+
   test("q119 native winnow_grams == HOF formulation on the corpus") {
     // the VecSpec pattern: the codegen'd expression must select the
     // IDENTICAL (doc_id, gram) set as the declarative chain the DuckDB
