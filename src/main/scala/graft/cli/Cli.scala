@@ -102,6 +102,52 @@ object AmoDumpCli {
   }
 }
 
+/** Production entry point for the state-ingest jobs (round-13 review
+  * finding #3: the scaladocs describe a "production read path" over the
+  * persisted tables, so persisting them needs a production command, not
+  * just a programmatic call). One stage per state family:
+  *
+  *   runMain graft.cli.IngestCli --stage occ   --dir /data/corpus
+  *   runMain graft.cli.IngestCli --stage graph --dir /data/corpus
+  *   runMain graft.cli.IngestCli --stage codes --dir /data/corpus
+  *   runMain graft.cli.IngestCli --stage rot   --dir /data/corpus
+  *
+  * The incremental families take `--append <parquet>` to encode a new
+  * batch against the stored state after ensuring the base exists
+  * (occ: (doc_id, text) rows; codes/rot: (vec_id, embedding) rows). */
+object IngestCli {
+  def run(spark: SparkSession, o: Map[String, String]): String = {
+    val dir = o("dir")
+    o.getOrElse("stage", "") match {
+      case "occ" =>
+        val t = OccIngest.ingest(spark, dir)
+        o.get("append").foreach(p =>
+          OccIngest.appendBatch(spark, dir, Cli.readTable(spark, p)))
+        s"stage=occ table=$t rows=${spark.table(t).count()}"
+      case "graph" =>
+        val (e, h) = GraphIngest.ingest(spark, dir)
+        s"stage=graph edges=$e rows=${spark.table(e).count()} hist=$h"
+      case "codes" =>
+        val (c, _) = CodesIngest.ingest(spark, dir)
+        o.get("append").foreach(p => CodesIngest.appendBatch(spark,
+          Cli.readTable(spark, p), CodesIngest.tablePrefix(dir)))
+        s"stage=codes table=$c rows=${spark.table(c).count()}"
+      case "rot" =>
+        val (c, _) = RotIngest.ingest(spark, dir)
+        o.get("append").foreach(p => RotIngest.appendBatch(spark,
+          Cli.readTable(spark, p), RotIngest.tablePrefix(dir)))
+        s"stage=rot table=$c rows=${spark.table(c).count()}"
+      case s => sys.error(s"unknown --stage $s (occ|graph|codes|rot)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Cli.session()
+    println(run(spark, Cli.parseArgs(args)))
+    spark.stop()
+  }
+}
+
 /** Five-stage profile pipeline; --stage selects like the reference's
   * switch (fill-bq/bq-to-gcs/gcs-to-bigtable collapse into extract+load). */
 object ProfileEtlCli {

@@ -95,6 +95,46 @@ class JobsSpec extends SparkSuite {
     assert(j.count() == 1 && j.columns.contains("s"))
   }
 
+  test("IngestCli: the state-ingest trio has a production entry point — " +
+      "occ (with --append) and graph stages dispatch and report") {
+    import graft.jobs.{GraphIngest, OccIngest}
+    import graft.queries.{DedupQueries, GraphQueries}
+    OccIngest.drop(spark, sf0001)
+    GraphIngest.drop(spark, sf0001)
+    DedupQueries.clearMemos(spark)
+    GraphQueries.clearMemos(spark)
+    try {
+      // occ ingest + an appendBatch routed through --append (new docs
+      // staged as a parquet table, the CLI's transport)
+      val occOut = graft.cli.IngestCli.run(spark,
+        Map("stage" -> "occ", "dir" -> sf0001))
+      assert(occOut.contains(OccIngest.occTable(sf0001)), occOut)
+      val baseRows = spark.table(OccIngest.occTable(sf0001)).count()
+      val batchPath = tmpDir("ingest_cli") + "/new_docs.parquet"
+      Tables.documents(spark, sf0001)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .limit(5).write.parquet(batchPath)
+      graft.cli.IngestCli.run(spark,
+        Map("stage" -> "occ", "dir" -> sf0001, "append" -> batchPath))
+      assert(spark.table(OccIngest.occTable(sf0001)).count() > baseRows)
+
+      val graphOut = graft.cli.IngestCli.run(spark,
+        Map("stage" -> "graph", "dir" -> sf0001))
+      assert(graphOut.contains(GraphIngest.edgesTable(sf0001)), graphOut)
+      assert(spark.catalog.tableExists(GraphIngest.histTable(sf0001)))
+
+      val e = intercept[RuntimeException] {
+        graft.cli.IngestCli.run(spark, Map("stage" -> "nope", "dir" -> sf0001))
+      }
+      assert(e.getMessage.contains("unknown --stage"))
+    } finally {
+      OccIngest.drop(spark, sf0001)
+      GraphIngest.drop(spark, sf0001)
+      DedupQueries.clearMemos(spark)
+      GraphQueries.clearMemos(spark)
+    }
+  }
+
   test("KvSink: sha256 row keys, zlib payload roundtrip, opt-out delete (K4/K5/P5/P6/J3)") {
     val profiles = Seq(("client1", "de", 5L), ("client2", "en", 7L))
       .toDF("client_id", "locale", "total_uri")
