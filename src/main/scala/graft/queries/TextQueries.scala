@@ -1044,6 +1044,62 @@ object TextQueries {
        |FROM r JOIN ex ON r.source = ex.source
        |GROUP BY r.source ORDER BY r.source""".stripMargin
 
+  // ---- q157: streaming adaptive gate's batch dual (prefix calibration) ----
+
+  /** q157: the ORACLE-CHECKED batch dual of
+    * [[graft.streaming.GateStream]] (VERDICT r13 item 8 — the q151
+    * pattern applied to the curation family): per document, the q149
+    * admission decision calibrated on the doc's own source PREFIX —
+    * everything with doc_id ≤ its own (arrival order = doc_id, the
+    * ingest-sequence contract all streaming faces share). A doc is
+    * admitted iff [[GateDen]] · |{prefix: score ≤ mine}| ≥ |prefix|,
+    * which is exactly "score ≥ q149's threshold over the seen-so-far
+    * distribution" with the doc included in its own calibration.
+    * StreamingSpec pins stream ≡ this row for row, transitively
+    * hash-checking the stateful face against DuckDB.
+    *
+    * Scale note, stated honestly: THIS dual is the oracle face — the
+    * per-source prefix census is a (source-equi, doc_id ≤) self-join,
+    * quadratic in per-source rows; it exists to be SQL-replayable. The
+    * production face is the stream, whose state is the score DOMAIN per
+    * source (q149's domain argument moved into state) and whose per-doc
+    * cost is domain-sized. The batch-calibrated form at corpus scale is
+    * q149 itself. */
+  def q157GateStreamDual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gateStreamDualCore(s, Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("score")))
+  }
+
+  /** q157 body over any (doc_id, source, score) frame. */
+  private[graft] def gateStreamDualCore(s: SparkSession, scoredIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val sc = scoredIn.localCheckpoint(false) // both sides of the prefix join
+    val b = sc.select($"source", $"doc_id".as("b_id"), $"score".as("b_score"))
+    sc.join(b, Seq("source"))
+      .where($"b_id" <= $"doc_id")
+      .groupBy($"doc_id", $"source", $"score")
+      .agg(count(lit(1)).as("n_seen"),
+        sum(when($"b_score" <= $"score", 1L).otherwise(0L)).as("cnt_le"))
+      .select($"doc_id", $"source", $"score", $"n_seen",
+        (lit(GateDen) * $"cnt_le" >= $"n_seen").as("admit"))
+      .orderBy($"doc_id")
+  }
+
+  val q157Sql: String =
+    s"""WITH sc AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+       |            FROM documents),
+       |pre AS (
+       |  SELECT a.doc_id, a.source, a.score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_seen,
+       |    CAST(SUM(CASE WHEN b.score <= a.score THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_le
+       |  FROM sc a JOIN sc b ON a.source = b.source AND b.doc_id <= a.doc_id
+       |  GROUP BY a.doc_id, a.source, a.score)
+       |SELECT doc_id, source, score, n_seen,
+       |  ($GateDen * cnt_le >= n_seen) AS admit
+       |FROM pre ORDER BY doc_id""".stripMargin
+
   // ---- q85: temperature-balanced corpus mixing ----
 
   /** Integer quantization factor for the per-language weights:
@@ -2318,6 +2374,7 @@ object TextQueries {
     "q149_adaptive_gate"    -> (q149AdaptiveGate _),
     "q150_mad_outliers"     -> (q150MadOutliers _),
     "q153_gk_gate"          -> (q153GkGate _),
+    "q157_gate_stream_dual" -> (q157GateStreamDual _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2353,6 +2410,7 @@ object TextQueries {
     "q149_adaptive_gate"    -> q149Sql,
     "q150_mad_outliers"     -> q150Sql,
     "q153_gk_gate"          -> q153Sql,
+    "q157_gate_stream_dual" -> q157Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,

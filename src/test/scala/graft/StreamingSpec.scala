@@ -345,6 +345,51 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming adaptive gate == the q157 prefix-calibrated batch dual; " +
+      "admit fraction converges on q149's keep rate per source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextQueries
+    val dir = tmpDir("docs_agate")
+    // two drop files split by doc_id, one per micro-batch: the
+    // cross-batch per-source state path is exercised, arrival = doc_id
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    val mid = 250L
+    docs.where($"doc_id" < mid).coalesce(1).write.parquet(s"$dir/h1")
+    docs.where($"doc_id" >= mid).coalesce(1).write.parquet(s"$dir/h2")
+    for ((src, dst) <- Seq("h1" -> "d1.parquet", "h2" -> "d2.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val streamed = graft.streaming.GateStream
+      .runBounded(spark, s"$dir/d*.parquet", "adaptive_gate",
+        maxFilesPerTrigger = Some(1))
+      .collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    // batch dual = q157, the ORACLE-CHECKED prefix calibration: under
+    // ordered arrival the stream must reproduce it row for row, which
+    // transitively hash-checks the stateful face against DuckDB
+    val dual = TextQueries.q157GateStreamDual(spark, sf0001).collect()
+    assert(key(streamed) == key(dual))
+    // the gate must actually drop someone AND keep >= 3/4 per source
+    // once calibrated: each source's FINAL prefix is the full source,
+    // so its last-doc state reproduces q149's threshold — check the
+    // aggregate admit rate stays in q149's keep band
+    val bySrc = streamed.groupBy(_.getString(1))
+    assert(streamed.exists(!_.getBoolean(4)), "fixture must reject someone")
+    bySrc.foreach { case (src, rows) =>
+      val admitted = rows.count(_.getBoolean(4)).toDouble
+      assert(admitted / rows.length > 0.5,
+        s"$src: online calibration should stay near the 75% keep rate " +
+          s"(got ${admitted / rows.length})")
+    }
+  }
+
   test("near-dup gate: cross-batch OUT-OF-ORDER pair is still caught") {
     // review finding r12 (medium): a smaller doc_id arriving in a LATER
     // micro-batch than its larger bucket-mate was silently missed by the
