@@ -114,10 +114,27 @@ object AmoDumpCli {
   *
   * The incremental families take `--append <parquet>` to encode a new
   * batch against the stored state after ensuring the base exists
-  * (occ: (doc_id, text) rows; codes/rot: (vec_id, embedding) rows). */
+  * (occ: (doc_id, text) rows; codes/rot: (vec_id, embedding) rows).
+  *
+  * The graph family's DURABLE write path (its `graph` stage above is
+  * the q146 demo pair, which by design cannot be advanced) gets its own
+  * stages over a self-consistent prefix (default: a "graphlive" name
+  * derived from --dir; override with --prefix):
+  *
+  *   --stage graph-init    --dir /data/corpus [--prefix p]
+  *   --stage graph-advance --batch day.parquet --batch-id 2026-08-15 \
+  *       (--dir /data/corpus | --prefix p)
+  *   --stage graph-heal    (--dir /data/corpus | --prefix p)
+  *
+  * graph-init writes the consistent base from the corpus's mirrored
+  * weighted edges; graph-advance rolls one mirrored (u, v, w) delta
+  * batch forward (idempotent per --batch-id, self-healing); graph-heal
+  * completes a parked advance without a new batch. */
 object IngestCli {
   def run(spark: SparkSession, o: Map[String, String]): String = {
-    val dir = o("dir")
+    def dir = o("dir")
+    def livePrefix = o.getOrElse("prefix",
+      graft.io.Bucketing.corpusPrefix("graphlive", dir))
     o.getOrElse("stage", "") match {
       case "occ" =>
         val t = OccIngest.ingest(spark, dir)
@@ -127,6 +144,21 @@ object IngestCli {
       case "graph" =>
         val (e, h) = GraphIngest.ingest(spark, dir)
         s"stage=graph edges=$e rows=${spark.table(e).count()} hist=$h"
+      case "graph-init" =>
+        val p = livePrefix
+        GraphIngest.ingestConsistent(spark, p,
+          graft.queries.GraphQueries.weightedEdgesPartitioned(spark, dir))
+        s"stage=graph-init prefix=$p rows=${spark.table(s"${p}_edges").count()}"
+      case "graph-advance" =>
+        val p = livePrefix
+        GraphIngest.advanceState(spark, p, o("batch-id"),
+          Cli.readTable(spark, o("batch")))
+        s"stage=graph-advance prefix=$p batch=${o("batch-id")} " +
+          s"rows=${spark.table(s"${p}_edges").count()}"
+      case "graph-heal" =>
+        val p = livePrefix
+        GraphIngest.heal(spark, p)
+        s"stage=graph-heal prefix=$p"
       case "codes" =>
         val (c, _) = CodesIngest.ingest(spark, dir)
         o.get("append").foreach(p => CodesIngest.appendBatch(spark,
@@ -137,7 +169,8 @@ object IngestCli {
         o.get("append").foreach(p => RotIngest.appendBatch(spark,
           Cli.readTable(spark, p), RotIngest.tablePrefix(dir)))
         s"stage=rot table=$c rows=${spark.table(c).count()}"
-      case s => sys.error(s"unknown --stage $s (occ|graph|codes|rot)")
+      case s => sys.error(s"unknown --stage $s " +
+        "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal)")
     }
   }
 

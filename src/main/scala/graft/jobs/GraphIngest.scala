@@ -179,8 +179,11 @@ object GraphIngest {
     *  - crash between the history drop and the rename: heal just
     *    completes the swap — `__next` was staged complete from the
     *    post-append graph, so renaming it IS the commit;
-    *  - crash after the swap: the re-derived delta is empty, so heal is
-    *    the identity and clears the marker.
+    *  - crash after the swap: heal re-runs the roll-forward from the
+    *    (still-present) tagged rows — re-patching already-advanced
+    *    history is the identity on its VALUES (lpaAdvance's delta
+    *    against a correct baseline is empty), so heal re-commits the
+    *    same state; the cost is one re-roll, not zero.
     * An unreadable pending marker degrades to a FULL-frontier heal
     * (cost: one full LPA — a rebuild, never wrong state).
     *
@@ -221,10 +224,15 @@ object GraphIngest {
         .groupBy($"u", $"v").agg(sum($"w").as("w"))
         .withColumn("batch_id", lit(batchId))
         .localCheckpoint(false)
+      // checkpointed BEFORE the append: the anti-join scans the very
+      // table the write below appends to (the materialize-before-mutate
+      // rule every ingest append in this module follows), and the
+      // isEmpty probe + write would otherwise run it twice
       val fresh = batchC.join(
         s.table(edgesT).where($"batch_id" === batchId)
           .select($"u", $"v", $"batch_id"),
         Seq("u", "v", "batch_id"), "left_anti")
+        .localCheckpoint(false)
       if (fresh.isEmpty) return // fully-applied redelivery (or empty batch)
       // phase 1: durable in-flight marker BEFORE any table mutation —
       // heal derives everything else from the tagged rows it governs

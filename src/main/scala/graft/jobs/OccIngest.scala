@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.io.Bucketing
 import graft.queries.DedupQueries
@@ -111,7 +112,12 @@ object OccIngest {
       val t = occTable(dir)
       require(s.catalog.tableExists(t),
         s"appendBatch needs an ingested base table: $t")
+      // intra-batch dedup first (deterministic max-merge): a dirty
+      // export repeating a doc_id would pass the stored-table anti-join
+      // twice and silently break merged == full re-ingest (review
+      // finding r14); batch-sized shuffle, negligible
       val fresh = newDocs.select($"doc_id", $"text")
+        .groupBy($"doc_id").agg(max($"text").as("text"))
         .join(s.table(t).select($"doc_id"), Seq("doc_id"), "left_anti")
       val occ = DedupQueries.taggedOccForDocs(s, fresh).localCheckpoint(false)
       Bucketing.appendBucketed(occ, t, "doc_id", Buckets)

@@ -969,25 +969,43 @@ object SimilarityQueries {
     * Verdict oracle (a learned basis is not SQL-replayable — the q152
     * argument): the (query, rank) grid, the recomputable q_norm2
     * anchor, `mono_ok`, and the audit that gives the stored index
-    * teeth: `stored_ok` — re-running the WHOLE chain in-plan from the
-    * STORED model (rotate → global-SQ8 → train → encode → ADC; integer
-    * arithmetic end to end, so bit-reproducible from the same basis)
-    * must reproduce the stored ranking neighbor-for-neighbor and
-    * distance-for-distance. Any draft/corruption in the stored codes,
-    * codebook, or model flips it. The audit reads floats; production
-    * drops it (q93's audit precedent) and ships the code-only scan. */
+    * teeth: `stored_ok` — re-ENCODING the corpus in-plan from the
+    * STORED frozen state (rotate with the stored basis → global-SQ8
+    * against the stored range, drift-clamped exactly as
+    * [[graft.jobs.RotIngest.appendBatch]] encodes → assign against the
+    * STORED codebook → ADC; integer arithmetic end to end, so
+    * bit-reproducible from the same model) must reproduce the stored
+    * ranking neighbor-for-neighbor and distance-for-distance. Any
+    * drift/corruption in the stored codes, codebook, or model flips it.
+    * The audit deliberately does NOT re-TRAIN the codebook (round-14
+    * review: the trainer is fixed at build time — an audit that
+    * re-learns would spuriously fail the moment a legitimate
+    * appendBatch grows the corpus past the training set, turning the
+    * production increment path and the audit into mutually exclusive
+    * features; the frozen re-encode stays green across increments as
+    * long as the corpus dir carries the appended vectors — the
+    * daily-growth model all three ingest families share). The audit
+    * reads floats; production drops it (q93's audit precedent) and
+    * ships the code-only scan. */
   def q155RotCodesAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val R = graft.jobs.RotIngest
     val (codesT, cbT) = R.ingest(s, dir)
     val stored = pqCodesScan(s, s.table(codesT), s.table(cbT))
       .select($"query_id", $"rn", $"neighbor_id", $"adist")
-    // audit: the stored model drives a full in-plan recompute
+    // audit: the stored model drives a full in-plan FROZEN re-encode
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       .localCheckpoint(false)
     val rotated = pcaRotate(s, emb, R.readModel(s, dir)).localCheckpoint(false)
-    val inPlan = adcFromSubcodes(s, subcodeView(s,
-        sq8EncodeGlobal(rotated, s.table(R.statsTable(dir)).select($"glo", $"ghi"))))
+    val codesIn = sq8EncodeGlobal(rotated,
+        s.table(R.statsTable(dir)).select($"glo", $"ghi"))
+      .select($"vec_id", transform($"codes", c =>
+        least(greatest(c, lit(0L)), lit(Sq8Levels.toLong))).as("codes"))
+      .localCheckpoint(false) // LUT side + pq-assign side
+    val pqIn = pqEncodeCodes(s, subcodeView(s, codesIn), s.table(cbT))
+    val inPlan = pqCodesScan(s,
+        codesIn.join(pqIn, Seq("vec_id")).select($"vec_id", $"codes", $"pq"),
+        s.table(cbT))
       .select($"query_id", $"rn", $"neighbor_id".as("n2"), $"adist".as("a2"))
     val qn = emb.where($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), round(norm2($"embedding"), 6).as("q_norm2"))

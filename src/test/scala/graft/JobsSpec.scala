@@ -123,6 +123,26 @@ class JobsSpec extends SparkSuite {
       assert(graphOut.contains(GraphIngest.edgesTable(sf0001)), graphOut)
       assert(spark.catalog.tableExists(GraphIngest.histTable(sf0001)))
 
+      // the graph family's DURABLE write path: init a consistent live
+      // pair, advance it by one mirrored batch, heal is a no-op after
+      val livePrefix = "ingest_cli_live"
+      graft.cli.IngestCli.run(spark, Map("stage" -> "graph-init",
+        "dir" -> sf0001, "prefix" -> livePrefix))
+      assert(spark.catalog.tableExists(s"${livePrefix}_edges"))
+      val gBatch = tmpDir("ingest_cli") + "/day.parquet"
+      Seq((900001L, 900002L, 1L), (900002L, 900001L, 1L))
+        .toDF("u", "v", "w").write.parquet(gBatch)
+      val advOut = graft.cli.IngestCli.run(spark, Map("stage" -> "graph-advance",
+        "prefix" -> livePrefix, "batch" -> gBatch, "batch-id" -> "d1"))
+      assert(advOut.contains("batch=d1"), advOut)
+      assert(spark.table(s"${livePrefix}_edges")
+        .where($"u" === 900001L).count() == 1)
+      graft.cli.IngestCli.run(spark,
+        Map("stage" -> "graph-heal", "prefix" -> livePrefix))
+      assert(!spark.catalog.tableExists(s"${livePrefix}_pending"))
+      Seq("_edges", "_lpahist", "_lpahist__next", "_meta", "_pending")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $livePrefix$sfx"))
+
       val e = intercept[RuntimeException] {
         graft.cli.IngestCli.run(spark, Map("stage" -> "nope", "dir" -> sf0001))
       }

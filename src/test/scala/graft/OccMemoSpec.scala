@@ -78,7 +78,10 @@ class OccMemoSpec extends SparkSuite {
     val newDocs = docs.where(isNew).localCheckpoint(true)
     newDocs.write.mode("append").parquet(s"$dir/documents.parquet")
     DedupQueries.clearMemos(spark)
-    OccIngest.appendBatch(spark, dir, newDocs)
+    // the delivered batch carries an intra-batch duplicate row (dirty
+    // export): the append must still write each doc's rows exactly once
+    OccIngest.appendBatch(spark, dir,
+      newDocs.unionByName(newDocs.orderBy($"doc_id").limit(1)))
     val mergedRows = spark.table(t).count()
     assert(mergedRows > baseRows)
 

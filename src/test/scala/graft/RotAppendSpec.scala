@@ -29,8 +29,13 @@ class RotAppendSpec extends SparkSuite {
       emb.where($"vec_id" < 400), prefix)
     assert(spark.table(codesT).count() == 400)
 
-    RotIngest.appendBatch(spark, emb.where($"vec_id" >= 400), prefix)
+    // the batch carries an intra-batch duplicate row (dirty export):
+    // exactly one copy of each vec_id may land
+    val batch = emb.where($"vec_id" >= 400)
+    RotIngest.appendBatch(spark,
+      batch.unionByName(batch.orderBy($"vec_id").limit(1)), prefix)
     assert(spark.table(codesT).count() == total)
+    assert(spark.table(codesT).select($"vec_id").distinct().count() == total)
 
     // frozen-model contract: the merged table equals one full encode of
     // the grown corpus against the STORED model + stats + codebook
