@@ -572,6 +572,26 @@ object Profile {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       finally walk.close() // the walk stream holds directory handles
     }
+    // ---- round-14 probes ----
+    // q157 batch dual (the ORACLE face of GateStream): per-source prefix
+    // census via a (source-equi, doc_id ≤) self-join — quadratic in
+    // per-source rows BY DESIGN (it exists to be SQL-replayable; the
+    // stream's per-source score-domain state is the scale face, q149 the
+    // batch-calibrated form). Measure the quadratic growth honestly.
+    val docs157 = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("score"))
+    time("q157 dual 1x")(noop(TextQueries.gateStreamDualCore(spark, docs157)))
+    val docs157x10 = (0 until 10).map(i =>
+      docs157.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"),
+        $"source", $"score")).reduce(_ unionByName _)
+    time("q157 dual 10x")(noop(TextQueries.gateStreamDualCore(spark, docs157x10)))
+    // q156: the auto-chosen filtered ANN and its post-filter-exact
+    // branch (shortlist window + survivor census + deficiency fallback)
+    time("q156 auto (named)")(noop(
+      SimilarityQueries.q156FilteredAnnAuto(spark, dir)))
+    time("q156 postFilterExact branch")(noop(
+      SimilarityQueries.postFilterExact(spark, dir,
+        SimilarityQueries.FilteredAnnOverFetch)))
     spark.stop()
   }
 }
