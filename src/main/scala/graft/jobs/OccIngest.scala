@@ -123,6 +123,41 @@ object OccIngest {
       Bucketing.appendBucketed(occ, t, "doc_id", Buckets)
     }
 
+  /** STREAMING face of the incremental ingest (the
+    * [[CodesIngest.appendStreamBounded]] shape on the occurrence
+    * table): new document batches landing in a drop dir flow through
+    * [[appendBatch]] via foreachBatch, so the dedup family's durable
+    * state grows while staying readable. Delivery is at-least-once
+    * (foreachBatch + non-transactional sink); idempotency comes from
+    * appendBatch's DOC-level anti-join, so a replayed micro-batch
+    * appends nothing. Bounded driver (test path): processes everything
+    * available, then stops in a finally so a poisoned batch can't leak
+    * a live query holding the checkpoint. */
+  def appendStreamBounded(s: SparkSession, dir: String, dropGlob: String,
+      checkpoint: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one append per dropped file
+      .parquet(dropGlob)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) appendBatch(batch.sparkSession, dir, batch)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      // the appends ran in foreachBatch's CLONED session; drop the cached
+      // relation (file listing) so readers in the outer session see them
+      s.catalog.refreshTable(occTable(dir))
+    }
+  }
+
   /** Drop the persisted occurrence frame of `dir` (test hook) and
     * invalidate the existence cache — across EVERY live session, not
     * just the dropping one: the table is global catalog/warehouse

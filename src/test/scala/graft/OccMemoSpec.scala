@@ -104,6 +104,37 @@ class OccMemoSpec extends SparkSuite {
     assert(rows(DedupQueries.q25MinhashSig(spark, dir)) == viaTable)
   }
 
+  test("OccIngest.appendStreamBounded: streamed doc batches append once — " +
+      "merged table == full mint, checkpoint re-delivery a no-op") {
+    import graft.jobs.OccIngest
+    val dir = tmpDir("occ_stream")
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").localCheckpoint(true)
+    // base corpus = ~80%; the complement arrives as two drop files
+    // (maxFilesPerTrigger=1 → two micro-batches, cross-batch state)
+    docs.where($"doc_id" % 5 =!= 0).write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    OccIngest.ingest(spark, dir)
+    val t = OccIngest.occTable(dir)
+    val base = spark.table(t).count()
+    val drop = tmpDir("occ_drop")
+    docs.where($"doc_id" % 10 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$drop/in")
+    docs.where($"doc_id" % 10 === 5).coalesce(1)
+      .write.mode("append").parquet(s"$drop/in")
+    OccIngest.appendStreamBounded(spark, dir, s"$drop/in", s"$drop/ckpt")
+    val merged = spark.table(t).count()
+    assert(merged > base)
+    // merged table == the full-corpus mint (old ∪ streamed = all docs)
+    val full = DedupQueries.taggedOccForDocs(spark, docs)
+    val stored = spark.table(t).select($"doc_id", $"kind", $"h")
+    assert(stored.exceptAll(full).isEmpty && full.exceptAll(stored).isEmpty)
+    // same checkpoint, no new files: nothing replays
+    OccIngest.appendStreamBounded(spark, dir, s"$drop/in", s"$drop/ckpt")
+    assert(spark.table(t).count() == merged)
+    OccIngest.drop(spark, dir)
+  }
+
   test("warm consumers read the checkpoint: q83's plan holds no text scan; " +
       "one shared RDD id serves the family") {
     DedupQueries.clearMemos(spark)

@@ -64,6 +64,17 @@ class RotAppendSpec extends SparkSuite {
     RotIngest.appendBatch(spark, emb.where($"vec_id" >= 400), prefix)
     assert(spark.table(codesT).count() == total, "replay must be a no-op")
 
+    // the streaming face re-delivers the same rows as drop files: the
+    // anti-join absorbs them (and a fresh checkpoint replays cleanly)
+    val drop = tmpDir("rot_drop")
+    emb.where($"vec_id" >= 400 && $"vec_id" < 450).coalesce(1)
+      .write.mode("append").parquet(s"$drop/in")
+    emb.where($"vec_id" >= 450).coalesce(1)
+      .write.mode("append").parquet(s"$drop/in")
+    RotIngest.appendStreamBounded(spark, s"$drop/in", prefix, s"$drop/ckpt")
+    assert(spark.table(codesT).count() == total,
+      "streamed redelivery of applied rows must append nothing")
+
     // the q155 search face over the incrementally-built table equals
     // the same scan over the frozen full encode
     val viaTable = SimilarityQueries.pqCodesScan(spark, stored, spark.table(cbT))

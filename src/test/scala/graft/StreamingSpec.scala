@@ -448,6 +448,35 @@ class StreamingSpec extends SparkSuite {
       "a timed-out bucket must drop its sketch and emit nothing")
   }
 
+  test("adaptive gate stream: TTL expiry reclaims an idle source's domain; " +
+      "surviving state re-arms and the admit rule includes the new doc") {
+    import graft.streaming.GateStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    // live state {score 5 → 4 docs}; a score-1 doc arrives: n = 5,
+    // cum_le(1) = 1, GateDen·1 = 4 < 5 ⇒ rejected (bottom quartile)
+    val live = TestGroupState.create[SourceState](
+      Optional.of(SourceState(Map(5L -> 4L), 4L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out = graft.streaming.GateStream.fold("s1",
+      Iterator(DocRow(9L, "s1", 1L)), live, Some("30 days")).toSeq
+    assert(out == Seq(Verdict(9L, "s1", 1L, 5L, false)))
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "surviving state must re-arm its processing-time timeout")
+    // timed-out state: domain removed, nothing emitted
+    val dead = TestGroupState.create[SourceState](
+      Optional.of(SourceState(Map(5L -> 4L), 4L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val gone = graft.streaming.GateStream.fold("s1",
+      Iterator.empty, dead, Some("30 days")).toSeq
+    assert(gone.isEmpty && dead.isRemoved,
+      "a timed-out source must drop its domain and emit nothing")
+  }
+
   test("near-dup gate: shingle-less docs are admitted ungated, not cross-flagged") {
     import spark.implicits._
     val dir = tmpDir("docs_short")
