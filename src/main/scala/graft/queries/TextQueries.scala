@@ -942,6 +942,87 @@ object TextQueries {
        |  JOIN med ON dv.source = med.source
        |GROUP BY dv.source ORDER BY dv.source""".stripMargin
 
+  // ---- q158: CCNet-style per-language quality buckets ----
+
+  /** Tercile denominator: the corpus splits into three quality buckets. */
+  val CcnetDen = 3L
+
+  /** q158: per-language head/middle/tail quality partitioning — the
+    * CCNet recipe (Wenzek et al. 2020: bucket each language's crawl by
+    * per-doc quality into terciles; most open corpora train on
+    * head+middle and drop or down-weight tail). q149 CUTS a quantile;
+    * this PARTITIONS the whole distribution, per language, with BOTH
+    * cut points exact: thr_low = smallest score whose cumulative count
+    * reaches ⌈n/3⌉, thr_high = the ⌈2n/3⌉ analogue (both
+    * cross-multiplied to pure integers — [[CcnetDen]]·cum ≥ q·n), tail
+    * = score < thr_low, head = score ≥ thr_high, middle the rest. Tie
+    * values at a boundary land in the upper bucket — deterministic,
+    * and on a skewed language where the cuts coincide the middle is
+    * legitimately empty (boundary semantics fixture-pinned).
+    *
+    * Scale design is q149's verbatim: the corpus collapses map-side
+    * ONCE to the (lang, score, count) domain; both cumulative ranks,
+    * both thresholds, and all three bucket counts are Σc arithmetic on
+    * that KB frame against |langs|-row broadcasts — the corpus is
+    * touched exactly once. */
+  def q158CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ccnetBucketsCore(s, Tables.documents(s, dir)
+      .select($"lang", $"n_chars".cast("long").as("score")))
+  }
+
+  /** q158 body over any (lang, score) frame. */
+  private[graft] def ccnetBucketsCore(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dom = scored.groupBy($"lang", $"score").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // KB; threshold + census consumers
+    val tot = dom.groupBy($"lang").agg(sum($"c").as("n_docs"))
+    val cum = dom.withColumn("cum",
+      sum($"c").over(Window.partitionBy($"lang").orderBy($"score")))
+      .join(tot, "lang")
+    def thrAt(q: Long, name: String) = cum
+      .where($"cum" * CcnetDen >= $"n_docs" * q)
+      .groupBy($"lang").agg(min($"score").as(name))
+    dom.join(broadcast(thrAt(1L, "thr_low")), "lang")
+      .join(broadcast(thrAt(2L, "thr_high")), "lang")
+      .join(broadcast(tot), "lang")
+      .groupBy($"lang")
+      .agg(first($"n_docs").as("n_docs"),
+        first($"thr_low").as("thr_low"), first($"thr_high").as("thr_high"),
+        sum(when($"score" < $"thr_low", $"c").otherwise(0L)).as("n_tail"),
+        sum(when($"score" >= $"thr_low" && $"score" < $"thr_high", $"c")
+          .otherwise(0L)).as("n_middle"),
+        sum(when($"score" >= $"thr_high", $"c").otherwise(0L)).as("n_head"))
+      .select($"lang", $"n_docs", $"thr_low", $"thr_high",
+        $"n_tail", $"n_middle", $"n_head")
+      .orderBy($"lang")
+  }
+
+  val q158Sql: String =
+    s"""WITH sc AS (SELECT lang, CAST(n_chars AS BIGINT) AS score FROM documents),
+       |dom AS (SELECT lang, score, COUNT(*) AS c FROM sc GROUP BY lang, score),
+       |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs FROM dom GROUP BY lang),
+       |cum AS (SELECT dom.lang, dom.score,
+       |    SUM(c) OVER (PARTITION BY dom.lang ORDER BY dom.score) AS cum,
+       |    t.n_docs
+       |  FROM dom JOIN tot t ON dom.lang = t.lang),
+       |lo AS (SELECT lang, MIN(score) AS thr_low FROM cum
+       |       WHERE cum * $CcnetDen >= n_docs * 1 GROUP BY lang),
+       |hi AS (SELECT lang, MIN(score) AS thr_high FROM cum
+       |       WHERE cum * $CcnetDen >= n_docs * 2 GROUP BY lang)
+       |SELECT sc.lang, MIN(tot.n_docs) AS n_docs,
+       |  MIN(lo.thr_low) AS thr_low, MIN(hi.thr_high) AS thr_high,
+       |  CAST(SUM(CASE WHEN sc.score < lo.thr_low THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tail,
+       |  CAST(SUM(CASE WHEN sc.score >= lo.thr_low AND sc.score < hi.thr_high
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+       |  CAST(SUM(CASE WHEN sc.score >= hi.thr_high THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_head
+       |FROM sc JOIN lo ON sc.lang = lo.lang JOIN hi ON sc.lang = hi.lang
+       |  JOIN tot ON sc.lang = tot.lang
+       |GROUP BY sc.lang ORDER BY sc.lang""".stripMargin
+
   // ---- q153: continuous-score adaptive gate (GK sketch + exact audit) ----
 
   /** Sketch accuracy for q153: rank error ≤ n/[[GkGateAcc]]
@@ -2375,6 +2456,7 @@ object TextQueries {
     "q150_mad_outliers"     -> (q150MadOutliers _),
     "q153_gk_gate"          -> (q153GkGate _),
     "q157_gate_stream_dual" -> (q157GateStreamDual _),
+    "q158_ccnet_buckets"    -> (q158CcnetBuckets _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2411,6 +2493,7 @@ object TextQueries {
     "q150_mad_outliers"     -> q150Sql,
     "q153_gk_gate"          -> q153Sql,
     "q157_gate_stream_dual" -> q157Sql,
+    "q158_ccnet_buckets"    -> q158Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,
