@@ -1023,6 +1023,86 @@ object TextQueries {
        |  JOIN tot ON sc.lang = tot.lang
        |GROUP BY sc.lang ORDER BY sc.lang""".stripMargin
 
+  // ---- q159: DSIR importance weights (hashed-feature likelihood ratio) ----
+
+  /** Hashed-feature space size: the fixed bucket count DSIR hashes
+    * n-gram features into (also the Laplace-smoothing denominator add). */
+  val DsirBuckets = 1024L
+
+  /** q159: data-selection importance weights — the DSIR recipe (Xie et
+    * al. 2023: estimate importance weights w(x) = p_target(x)/p_raw(x)
+    * over HASHED n-gram features, then resample the raw corpus by w).
+    * This is the LEARNED counterpart of q107's fixed-weight classifier:
+    * the feature weights come from the corpus itself — a target slice
+    * (here lang = 'en', the stand-in for "quality reference corpus")
+    * versus the full raw distribution — so the gate adapts to whatever
+    * the target actually looks like.
+    *
+    * Engine-exact scoring (q91's quantization pattern): each feature's
+    * smoothed ratio ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)) is computed as
+    * one correctly-rounded double division of two exact BIGINT cross
+    * products, quantized to integer picounits — per-doc sums are then
+    * exact integer arithmetic and the final mean is two rounded double
+    * ops in fixed order. No logs (libm ulp risk — the q91 argument);
+    * the mean ratio is threshold-equivalent for the keep decision.
+    *
+    * Scale: the model is EXACTLY [[DsirBuckets]] rows at any corpus
+    * size (the hashing trick's whole point — q70's machinery applied to
+    * distribution estimation), built by one token pass and broadcast
+    * back for scoring; like q91, two corpus passes total, both
+    * map-heavy, nothing vocab- or corpus-sized shuffles. */
+  def q159DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dsirCore(s, Tables.documents(s, dir).select($"doc_id", $"lang", $"text"),
+      col("lang") === "en")
+  }
+
+  /** q159 body over any (doc_id, text, …) frame and target predicate. */
+  private[graft] def dsirCore(s: SparkSession, docs: DataFrame,
+      isTarget: Column): DataFrame = {
+    import s.implicits._
+    val B = DsirBuckets
+    val occ = docs
+      .select($"doc_id", isTarget.as("tgt"), explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", $"tgt",
+        pmod(graft.queries.DedupQueries.h32(s, $"tok"), lit(B)).as("f"))
+    val counts = occ.groupBy($"f").agg(
+      sum(when($"tgt", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tots = counts.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    val model = counts.crossJoin(broadcast(tots))
+      .select($"f", floor(
+        (($"ct" + 1L) * ($"nr" + lit(B))).cast("double") /
+          (($"cr" + 1L) * ($"nt" + lit(B))).cast("double")
+          * lit(1.0e12) + lit(0.5)).cast("long").as("qw"))
+    val w = round(($"sw".cast("double") / lit(1.0e12)) / $"n_feats", 6)
+    occ.join(model, Seq("f")) // B-row model: AQE broadcasts it
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"qw").as("sw"))
+      .select($"doc_id", $"n_feats", w.as("weight"), (w >= 1.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q159Sql: String =
+    s"""WITH toksd AS (SELECT doc_id, lang = 'en' AS tgt,
+       |    unnest(string_split(text, ' ')) AS tok FROM documents),
+       |occ AS (SELECT doc_id, tgt,
+       |    ${graft.queries.DedupQueries.sqlH32("tok")} % $DsirBuckets AS f
+       |  FROM toksd),
+       |counts AS (SELECT f, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+       |    COUNT(*) AS cr FROM occ GROUP BY f),
+       |tots AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+       |model AS (SELECT f, CAST(floor(
+       |    CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE)
+       |      / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)
+       |      * 1.0e12 + 0.5e0) AS BIGINT) AS qw
+       |  FROM counts CROSS JOIN tots),
+       |sc AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |    round((CAST(SUM(m.qw) AS DOUBLE) / 1.0e12) / COUNT(*), 6) AS weight
+       |  FROM occ o JOIN model m USING (f) GROUP BY o.doc_id)
+       |SELECT doc_id, n_feats, weight, weight >= 1.0e0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   // ---- q153: continuous-score adaptive gate (GK sketch + exact audit) ----
 
   /** Sketch accuracy for q153: rank error ≤ n/[[GkGateAcc]]
@@ -2457,6 +2537,7 @@ object TextQueries {
     "q153_gk_gate"          -> (q153GkGate _),
     "q157_gate_stream_dual" -> (q157GateStreamDual _),
     "q158_ccnet_buckets"    -> (q158CcnetBuckets _),
+    "q159_dsir_weights"     -> (q159DsirWeights _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2494,6 +2575,7 @@ object TextQueries {
     "q153_gk_gate"          -> q153Sql,
     "q157_gate_stream_dual" -> q157Sql,
     "q158_ccnet_buckets"    -> q158Sql,
+    "q159_dsir_weights"     -> q159Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,

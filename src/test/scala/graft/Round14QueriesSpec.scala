@@ -25,6 +25,33 @@ class Round14QueriesSpec extends SparkSuite {
     assert(out("zz") == Seq(5L, 7L, 7L, 0L, 0L, 5L))
   }
 
+  test("q159 identity: with target == raw every smoothed ratio is exactly " +
+      "1.0 (ct=cr, nt=nr cancel), so every doc weighs 1.0 and keeps") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"text")
+    val out = TextQueries.dsirCore(spark, docs, lit(true)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) == 1.0 && r.getBoolean(3),
+        s"doc ${r.getLong(0)}: target==raw must weigh exactly 1.0")
+    }
+  }
+
+  test("q159 corpus: target-slice docs skew heavier than the complement " +
+      "(the learned ratio actually separates); weights positive") {
+    val rows = TextQueries.q159DsirWeights(spark, sf0001).collect()
+    val langs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(_.getDouble(2) > 0.0))
+    val (en, rest) = rows.partition(r => langs(r.getLong(0)) == "en")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(2)).sum / rs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest),
+      s"target mean ${mean(en)} must exceed raw-complement mean ${mean(rest)}")
+  }
+
   test("q158 corpus: buckets partition every language exactly") {
     val rows = TextQueries.q158CcnetBuckets(spark, sf0001).collect()
     assert(rows.nonEmpty)
