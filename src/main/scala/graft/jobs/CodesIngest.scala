@@ -120,14 +120,16 @@ object CodesIngest {
       // the (unique) vec_id makes the replay a no-op instead of a
       // duplicate. Scan cost is the stored vec_id column only (pruned),
       // co-located by the shared bucketing at scale.
-      // intra-batch dedup (deterministic max-merge) before the stored-
-      // table anti-join: the anti-join only screens against the TABLE,
-      // so a repeated vec_id inside one batch would append twice and
-      // rank the same neighbor twice downstream (review r14)
-      val fresh = newEmb.select($"vec_id", $"embedding")
-        .groupBy($"vec_id").agg(max($"embedding").as("embedding"))
+      // intra-batch dedup with conflict fail-fast (ADVICE r14) before
+      // the stored-table anti-join: the anti-join only screens against
+      // the TABLE, so a repeated vec_id inside one batch would append
+      // twice and rank the same neighbor twice downstream. EAGER
+      // checkpoint: the encode/append pipeline below must never scan
+      // the table the write appends to (materialize-before-mutate)
+      val fresh = IngestGuards.dedupBatch(newEmb, "vec_id", "embedding")
         .join(s.table(codesT).select($"vec_id"),
         Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
       val stats = broadcast(s.table(statsTable(prefix)))
       val cents = s.table(s"${prefix}_codebook")
       val codes = SimilarityQueries.sq8Encode(fresh, stats)

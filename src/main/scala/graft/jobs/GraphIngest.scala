@@ -197,7 +197,7 @@ object GraphIngest {
 
   /** Failpoint-instrumented body of [[advanceState]] — `stopAfter`
     * simulates a crash after the named step ("pending" | "append" |
-    * "stage" | "drophist"); production passes "done". The seam exists so
+    * "stage" | "drophist" | "swap"); production passes "done". The seam exists so
     * GraphIngestSpec can drive REAL crash windows through the REAL code
     * path and pin that [[heal]] closes each one. */
   private[graft] def advanceStateUntil(s: SparkSession, prefix: String,
@@ -224,15 +224,17 @@ object GraphIngest {
         .groupBy($"u", $"v").agg(sum($"w").as("w"))
         .withColumn("batch_id", lit(batchId))
         .localCheckpoint(false)
-      // checkpointed BEFORE the append: the anti-join scans the very
-      // table the write below appends to (the materialize-before-mutate
-      // rule every ingest append in this module follows), and the
-      // isEmpty probe + write would otherwise run it twice
+      // EAGERLY checkpointed BEFORE the append: the anti-join scans the
+      // very table the write below appends to (the materialize-before-
+      // mutate rule every ingest append in this module follows). Eager
+      // (ADVICE r14): a lazy checkpoint would materialize this scan
+      // inside the append job itself, leaving the invariant to the
+      // accident of planning-time file-listing snapshots.
       val fresh = batchC.join(
         s.table(edgesT).where($"batch_id" === batchId)
           .select($"u", $"v", $"batch_id"),
         Seq("u", "v", "batch_id"), "left_anti")
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       if (fresh.isEmpty) return // fully-applied redelivery (or empty batch)
       // phase 1: durable in-flight marker BEFORE any table mutation —
       // heal derives everything else from the tagged rows it governs
@@ -297,6 +299,7 @@ object GraphIngest {
     Bucketing.dropManaged(s, histT)
     if (stopAfter == "drophist") return
     s.sql(s"ALTER TABLE $nextT RENAME TO $histT")
+    if (stopAfter == "swap") return // post-swap window: marker still set
     Bucketing.dropManaged(s, pendingTable(prefix))
   }
 

@@ -112,14 +112,14 @@ object OccIngest {
       val t = occTable(dir)
       require(s.catalog.tableExists(t),
         s"appendBatch needs an ingested base table: $t")
-      // intra-batch dedup first (deterministic max-merge): a dirty
-      // export repeating a doc_id would pass the stored-table anti-join
-      // twice and silently break merged == full re-ingest (review
-      // finding r14); batch-sized shuffle, negligible
-      val fresh = newDocs.select($"doc_id", $"text")
-        .groupBy($"doc_id").agg(max($"text").as("text"))
+      // intra-batch dedup with conflict fail-fast (ADVICE r14), then the
+      // doc-level anti-join; EAGER checkpoint so the mint below never
+      // scans the table the write appends to — a lazy checkpoint would
+      // defer that scan into the append job itself (ADVICE r14)
+      val fresh = IngestGuards.dedupBatch(newDocs, "doc_id", "text")
         .join(s.table(t).select($"doc_id"), Seq("doc_id"), "left_anti")
-      val occ = DedupQueries.taggedOccForDocs(s, fresh).localCheckpoint(false)
+        .localCheckpoint(true)
+      val occ = DedupQueries.taggedOccForDocs(s, fresh)
       Bucketing.appendBucketed(occ, t, "doc_id", Buckets)
     }
 

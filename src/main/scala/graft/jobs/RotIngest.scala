@@ -128,12 +128,12 @@ object RotIngest {
       val Seq(codesT, cbT, modelT, statsT) = tables(prefix)
       require(tables(prefix).forall(s.catalog.tableExists),
         s"appendBatch needs an ingested base (codes/codebook/model/stats): $prefix")
-      // intra-batch dedup (deterministic max-merge) before the stored-
-      // table anti-join: a repeated vec_id would otherwise append twice
-      // and rank the same neighbor twice in the ADC scan (review r14)
-      val fresh = newEmb.select($"vec_id", $"embedding")
-        .groupBy($"vec_id").agg(max($"embedding").as("embedding"))
+      // intra-batch dedup with conflict fail-fast (ADVICE r14) before
+      // the stored-table anti-join; EAGER checkpoint so the rotate/
+      // encode/append pipeline never scans the table it appends to
+      val fresh = IngestGuards.dedupBatch(newEmb, "vec_id", "embedding")
         .join(s.table(codesT).select($"vec_id"), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
       val rotated = SimilarityQueries.pcaRotate(s, fresh, readModelPrefix(s, prefix))
       val stats = s.table(statsT).select($"glo", $"ghi")
       val codes = SimilarityQueries.sq8EncodeGlobal(rotated, stats)

@@ -1039,12 +1039,16 @@ object TextQueries {
     * the target actually looks like.
     *
     * Engine-exact scoring (q91's quantization pattern): each feature's
-    * smoothed ratio ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)) is computed as
-    * one correctly-rounded double division of two exact BIGINT cross
-    * products, quantized to integer picounits — per-doc sums are then
-    * exact integer arithmetic and the final mean is two rounded double
-    * ops in fixed order. No logs (libm ulp risk — the q91 argument);
-    * the mean ratio is threshold-equivalent for the keep decision.
+    * smoothed ratio ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)) is one double
+    * division of two double cross products, each factor cast to double
+    * BEFORE multiplying — a BIGINT cross product (ct+1)·(nr+B) would
+    * overflow Long past ~3e9 corpus tokens (ADVICE r14); the double
+    * form is exact below 2^53 and within 1 ulp above, identical in
+    * DuckDB (same IEEE ops in the same order), and invisible after the
+    * picounit quantization. Per-doc sums are then exact integer
+    * arithmetic and the final mean is two rounded double ops in fixed
+    * order. No logs (libm ulp risk — the q91 argument); the mean ratio
+    * is threshold-equivalent for the keep decision.
     *
     * Scale: the model is EXACTLY [[DsirBuckets]] rows at any corpus
     * size (the hashing trick's whole point — q70's machinery applied to
@@ -1070,10 +1074,14 @@ object TextQueries {
       sum(when($"tgt", 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
     val tots = counts.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    // each factor casts to double BEFORE the multiply: the Long cross
+    // product (ct+1)·(nr+B) overflows past ~3e9 corpus tokens (ADVICE
+    // r14 medium) — the double product is exact below 2^53 and within
+    // 1 ulp above, indistinguishable after the 1e-12 quantization
     val model = counts.crossJoin(broadcast(tots))
       .select($"f", floor(
-        (($"ct" + 1L) * ($"nr" + lit(B))).cast("double") /
-          (($"cr" + 1L) * ($"nt" + lit(B))).cast("double")
+        (($"ct" + 1L).cast("double") * ($"nr" + lit(B)).cast("double")) /
+          (($"cr" + 1L).cast("double") * ($"nt" + lit(B)).cast("double"))
           * lit(1.0e12) + lit(0.5)).cast("long").as("qw"))
     val w = round(($"sw".cast("double") / lit(1.0e12)) / $"n_feats", 6)
     occ.join(model, Seq("f")) // B-row model: AQE broadcasts it
@@ -1093,8 +1101,8 @@ object TextQueries {
        |    COUNT(*) AS cr FROM occ GROUP BY f),
        |tots AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
        |model AS (SELECT f, CAST(floor(
-       |    CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE)
-       |      / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)
+       |    (CAST(ct + 1 AS DOUBLE) * CAST(nr + $DsirBuckets AS DOUBLE))
+       |      / (CAST(cr + 1 AS DOUBLE) * CAST(nt + $DsirBuckets AS DOUBLE))
        |      * 1.0e12 + 0.5e0) AS BIGINT) AS qw
        |  FROM counts CROSS JOIN tots),
        |sc AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,

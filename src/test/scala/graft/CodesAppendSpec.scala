@@ -58,4 +58,28 @@ class CodesAppendSpec extends SparkSuite {
       SimilarityQueries.BinOverFetch)
     assert(viaTable.exceptAll(inPlan).isEmpty && inPlan.exceptAll(viaTable).isEmpty)
   }
+
+  test("appendBatch fails fast on CONFLICTING intra-batch payloads — a " +
+      "duplicated vec_id carrying two distinct embeddings cannot be " +
+      "silently max-merged (ADVICE r14)") {
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val prefix = "inc_conflict_spec"
+    val (codesT, _) = CodesIngest.ingestFrame(spark,
+      emb.where($"vec_id" < 400), prefix)
+    val before = spark.table(codesT).count()
+    val dirty = Seq(
+      (990001L, Seq.fill(64)(0.1f)),
+      (990001L, Seq.fill(64)(0.9f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      CodesIngest.appendBatch(spark, dirty, prefix)
+    }
+    assert(e.getMessage.contains("conflicting intra-batch payloads"), e.getMessage)
+    assert(spark.table(codesT).count() == before, "no partial append on refusal")
+    // the SAME payload repeated is the benign dirty-export case: merged once
+    val benign = Seq(
+      (990002L, Seq.fill(64)(0.5f)),
+      (990002L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    CodesIngest.appendBatch(spark, benign, prefix)
+    assert(spark.table(codesT).where($"vec_id" === 990002L).count() == 1)
+  }
 }

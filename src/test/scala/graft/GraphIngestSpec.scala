@@ -190,7 +190,10 @@ class GraphIngestSpec extends SparkSuite {
       .map(df => rows(df.orderBy($"v")))
     val fullEdges = rows(full.orderBy($"u", $"v"))
 
-    for (window <- Seq("pending", "append", "stage", "drophist")) {
+    // "swap" (ADVICE r14): crash between the history RENAME and the
+    // pending-marker drop — heal's identity re-roll of already-advanced
+    // history, the one window the old vocabulary could not drive
+    for (window <- Seq("pending", "append", "stage", "drophist", "swap")) {
       val prefix = s"graphcrash_${window}_test"
       GraphIngest.ingestConsistent(spark, prefix, old)
       // the REAL advance path, crashed after the named step
@@ -220,6 +223,25 @@ class GraphIngestSpec extends SparkSuite {
     (1 to LpaRounds).foreach(k => assert(histRows(prefix, k) == scratch(k - 1),
       s"bare-heal round $k must equal the rebuild"))
     dropPrefix(prefix)
+
+    // bare heal after the POST-SWAP window (ADVICE r14): history is
+    // already advanced and only the marker survives — heal's re-roll
+    // must be the identity on the committed values and clear the marker
+    val prefixS = "graphswapheal_test"
+    GraphIngest.ingestConsistent(spark, prefixS, old)
+    GraphIngest.advanceStateUntil(spark, prefixS, "day1", batch, "swap")
+    val histSwapped = (1 to LpaRounds).map(histRows(prefixS, _))
+    assert(spark.catalog.tableExists(s"${prefixS}_pending"))
+    GraphIngest.heal(spark, prefixS)
+    assert(!spark.catalog.tableExists(s"${prefixS}_pending"))
+    assert(edgeAggRows(prefixS) == fullEdges,
+      "post-swap heal must leave the appended edges untouched")
+    (1 to LpaRounds).foreach { k =>
+      assert(histRows(prefixS, k) == histSwapped(k - 1),
+        s"post-swap heal round $k must re-commit identical history")
+      assert(histRows(prefixS, k) == scratch(k - 1))
+    }
+    dropPrefix(prefixS)
   }
 
   test("bucketed edge table joins a u-keyed frame with no edge-side exchange") {

@@ -104,6 +104,27 @@ class OccMemoSpec extends SparkSuite {
     assert(rows(DedupQueries.q25MinhashSig(spark, dir)) == viaTable)
   }
 
+  test("OccIngest.appendBatch fails fast on CONFLICTING intra-batch " +
+      "payloads — a duplicated doc_id with two distinct texts cannot be " +
+      "silently max-merged (ADVICE r14)") {
+    import graft.jobs.OccIngest
+    val dir = tmpDir("occ_conflict")
+    Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    OccIngest.ingest(spark, dir)
+    val t = OccIngest.occTable(dir)
+    val before = spark.table(t).count()
+    val dirty = Seq(
+      (900001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (900001L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      OccIngest.appendBatch(spark, dir, dirty)
+    }
+    assert(e.getMessage.contains("conflicting intra-batch payloads"), e.getMessage)
+    assert(spark.table(t).count() == before, "no partial append on refusal")
+    OccIngest.drop(spark, dir)
+  }
+
   test("OccIngest.appendStreamBounded: streamed doc batches append once — " +
       "merged table == full mint, checkpoint re-delivery a no-op") {
     import graft.jobs.OccIngest

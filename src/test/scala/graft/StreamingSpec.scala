@@ -382,11 +382,21 @@ class StreamingSpec extends SparkSuite {
     // aggregate admit rate stays in q149's keep band
     val bySrc = streamed.groupBy(_.getString(1))
     assert(streamed.exists(!_.getBoolean(4)), "fixture must reject someone")
+    // tight AGGREGATE bound (ADVICE r14): across all 500 docs the admit
+    // rate concentrates hard around the 75% band (sigma ~2%), so a
+    // substantially miscalibrated gate cannot pass; the per-source bound
+    // below stays looser because each source holds only 25 docs — its
+    // admit count legitimately swings +-4 docs (~0.6-0.9) on prefix
+    // discretization alone, NOT on calibration quality
+    val aggAdmit = streamed.count(_.getBoolean(4)).toDouble / streamed.length
+    assert(aggAdmit > 0.7 && aggAdmit < 0.9,
+      s"aggregate admit rate must sit in q149's keep band (got $aggAdmit)")
     bySrc.foreach { case (src, rows) =>
       val admitted = rows.count(_.getBoolean(4)).toDouble
       assert(admitted / rows.length > 0.5,
-        s"$src: online calibration should stay near the 75% keep rate " +
-          s"(got ${admitted / rows.length})")
+        s"$src: online calibration collapsed far below the 75% keep " +
+          s"rate (got ${admitted / rows.length} over only ${rows.length} " +
+          "docs — loose bound, small-n prefix noise)")
     }
   }
 
