@@ -129,7 +129,16 @@ object AmoDumpCli {
   * graph-init writes the consistent base from the corpus's mirrored
   * weighted edges; graph-advance rolls one mirrored (u, v, w) delta
   * batch forward (idempotent per --batch-id, self-healing); graph-heal
-  * completes a parked advance without a new batch. */
+  * completes a parked advance without a new batch.
+  *
+  * Day-N maintenance (VERDICT r14 items 1-2) — deletion and compaction
+  * per family:
+  *
+  *   --stage occ-delete   --dir X --ids ids.parquet   (doc_id rows)
+  *   --stage codes-delete --dir X --ids ids.parquet   (vec_id rows)
+  *   --stage rot-delete   --dir X --ids ids.parquet   (vec_id rows)
+  *   --stage graph-retract --batch gone.parquet --batch-id take-2026-08-15
+  *   --stage occ-compact | codes-compact | rot-compact | graph-compact */
 object IngestCli {
   def run(spark: SparkSession, o: Map[String, String]): String = {
     def dir = o("dir")
@@ -141,6 +150,37 @@ object IngestCli {
         o.get("append").foreach(p =>
           OccIngest.appendBatch(spark, dir, Cli.readTable(spark, p)))
         s"stage=occ table=$t rows=${spark.table(t).count()}"
+      case "occ-delete" =>
+        OccIngest.deleteDocs(spark, dir, Cli.readTable(spark, o("ids")))
+        s"stage=occ-delete rows=${spark.table(OccIngest.occTable(dir)).count()}"
+      case "occ-compact" =>
+        OccIngest.compact(spark, dir)
+        s"stage=occ-compact rows=${spark.table(OccIngest.occTable(dir)).count()}"
+      case "codes-delete" =>
+        CodesIngest.deleteVecs(spark, Cli.readTable(spark, o("ids")),
+          CodesIngest.tablePrefix(dir))
+        s"stage=codes-delete rows=${spark.table(
+          s"${CodesIngest.tablePrefix(dir)}_codes").count()}"
+      case "codes-compact" =>
+        CodesIngest.compact(spark, CodesIngest.tablePrefix(dir))
+        s"stage=codes-compact rows=${spark.table(
+          s"${CodesIngest.tablePrefix(dir)}_codes").count()}"
+      case "rot-delete" =>
+        RotIngest.deleteVecs(spark, Cli.readTable(spark, o("ids")),
+          RotIngest.tablePrefix(dir))
+        s"stage=rot-delete rows=${spark.table(RotIngest.codesTable(dir)).count()}"
+      case "rot-compact" =>
+        RotIngest.compact(spark, RotIngest.tablePrefix(dir))
+        s"stage=rot-compact rows=${spark.table(RotIngest.codesTable(dir)).count()}"
+      case "graph-retract" =>
+        val p = livePrefix
+        GraphIngest.retractBatch(spark, p, o("batch-id"),
+          Cli.readTable(spark, o("batch")))
+        s"stage=graph-retract prefix=$p batch=${o("batch-id")}"
+      case "graph-compact" =>
+        val p = livePrefix
+        GraphIngest.compact(spark, p)
+        s"stage=graph-compact prefix=$p rows=${spark.table(s"${p}_edges").count()}"
       case "graph" =>
         val (e, h) = GraphIngest.ingest(spark, dir)
         s"stage=graph edges=$e rows=${spark.table(e).count()} hist=$h"
@@ -170,7 +210,9 @@ object IngestCli {
           Cli.readTable(spark, p), RotIngest.tablePrefix(dir)))
         s"stage=rot table=$c rows=${spark.table(c).count()}"
       case s => sys.error(s"unknown --stage $s " +
-        "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal)")
+        "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal|" +
+        "graph-retract|graph-compact|occ-delete|occ-compact|codes-delete|" +
+        "codes-compact|rot-delete|rot-compact)")
     }
   }
 

@@ -83,7 +83,8 @@ object CodesIngest {
     val subcodes = SimilarityQueries.subcodeView(s, codes)
     val cents = SimilarityQueries.pqTrainCodebook(s, subcodes).localCheckpoint(false)
     val pq = SimilarityQueries.pqEncodeCodes(s, subcodes, cents)
-    Seq(codesT, cbT, statsTable(codesT.stripSuffix("_codes")))
+    graft.io.StagedRewrite.dropAll(s, codesT) // incl. stale rewrite residue
+    Seq(cbT, statsTable(codesT.stripSuffix("_codes")))
       .foreach(graft.io.Bucketing.dropManaged(s, _))
     val words = SimilarityQueries.binEncode(emb, stats)
     Bucketing.writeBucketed(
@@ -144,6 +145,37 @@ object CodesIngest {
         codes.join(pq, Seq("vec_id")).join(words, Seq("vec_id"))
           .select($"vec_id", $"codes", $"pq", $"w0", $"w1"),
         codesT, "vec_id", Buckets)
+    }
+
+  /** DELETE vectors from the stored codes table (VERDICT r14 item 1) —
+    * the takedown path of the ANN family: one bucket-aligned anti-join
+    * rewrite against the (small, broadcast) deletion list under
+    * [[graft.io.StagedRewrite]]'s crash-safe commit. Codes are encoded
+    * row-independently against the FROZEN stats/codebook, so delete ≡
+    * re-ingest-without-the-vectors on the same frozen encoder
+    * row-for-row (CodesAppendSpec pins it); a replayed delete rewrites
+    * the identical table. The codebook/stats tables stay — they are the
+    * frozen ENCODER, not per-row state (the standard ANN-index
+    * contract: deletions never retrain). */
+  def deleteVecs(s: SparkSession, vecIds: DataFrame, prefix: String): Unit =
+    CodesIngest.synchronized {
+      import s.implicits._
+      val codesT = s"${prefix}_codes"
+      require(s.catalog.tableExists(codesT),
+        s"deleteVecs needs an ingested base table: $codesT")
+      val ids = vecIds.select($"vec_id").distinct().localCheckpoint(true)
+      graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(
+        _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+    }
+
+  /** Collapse accumulated append files to one per bucket (VERDICT r14
+    * item 2) — a row-identical [[graft.io.StagedRewrite]] pass. */
+  def compact(s: SparkSession, prefix: String): Unit =
+    CodesIngest.synchronized {
+      val codesT = s"${prefix}_codes"
+      require(s.catalog.tableExists(codesT),
+        s"compact needs an ingested table: $codesT")
+      graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(identity)
     }
 
   /** STREAMING face of the incremental ingest: new embedding batches

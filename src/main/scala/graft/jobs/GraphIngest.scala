@@ -59,6 +59,7 @@ object GraphIngest {
 
   private def metaTable(prefix: String): String = s"${prefix}_meta"
   private def pendingTable(prefix: String): String = s"${prefix}_pending"
+  private def appliedTable(prefix: String): String = s"${prefix}_applied"
 
   /** Ingest the graph state of `dir`; returns (edgesTable, histTable).
     * Idempotent — a pair already in this session's catalog is reused
@@ -99,7 +100,9 @@ object GraphIngest {
       consistent: Boolean): Unit = {
     import s.implicits._
     val prefix = edgesT.stripSuffix("_edges")
-    Seq(edgesT, histT, metaTable(prefix), pendingTable(prefix))
+    graft.io.StagedRewrite.dropAll(s, edgesT) // incl. stale rewrite residue
+    Seq(histT, metaTable(prefix), pendingTable(prefix),
+      appliedTable(prefix))
       .foreach(Bucketing.dropManaged(s, _))
     Bucketing.writeBucketed(
       edges.withColumn("batch_id", lit(null).cast("string")),
@@ -210,6 +213,13 @@ object GraphIngest {
           s"or a prior advanceState): $edgesT")
       require(batchId != null && batchId.nonEmpty, "advanceState needs a batchId")
       requireConsistent(s, prefix)
+      // a batch [[compact]] folded away has no tagged rows left for the
+      // row-level anti-join to screen — the applied-batch watermark
+      // remembers it, so a redelivery after compaction stays a no-op
+      // (1-row probe on a days-sized table)
+      if (s.catalog.tableExists(appliedTable(prefix)) &&
+          !s.table(appliedTable(prefix)).where($"batch_id" === batchId).isEmpty)
+        return
       // heal BEFORE checking the history table: a crash inside a prior
       // advance's swap legitimately leaves it missing with the staged
       // __next parked — heal commits it
@@ -282,8 +292,11 @@ object GraphIngest {
       e0: DataFrame, stopAfter: String): Unit = {
     import s.implicits._
     val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
+    // Σw <= 0 pairs are fully-retracted edges ([[retractBatch]]) — they
+    // must not vote in the LPA roll-forward (identity pre-retraction)
     val full = Materialize.checkpointPartitioned(
       s.table(edgesT).groupBy($"u", $"v").agg(sum($"w").as("w"))
+        .where($"w" > 0)
         .repartition($"u"))
     val hist = (1 to GraphQueries.LpaRounds).map(k =>
       s.table(histT).where($"round" === k)
@@ -335,12 +348,83 @@ object GraphIngest {
     rollForward(s, prefix, frontierOf(s, prefix, batchId), stopAfter = "done")
   }
 
+  /** RETRACT one day's mirrored weighted edge batch from the persisted
+    * graph state — the deletion path of the graph family (VERDICT r14
+    * item 1: a document takedown must not force a full re-ingest).
+    * `batch` is the same shape [[advanceState]] takes — the MIRRORED
+    * (u, v, w) contribution to REMOVE, with POSITIVE weights (e.g. the
+    * taken-down documents' basket pairs) — and the mechanism is
+    * advanceState itself over the NEGATED weights: the retraction lands
+    * as negative-w tagged delta rows, every reader aggregates Σw per
+    * (u, v) and drops Σw <= 0 pairs, and the LPA history rolls forward
+    * over the retraction frontier exactly like a growth batch, so
+    * retract ≡ rebuild-without-the-edges (GraphIngestSpec pins it).
+    *
+    * Inherits advanceState's whole contract for free: provenance gate,
+    * batchId-keyed replay idempotency (a redelivered retraction removes
+    * nothing twice), the crash-window heal, and the honest one-linear-
+    * pass setup cost. Retracting MORE weight than an edge carries
+    * drives its Σw negative — the pair reads as deleted either way, and
+    * [[compact]] folds the negative residue without changing any
+    * reader's view. */
+  def retractBatch(s: SparkSession, prefix: String, batchId: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    advanceState(s, prefix, batchId,
+      batch.select($"u", $"v", (-$"w").as("w")))
+  }
+
+  /** Fold the accumulated delta rows of `prefix`'s edges table to ONE
+    * row per (u, v) and collapse its bucket files (VERDICT r14 item 2:
+    * daily appends grow O(days) files per bucket and the read path
+    * re-aggregates all delta rows forever). Row semantics are preserved
+    * exactly — the folded row carries Σw (including <= 0 residues from
+    * [[retractBatch]], so later arithmetic is unchanged) and a null
+    * batch_id; every consumer aggregates Σw anyway, so post-compaction
+    * ≡ pre for all of them.
+    *
+    * Idempotency across the fold: the batch_ids whose tagged rows are
+    * folded away are first recorded in the `_applied` watermark table —
+    * [[advanceState]] screens against it BEFORE the row-level
+    * anti-join. The watermark append happens before the fold on
+    * purpose: over-screening a batch whose tagged rows still exist
+    * (crash between the two steps) is exactly what the anti-join would
+    * have done; under-screening cannot happen. The fold itself commits
+    * under [[StagedRewrite]]'s marker discipline — a crash anywhere
+    * leaves either the old or the new table, never a partial one, and
+    * the next mutation heals it. */
+  def compact(s: SparkSession, prefix: String): Unit =
+    GraphIngest.synchronized {
+      import s.implicits._
+      val edgesT = s"${prefix}_edges"
+      require(s.catalog.tableExists(edgesT),
+        s"compact needs an ingested edges table: $edgesT")
+      healLocked(s, prefix) // no advance may be in flight
+      graft.io.StagedRewrite.heal(s, edgesT)
+      // phase 1: extend the applied-batch watermark (monotone, replay-safe)
+      val folded = s.table(edgesT).where($"batch_id".isNotNull)
+        .select($"batch_id").distinct().localCheckpoint(true)
+      val appliedT = appliedTable(prefix)
+      if (!s.catalog.tableExists(appliedT))
+        folded.write.format("parquet").saveAsTable(appliedT)
+      else
+        folded.join(s.table(appliedT), Seq("batch_id"), "left_anti")
+          .localCheckpoint(true) // materialize before appending to the scanned table
+          .write.mode("append").format("parquet").saveAsTable(appliedT)
+      // phase 2: fold the edge rows, bucket-aligned, staged + swapped
+      graft.io.StagedRewrite.rewrite(s, edgesT, "u", Buckets)(df =>
+        df.groupBy($"u", $"v").agg(sum($"w").as("w"))
+          .withColumn("batch_id", lit(null).cast("string")))
+    }
+
   /** Drop the persisted graph state of `dir` (test hook / re-ingest),
-    * including provenance, marker, and any advanceState staging table. */
+    * including provenance, marker, watermark, and any staging tables. */
   def drop(s: SparkSession, dir: String): Unit = GraphIngest.synchronized {
     val prefix = tablePrefix(dir)
     Seq(edgesTable(dir), histTable(dir), s"${histTable(dir)}__next",
-      metaTable(prefix), pendingTable(prefix))
+      metaTable(prefix), pendingTable(prefix), appliedTable(prefix),
+      graft.io.StagedRewrite.stagingTable(edgesTable(dir)),
+      graft.io.StagedRewrite.markerTable(edgesTable(dir)))
       .foreach(Bucketing.dropManaged(s, _))
   }
 }

@@ -73,7 +73,7 @@ object OccIngest {
     if (s.catalog.tableExists(t)) t
     else {
       val occ = DedupQueries.taggedOccCorpusFromText(s, dir)
-      Bucketing.dropManaged(s, t)
+      graft.io.StagedRewrite.dropAll(s, t) // incl. stale rewrite residue
       Bucketing.writeBucketed(occ, t, "doc_id", Buckets)
       t
     }
@@ -158,6 +158,46 @@ object OccIngest {
     }
   }
 
+  /** DELETE documents from the persisted occurrence frame (VERDICT r14
+    * item 1: GDPR takedown / licensing retraction is routine at 100 TB,
+    * and an append-only table answers it only with a full re-ingest).
+    * One bucket-aligned anti-join rewrite of the table against the
+    * (small, broadcast) deletion list, committed under
+    * [[graft.io.StagedRewrite]]'s marker discipline — a crash anywhere
+    * leaves the old or the new table, never a partial one. delete ≡
+    * re-ingest-without-the-docs (the mint is per-doc, so dropping a
+    * doc's rows IS what a reduced re-ingest writes — OccMemoSpec pins
+    * it), and a replayed delete anti-joins nothing, so it rewrites the
+    * identical table (no-op on values).
+    *
+    * Scale: one bucketed scan + one bucket-aligned write, no shuffle
+    * (the deletion list broadcasts; the staged frame re-lands on the
+    * same murmur3 buckets) — and the rewrite doubles as a file-count
+    * compaction. Callers remove the same docs from the corpus dir
+    * (growth model in reverse); in-session text memos of the pre-delete
+    * corpus are stale after that — pair with
+    * [[DedupQueries.clearMemos]], or a fresh process reads the table. */
+  def deleteDocs(s: SparkSession, dir: String, docIds: DataFrame): Unit =
+    OccIngest.synchronized {
+      import s.implicits._
+      val t = occTable(dir)
+      require(s.catalog.tableExists(t),
+        s"deleteDocs needs an ingested base table: $t")
+      // eager: the ids may derive from the very table being rewritten
+      val ids = docIds.select($"doc_id").distinct().localCheckpoint(true)
+      graft.io.StagedRewrite.rewrite(s, t, "doc_id", Buckets)(
+        _.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    }
+
+  /** Collapse the table's accumulated append files to one file per
+    * bucket (VERDICT r14 item 2) — a row-identical [[graft.io
+    * .StagedRewrite]] pass. */
+  def compact(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
+    val t = occTable(dir)
+    require(s.catalog.tableExists(t), s"compact needs an ingested table: $t")
+    graft.io.StagedRewrite.rewrite(s, t, "doc_id", Buckets)(identity)
+  }
+
   /** Drop the persisted occurrence frame of `dir` (test hook) and
     * invalidate the existence cache — across EVERY live session, not
     * just the dropping one: the table is global catalog/warehouse
@@ -170,7 +210,7 @@ object OccIngest {
     * TEXT-minted frames (never a scan of this table), so it stays
     * valid — and reusable — across a drop. */
   def drop(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
-    Bucketing.dropManaged(s, occTable(dir))
+    graft.io.StagedRewrite.dropAll(s, occTable(dir))
     known.synchronized {
       val it = known.values().iterator()
       while (it.hasNext) it.next() -= dir

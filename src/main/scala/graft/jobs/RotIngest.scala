@@ -86,7 +86,8 @@ object RotIngest {
     val sub = SimilarityQueries.subcodeView(s, codes)
     val cents = SimilarityQueries.pqTrainCodebook(s, sub).localCheckpoint(false)
     val pq = SimilarityQueries.pqEncodeCodes(s, sub, cents)
-    tables(prefix).foreach(Bucketing.dropManaged(s, _))
+    graft.io.StagedRewrite.dropAll(s, codesT) // incl. stale rewrite residue
+    tables(prefix).drop(1).foreach(Bucketing.dropManaged(s, _))
     Bucketing.writeBucketed(codes.join(pq, Seq("vec_id"))
       .select($"vec_id", $"codes", $"pq"), codesT, "vec_id", Buckets)
     cents.write.mode("overwrite").format("parquet").saveAsTable(cbT)
@@ -146,6 +147,34 @@ object RotIngest {
       Bucketing.appendBucketed(
         codes.join(pq, Seq("vec_id")).select($"vec_id", $"codes", $"pq"),
         codesT, "vec_id", Buckets)
+    }
+
+  /** DELETE vectors from the learned-tier codes table (VERDICT r14
+    * item 1) — [[CodesIngest.deleteVecs]] on the rotated tier: one
+    * bucket-aligned anti-join rewrite under [[graft.io.StagedRewrite]].
+    * The model/stats/codebook tables stay (frozen encoder, never
+    * retrained by deletions); rows encode independently, so delete ≡
+    * re-ingest-without-the-vectors under the SAME stored model
+    * (RotAppendSpec pins it), and a replayed delete is the identity. */
+  def deleteVecs(s: SparkSession, vecIds: DataFrame, prefix: String): Unit =
+    RotIngest.synchronized {
+      import s.implicits._
+      val codesT = s"${prefix}_codes"
+      require(s.catalog.tableExists(codesT),
+        s"deleteVecs needs an ingested base table: $codesT")
+      val ids = vecIds.select($"vec_id").distinct().localCheckpoint(true)
+      graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(
+        _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+    }
+
+  /** Collapse accumulated append files to one per bucket (VERDICT r14
+    * item 2) — a row-identical [[graft.io.StagedRewrite]] pass. */
+  def compact(s: SparkSession, prefix: String): Unit =
+    RotIngest.synchronized {
+      val codesT = s"${prefix}_codes"
+      require(s.catalog.tableExists(codesT),
+        s"compact needs an ingested table: $codesT")
+      graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(identity)
     }
 
   /** STREAMING face of the frozen-model increment (the

@@ -69,9 +69,13 @@ object GraphQueries {
     // table path aggregates Σw per pair: advanceState appends DELTA rows,
     // so a pair may span several physical rows; the agg rides the u
     // buckets exchange-free (HashPartitioning(u) clusters (u, v)) and is
-    // the identity on a never-advanced table
+    // the identity on a never-advanced table. Σw <= 0 pairs are edges
+    // fully retracted by GraphIngest.retractBatch's negative-w deltas —
+    // they must vanish from every consumer's view (the filter is the
+    // identity on a never-retracted table, where all weights are counts)
     if (s.catalog.tableExists(t))
-      (s.table(t).groupBy($"u", $"v").agg(sum($"w").as("w")), true)
+      (s.table(t).groupBy($"u", $"v").agg(sum($"w").as("w"))
+        .where($"w" > 0), true)
     else (copurchasePairOcc(s, dir)
       .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
       .select(explode(array(struct($"u", $"v", $"w"),

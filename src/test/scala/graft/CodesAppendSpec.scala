@@ -59,6 +59,37 @@ class CodesAppendSpec extends SparkSuite {
     assert(viaTable.exceptAll(inPlan).isEmpty && inPlan.exceptAll(viaTable).isEmpty)
   }
 
+  test("deleteVecs: takedown == frozen re-encode without the vectors (codes " +
+      "are row-independent, so delete is a pure row filter); the search " +
+      "face serves the survivors; replayed delete and compact are no-ops " +
+      "on values") {
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val prefix = "inc_del_spec"
+    val (codesT, _) = CodesIngest.ingestFrame(spark, emb, prefix)
+    val before = spark.table(codesT).localCheckpoint(true)
+    val isGone = $"vec_id" % 5 === 0
+    val ids = emb.where(isGone).select($"vec_id")
+
+    CodesIngest.deleteVecs(spark, ids, prefix)
+    val expected = before.where(!isGone)
+    val stored = spark.table(codesT)
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty,
+      "delete must equal the frozen encode without the vectors")
+
+    // replay + compact: value no-ops; search face sees only survivors
+    CodesIngest.deleteVecs(spark, ids, prefix)
+    CodesIngest.compact(spark, prefix)
+    val stored2 = spark.table(codesT)
+    assert(stored2.exceptAll(expected).isEmpty && expected.exceptAll(stored2).isEmpty)
+    val hits = SimilarityQueries.binSearch(spark,
+      spark.table(codesT).select($"vec_id", $"w0", $"w1"),
+      emb.where(!isGone), SimilarityQueries.BinOverFetch)
+    assert(!hits.isEmpty, "survivor search must return rows")
+    assert(hits.where(($"query_id" % 5 === 0) ||
+      ($"neighbor_id" % 5 === 0)).isEmpty,
+      "no deleted vector may surface in search")
+  }
+
   test("appendBatch fails fast on CONFLICTING intra-batch payloads — a " +
       "duplicated vec_id carrying two distinct embeddings cannot be " +
       "silently max-merged (ADVICE r14)") {

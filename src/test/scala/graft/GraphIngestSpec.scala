@@ -130,7 +130,8 @@ class GraphIngestSpec extends SparkSuite {
   }
 
   private def dropPrefix(prefix: String): Unit =
-    Seq("_edges", "_lpahist", "_lpahist__next", "_meta", "_pending")
+    Seq("_edges", "_lpahist", "_lpahist__next", "_meta", "_pending",
+      "_applied", "_edges__rnext", "_edges__rpending")
       .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
 
   private def histRows(prefix: String, k: Int): Seq[Seq[Any]] =
@@ -242,6 +243,114 @@ class GraphIngestSpec extends SparkSuite {
       assert(histRows(prefixS, k) == scratch(k - 1))
     }
     dropPrefix(prefixS)
+  }
+
+  private def edgeLiveRows(prefix: String): Seq[Seq[Any]] =
+    rows(spark.table(s"${prefix}_edges")
+      .groupBy($"u", $"v").agg(sum($"w").as("w")).where($"w" > 0)
+      .orderBy($"u", $"v"))
+
+  test("retractBatch: full takedown removes the edges from every view and " +
+      "rolls the history to the reduced graph's rebuild; partial decrement " +
+      "keeps the pair; a replayed retraction is a no-op") {
+    import graft.queries.GraphQueries.{ChurnMod, LpaRounds}
+    val prefix = "graphretract_test"
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    GraphIngest.ingestConsistent(spark, prefix, full)
+    val isGone = ($"u" + $"v") % ChurnMod === 0
+    val takedown = full.where(isGone).localCheckpoint(true)
+    assert(takedown.count() > 0, "fixture must retract something")
+    val remaining = full.where(!isGone).localCheckpoint(true)
+
+    // full takedown: retract the edges' ENTIRE weight
+    GraphIngest.retractBatch(spark, prefix, "take1", takedown)
+    assert(edgeLiveRows(prefix) == rows(remaining.orderBy($"u", $"v")),
+      "post-retraction view must equal the graph without the edges")
+    val scratch = GraphQueries.lpaHistory(remaining.select($"u", $"v"))
+    (1 to LpaRounds).foreach(k => assert(histRows(prefix, k) ==
+      rows(scratch(k - 1).orderBy($"v")),
+      s"round $k: retraction must equal the reduced-graph rebuild"))
+
+    // replayed retraction (at-least-once): nothing removed twice
+    val phys = spark.table(s"${prefix}_edges").count()
+    GraphIngest.retractBatch(spark, prefix, "take1", takedown)
+    assert(spark.table(s"${prefix}_edges").count() == phys,
+      "replayed retraction must append zero rows")
+    assert(edgeLiveRows(prefix) == rows(remaining.orderBy($"u", $"v")))
+
+    // partial decrement: w >= 2 pairs lose all but one unit — the PAIR
+    // SET is unchanged (LPA is weight-blind), only weights move
+    val partial = remaining.where($"w" >= 2)
+      .select($"u", $"v", ($"w" - 1).as("w")).localCheckpoint(true)
+    assert(partial.count() > 0, "fixture must have a w >= 2 pair")
+    GraphIngest.retractBatch(spark, prefix, "take2", partial)
+    val expected = remaining.select($"u", $"v",
+      when($"w" >= 2, 1L).otherwise($"w").as("w"))
+    assert(edgeLiveRows(prefix) == rows(expected.orderBy($"u", $"v")),
+      "partial decrement must adjust weights without dropping pairs")
+    (1 to LpaRounds).foreach(k => assert(histRows(prefix, k) ==
+      rows(scratch(k - 1).orderBy($"v")),
+      s"round $k: weight-only retraction must not move the labels"))
+    dropPrefix(prefix)
+  }
+
+  test("compact folds delta rows to one per pair with no reader-visible " +
+      "change; folded batches stay replay-idempotent via the applied " +
+      "watermark; a later advance still equals the rebuild") {
+    import graft.queries.GraphQueries.{ChurnMod, LpaRounds}
+    val prefix = "graphcompact_test"
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % ChurnMod === 0
+    val old = full.where(!isBatch).localCheckpoint(true)
+    // day1 = the churn pairs PLUS extra weight on existing pairs, so the
+    // table holds base+delta rows for one (u, v) — what compaction folds
+    val batch = full.where(isBatch).select($"u", $"v", $"w")
+      .unionByName(old.where(($"u" + $"v") % ChurnMod === 1)
+        .select($"u", $"v", lit(1L).as("w")))
+      .localCheckpoint(true)
+    GraphIngest.ingestConsistent(spark, prefix, old)
+    GraphIngest.advanceState(spark, prefix, "day1", batch)
+    val live1 = edgeLiveRows(prefix)
+    val hist1 = (1 to LpaRounds).map(histRows(prefix, _))
+    val physBefore = spark.table(s"${prefix}_edges").count()
+    val pairCount = spark.table(s"${prefix}_edges")
+      .select($"u", $"v").distinct().count()
+    assert(physBefore > pairCount, "fixture must hold overlapping delta rows")
+
+    GraphIngest.compact(spark, prefix)
+    assert(spark.table(s"${prefix}_edges").count() == pairCount,
+      "compaction must fold to one row per (u, v)")
+    assert(spark.table(s"${prefix}_edges")
+      .where($"batch_id".isNotNull).count() == 0,
+      "folded rows carry no batch tags")
+    assert(edgeLiveRows(prefix) == live1, "reader view must be unchanged")
+    (1 to LpaRounds).foreach(k => assert(histRows(prefix, k) == hist1(k - 1)))
+
+    // the folded day1 redelivered: the watermark screens it
+    GraphIngest.advanceState(spark, prefix, "day1", batch)
+    assert(spark.table(s"${prefix}_edges").count() == pairCount,
+      "a folded batch's redelivery must append nothing")
+    assert(edgeLiveRows(prefix) == live1)
+
+    // compact twice: idempotent
+    GraphIngest.compact(spark, prefix)
+    assert(edgeLiveRows(prefix) == live1)
+
+    // life goes on: a fresh advance over the compacted base == rebuild
+    val day2 = full.where(isBatch)
+      .select($"u", $"v", ($"w" * 2).as("w")).localCheckpoint(true)
+    GraphIngest.advanceState(spark, prefix, "day2", day2)
+    val merged = old.select($"u", $"v", $"w").unionByName(batch)
+      .unionByName(day2)
+      .groupBy($"u", $"v").agg(sum($"w").as("w"))
+    assert(edgeLiveRows(prefix) == rows(merged.orderBy($"u", $"v")),
+      "advance over a compacted base must equal the three-way merge")
+    val scratch2 = GraphQueries.lpaHistory(merged.select($"u", $"v"))
+    (1 to LpaRounds).foreach(k => assert(histRows(prefix, k) ==
+      rows(scratch2(k - 1).orderBy($"v"))))
+    dropPrefix(prefix)
   }
 
   test("bucketed edge table joins a u-keyed frame with no edge-side exchange") {

@@ -125,6 +125,55 @@ class OccMemoSpec extends SparkSuite {
     OccIngest.drop(spark, dir)
   }
 
+  test("OccIngest.deleteDocs: takedown == re-ingest without the docs; a " +
+      "consumer over the post-delete table matches the pure text path of " +
+      "the reduced corpus; replayed delete is a no-op; compact preserves " +
+      "rows and collapses files") {
+    import graft.jobs.OccIngest
+    val dir = tmpDir("occ_del")
+    val docs = Tables.documents(spark, sf0001).localCheckpoint(true)
+    docs.write.mode("append").parquet(s"$dir/documents.parquet")
+    OccIngest.ingest(spark, dir)
+    val t = OccIngest.occTable(dir)
+    val isGone = $"doc_id" % 7 === 0
+    val gone = docs.where(isGone).select($"doc_id")
+
+    OccIngest.deleteDocs(spark, dir, gone)
+    val remaining = docs.where(!isGone).select($"doc_id", $"text")
+    val expected = DedupQueries.taggedOccForDocs(spark, remaining)
+    val stored = spark.table(t).select($"doc_id", $"kind", $"h")
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty,
+      "delete must equal the re-ingest without the docs, row for row")
+
+    // replayed delete (at-least-once): the identity
+    val n1 = spark.table(t).count()
+    OccIngest.deleteDocs(spark, dir, gone)
+    assert(spark.table(t).count() == n1)
+
+    // consumer check: q25 over the post-delete TABLE equals q25's pure
+    // text path over a corpus that never held the docs
+    val dirR = tmpDir("occ_del_reduced")
+    docs.where(!isGone).write.mode("append").parquet(s"$dirR/documents.parquet")
+    DedupQueries.clearMemos(spark)
+    val viaTable = rows(DedupQueries.q25MinhashSig(spark, dir))
+    val pure = rows(DedupQueries.q25MinhashSig(spark, dirR))
+    assert(viaTable == pure,
+      "post-delete consumer must match the reduced-corpus pure path")
+
+    // compaction: row-identical, file count collapsed to one per bucket
+    OccIngest.compact(spark, dir)
+    val stored2 = spark.table(t).select($"doc_id", $"kind", $"h")
+    assert(stored2.exceptAll(expected).isEmpty && expected.exceptAll(stored2).isEmpty)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+    val files = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(loc).count(_.getPath.getName.endsWith(".parquet"))
+    assert(files == OccIngest.Buckets,
+      s"compaction must leave one file per bucket, got $files")
+    OccIngest.drop(spark, dir)
+    DedupQueries.clearMemos(spark)
+  }
+
   test("OccIngest.appendStreamBounded: streamed doc batches append once — " +
       "merged table == full mint, checkpoint re-delivery a no-op") {
     import graft.jobs.OccIngest

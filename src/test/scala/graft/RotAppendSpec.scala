@@ -84,4 +84,32 @@ class RotAppendSpec extends SparkSuite {
     Seq("_codes", "_codebook", "_model", "_stats")
       .foreach(sfx => Bucketing.dropManaged(spark, s"$prefix$sfx"))
   }
+
+  test("rot-tier deleteVecs: takedown == the frozen encode without the " +
+      "vectors (row filter on the stored table); replayed delete and " +
+      "compact are value no-ops; the ADC scan serves only survivors") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    val prefix = "rot_del_spec"
+    Seq("_codes", "_codebook", "_model", "_stats")
+      .foreach(sfx => Bucketing.dropManaged(spark, s"$prefix$sfx"))
+    val (codesT, cbT) = RotIngest.ingestFrame(spark, emb, prefix)
+    val before = spark.table(codesT).localCheckpoint(true)
+    val isGone = $"vec_id" % 5 === 3
+    RotIngest.deleteVecs(spark, emb.where(isGone).select($"vec_id"), prefix)
+    val expected = before.where(!isGone)
+    val stored = spark.table(codesT)
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty,
+      "delete must equal the frozen encode without the vectors")
+    RotIngest.deleteVecs(spark, emb.where(isGone).select($"vec_id"), prefix)
+    RotIngest.compact(spark, prefix)
+    val stored2 = spark.table(codesT)
+    assert(stored2.exceptAll(expected).isEmpty && expected.exceptAll(stored2).isEmpty)
+    val hits = SimilarityQueries.pqCodesScan(spark, stored2, spark.table(cbT))
+    assert(!hits.isEmpty)
+    assert(hits.where(($"query_id" % 5 === 3) || ($"neighbor_id" % 5 === 3)).isEmpty,
+      "no deleted vector may surface in the ADC scan")
+    Seq("_codes", "_codebook", "_model", "_stats")
+      .foreach(sfx => Bucketing.dropManaged(spark, s"$prefix$sfx"))
+  }
 }
