@@ -1269,6 +1269,92 @@ object TextQueries {
        |  ($GateDen * cnt_le >= n_seen) AS admit
        |FROM pre ORDER BY doc_id""".stripMargin
 
+  // ---- q160: GK-state streaming gate's batch audit dual ----
+
+  /** q160: the ORACLE-CHECKED batch dual of
+    * [[graft.streaming.GkGateStream]] (VERDICT r14 item 3 — the q157
+    * pattern applied to the CONTINUOUS-score gate): the stream face's
+    * per-source Greenwald–Khanna sketch fold runs over the batch frame
+    * (same code path — flatMapGroupsWithState executes on batch
+    * Datasets, one group invocation per source, rows folded in doc_id
+    * order), and every emitted threshold is AUDITED against the exact
+    * prefix ranks from a q157-style (source-equi, doc_id ≤) self-join.
+    *
+    * The audit shape is q153's, transported to per-document prefixes:
+    * the sketch threshold itself — engine-specific summary internals —
+    * never reaches the oracle; what is hash-checked is (a) the exact
+    * prefix census (n_seen, cnt_le — DuckDB-reproducible), and (b)
+    * `gate_ok`, the sketch's rank GUARANTEE asserted uniformly TRUE:
+    * counting prefix scores ≤/< the emitted threshold lands within
+    * n_seen/[[graft.streaming.GkGateStream.Acc]] (+1 discretization
+    * slack) of the target rank ⌈n_seen·[[graft.streaming.GkGateStream
+    * .QuantilePct]]/100⌉, in exact integer cross-multiplied arithmetic.
+    *
+    * The score is continuous on purpose — mean token length
+    * (n_chars / token count, one IEEE double division, bit-identical in
+    * DuckDB) — the regime where q149/q157's exact-domain state is
+    * corpus-sized and the sketch is the only scalable stream state.
+    *
+    * Scale note, stated honestly: THIS dual is the oracle face — the
+    * prefix census is quadratic in per-source rows; it exists to be
+    * SQL-replayable (the q157 honesty note verbatim). The production
+    * face is the stream, whose per-source state is O(Acc·log n) sketch
+    * tuples and whose per-doc cost is sketch-sized; the corpus-scale
+    * batch form is q153. */
+  def q160GkGateStreamDual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gkStreamDualCore(s, Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        ($"n_chars".cast("double") / size(split($"text", " ")).cast("double"))
+          .as("score")))
+  }
+
+  /** q160 body over any (doc_id, source, score DOUBLE) frame. */
+  private[graft] def gkStreamDualCore(s: SparkSession,
+      scoredIn: DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val acc = graft.streaming.GkGateStream.Acc
+    val pct = graft.streaming.GkGateStream.QuantilePct
+    val sc = scoredIn.localCheckpoint(false) // fold + both prefix sides
+    val folded = graft.streaming.GkGateStream.verdicts(sc, ttl = None)
+      .toDF().localCheckpoint(false)
+    val b = sc.select($"source", $"doc_id".as("b_id"), $"score".as("b_score"))
+    val rank = expr(s"(n_seen * $pct + 99) div 100")
+    folded.join(b, Seq("source"))
+      .where($"b_id" <= $"doc_id")
+      .groupBy($"doc_id", $"source", $"score", $"n_seen", $"thr")
+      .agg(count(lit(1)).as("n_pre"),
+        sum(when($"b_score" <= $"score", 1L).otherwise(0L)).as("cnt_le"),
+        sum(when($"b_score" <= $"thr", 1L).otherwise(0L)).as("le_thr"),
+        sum(when($"b_score" < $"thr", 1L).otherwise(0L)).as("lt_thr"))
+      .select($"doc_id", $"source", $"score", $"n_seen", $"cnt_le",
+        // the fold's running count must agree with the exact census,
+        // and the threshold's true prefix rank must sit within the GK
+        // band: acc·le_thr >= acc·r − n_seen − acc (an instance of thr
+        // reaches the target from below) and acc·(lt_thr+1) <= acc·r +
+        // n_seen + acc (one does not overshoot it from above)
+        ($"n_pre" === $"n_seen" &&
+          lit(acc.toLong) * $"le_thr" >=
+            lit(acc.toLong) * rank - $"n_seen" - lit(acc.toLong) &&
+          lit(acc.toLong) * ($"lt_thr" + 1L) <=
+            lit(acc.toLong) * rank + $"n_seen" + lit(acc.toLong)).as("gate_ok"))
+      .orderBy($"doc_id")
+  }
+
+  val q160Sql: String =
+    s"""WITH sc AS (SELECT doc_id, source,
+       |    CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS score
+       |  FROM documents),
+       |pre AS (SELECT a.doc_id, a.source, a.score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_seen,
+       |    CAST(SUM(CASE WHEN b.score <= a.score THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_le
+       |  FROM sc a JOIN sc b ON a.source = b.source AND b.doc_id <= a.doc_id
+       |  GROUP BY a.doc_id, a.source, a.score)
+       |SELECT doc_id, source, score, n_seen, cnt_le, TRUE AS gate_ok
+       |FROM pre ORDER BY doc_id""".stripMargin
+
   // ---- q85: temperature-balanced corpus mixing ----
 
   /** Integer quantization factor for the per-language weights:
@@ -2546,6 +2632,7 @@ object TextQueries {
     "q157_gate_stream_dual" -> (q157GateStreamDual _),
     "q158_ccnet_buckets"    -> (q158CcnetBuckets _),
     "q159_dsir_weights"     -> (q159DsirWeights _),
+    "q160_gk_stream_dual"   -> (q160GkGateStreamDual _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2584,6 +2671,7 @@ object TextQueries {
     "q157_gate_stream_dual" -> q157Sql,
     "q158_ccnet_buckets"    -> q158Sql,
     "q159_dsir_weights"     -> q159Sql,
+    "q160_gk_stream_dual"   -> q160Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,

@@ -506,4 +506,72 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
+
+  test("GK-state streaming gate == the same fold run as a batch (across " +
+      "micro-batch boundaries), anchored to q160's oracle-checked audit; " +
+      "state stays sketch-sized on a high-cardinality score stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.GkGateStream
+    val dir = tmpDir("docs_gkgate")
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source",
+        ($"n_chars".cast("double") / size(split($"text", " ")).cast("double"))
+          .as("score"))
+      .localCheckpoint(true)
+    // two drop files split by doc_id → two micro-batches: the sketch
+    // state must survive the boundary
+    val mid = 250L
+    docs.where($"doc_id" < mid).coalesce(1).write.parquet(s"$dir/h1")
+    docs.where($"doc_id" >= mid).coalesce(1).write.parquet(s"$dir/h2")
+    for ((src, dst) <- Seq("h1" -> "d1.parquet", "h2" -> "d2.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val streamed = GkGateStream
+      .runBounded(spark, s"$dir/d*.parquet", "gk_gate",
+        maxFilesPerTrigger = Some(1))
+      .collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    // batch ≡ stream on EVERY column including the sketch threshold and
+    // the admit bit: the same fold, state carried across two micro-
+    // batches vs one group invocation
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val batch = GkGateStream.verdicts(docs, ttl = None)
+      .toDF().orderBy($"doc_id").collect()
+    assert(key(streamed) == key(batch))
+    // ... and q160 (oracle-green) audits this very fold's thresholds
+    // against exact prefix ranks, so the stream is transitively
+    // DuckDB-anchored; sanity: its gate_ok verdicts are uniformly true
+    val audited = graft.queries.TextQueries
+      .q160GkGateStreamDual(spark, sf0001).collect()
+    assert(audited.length == streamed.length)
+    assert(audited.forall(_.getBoolean(5)), "rank guarantee must hold")
+    // someone must actually be rejected, and the aggregate admit rate
+    // must sit near the 75% keep band (500 docs: tight concentration)
+    assert(streamed.exists(!_.getBoolean(5)))
+    val admitRate = streamed.count(_.getBoolean(5)).toDouble / streamed.length
+    assert(admitRate > 0.7 && admitRate < 0.9, s"admit rate $admitRate")
+    // sketch-sized state: insert a 100k-row single-source adversarial
+    // stream of DISTINCT scores directly into the fold's summary — the
+    // summary must stay O(Acc·log n), nowhere near row- or domain-sized
+    var st = GkGateStream.GkState(Nil, 0L, 0L)
+    (1 to 100000).foreach { i =>
+      st = GkGateStream.insert(st, (i * 2654435761L % 1000003L).toDouble)
+    }
+    assert(st.ts.length < 2000,
+      s"GK summary must stay sketch-sized, got ${st.ts.length} tuples")
+    // and its quantile still honors the rank guarantee on that stream
+    val thr = GkGateStream.quantile(st, GkGateStream.QuantilePct)
+    val exact = (1 to 100000)
+      .map(i => (i * 2654435761L % 1000003L).toDouble).sorted
+    val rank = exact.count(_ <= thr)
+    val target = (100000 * GkGateStream.QuantilePct + 99) / 100
+    assert(math.abs(rank - target) <= 100000 / GkGateStream.Acc + 1,
+      s"rank $rank vs target $target")
+  }
 }
