@@ -30,9 +30,11 @@ import graft.queries.TextQueries
   * transported to state: bounded by the source's distinct-score domain
   * (lengths, in the named query), NOT its row count; a 10⁹-doc source
   * with 50k distinct lengths carries 50k map entries. The per-doc
-  * admit test folds the domain once (O(domain) worst case — the
-  * domain-sized analogue of q149's window over the domain, not a
-  * per-row corpus pass). An optional TTL (ProcessingTimeTimeout, the
+  * admit test is one Fenwick-tree prefix query — O((D + b)·log(D + b))
+  * per b-doc micro-batch against a D-entry domain ([[admitFold]];
+  * VERDICT r14 closed the old O(b·D) linear fold, which survives as
+  * [[admitFoldLinear]], the spec oracle pinning bit-identical output).
+  * An optional TTL (ProcessingTimeTimeout, the
   * stateful-face convention) bounds state for unbounded deployments
   * where the calibration window is "last N days".
   *
@@ -51,20 +53,76 @@ object GateStream {
   /** Default state TTL (disabled in bounded test drivers). */
   val StateTtl = "30 days"
 
-  /** One source fold: update the score domain, then admit iff
-    * GateDen · cum(score) ≥ n over the state INCLUDING this doc. */
-  private[graft] def fold(source: String, it: Iterator[DocRow],
-      state: GroupState[SourceState], ttl: Option[String]): Iterator[Verdict] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    var dom = state.getOption.map(_.dom).getOrElse(Map.empty[Long, Long])
-    var n = state.getOption.map(_.n).getOrElse(0L)
-    val out = it.toSeq.sortBy(_.doc_id).map { r =>
+  /** REFERENCE admit fold — the original O(b·D) per-batch form (b docs
+    * against a D-entry score domain, one linear domain sum per doc).
+    * Kept as the spec oracle for [[admitFold]]: StreamingSpec pins the
+    * two bit-identical on a high-cardinality fixture (VERDICT r14
+    * "what's wrong" #1 / next-round #5). */
+  private[graft] def admitFoldLinear(dom0: Map[Long, Long], n0: Long,
+      docs: Seq[DocRow]): (Seq[Verdict], Map[Long, Long], Long) = {
+    var dom = dom0
+    var n = n0
+    val out = docs.map { r =>
       dom = dom.updated(r.score, dom.getOrElse(r.score, 0L) + 1L)
       n += 1L
       val cumLe = dom.iterator.collect { case (s, c) if s <= r.score => c }.sum
       Verdict(r.doc_id, r.source, r.score, n,
         TextQueries.GateDen * cumLe >= n)
     }
+    (out, dom, n)
+  }
+
+  /** PRODUCTION admit fold — O((D + b)·log(D + b)) per batch: the state
+    * domain and the batch's scores index into one sorted key array, a
+    * Fenwick (binary indexed) tree carries the counts, and each doc
+    * pays one O(log D) point update + one O(log D) prefix query instead
+    * of the linear domain sum. Output is bit-identical to
+    * [[admitFoldLinear]] (same cumulative counts, same integer admit
+    * test); only the data structure changed. */
+  private[graft] def admitFold(dom0: Map[Long, Long], n0: Long,
+      docs: Seq[DocRow]): (Seq[Verdict], Map[Long, Long], Long) = {
+    val keys = (dom0.keysIterator ++ docs.iterator.map(_.score))
+      .toArray.distinct.sorted
+    val m = keys.length
+    val fen = new Array[Long](m + 1)
+    def add(i0: Int, v: Long): Unit = {
+      var i = i0 + 1
+      while (i <= m) { fen(i) += v; i += i & (-i) }
+    }
+    def cumLe(i0: Int): Long = {
+      var i = i0 + 1
+      var s = 0L
+      while (i > 0) { s += fen(i); i -= i & (-i) }
+      s
+    }
+    val counts = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val c = dom0.getOrElse(keys(k), 0L)
+      if (c != 0L) { counts(k) = c; add(k, c) }
+      k += 1
+    }
+    var n = n0
+    val out = docs.map { r =>
+      val i = java.util.Arrays.binarySearch(keys, r.score)
+      counts(i) += 1L
+      add(i, 1L)
+      n += 1L
+      Verdict(r.doc_id, r.source, r.score, n,
+        TextQueries.GateDen * cumLe(i) >= n)
+    }
+    val dom = keys.indices.iterator
+      .filter(counts(_) != 0L).map(i => keys(i) -> counts(i)).toMap
+    (out, dom, n)
+  }
+
+  /** One source fold: update the score domain, then admit iff
+    * GateDen · cum(score) ≥ n over the state INCLUDING this doc. */
+  private[graft] def fold(source: String, it: Iterator[DocRow],
+      state: GroupState[SourceState], ttl: Option[String]): Iterator[Verdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val st = state.getOption.getOrElse(SourceState(Map.empty, 0L))
+    val (out, dom, n) = admitFold(st.dom, st.n, it.toSeq.sortBy(_.doc_id))
     state.update(SourceState(dom, n))
     ttl.foreach(t => state.setTimeoutDuration(t))
     out.iterator

@@ -507,6 +507,33 @@ class StreamingSpec extends SparkSuite {
     assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("GateStream's Fenwick admit fold is bit-identical to the linear " +
+      "reference on a high-cardinality domain, including cross-batch " +
+      "state carry, and stays fast where the linear fold melts") {
+    import graft.streaming.GateStream
+    // deterministic high-cardinality fixture: 40k docs, ~20k distinct
+    // scores, folded in two chained batches (state carries across)
+    def mkDocs(from: Long, cnt: Int): Seq[GateStream.DocRow] =
+      (0 until cnt).map { i =>
+        val id = from + i
+        GateStream.DocRow(id, "s", (id * 2654435761L) % 20011L)
+      }
+    val b1 = mkDocs(0L, 20000)
+    val b2 = mkDocs(20000L, 20000)
+    val (o1l, d1l, n1l) = GateStream.admitFoldLinear(Map.empty, 0L, b1)
+    val (o1f, d1f, n1f) = GateStream.admitFold(Map.empty, 0L, b1)
+    assert(o1l == o1f && d1l == d1f && n1l == n1f)
+    val (o2l, d2l, n2l) = GateStream.admitFoldLinear(d1l, n1l, b2)
+    val t0 = System.nanoTime()
+    val (o2f, d2f, n2f) = GateStream.admitFold(d1f, n1f, b2)
+    val fastMs = (System.nanoTime() - t0) / 1e6
+    assert(o2l == o2f && d2l == d2f && n2l == n2f)
+    assert(o2f.exists(!_.admit) && o2f.exists(_.admit))
+    // 20k docs × 20k domain: the linear fold is ~4·10⁸ adds; the
+    // Fenwick fold must stay well under a second
+    assert(fastMs < 2000.0, s"Fenwick fold took ${fastMs}ms")
+  }
+
   test("GK-state streaming gate == the same fold run as a batch (across " +
       "micro-batch boundaries), anchored to q160's oracle-checked audit; " +
       "state stays sketch-sized on a high-cardinality score stream") {
