@@ -67,7 +67,9 @@ object CodesIngest {
       val (codesT, cbT) = (s"${prefix}_codes", s"${prefix}_codebook")
       if (s.catalog.tableExists(codesT) && s.catalog.tableExists(cbT))
         (codesT, cbT)
-      else buildTables(s, emb, codesT, cbT)
+      else graft.io.WriterLease.withLease(s, prefix) {
+        buildTables(s, emb, codesT, cbT)
+      }
     }
 
   /** Frozen-encoder state: the 1-row per-dim lo/hi stats table written
@@ -111,6 +113,7 @@ object CodesIngest {
     * unrepresentative. */
   def appendBatch(s: SparkSession, newEmb: DataFrame, prefix: String): Unit =
     CodesIngest.synchronized {
+      graft.io.WriterLease.withLease(s, prefix) {
       import s.implicits._
       val codesT = s"${prefix}_codes"
       require(s.catalog.tableExists(codesT),
@@ -145,6 +148,7 @@ object CodesIngest {
         codes.join(pq, Seq("vec_id")).join(words, Seq("vec_id"))
           .select($"vec_id", $"codes", $"pq", $"w0", $"w1"),
         codesT, "vec_id", Buckets)
+      }
     }
 
   /** DELETE vectors from the stored codes table (VERDICT r14 item 1) —
@@ -159,23 +163,27 @@ object CodesIngest {
     * contract: deletions never retrain). */
   def deleteVecs(s: SparkSession, vecIds: DataFrame, prefix: String): Unit =
     CodesIngest.synchronized {
-      import s.implicits._
-      val codesT = s"${prefix}_codes"
-      require(s.catalog.tableExists(codesT),
-        s"deleteVecs needs an ingested base table: $codesT")
-      val ids = vecIds.select($"vec_id").distinct().localCheckpoint(true)
-      graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(
-        _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+      graft.io.WriterLease.withLease(s, prefix) {
+        import s.implicits._
+        val codesT = s"${prefix}_codes"
+        require(s.catalog.tableExists(codesT),
+          s"deleteVecs needs an ingested base table: $codesT")
+        val ids = vecIds.select($"vec_id").distinct().localCheckpoint(true)
+        graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(
+          _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+      }
     }
 
   /** Collapse accumulated append files to one per bucket (VERDICT r14
     * item 2) — a row-identical [[graft.io.StagedRewrite]] pass. */
   def compact(s: SparkSession, prefix: String): Unit =
     CodesIngest.synchronized {
-      val codesT = s"${prefix}_codes"
-      require(s.catalog.tableExists(codesT),
-        s"compact needs an ingested table: $codesT")
-      graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(identity)
+      graft.io.WriterLease.withLease(s, prefix) {
+        val codesT = s"${prefix}_codes"
+        require(s.catalog.tableExists(codesT),
+          s"compact needs an ingested table: $codesT")
+        graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(identity)
+      }
     }
 
   /** STREAMING face of the incremental ingest: new embedding batches

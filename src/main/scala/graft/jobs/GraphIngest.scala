@@ -71,7 +71,9 @@ object GraphIngest {
       val (edgesT, histT) = (edgesTable(dir), histTable(dir))
       if (s.catalog.tableExists(edgesT) && s.catalog.tableExists(histT))
         (edgesT, histT)
-      else buildTables(s, dir, edgesT, histT)
+      else graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
+        buildTables(s, dir, edgesT, histT)
+      }
     }
 
   private def buildTables(s: SparkSession, dir: String,
@@ -123,12 +125,14 @@ object GraphIngest {
     * the fail-fast on the [[ingest]] demo pair). */
   def ingestConsistent(s: SparkSession, prefix: String, edges: DataFrame): Unit =
     GraphIngest.synchronized {
-      import s.implicits._
-      val edgesC = edges.select($"u", $"v", $"w").localCheckpoint(true)
-      val hist = GraphQueries.lpaHistory(edgesC.select($"u", $"v"))
-        .map(_.localCheckpoint(true))
-      ingestTables(s, edgesC, hist, s"${prefix}_edges", s"${prefix}_lpahist",
-        consistent = true)
+      graft.io.WriterLease.withLease(s, prefix) {
+        import s.implicits._
+        val edgesC = edges.select($"u", $"v", $"w").localCheckpoint(true)
+        val hist = GraphQueries.lpaHistory(edgesC.select($"u", $"v"))
+          .map(_.localCheckpoint(true))
+        ingestTables(s, edgesC, hist, s"${prefix}_edges", s"${prefix}_lpahist",
+          consistent = true)
+      }
     }
 
   /** Advance the persisted graph state of `prefix` by ONE day's edge
@@ -206,6 +210,7 @@ object GraphIngest {
   private[graft] def advanceStateUntil(s: SparkSession, prefix: String,
       batchId: String, batch: DataFrame, stopAfter: String): Unit =
     GraphIngest.synchronized {
+      graft.io.WriterLease.withLease(s, prefix) {
       import s.implicits._
       val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
       require(s.catalog.tableExists(edgesT),
@@ -259,6 +264,7 @@ object GraphIngest {
       // phase 3+: roll the history forward from the post-append table
       // and commit — shared verbatim with heal's recovery path
       rollForward(s, prefix, frontierOf(s, prefix, Some(batchId)), stopAfter)
+      }
     }
 
   private def requireConsistent(s: SparkSession, prefix: String): Unit = {
@@ -326,7 +332,9 @@ object GraphIngest {
     * re-derived from the tagged rows, which is the identity when the
     * swap had already happened. */
   def heal(s: SparkSession, prefix: String): Unit =
-    GraphIngest.synchronized { healLocked(s, prefix) }
+    GraphIngest.synchronized {
+      graft.io.WriterLease.withLease(s, prefix) { healLocked(s, prefix) }
+    }
 
   private def healLocked(s: SparkSession, prefix: String): Unit = {
     import s.implicits._
@@ -395,6 +403,7 @@ object GraphIngest {
     * the next mutation heals it. */
   def compact(s: SparkSession, prefix: String): Unit =
     GraphIngest.synchronized {
+      graft.io.WriterLease.withLease(s, prefix) {
       import s.implicits._
       val edgesT = s"${prefix}_edges"
       require(s.catalog.tableExists(edgesT),
@@ -415,16 +424,19 @@ object GraphIngest {
       graft.io.StagedRewrite.rewrite(s, edgesT, "u", Buckets)(df =>
         df.groupBy($"u", $"v").agg(sum($"w").as("w"))
           .withColumn("batch_id", lit(null).cast("string")))
+      }
     }
 
   /** Drop the persisted graph state of `dir` (test hook / re-ingest),
     * including provenance, marker, watermark, and any staging tables. */
   def drop(s: SparkSession, dir: String): Unit = GraphIngest.synchronized {
     val prefix = tablePrefix(dir)
-    Seq(edgesTable(dir), histTable(dir), s"${histTable(dir)}__next",
-      metaTable(prefix), pendingTable(prefix), appliedTable(prefix),
-      graft.io.StagedRewrite.stagingTable(edgesTable(dir)),
-      graft.io.StagedRewrite.markerTable(edgesTable(dir)))
-      .foreach(Bucketing.dropManaged(s, _))
+    graft.io.WriterLease.withLease(s, prefix) {
+      Seq(edgesTable(dir), histTable(dir), s"${histTable(dir)}__next",
+        metaTable(prefix), pendingTable(prefix), appliedTable(prefix),
+        graft.io.StagedRewrite.stagingTable(edgesTable(dir)),
+        graft.io.StagedRewrite.markerTable(edgesTable(dir)))
+        .foreach(Bucketing.dropManaged(s, _))
+    }
   }
 }

@@ -71,7 +71,7 @@ object OccIngest {
   def ingest(s: SparkSession, dir: String): String = OccIngest.synchronized {
     val t = occTable(dir)
     if (s.catalog.tableExists(t)) t
-    else {
+    else graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
       val occ = DedupQueries.taggedOccCorpusFromText(s, dir)
       graft.io.StagedRewrite.dropAll(s, t) // incl. stale rewrite residue
       Bucketing.writeBucketed(occ, t, "doc_id", Buckets)
@@ -108,6 +108,7 @@ object OccIngest {
     * reads the (authoritative) table. */
   def appendBatch(s: SparkSession, dir: String, newDocs: DataFrame): Unit =
     OccIngest.synchronized {
+      graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
       import s.implicits._
       val t = occTable(dir)
       require(s.catalog.tableExists(t),
@@ -121,6 +122,7 @@ object OccIngest {
         .localCheckpoint(true)
       val occ = DedupQueries.taggedOccForDocs(s, fresh)
       Bucketing.appendBucketed(occ, t, "doc_id", Buckets)
+      }
     }
 
   /** STREAMING face of the incremental ingest (the
@@ -179,23 +181,27 @@ object OccIngest {
     * [[DedupQueries.clearMemos]], or a fresh process reads the table. */
   def deleteDocs(s: SparkSession, dir: String, docIds: DataFrame): Unit =
     OccIngest.synchronized {
-      import s.implicits._
-      val t = occTable(dir)
-      require(s.catalog.tableExists(t),
-        s"deleteDocs needs an ingested base table: $t")
-      // eager: the ids may derive from the very table being rewritten
-      val ids = docIds.select($"doc_id").distinct().localCheckpoint(true)
-      graft.io.StagedRewrite.rewrite(s, t, "doc_id", Buckets)(
-        _.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
+        import s.implicits._
+        val t = occTable(dir)
+        require(s.catalog.tableExists(t),
+          s"deleteDocs needs an ingested base table: $t")
+        // eager: the ids may derive from the very table being rewritten
+        val ids = docIds.select($"doc_id").distinct().localCheckpoint(true)
+        graft.io.StagedRewrite.rewrite(s, t, "doc_id", Buckets)(
+          _.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      }
     }
 
   /** Collapse the table's accumulated append files to one file per
     * bucket (VERDICT r14 item 2) — a row-identical [[graft.io
     * .StagedRewrite]] pass. */
   def compact(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
-    val t = occTable(dir)
-    require(s.catalog.tableExists(t), s"compact needs an ingested table: $t")
-    graft.io.StagedRewrite.rewrite(s, t, "doc_id", Buckets)(identity)
+    graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
+      val t = occTable(dir)
+      require(s.catalog.tableExists(t), s"compact needs an ingested table: $t")
+      graft.io.StagedRewrite.rewrite(s, t, "doc_id", Buckets)(identity)
+    }
   }
 
   /** Drop the persisted occurrence frame of `dir` (test hook) and
@@ -210,7 +216,9 @@ object OccIngest {
     * TEXT-minted frames (never a scan of this table), so it stays
     * valid — and reusable — across a drop. */
   def drop(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
-    graft.io.StagedRewrite.dropAll(s, occTable(dir))
+    graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
+      graft.io.StagedRewrite.dropAll(s, occTable(dir))
+    }
     known.synchronized {
       val it = known.values().iterator()
       while (it.hasNext) it.next() -= dir

@@ -68,7 +68,9 @@ object RotIngest {
     RotIngest.synchronized {
       val all = tables(prefix)
       if (all.forall(s.catalog.tableExists)) (all(0), all(1))
-      else buildTables(s, emb, prefix)
+      else graft.io.WriterLease.withLease(s, prefix) {
+        buildTables(s, emb, prefix)
+      }
     }
 
   private def buildTables(s: SparkSession, embIn: DataFrame,
@@ -125,6 +127,7 @@ object RotIngest {
     * unrepresentative — same judgement call as the base tier. */
   def appendBatch(s: SparkSession, newEmb: DataFrame, prefix: String): Unit =
     RotIngest.synchronized {
+      graft.io.WriterLease.withLease(s, prefix) {
       import s.implicits._
       val Seq(codesT, cbT, modelT, statsT) = tables(prefix)
       require(tables(prefix).forall(s.catalog.tableExists),
@@ -147,6 +150,7 @@ object RotIngest {
       Bucketing.appendBucketed(
         codes.join(pq, Seq("vec_id")).select($"vec_id", $"codes", $"pq"),
         codesT, "vec_id", Buckets)
+      }
     }
 
   /** DELETE vectors from the learned-tier codes table (VERDICT r14
@@ -158,23 +162,27 @@ object RotIngest {
     * (RotAppendSpec pins it), and a replayed delete is the identity. */
   def deleteVecs(s: SparkSession, vecIds: DataFrame, prefix: String): Unit =
     RotIngest.synchronized {
-      import s.implicits._
-      val codesT = s"${prefix}_codes"
-      require(s.catalog.tableExists(codesT),
-        s"deleteVecs needs an ingested base table: $codesT")
-      val ids = vecIds.select($"vec_id").distinct().localCheckpoint(true)
-      graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(
-        _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+      graft.io.WriterLease.withLease(s, prefix) {
+        import s.implicits._
+        val codesT = s"${prefix}_codes"
+        require(s.catalog.tableExists(codesT),
+          s"deleteVecs needs an ingested base table: $codesT")
+        val ids = vecIds.select($"vec_id").distinct().localCheckpoint(true)
+        graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(
+          _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+      }
     }
 
   /** Collapse accumulated append files to one per bucket (VERDICT r14
     * item 2) — a row-identical [[graft.io.StagedRewrite]] pass. */
   def compact(s: SparkSession, prefix: String): Unit =
     RotIngest.synchronized {
-      val codesT = s"${prefix}_codes"
-      require(s.catalog.tableExists(codesT),
-        s"compact needs an ingested table: $codesT")
-      graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(identity)
+      graft.io.WriterLease.withLease(s, prefix) {
+        val codesT = s"${prefix}_codes"
+        require(s.catalog.tableExists(codesT),
+          s"compact needs an ingested table: $codesT")
+        graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(identity)
+      }
     }
 
   /** STREAMING face of the frozen-model increment (the

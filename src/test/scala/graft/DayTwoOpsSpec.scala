@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cli.IngestCli
+import graft.jobs.{CodesIngest, GraphIngest, OccIngest, RotIngest}
+import graft.queries.{DedupQueries, GraphQueries}
+
+/** VERDICT r14 item 6: the per-family append/advance/delete/compact
+  * paths are each spec-pinned in isolation — this suite drives ONE full
+  * operational day through the production CLI and asserts the families
+  * COMPOSE: base ingest, daily growth appends, a graph advance, a
+  * takedown (delete/retract) across all four families, compaction, and
+  * then consumer queries green on the final composed state. */
+class DayTwoOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  test("one integrated day through IngestCli: ingest -> append/advance -> " +
+      "takedown -> compact, consumers green on the composed state") {
+    val dir = tmpDir("day2_corpus")
+    val docs = Tables.documents(spark, sf0001).localCheckpoint(true)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    val isNewDoc = $"doc_id" % 5 === 0
+    val isNewVec = $"vec_id" >= 400
+    // day-1 corpus
+    docs.where(!isNewDoc).write.mode("append").parquet(s"$dir/documents.parquet")
+    emb.where(!isNewVec).write.mode("append").parquet(s"$dir/embeddings.parquet")
+
+    // ---- day 1: base ingests, all via the CLI ----
+    val graphPrefix = "day2_graph_test"
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % GraphQueries.ChurnMod === 0
+    assert(IngestCli.run(spark, Map("stage" -> "occ", "dir" -> dir))
+      .contains("stage=occ"))
+    assert(IngestCli.run(spark, Map("stage" -> "codes", "dir" -> dir))
+      .contains("stage=codes"))
+    assert(IngestCli.run(spark, Map("stage" -> "rot", "dir" -> dir))
+      .contains("stage=rot"))
+    GraphIngest.ingestConsistent(spark, graphPrefix, full.where(!isBatch))
+
+    // ---- day 2: growth lands in the corpus dir AND flows through the
+    // CLI append/advance stages ----
+    val stage = tmpDir("day2_batches")
+    docs.where(isNewDoc).select($"doc_id", $"text")
+      .write.parquet(s"$stage/docs_new.parquet")
+    emb.where(isNewVec).write.parquet(s"$stage/emb_new.parquet")
+    full.where(isBatch).write.parquet(s"$stage/graph_day.parquet")
+    docs.where(isNewDoc).write.mode("append").parquet(s"$dir/documents.parquet")
+    emb.where(isNewVec).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    DedupQueries.clearMemos(spark)
+    IngestCli.run(spark, Map("stage" -> "occ", "dir" -> dir,
+      "append" -> s"$stage/docs_new.parquet"))
+    IngestCli.run(spark, Map("stage" -> "codes", "dir" -> dir,
+      "append" -> s"$stage/emb_new.parquet"))
+    IngestCli.run(spark, Map("stage" -> "rot", "dir" -> dir,
+      "append" -> s"$stage/emb_new.parquet"))
+    IngestCli.run(spark, Map("stage" -> "graph-advance", "prefix" -> graphPrefix,
+      "dir" -> dir, "batch" -> s"$stage/graph_day.parquet", "batch-id" -> "day2"))
+
+    // full day-2 state sanity before the takedown
+    assert(spark.table(OccIngest.occTable(dir)).select($"doc_id")
+      .distinct().count() == docs.count())
+    assert(spark.table(s"${CodesIngest.tablePrefix(dir)}_codes").count()
+      == emb.count())
+    assert(spark.table(RotIngest.codesTable(dir)).count() == emb.count())
+
+    // snapshot the post-append code tables: deletion must be a pure row
+    // filter of these (frozen encoders)
+    val codesBefore = spark.table(s"${CodesIngest.tablePrefix(dir)}_codes")
+      .localCheckpoint(true)
+    val rotBefore = spark.table(RotIngest.codesTable(dir)).localCheckpoint(true)
+
+    // ---- the takedown: docs % 7 == 0 and vecs % 5 == 1 go away, and
+    // the graph loses the churn batch again ----
+    val goneDoc = $"doc_id" % 7 === 0
+    val goneVec = $"vec_id" % 5 === 1
+    docs.where(goneDoc).select($"doc_id").write.parquet(s"$stage/doc_ids.parquet")
+    emb.where(goneVec).select($"vec_id").write.parquet(s"$stage/vec_ids.parquet")
+    IngestCli.run(spark, Map("stage" -> "occ-delete", "dir" -> dir,
+      "ids" -> s"$stage/doc_ids.parquet"))
+    IngestCli.run(spark, Map("stage" -> "codes-delete", "dir" -> dir,
+      "ids" -> s"$stage/vec_ids.parquet"))
+    IngestCli.run(spark, Map("stage" -> "rot-delete", "dir" -> dir,
+      "ids" -> s"$stage/vec_ids.parquet"))
+    IngestCli.run(spark, Map("stage" -> "graph-retract", "prefix" -> graphPrefix,
+      "dir" -> dir, "batch" -> s"$stage/graph_day.parquet",
+      "batch-id" -> "take-day2"))
+
+    // ---- compaction across all four families ----
+    IngestCli.run(spark, Map("stage" -> "occ-compact", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "codes-compact", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "rot-compact", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "graph-compact",
+      "prefix" -> graphPrefix, "dir" -> dir))
+
+    // ---- consumers on the composed state ----
+    // occ: the table-backed q25 equals the pure text path over a corpus
+    // that never held the deleted docs
+    val dirR = tmpDir("day2_reduced")
+    docs.where(!goneDoc).write.mode("append").parquet(s"$dirR/documents.parquet")
+    DedupQueries.clearMemos(spark)
+    assert(rows(DedupQueries.q25MinhashSig(spark, dir)) ==
+      rows(DedupQueries.q25MinhashSig(spark, dirR)),
+      "post-takedown q25 must match the reduced-corpus pure path")
+
+    // codes/rot: frozen-encoder row filters of the pre-delete snapshot
+    val codesNow = spark.table(s"${CodesIngest.tablePrefix(dir)}_codes")
+    val codesExp = codesBefore.where(!goneVec)
+    assert(codesNow.exceptAll(codesExp).isEmpty &&
+      codesExp.exceptAll(codesNow).isEmpty)
+    val rotNow = spark.table(RotIngest.codesTable(dir))
+    val rotExp = rotBefore.where(!goneVec)
+    assert(rotNow.exceptAll(rotExp).isEmpty && rotExp.exceptAll(rotNow).isEmpty)
+
+    // graph: advance + retraction of the same batch = the base graph,
+    // compacted to one row per pair, with the day's batches watermarked
+    val live = spark.table(s"${graphPrefix}_edges")
+      .groupBy($"u", $"v").agg(sum($"w").as("w")).where($"w" > 0)
+      .orderBy($"u", $"v")
+    assert(rows(live) == rows(full.where(!isBatch).orderBy($"u", $"v")),
+      "advance + retract of the same batch must recover the base graph")
+    assert(spark.table(s"${graphPrefix}_edges")
+      .where($"batch_id".isNotNull).count() == 0)
+    // replaying BOTH folded batches after compaction: no-ops
+    IngestCli.run(spark, Map("stage" -> "graph-advance", "prefix" -> graphPrefix,
+      "dir" -> dir, "batch" -> s"$stage/graph_day.parquet", "batch-id" -> "day2"))
+    IngestCli.run(spark, Map("stage" -> "graph-retract", "prefix" -> graphPrefix,
+      "dir" -> dir, "batch" -> s"$stage/graph_day.parquet",
+      "batch-id" -> "take-day2"))
+    assert(rows(spark.table(s"${graphPrefix}_edges")
+      .groupBy($"u", $"v").agg(sum($"w").as("w")).where($"w" > 0)
+      .orderBy($"u", $"v")) == rows(full.where(!isBatch).orderBy($"u", $"v")))
+
+    // cleanup
+    OccIngest.drop(spark, dir)
+    Seq("_codes", "_codebook", "_stats").foreach(sfx =>
+      graft.io.Bucketing.dropManaged(spark, s"${CodesIngest.tablePrefix(dir)}$sfx"))
+    Seq("_codes", "_codebook", "_model", "_stats").foreach(sfx =>
+      graft.io.Bucketing.dropManaged(spark, s"${RotIngest.tablePrefix(dir)}$sfx"))
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $graphPrefix$sfx"))
+    DedupQueries.clearMemos(spark)
+    GraphQueries.clearMemos(spark)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.WriterLease
+import graft.jobs.OccIngest
+
+/** The cross-process single-writer guard (VERDICT r14 item 7): a lease
+  * file in the warehouse turns the one-writer-per-warehouse contract
+  * into a fail-fast. Pins (a) a live foreign lease refuses the mutation
+  * and is NOT deleted by the refused writer, (b) a stale lease (crashed
+  * writer) is stolen, (c) a completed mutation releases its lease, (d)
+  * nested mutators re-enter instead of self-deadlocking. */
+class WriterLeaseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("foreign live lease refuses the mutation and survives the refusal; " +
+      "a stale lease is stolen; a completed mutation releases its own") {
+    val dir = tmpDir("lease_corpus")
+    Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    OccIngest.ingest(spark, dir)
+    val prefix = OccIngest.tablePrefix(dir)
+    val lease = WriterLease.leasePath(spark, prefix)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lease), "a completed ingest must release its lease")
+
+    // a SECOND process's live lease: this writer must refuse — and must
+    // not delete the other writer's lease on the way out
+    val out = fs.create(lease, false)
+    out.write("other-writer@elsewhere".getBytes("UTF-8")); out.close()
+    val batch = Seq((990001L, "some new text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      OccIngest.appendBatch(spark, dir, batch)
+    }
+    assert(e.getMessage.contains("another writer holds the lease"), e.getMessage)
+    assert(fs.exists(lease), "the refused writer must not delete the lease")
+    val rows = spark.table(OccIngest.occTable(dir)).count()
+
+    // the same lease gone STALE (its holder crashed): stolen, mutation
+    // lands, and the thief's lease is released afterwards
+    fs.setTimes(lease, System.currentTimeMillis() - 16L * 60L * 1000L, -1)
+    OccIngest.appendBatch(spark, dir, batch)
+    assert(spark.table(OccIngest.occTable(dir)).count() > rows,
+      "the stolen-lease mutation must land")
+    assert(!fs.exists(lease), "the thief must release the stolen lease")
+    OccIngest.drop(spark, dir)
+  }
+
+  test("nested mutators re-enter the lease instead of deadlocking; the " +
+      "graph family's full day cycle (advance -> heal -> retract -> " +
+      "compact) holds ONE lease end to end") {
+    import graft.jobs.GraphIngest
+    import graft.queries.GraphQueries
+    val prefix = "lease_graph_test"
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % GraphQueries.ChurnMod === 0
+    GraphIngest.ingestConsistent(spark, prefix, full.where(!isBatch))
+    // advanceState acquires the lease, then calls healLocked (re-entry);
+    // retractBatch routes through advanceState (re-entry again)
+    GraphIngest.advanceState(spark, prefix, "d1",
+      full.where(isBatch).localCheckpoint(true))
+    GraphIngest.retractBatch(spark, prefix, "t1",
+      full.where(isBatch).localCheckpoint(true))
+    GraphIngest.compact(spark, prefix)
+    val lease = WriterLease.leasePath(spark, prefix)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lease), "every cycle stage must release the lease")
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
+  }
+}
