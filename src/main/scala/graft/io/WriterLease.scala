@@ -13,23 +13,33 @@ import org.apache.spark.sql.SparkSession
   * one-writer-per-warehouse contract into a fail-fast:
   *
   *  - a live lease held by another process refuses the mutation with an
-  *    IllegalStateException naming the holder;
+  *    IllegalStateException naming the lease file;
+  *  - the holder HEARTBEATS: a daemon thread refreshes the lease mtime
+  *    every staleMs/3, so a long-running mutation (a 100 TB compact
+  *    easily exceeds any fixed budget) is never misclassified as dead
+  *    (review r15) — only a crashed writer's lease goes stale;
   *  - a STALE lease (older than `spark.graft.lease.staleMs`, default
-  *    15 min — a crashed writer) is stolen: deleted and re-acquired
-  *    once. Mutations are crash-safe by their own commit protocols
-  *    (StagedRewrite / GraphIngest.heal), so stealing is safe — the
-  *    thief's first act is healing whatever the corpse left;
+  *    15 min) is stolen ATOMICALLY: the thief RENAMEs the stale file to
+  *    a unique name (rename is the atomic primitive — of two racing
+  *    thieves exactly one rename succeeds; review r15) and only then
+  *    creates its own. Stealing is safe because every mutation is
+  *    crash-safe by its own commit protocol (StagedRewrite /
+  *    GraphIngest.heal) — the thief's first act is healing whatever the
+  *    corpse left;
   *  - re-entry within this JVM (advanceState → heal, retractBatch →
-  *    advanceState, compact → heal) passes through — the per-family
-  *    object locks already serialize same-name writers in-process,
-  *    which is what makes the held-set check race-free.
+  *    advanceState, compact → heal) passes through, keyed by the FULL
+  *    lease path — two same-JVM sessions over different warehouses hold
+  *    independent leases (review r15);
+  *  - `create` succeeding IS the acquisition: the informational payload
+  *    write is best-effort, so a payload I/O hiccup cannot strand a
+  *    half-created lease that locks out its own writer (review r15).
   *
   * The lease is advisory (a writer that does not call [[withLease]] is
   * not stopped) — it guards the repo's OWN mutators, which all route
   * through it. */
 object WriterLease {
 
-  /** Names leased by THIS JVM right now (re-entry pass-through). */
+  /** Lease paths held by THIS JVM right now (re-entry pass-through). */
   private val held = scala.collection.mutable.Set[String]()
 
   private def staleMs(s: SparkSession): Long =
@@ -41,50 +51,82 @@ object WriterLease {
     new Path(s.conf.get("spark.sql.warehouse.dir"),
       s"${name.toLowerCase}__lease")
 
-  private def acquire(s: SparkSession, name: String): Unit = {
-    val path = leasePath(s, name)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def tryCreate(): Boolean =
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): Boolean =
+    try {
+      val out = fs.create(path, false)
+      // the create IS the acquisition — the payload is informational
+      // and must not be able to fail the acquire halfway
       try {
-        val out = fs.create(path, false)
-        try out.write(
-          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-            .getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!tryCreate()) {
+        out.write(java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName.getBytes("UTF-8"))
+        out.close()
+      } catch { case _: java.io.IOException => try out.close() catch { case _: Throwable => } }
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def acquire(s: SparkSession, path: Path): Unit = {
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!tryCreate(fs, path)) {
       val st = try Some(fs.getFileStatus(path))
         catch { case _: java.io.FileNotFoundException => None }
       val stale = st.forall(f =>
         System.currentTimeMillis() - f.getModificationTime > staleMs(s))
-      if (stale) fs.delete(path, false) // crashed writer: steal once
-      if (stale && tryCreate()) ()
-      else throw new IllegalStateException(
-        s"another writer holds the lease on $name (${path}): " +
-          "one mutating process per warehouse — wait for it, or delete " +
-          "the lease file if its holder is known dead " +
-          s"(auto-stolen after ${staleMs(s)} ms)")
+      // atomic steal: rename the EXACT stale file away — of two racing
+      // thieves only one rename succeeds, and a fresh lease that
+      // replaced the stale one in between is not the renamed file
+      // (rename fails on a missing source), so a live writer's new
+      // lease is never deleted
+      val graveyard = new Path(path.getParent, path.getName + ".stale." +
+        java.util.UUID.randomUUID().toString)
+      val stolen = stale && (try fs.rename(path, graveyard)
+      catch { case _: java.io.IOException => false })
+      if (stolen) // the corpse is evidence no longer needed
+        try fs.delete(graveyard, false)
+        catch { case _: java.io.IOException => }
+      if (!(stolen && tryCreate(fs, path)))
+        throw new IllegalStateException(
+          s"another writer holds the lease ($path): one mutating " +
+            "process per warehouse — wait for it, or delete the lease " +
+            "file if its holder is known dead " +
+            s"(auto-stolen after ${staleMs(s)} ms without heartbeat)")
     }
   }
 
-  /** Run `f` holding the cross-process lease on `name`. */
+  /** Run `f` holding the cross-process lease on `name`, heartbeating
+    * the lease mtime for as long as `f` runs. */
   def withLease[T](s: SparkSession, name: String)(f: => T): T = {
-    val first = held.synchronized { held.add(name) }
-    if (!first) f // re-entrant within this JVM
+    val path = leasePath(s, name)
+    val key = path.toString
+    val first = held.synchronized { held.add(key) }
+    if (!first) f // re-entrant within this JVM (same warehouse + name)
     else {
       // a FAILED acquire must not release anything — the live lease
       // file belongs to the other writer
-      try acquire(s, name)
+      try acquire(s, path)
       catch {
-        case e: Throwable => held.synchronized { held -= name }; throw e
+        case e: Throwable => held.synchronized { held -= key }; throw e
       }
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val beat = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val interval = math.max(1000L, staleMs(s) / 3)
+      val heart = new Thread(() => {
+        while (beat.get()) {
+          try Thread.sleep(interval)
+          catch { case _: InterruptedException => }
+          if (beat.get())
+            try fs.setTimes(path, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => } // next beat retries
+        }
+      }, s"graft-lease-heartbeat-$name")
+      heart.setDaemon(true)
+      heart.start()
       try f
       finally {
-        val path = leasePath(s, name)
-        path.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(path, false)
-        held.synchronized { held -= name }
+        beat.set(false)
+        heart.interrupt()
+        fs.delete(path, false)
+        held.synchronized { held -= key }
       }
     }
   }

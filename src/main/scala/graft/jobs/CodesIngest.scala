@@ -68,7 +68,12 @@ object CodesIngest {
       if (s.catalog.tableExists(codesT) && s.catalog.tableExists(cbT))
         (codesT, cbT)
       else graft.io.WriterLease.withLease(s, prefix) {
-        buildTables(s, emb, codesT, cbT)
+        // a parked delete/compact may be the only reason codesT is
+        // absent — heal instead of retraining the whole index
+        graft.io.StagedRewrite.heal(s, codesT)
+        if (s.catalog.tableExists(codesT) && s.catalog.tableExists(cbT))
+          (codesT, cbT)
+        else buildTables(s, emb, codesT, cbT)
       }
     }
 
@@ -116,6 +121,7 @@ object CodesIngest {
       graft.io.WriterLease.withLease(s, prefix) {
       import s.implicits._
       val codesT = s"${prefix}_codes"
+      graft.io.StagedRewrite.heal(s, codesT) // recover a parked delete/compact
       require(s.catalog.tableExists(codesT),
         s"appendBatch needs an ingested base table: $codesT")
       // ROW-LEVEL idempotency: foreachBatch is at-least-once and this
@@ -164,13 +170,8 @@ object CodesIngest {
   def deleteVecs(s: SparkSession, vecIds: DataFrame, prefix: String): Unit =
     CodesIngest.synchronized {
       graft.io.WriterLease.withLease(s, prefix) {
-        import s.implicits._
-        val codesT = s"${prefix}_codes"
-        require(s.catalog.tableExists(codesT),
-          s"deleteVecs needs an ingested base table: $codesT")
-        val ids = vecIds.select($"vec_id").distinct().localCheckpoint(true)
-        graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(
-          _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+        IngestGuards.deleteRewrite(s, s"${prefix}_codes", "vec_id", Buckets,
+          vecIds)
       }
     }
 
@@ -179,10 +180,7 @@ object CodesIngest {
   def compact(s: SparkSession, prefix: String): Unit =
     CodesIngest.synchronized {
       graft.io.WriterLease.withLease(s, prefix) {
-        val codesT = s"${prefix}_codes"
-        require(s.catalog.tableExists(codesT),
-          s"compact needs an ingested table: $codesT")
-        graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(identity)
+        IngestGuards.compactRewrite(s, s"${prefix}_codes", "vec_id", Buckets)
       }
     }
 

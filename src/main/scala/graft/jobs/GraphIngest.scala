@@ -72,7 +72,12 @@ object GraphIngest {
       if (s.catalog.tableExists(edgesT) && s.catalog.tableExists(histT))
         (edgesT, histT)
       else graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
-        buildTables(s, dir, edgesT, histT)
+        // a parked compact/advance may be the only absence — heal both
+        // protocols before paying the full rebuild
+        healLocked(s, tablePrefix(dir))
+        if (s.catalog.tableExists(edgesT) && s.catalog.tableExists(histT))
+          (edgesT, histT)
+        else buildTables(s, dir, edgesT, histT)
       }
     }
 
@@ -213,22 +218,29 @@ object GraphIngest {
       graft.io.WriterLease.withLease(s, prefix) {
       import s.implicits._
       val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
+      // heal a parked [[compact]] FIRST: its drop window leaves the
+      // edges table missing with certified staging parked, and the
+      // require below would otherwise lock the family out of its own
+      // recovery (review r15)
+      graft.io.StagedRewrite.heal(s, edgesT)
       require(s.catalog.tableExists(edgesT),
         s"advanceState needs a CONSISTENT base pair (ingestConsistent, " +
           s"or a prior advanceState): $edgesT")
       require(batchId != null && batchId.nonEmpty, "advanceState needs a batchId")
       requireConsistent(s, prefix)
-      // a batch [[compact]] folded away has no tagged rows left for the
-      // row-level anti-join to screen — the applied-batch watermark
-      // remembers it, so a redelivery after compaction stays a no-op
-      // (1-row probe on a days-sized table)
-      if (s.catalog.tableExists(appliedTable(prefix)) &&
-          !s.table(appliedTable(prefix)).where($"batch_id" === batchId).isEmpty)
-        return
       // heal BEFORE checking the history table: a crash inside a prior
       // advance's swap legitimately leaves it missing with the staged
       // __next parked — heal commits it
       healLocked(s, prefix)
+      // a batch [[compact]] folded away has no tagged rows left for the
+      // row-level anti-join to screen — the applied-batch watermark
+      // remembers it, so a redelivery after compaction stays a no-op
+      // (1-row probe on a days-sized table). Probed AFTER the heal: a
+      // watermarked redelivery must still complete a parked prior
+      // advance before reporting success (review r15)
+      if (s.catalog.tableExists(appliedTable(prefix)) &&
+          !s.table(appliedTable(prefix)).where($"batch_id" === batchId).isEmpty)
+        return
       require(s.catalog.tableExists(histT),
         s"advanceState needs a CONSISTENT base pair (ingestConsistent, " +
           s"or a prior advanceState): $histT")
@@ -338,6 +350,9 @@ object GraphIngest {
 
   private def healLocked(s: SparkSession, prefix: String): Unit = {
     import s.implicits._
+    // a parked compact rewrite of the edges table heals here too, so
+    // the public heal (and graph-heal CLI stage) covers BOTH protocols
+    graft.io.StagedRewrite.heal(s, s"${prefix}_edges")
     val histT = s"${prefix}_lpahist"
     val nextT = s"${histT}__next"
     if (!s.catalog.tableExists(pendingTable(prefix))) {
@@ -406,10 +421,13 @@ object GraphIngest {
       graft.io.WriterLease.withLease(s, prefix) {
       import s.implicits._
       val edgesT = s"${prefix}_edges"
+      // heal a parked rewrite BEFORE the require (review r15: the
+      // drop-window crash leaves the table missing; the require must
+      // not block recovery), then complete any parked advance
+      graft.io.StagedRewrite.heal(s, edgesT)
       require(s.catalog.tableExists(edgesT),
         s"compact needs an ingested edges table: $edgesT")
       healLocked(s, prefix) // no advance may be in flight
-      graft.io.StagedRewrite.heal(s, edgesT)
       // phase 1: extend the applied-batch watermark (monotone, replay-safe)
       val folded = s.table(edgesT).where($"batch_id".isNotNull)
         .select($"batch_id").distinct().localCheckpoint(true)

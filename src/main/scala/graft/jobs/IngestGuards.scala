@@ -1,11 +1,38 @@
 package graft.jobs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.io.StagedRewrite
 
 /** Shared guards for the incremental ingest paths ([[OccIngest]] /
   * [[CodesIngest]] / [[RotIngest]]). */
 object IngestGuards {
+
+  /** Takedown rewrite shared by every row-keyed family: HEAL any parked
+    * rewrite FIRST — a crash in the drop window leaves the live table
+    * missing with the certified staging parked, and a require placed
+    * before the heal would lock the family out of its own recovery
+    * (review r15) — then require the base, then anti-join-rewrite
+    * against the (small, broadcast, eagerly checkpointed) id list. */
+  private[jobs] def deleteRewrite(s: SparkSession, table: String,
+      key: String, buckets: Int, ids: DataFrame): Unit = {
+    StagedRewrite.heal(s, table)
+    require(s.catalog.tableExists(table),
+      s"delete needs an ingested base table: $table")
+    val idsC = ids.select(col(key)).distinct().localCheckpoint(true)
+    StagedRewrite.rewrite(s, table, key, buckets)(
+      _.join(broadcast(idsC), Seq(key), "left_anti"))
+  }
+
+  /** Row-identical compaction rewrite (same heal-before-require order). */
+  private[jobs] def compactRewrite(s: SparkSession, table: String,
+      key: String, buckets: Int): Unit = {
+    StagedRewrite.heal(s, table)
+    require(s.catalog.tableExists(table),
+      s"compact needs an ingested table: $table")
+    StagedRewrite.rewrite(s, table, key, buckets)(identity)
+  }
 
   /** Intra-batch dedup with a CONFLICT fail-fast (ADVICE r14): a dirty
     * export repeating an id would pass the stored-table anti-join twice

@@ -72,10 +72,17 @@ object OccIngest {
     val t = occTable(dir)
     if (s.catalog.tableExists(t)) t
     else graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
-      val occ = DedupQueries.taggedOccCorpusFromText(s, dir)
-      graft.io.StagedRewrite.dropAll(s, t) // incl. stale rewrite residue
-      Bucketing.writeBucketed(occ, t, "doc_id", Buckets)
-      t
+      // a crash in a rewrite's drop window leaves the table ABSENT with
+      // the certified staging parked — heal recovers it instead of the
+      // full re-ingest (and instead of dropAll destroying the staging)
+      graft.io.StagedRewrite.heal(s, t)
+      if (s.catalog.tableExists(t)) t
+      else {
+        val occ = DedupQueries.taggedOccCorpusFromText(s, dir)
+        graft.io.StagedRewrite.dropAll(s, t) // incl. stale rewrite residue
+        Bucketing.writeBucketed(occ, t, "doc_id", Buckets)
+        t
+      }
     }
   }
 
@@ -111,6 +118,7 @@ object OccIngest {
       graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
       import s.implicits._
       val t = occTable(dir)
+      graft.io.StagedRewrite.heal(s, t) // recover a parked delete/compact
       require(s.catalog.tableExists(t),
         s"appendBatch needs an ingested base table: $t")
       // intra-batch dedup with conflict fail-fast (ADVICE r14), then the
@@ -182,14 +190,7 @@ object OccIngest {
   def deleteDocs(s: SparkSession, dir: String, docIds: DataFrame): Unit =
     OccIngest.synchronized {
       graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
-        import s.implicits._
-        val t = occTable(dir)
-        require(s.catalog.tableExists(t),
-          s"deleteDocs needs an ingested base table: $t")
-        // eager: the ids may derive from the very table being rewritten
-        val ids = docIds.select($"doc_id").distinct().localCheckpoint(true)
-        graft.io.StagedRewrite.rewrite(s, t, "doc_id", Buckets)(
-          _.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+        IngestGuards.deleteRewrite(s, occTable(dir), "doc_id", Buckets, docIds)
       }
     }
 
@@ -198,9 +199,7 @@ object OccIngest {
     * .StagedRewrite]] pass. */
   def compact(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
     graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
-      val t = occTable(dir)
-      require(s.catalog.tableExists(t), s"compact needs an ingested table: $t")
-      graft.io.StagedRewrite.rewrite(s, t, "doc_id", Buckets)(identity)
+      IngestGuards.compactRewrite(s, occTable(dir), "doc_id", Buckets)
     }
   }
 

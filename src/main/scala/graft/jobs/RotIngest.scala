@@ -69,7 +69,11 @@ object RotIngest {
       val all = tables(prefix)
       if (all.forall(s.catalog.tableExists)) (all(0), all(1))
       else graft.io.WriterLease.withLease(s, prefix) {
-        buildTables(s, emb, prefix)
+        // a parked delete/compact may be the only reason codes are
+        // absent — heal instead of re-learning the whole model
+        graft.io.StagedRewrite.heal(s, all(0))
+        if (all.forall(s.catalog.tableExists)) (all(0), all(1))
+        else buildTables(s, emb, prefix)
       }
     }
 
@@ -130,6 +134,7 @@ object RotIngest {
       graft.io.WriterLease.withLease(s, prefix) {
       import s.implicits._
       val Seq(codesT, cbT, modelT, statsT) = tables(prefix)
+      graft.io.StagedRewrite.heal(s, codesT) // recover a parked delete/compact
       require(tables(prefix).forall(s.catalog.tableExists),
         s"appendBatch needs an ingested base (codes/codebook/model/stats): $prefix")
       // intra-batch dedup with conflict fail-fast (ADVICE r14) before
@@ -163,13 +168,8 @@ object RotIngest {
   def deleteVecs(s: SparkSession, vecIds: DataFrame, prefix: String): Unit =
     RotIngest.synchronized {
       graft.io.WriterLease.withLease(s, prefix) {
-        import s.implicits._
-        val codesT = s"${prefix}_codes"
-        require(s.catalog.tableExists(codesT),
-          s"deleteVecs needs an ingested base table: $codesT")
-        val ids = vecIds.select($"vec_id").distinct().localCheckpoint(true)
-        graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(
-          _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+        IngestGuards.deleteRewrite(s, s"${prefix}_codes", "vec_id", Buckets,
+          vecIds)
       }
     }
 
@@ -178,10 +178,7 @@ object RotIngest {
   def compact(s: SparkSession, prefix: String): Unit =
     RotIngest.synchronized {
       graft.io.WriterLease.withLease(s, prefix) {
-        val codesT = s"${prefix}_codes"
-        require(s.catalog.tableExists(codesT),
-          s"compact needs an ingested table: $codesT")
-        graft.io.StagedRewrite.rewrite(s, codesT, "vec_id", Buckets)(identity)
+        IngestGuards.compactRewrite(s, s"${prefix}_codes", "vec_id", Buckets)
       }
     }
 

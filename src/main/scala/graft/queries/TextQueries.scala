@@ -1077,16 +1077,30 @@ object TextQueries {
     // each factor casts to double BEFORE the multiply: the Long cross
     // product (ct+1)·(nr+B) overflows past ~3e9 corpus tokens (ADVICE
     // r14 medium) — the double product is exact below 2^53 and within
-    // 1 ulp above, indistinguishable after the 1e-12 quantization
+    // 1 ulp above, indistinguishable after the 1e-12 quantization.
+    // The picounit weight itself saturates at 1e18 (ratio 1e6 — a tiny
+    // target slice against a huge raw corpus can push a pure-target
+    // feature's ratio past Long picounit range, where Spark's non-ANSI
+    // cast would silently wrap while DuckDB errors; review r15): a
+    // saturated feature still dominates any per-doc mean, so the keep
+    // decision is unchanged, and both engines compute the identical
+    // least/floor chain
+    val ratioPico =
+      (($"ct" + 1L).cast("double") * ($"nr" + lit(B)).cast("double")) /
+        (($"cr" + 1L).cast("double") * ($"nt" + lit(B)).cast("double")) *
+        lit(1.0e12) + lit(0.5)
     val model = counts.crossJoin(broadcast(tots))
-      .select($"f", floor(
-        (($"ct" + 1L).cast("double") * ($"nr" + lit(B)).cast("double")) /
-          (($"cr" + 1L).cast("double") * ($"nt" + lit(B)).cast("double"))
-          * lit(1.0e12) + lit(0.5)).cast("long").as("qw"))
+      .select($"f",
+        floor(least(ratioPico, lit(1.0e18))).cast("long").as("qw"))
+    // the per-doc sum goes through DECIMAL(38,0): capped qw can reach
+    // 1e18 and a long document holds ~1e5 features, so a BIGINT sum
+    // could wrap — DuckDB's SUM(BIGINT) widens to HUGEINT on its own,
+    // and both wide sums cast to double correctly rounded (review r15)
     val w = round(($"sw".cast("double") / lit(1.0e12)) / $"n_feats", 6)
     occ.join(model, Seq("f")) // B-row model: AQE broadcasts it
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum($"qw").as("sw"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum($"qw".cast("decimal(38,0)")).as("sw"))
       .select($"doc_id", $"n_feats", w.as("weight"), (w >= 1.0).as("keep"))
       .orderBy($"doc_id")
   }
@@ -1100,10 +1114,10 @@ object TextQueries {
        |counts AS (SELECT f, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
        |    COUNT(*) AS cr FROM occ GROUP BY f),
        |tots AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
-       |model AS (SELECT f, CAST(floor(
+       |model AS (SELECT f, CAST(floor(least(
        |    (CAST(ct + 1 AS DOUBLE) * CAST(nr + $DsirBuckets AS DOUBLE))
        |      / (CAST(cr + 1 AS DOUBLE) * CAST(nt + $DsirBuckets AS DOUBLE))
-       |      * 1.0e12 + 0.5e0) AS BIGINT) AS qw
+       |      * 1.0e12 + 0.5e0, 1.0e18)) AS BIGINT) AS qw
        |  FROM counts CROSS JOIN tots),
        |sc AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
        |    round((CAST(SUM(m.qw) AS DOUBLE) / 1.0e12) / COUNT(*), 6) AS weight

@@ -157,16 +157,8 @@ object GateStream {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars",
         org.apache.spark.sql.types.LongType)))
-    val reader = spark.readStream.schema(schema)
-    val stream = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(glob)
-    val q = verdicts(stream, ttl = None)
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop() // a poisoned batch must not leak a live query
-    spark.table(queryName)
+    BoundedDrive.run(spark, glob, queryName, schema, maxFilesPerTrigger)(
+      verdicts(_, ttl = None))
       .select($"doc_id", $"source", $"score", $"n_seen", $"admit")
       .orderBy($"doc_id")
   }

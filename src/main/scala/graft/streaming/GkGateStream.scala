@@ -154,16 +154,8 @@ object GkGateStream {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("score",
         org.apache.spark.sql.types.DoubleType)))
-    val reader = spark.readStream.schema(schema)
-    val stream = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(glob)
-    val q = verdicts(stream, ttl = None)
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop() // a poisoned batch must not leak a live query
-    spark.table(queryName)
+    BoundedDrive.run(spark, glob, queryName, schema, maxFilesPerTrigger)(
+      verdicts(_, ttl = None))
       .select($"doc_id", $"source", $"score", $"n_seen", $"thr", $"admit")
       .orderBy($"doc_id")
   }

@@ -174,6 +174,33 @@ class OccMemoSpec extends SparkSuite {
     DedupQueries.clearMemos(spark)
   }
 
+  test("a crash in a delete's DROP window does not lock the family out: " +
+      "the next mutator (append) heals the certified staging instead of " +
+      "refusing, and ingest() heals instead of paying a full re-ingest " +
+      "(review r15)") {
+    import graft.jobs.OccIngest
+    import graft.io.StagedRewrite
+    val dir = tmpDir("occ_park")
+    Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    OccIngest.ingest(spark, dir)
+    val t = OccIngest.occTable(dir)
+    val expectedAfter = spark.table(t).where($"doc_id" % 7 =!= 0).count()
+    // the worst crash window: live table dropped, certified staging parked
+    StagedRewrite.rewriteUntil(spark, t, "doc_id", OccIngest.Buckets, "drop")(
+      _.where($"doc_id" % 7 =!= 0))
+    assert(!spark.catalog.tableExists(t), "the park leaves no live table")
+    // ingest() must COMMIT the staged delete, not rebuild from text
+    assert(OccIngest.ingest(spark, dir) == t)
+    assert(spark.table(t).count() == expectedAfter,
+      "ingest must heal the staged state, not re-mint the full corpus")
+    // and a mutator over the healed table proceeds normally
+    OccIngest.appendBatch(spark, dir,
+      Seq((990001L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+    assert(spark.table(t).where($"doc_id" === 990001L).count() > 0)
+    OccIngest.drop(spark, dir)
+  }
+
   test("OccIngest.appendStreamBounded: streamed doc batches append once — " +
       "merged table == full mint, checkpoint re-delivery a no-op") {
     import graft.jobs.OccIngest

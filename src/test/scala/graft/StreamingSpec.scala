@@ -523,15 +523,20 @@ class StreamingSpec extends SparkSuite {
     val (o1l, d1l, n1l) = GateStream.admitFoldLinear(Map.empty, 0L, b1)
     val (o1f, d1f, n1f) = GateStream.admitFold(Map.empty, 0L, b1)
     assert(o1l == o1f && d1l == d1f && n1l == n1f)
+    val t0l = System.nanoTime()
     val (o2l, d2l, n2l) = GateStream.admitFoldLinear(d1l, n1l, b2)
+    val linMs = (System.nanoTime() - t0l) / 1e6
     val t0 = System.nanoTime()
     val (o2f, d2f, n2f) = GateStream.admitFold(d1f, n1f, b2)
     val fastMs = (System.nanoTime() - t0) / 1e6
     assert(o2l == o2f && d2l == d2f && n2l == n2f)
     assert(o2f.exists(!_.admit) && o2f.exists(_.admit))
-    // 20k docs × 20k domain: the linear fold is ~4·10⁸ adds; the
-    // Fenwick fold must stay well under a second
-    assert(fastMs < 2000.0, s"Fenwick fold took ${fastMs}ms")
+    // asymptotic pin, not a wall-clock one (a loaded host must not
+    // flake it): 20k docs × 20k domain is ~4·10⁸ adds linear vs ~3·10⁶
+    // log-ops Fenwick — same-process ratio, generous margin
+    assert(fastMs * 5 < linMs,
+      s"Fenwick fold ($fastMs ms) must be well under the linear " +
+        s"reference ($linMs ms)")
   }
 
   test("GK-state streaming gate == the same fold run as a batch (across " +

@@ -47,6 +47,26 @@ class WriterLeaseSpec extends SparkSuite {
     OccIngest.drop(spark, dir)
   }
 
+  test("the holder heartbeats: a mutation running past staleMs keeps its " +
+      "lease fresh, so it cannot be stolen mid-write (review r15)") {
+    val name = "lease_beat_test"
+    val lease = WriterLease.leasePath(spark, name)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("spark.graft.lease.staleMs", "3000")
+    try {
+      WriterLease.withLease(spark, name) {
+        val t0 = fs.getFileStatus(lease).getModificationTime
+        Thread.sleep(4500) // > staleMs: without a heartbeat this lease
+                           // would now read as a crashed writer's
+        val t1 = fs.getFileStatus(lease).getModificationTime
+        assert(t1 > t0, "heartbeat must refresh the lease mtime")
+        assert(System.currentTimeMillis() - t1 < 3000,
+          "the lease must read FRESH to any would-be thief")
+      }
+      assert(!fs.exists(lease))
+    } finally spark.conf.unset("spark.graft.lease.staleMs")
+  }
+
   test("nested mutators re-enter the lease instead of deadlocking; the " +
       "graph family's full day cycle (advance -> heal -> retract -> " +
       "compact) holds ONE lease end to end") {
