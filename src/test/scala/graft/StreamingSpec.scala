@@ -487,6 +487,41 @@ class StreamingSpec extends SparkSuite {
       "a timed-out source must drop its domain and emit nothing")
   }
 
+  test("GK gate stream: TTL expiry reclaims an idle source's sketch; " +
+      "surviving state re-arms and the sketch carries across the fold") {
+    import graft.streaming.GkGateStream
+    import graft.streaming.GkGateStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    // live sketch over 4 exact tuples (n < 50 keeps GK exact): scores
+    // 2,4,6,8; a score-1 doc arrives: n = 5, target rank ⌈5/4⌉ = 2 with
+    // eps 0 ⇒ thr = the rank-2 value = 2.0; 1.0 < 2.0 ⇒ rejected
+    val ts = List(GkTuple(2.0, 1, 0), GkTuple(4.0, 1, 0),
+      GkTuple(6.0, 1, 0), GkTuple(8.0, 1, 0))
+    val live = TestGroupState.create[GkState](
+      Optional.of(GkState(ts, 4L, 0L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out = GkGateStream.fold("s1",
+      Iterator(DocRow(9L, "s1", 1.0)), live, Some("30 days")).toSeq
+    assert(out == Seq(Verdict(9L, "s1", 1.0, 5L, 2.0, false)))
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "surviving state must re-arm its processing-time timeout")
+    assert(live.get.n == 5L && live.get.ts.exists(_.v == 1.0),
+      "the sketch must carry the inserted score")
+    // timed-out state: sketch removed, nothing emitted
+    val dead = TestGroupState.create[GkState](
+      Optional.of(GkState(ts, 4L, 0L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val gone = GkGateStream.fold("s1",
+      Iterator.empty, dead, Some("30 days")).toSeq
+    assert(gone.isEmpty && dead.isRemoved,
+      "a timed-out source must drop its sketch and emit nothing")
+  }
+
   test("near-dup gate: shingle-less docs are admitted ungated, not cross-flagged") {
     import spark.implicits._
     val dir = tmpDir("docs_short")
