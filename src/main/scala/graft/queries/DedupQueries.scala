@@ -432,26 +432,104 @@ object DedupQueries {
     jaccardVerify(cand, docsV).orderBy($"doc_a", $"doc_b")
   }
 
-  val q26Sql: String = {
+  /** The q26 verified-pairs CTE chain ending in `pairs(doc_a, doc_b,
+    * jaccard)` — shared oracle text for q26 and q164 (single-sourcing
+    * rule). */
+  private def q26PairsCtes: String = {
     val bandSel = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band_id, md5($parts) AS bh FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $sqlSigCtes,
+    s"""$sqlSigCtes,
        |bl AS ($bandSel),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bl a JOIN bl b
-       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
-       |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
-       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |      CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |    CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE)
+       |          >= $JaccardThreshold)""".stripMargin
   }
+
+  val q26Sql: String =
+    s"""WITH $q26PairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q164: train/eval split leakage audit ----
+
+  /** q164: near-duplicate leakage ACROSS the train/eval split — the
+    * eval-hygiene audit q61's benchmark decontamination does not cover:
+    * q61 guards against a known external benchmark; this guards against
+    * the corpus's own held-out split (q56's hash assignment) containing
+    * near-copies of training documents, which silently inflates every
+    * eval metric computed on it. Output: each eval-split document with
+    * at least one verified near-dup in train — its split, how many
+    * train near-dups touch it, and the worst (max) Jaccard — i.e. the
+    * exact removal list an eval-set curator acts on.
+    *
+    * Composition, not new machinery: the pair set is q26's
+    * LSH-candidates + exact-Jaccard verification (signature chain on
+    * the family-shared occurrence memo), and the split is q56's
+    * [[TextQueries.splitAssign]] — both single-sourced so this audit
+    * can never disagree with the operators it composes. The split is a
+    * PURE FUNCTION of the id, so it is computed directly on the pair
+    * frame — no join back to the corpus exists.
+    *
+    * Scale: q26's cost + ε. The verified pair frame is checkpointed
+    * (KB — candidate-bounded) and consumed twice for the two pair
+    * directions; everything downstream is map-only arithmetic + one
+    * pair-frame aggregation. At 100 TB the leak rate is also the
+    * SLA number: eval contamination = leaked eval docs / eval docs. */
+  def q164SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // q26's verified-pairs body (memoized signatures, candidate-bounded
+    // re-shingling), checkpointed because both union directions read it
+    val bl = bandLabels(minhashSignaturesMemo(s, dir))
+    val cand = lshCandidates(bl).localCheckpoint(false)
+    val candIds = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val docsV = Tables.documents(s, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select($"doc_id", shingles($"text").as("shingles"))
+    val pairs = jaccardVerify(cand, docsV).localCheckpoint(true)
+    val both = pairs.select($"doc_a".as("eval_id"), $"doc_b".as("other"), $"jaccard")
+      .unionByName(
+        pairs.select($"doc_b".as("eval_id"), $"doc_a".as("other"), $"jaccard"))
+    both
+      .withColumn("split", TextQueries.splitAssign(s, $"eval_id"))
+      .withColumn("other_split", TextQueries.splitAssign(s, $"other"))
+      .where($"split" =!= "train" && $"other_split" === "train")
+      .groupBy($"eval_id", $"split")
+      .agg(count(lit(1)).as("n_train_dups"), max($"jaccard").as("max_jaccard"))
+      .select($"eval_id".as("doc_id"), $"split", $"n_train_dups", $"max_jaccard")
+      .orderBy($"doc_id")
+  }
+
+  val q164Sql: String =
+    s"""WITH $q26PairsCtes,
+       |b2 AS (
+       |  SELECT doc_a AS eval_id, doc_b AS other, jaccard FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS eval_id, doc_a AS other, jaccard FROM pairs),
+       |lab AS (
+       |  SELECT eval_id, other, jaccard,
+       |    ${TextQueries.splitCaseSql("eval_id")} AS split,
+       |    ${TextQueries.splitCaseSql("other")} AS other_split
+       |  FROM b2)
+       |SELECT eval_id AS doc_id, split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+       |  MAX(jaccard) AS max_jaccard
+       |FROM lab
+       |WHERE split <> 'train' AND other_split = 'train'
+       |GROUP BY 1, 2
+       |ORDER BY doc_id""".stripMargin
 
   // ---- q27: simhash-32 fingerprints ----
 
@@ -1995,6 +2073,7 @@ object DedupQueries {
     "q24_dedup_exact"         -> (q24DedupExact _),
     "q25_minhash_sig"         -> (q25MinhashSig _),
     "q26_minhash_pairs"       -> (q26MinhashPairs _),
+    "q164_split_leakage"      -> (q164SplitLeakage _),
     "q29_ngram_jaccard"       -> (q29NgramJaccard _),
     "q27_simhash"             -> (q27Simhash _),
     "q28_rolling_fingerprint" -> (q28RollingFingerprint _),
@@ -2020,6 +2099,7 @@ object DedupQueries {
     "q24_dedup_exact"         -> q24Sql,
     "q25_minhash_sig"         -> q25Sql,
     "q26_minhash_pairs"       -> q26Sql,
+    "q164_split_leakage"      -> q164Sql,
     "q29_ngram_jaccard"       -> q29Sql,
     "q27_simhash"             -> q27Sql,
     "q28_rolling_fingerprint" -> q28Sql,

@@ -1687,7 +1687,109 @@ object RelationalQueries {
     s.sql(q62Sql)
   }
 
+  // ---- q163: join-key skew audit (salt-factor recommendation) ----
+
+  /** One table/key audit row: exact key-count distribution statistics
+    * from the count-of-counts DOMAIN. */
+  private[graft] def skewAuditOne(s: SparkSession, df: DataFrame,
+      table: String, key: String): DataFrame = {
+    import s.implicits._
+    val per = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    // the KB-sized count-of-counts domain is checkpointed so the
+    // quantile window and the totals row both read it — otherwise each
+    // branch re-runs the full per-key count over the table
+    val cc = per.groupBy($"c").agg(count(lit(1)).as("nk")).localCheckpoint(true)
+    // exact p50/p99 of the per-key row count: prefix ranks over the
+    // count-of-counts domain (the q149/q158 exact-rank pattern); the
+    // unpartitioned window runs over DOMAIN rows (≤ distinct counts,
+    // KB at any corpus size), never over keys
+    val cum = cc.withColumn("cum", sum($"nk").over(
+      Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = cc.agg(sum($"nk").as("n_keys"),
+      sum($"c" * $"nk").as("n_rows"), max($"c").as("max_cnt"))
+    val skew = $"max_cnt".cast("double") * $"n_keys".cast("double") /
+      $"n_rows".cast("double")
+    cum.crossJoin(broadcast(tot))
+      .agg(max($"n_keys").as("n_keys"), max($"n_rows").as("n_rows"),
+        max($"max_cnt").as("max_cnt"),
+        min(when($"cum" * 100L >= $"n_keys" * 50L, $"c")).as("p50_cnt"),
+        min(when($"cum" * 100L >= $"n_keys" * 99L, $"c")).as("p99_cnt"))
+      .select(lit(table).as("table_name"), lit(key).as("key_name"),
+        $"n_rows", $"n_keys", $"max_cnt", $"p50_cnt", $"p99_cnt",
+        skew.as("skew"),
+        greatest(lit(1L), ceil(skew).cast("long")).as("salt"))
+  }
+
+  /** q163: join-key skew audit — the diagnosis that decides whether a
+    * shuffle join needs salting (and with what factor) BEFORE the job
+    * melts on a hot key. For each (table, key) about to be joined or
+    * aggregated on, it reports exact distribution statistics of the
+    * per-key row count: total rows, distinct keys, the hottest key's
+    * count, exact p50/p99 counts, the skew ratio max_cnt/(rows/keys),
+    * and the recommended salt factor ⌈skew⌉ — exactly the fan-out the
+    * repo's salted operators (the q09 salted coinstall, the LSH
+    * hot-band salting) take as input. The audited keys pin distinct
+    * regimes: event_type the low-cardinality one (5 keys — balanced, so
+    * skew ≈ 1, but n_keys itself reads off the parallelism ceiling a
+    * salt must break); l_orderkey the small-group one (integer
+    * quantization makes max/avg ≈ 3 without any hot key). ⌈skew⌉
+    * deliberately errs high — a uniform key reads salt 2 from the ceil
+    * of 1+ε, which is harmless; an unsalted hot key is not.
+    *
+    * Arithmetic: all counts exact BIGINTs; the quantiles are exact
+    * ranks (min c with cum·100 ≥ pct·n_keys — integer cross-multiplied,
+    * no percentile floats); skew is one fixed-order double expression
+    * of three exact counts (factors cast to double before the multiply,
+    * q159's overflow convention), so ⌈skew⌉ is the identical double in
+    * both engines and the salt hash-matches.
+    *
+    * Scale: per key audited — ONE map-side-combined count aggregation
+    * over the table (the same shuffle the production join would do,
+    * minus the payload), then everything is domain-sized: count-of-
+    * counts, a KB window, a 1-row broadcast. Auditing k keys of one
+    * table shares nothing here (two lineitem keys = two scans); a
+    * grouping-sets variant would share the scan at the cost of a double
+    * shuffle payload — the right trade only when the scan dominates. */
+  def q163SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    skewAuditOne(s, Tables.events(s, dir), "events", "event_type")
+      .unionByName(skewAuditOne(s, Tables.events(s, dir), "events", "user_id"))
+      .unionByName(skewAuditOne(s, Tables.lineitem(s, dir), "lineitem", "l_orderkey"))
+      .unionByName(skewAuditOne(s, Tables.lineitem(s, dir), "lineitem", "l_partkey"))
+      .orderBy($"table_name", $"key_name")
+  }
+
+  private def skewSqlOne(table: String, key: String): String =
+    s"""SELECT '$table' AS table_name, '$key' AS key_name,
+       |  n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+       |  CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+       |    / CAST(n_rows AS DOUBLE) AS skew,
+       |  GREATEST(1, CAST(ceil(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+       |    / CAST(n_rows AS DOUBLE)) AS BIGINT)) AS salt
+       |FROM (
+       |  SELECT MAX(n_keys) AS n_keys, MAX(n_rows) AS n_rows,
+       |    MAX(max_cnt) AS max_cnt,
+       |    MIN(CASE WHEN cum * 100 >= n_keys * 50 THEN c END) AS p50_cnt,
+       |    MIN(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS p99_cnt
+       |  FROM (
+       |    SELECT c, SUM(nk) OVER (ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk FROM
+       |      (SELECT $key, CAST(COUNT(*) AS BIGINT) AS c FROM $table GROUP BY 1)
+       |      GROUP BY 1))
+       |  CROSS JOIN (
+       |    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |      CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS max_cnt
+       |    FROM (SELECT $key, CAST(COUNT(*) AS BIGINT) AS c FROM $table GROUP BY 1)))""".stripMargin
+
+  val q163Sql: String =
+    Seq(("events", "event_type"), ("events", "user_id"),
+      ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"))
+      .map { case (t, k) => skewSqlOne(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, key_name")
+
   val queries: Map[String, Q] = Map(
+    "q163_skew_audit"       -> (q163SkewAudit _),
     "q116_asof_late_audit"  -> (q116AsofLateAudit _),
     "q60_funnel"            -> (q60Funnel _),
     "q67_path_mining"       -> (q67PathMining _),
@@ -1737,6 +1839,7 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q163_skew_audit"       -> q163Sql,
     "q116_asof_late_audit"  -> q116Sql,
     "q60_funnel"            -> q60Sql,
     "q67_path_mining"       -> q67Sql,

@@ -202,12 +202,17 @@ object TextQueries {
       .orderBy($"lang", $"split")
   }
 
+  /** SQL dual of [[splitAssign]] over an id expression — shared by q56
+    * and q164 so the split rule cannot drift. */
+  private[graft] def splitCaseSql(idExpr: String): String = {
+    val bucket = s"(${DedupQueries.sqlH32(s"CAST($idExpr AS VARCHAR)")} % 100)"
+    s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' " +
+      "ELSE 'test' END"
+  }
+
   val q56Sql: String = {
-    val bucket = s"(${DedupQueries.sqlH32("CAST(doc_id AS VARCHAR)")} % 100)"
     s"""SELECT lang,
-       | CASE WHEN $bucket < 80 THEN 'train'
-       |      WHEN $bucket < 90 THEN 'val'
-       |      ELSE 'test' END AS split,
+       | ${splitCaseSql("doc_id")} AS split,
        | COUNT(*) AS n_docs,
        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM documents
@@ -1784,19 +1789,30 @@ object TextQueries {
           .otherwise(array().cast("array<string>")))
     }
 
+  /** Hashed-bucket fixed weight of one feature — q107's scorer, shared
+    * with the q161/q162 evaluation audits so the score definition cannot
+    * drift. */
+  private def clfWeight(s: SparkSession)(f: Column): Column = {
+    val bucket = pmod(DedupQueries.h32(s, f), lit(ClfBuckets))
+    (bucket * lit(2654435761L)) % 1001L - 500L
+  }
+
+  /** The q107 margin as ONE map-only column over `text` (features
+    * materialized once per row via [[graft.functions.Cols.bind]]). */
+  private[graft] def clfMarginCol(s: SparkSession): Column =
+    graft.functions.Cols.bind(clfFeatures) { fs =>
+      aggregate(fs, lit(0L), (acc, f) => acc + clfWeight(s)(f))
+    }
+
   /** q107 body over an arbitrary documents frame (Profile probes it on
     * replicated corpora). */
   private[graft] def classifierCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    def weight(f: Column): Column = {
-      val bucket = pmod(DedupQueries.h32(s, f), lit(ClfBuckets))
-      (bucket * lit(2654435761L)) % 1001L - 500L
-    }
     docs
       .select($"doc_id", clfFeatures.as("feats"))
       .select($"doc_id",
         size($"feats").cast("long").as("n_feats"),
-        aggregate($"feats", lit(0L), (acc, f) => acc + weight(f)).as("margin"))
+        aggregate($"feats", lit(0L), (acc, f) => acc + clfWeight(s)(f)).as("margin"))
       .select($"doc_id", $"n_feats", $"margin",
         ($"margin".cast("double") / $"n_feats".cast("double")).as("avg_w"),
         ($"margin" > 0).as("keep"))
@@ -1818,6 +1834,234 @@ object TextQueries {
        |  CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_w,
        |  SUM(w) > 0 AS keep
        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q161: classifier AUC audit (exact Mann–Whitney, tie-corrected) ----
+
+  /** q161: threshold-free evaluation of the q107 quality classifier —
+    * the AUC of its margin against the q21 rule gate as reference label,
+    * per language and overall. Every pipeline that ships a learned
+    * quality filter (fastText-style classifiers in CCNet/RefinedWeb/
+    * FineWeb lineages) audits it against a rule-based gold standard;
+    * AUC is the canonical threshold-free metric, and the Mann–Whitney
+    * identity makes it EXACT integer arithmetic — no ROC sampling, no
+    * trapezoid floats.
+    *
+    * Arithmetic: AUC = U / (P·N) with U = #(pos-score > neg-score
+    * pairs) + ½·#(ties). Over the (lang, margin) count DOMAIN —
+    * p(m) positives and q(m) negatives at each distinct margin —
+    * 2U = Σ_m p(m)·(2·negBelow(m) + q(m)), an exact integer (summed in
+    * DECIMAL(38,0); DuckDB widens to HUGEINT on its own), and the one
+    * division 2U / (2·P·N) happens in correctly-rounded doubles at the
+    * very end (q159's convention: each factor cast to double BEFORE the
+    * multiply, so nothing wraps at 100 TB where P·N exceeds Long).
+    * Degenerate groups (P=0 or N=0) emit NULL — AUC is undefined there,
+    * and the NULL is pinned rather than papered over.
+    *
+    * Measured (sf0.01): overall AUC 0.333 — the audit DETECTS that
+    * q107's fixed hash weights are anti-correlated with the rule gate
+    * (worse than chance), which is exactly what this query exists to
+    * surface; q159's corpus-learned DSIR weights are the remedy.
+    *
+    * Scale: scoring + labeling is one map-only corpus pass ([[
+    * clfMarginCol]] / [[qualityOkCol]]); the only corpus-sized shuffle
+    * is the (lang, margin) domain aggregation (map-side combined,
+    * margin-uniform); the overall '*' row re-aggregates the PER-LANG
+    * domain — no second corpus pass. The per-lang prefix window runs
+    * over domain rows (≤ distinct margins), the honest caveat being
+    * that a near-unique continuous score makes the domain row-sized —
+    * q153's GK regime, where a sketched AUC would replace this exact
+    * form. */
+  def q161ClfAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    aucCore(s, Tables.documents(s, dir)
+      .select($"lang", clfMarginCol(s).as("m"), qualityOkCol.as("pos")))
+  }
+
+  /** q161 body over any (lang, m: long score, pos: boolean) frame —
+    * spec fixtures drive hand-computed AUCs through it. */
+  private[graft] def aucCore(s: SparkSession, sc: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the domain frame is checkpointed so the per-lang and '*' branches
+    // both scan it — without this the union's second branch re-runs the
+    // whole corpus scoring pass (verified in the physical plan)
+    val dom = sc.groupBy($"lang", $"m").agg(
+      sum(when($"pos", 1L).otherwise(0L)).as("p"),
+      sum(when($"pos", 0L).otherwise(1L)).as("q"))
+      .localCheckpoint(true)
+    val domAll = dom.groupBy($"m")
+      .agg(sum($"p").as("p"), sum($"q").as("q"))
+      .select(lit("*").as("lang"), $"m", $"p", $"q")
+    def auc(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"lang").orderBy($"m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("nb", coalesce(sum($"q").over(w), lit(0L)))
+        .groupBy($"lang")
+        .agg(sum($"p").as("n_pos"), sum($"q").as("n_neg"),
+          count(lit(1)).as("n_scores"),
+          sum(($"p".cast("decimal(19,0)") *
+            ($"nb" * 2L + $"q").cast("decimal(19,0)")).cast("decimal(38,0)"))
+            .as("num"))
+        .select($"lang", $"n_pos", $"n_neg", $"n_scores",
+          when($"n_pos" > 0L && $"n_neg" > 0L,
+            $"num".cast("double") /
+              ($"n_pos".cast("double") * $"n_neg".cast("double") * lit(2.0)))
+            .as("auc"))
+    }
+    auc(dom).unionByName(auc(domAll)).orderBy($"lang")
+  }
+
+  val q161Sql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, $qualityOkSql AS pos,
+       |    string_split(text, ' ') AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    unnest(t || list_transform(generate_series(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1])) AS f
+       |  FROM tk),
+       |w AS (
+       |  SELECT doc_id,
+       |    ((${DedupQueries.sqlH32("f")}) % $ClfBuckets * 2654435761) % 1001 - 500 AS w
+       |  FROM f),
+       |m AS (SELECT doc_id, SUM(w) AS m FROM w GROUP BY doc_id),
+       |scj AS (SELECT tk.lang, m.m, tk.pos FROM tk JOIN m USING (doc_id)),
+       |dom AS (
+       |  SELECT lang, m,
+       |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+       |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS q
+       |  FROM scj GROUP BY 1, 2),
+       |u AS (
+       |  SELECT lang, m, p, q FROM dom
+       |  UNION ALL
+       |  SELECT '*' AS lang, m, SUM(p) AS p, SUM(q) AS q FROM dom GROUP BY 2),
+       |nb AS (
+       |  SELECT lang, m, p, q,
+       |    COALESCE(SUM(q) OVER (PARTITION BY lang ORDER BY m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM u),
+       |a AS (
+       |  SELECT lang, CAST(SUM(p) AS BIGINT) AS n_pos,
+       |    CAST(SUM(q) AS BIGINT) AS n_neg,
+       |    CAST(COUNT(*) AS BIGINT) AS n_scores,
+       |    SUM(CAST(p AS HUGEINT) * (2 * nb + q)) AS num
+       |  FROM nb GROUP BY 1)
+       |SELECT lang, n_pos, n_neg, n_scores,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    CAST(num AS DOUBLE)
+       |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0e0)
+       |  END AS auc
+       |FROM a ORDER BY lang""".stripMargin
+
+  // ---- q162: filter-agreement audit (Cohen's kappa) ----
+
+  /** q162: chance-corrected agreement between the three independent
+    * quality gates — the q21 rule gate, the q107 hashed classifier, and
+    * the q91 LM fluency gate — as pairwise confusion matrices + Cohen's
+    * kappa. Stacked filters with HIGH kappa are redundant (the cheaper
+    * one suffices); near-zero kappa means they remove DIFFERENT
+    * documents and the pipeline needs both — the audit behind every
+    * "do we still need this filter" decision.
+    *
+    * Arithmetic: the confusion counts are exact integers from one
+    * aggregate; po and kappa are then fixed-order double expressions of
+    * those counts (each factor cast to double BEFORE multiplying —
+    * q159's overflow convention, exact below 2^53), identical in
+    * DuckDB, so the doubles hash-match. A constant rater yields the
+    * well-defined kappa = 0 unless BOTH raters are the same constant
+    * (pe = 1), where kappa is undefined and NULL is emitted.
+    *
+    * Scale: the rule + classifier raters are one map-only corpus pass;
+    * the LM rater reuses q91's scoring chain ([[lmDocSums]],
+    * single-sourced so the gates cannot drift) — that chain re-scans
+    * the corpus per consumer rather than materializing the token frame,
+    * which is the MEASURED right trade here (an eager occurrence
+    * checkpoint made q91 2.5× slower at sf0.1: tokenization is codegen'd
+    * scan-speed work, the materialization is not); at 100 TB the
+    * persisted-tokenization answer is the OccIngest family, not an
+    * in-plan cache. The pair explosion is 3 rows/doc into ONE
+    * map-side-combined aggregate whose output is 3 rows. */
+  def q162GateAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", qualityOkCol.as("rule"), (clfMarginCol(s) > 0L).as("clf"))
+    val lm = lmDocSums(s, dir)
+      .select($"doc_id", (lmAvgCol >= LmKeepMin).as("lm"))
+    // left join: a doc too short to have bigrams has no LM score — the
+    // fluency gate cannot vouch for it, so it is NOT kept (false)
+    val r = base.join(lm, Seq("doc_id"), "left")
+      .select($"rule", $"clf", coalesce($"lm", lit(false)).as("lm"))
+    agreementCore(s, r)
+  }
+
+  /** q162 body over any (rule, clf, lm) boolean-rater frame — spec
+    * fixtures drive hand-computed kappas through it. */
+  private[graft] def agreementCore(s: SparkSession, r: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = Seq(
+      ("clf_vs_lm", $"clf", $"lm"),
+      ("rule_vs_clf", $"rule", $"clf"),
+      ("rule_vs_lm", $"rule", $"lm"))
+    val ex = r.select(explode(array(pairs.map { case (nm, a, b) =>
+      struct(lit(nm).as("pair"), a.as("a"), b.as("b")) }: _*)).as("x"))
+      .select($"x.pair".as("pair"), $"x.a".as("a"), $"x.b".as("b"))
+    val cm = ex.groupBy($"pair").agg(
+      sum(when($"a" && $"b", 1L).otherwise(0L)).as("n11"),
+      sum(when($"a" && !$"b", 1L).otherwise(0L)).as("n10"),
+      sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("n01"),
+      sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00"))
+    val n = ($"n11" + $"n10" + $"n01" + $"n00").cast("double")
+    val agree = ($"n11" + $"n00").cast("double")
+    val pe = ($"n11" + $"n10").cast("double") * ($"n11" + $"n01").cast("double") +
+      ($"n01" + $"n00").cast("double") * ($"n10" + $"n00").cast("double")
+    cm.select($"pair", $"n11", $"n10", $"n01", $"n00",
+      (agree / n).as("po"),
+      when(n * n =!= pe, (n * agree - pe) / (n * n - pe)).as("kappa"))
+      .orderBy($"pair")
+  }
+
+  val q162Sql: String = {
+    val n = "CAST(n11 + n10 + n01 + n00 AS DOUBLE)"
+    val agree = "CAST(n11 + n00 AS DOUBLE)"
+    val pe = "(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)" +
+      " + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))"
+    s"""WITH $lmScoreCtes,
+       |lmk AS (
+       |  SELECT doc_id,
+       |    round((CAST(sq AS DOUBLE) / 1.0e12) / n_bigrams, 6) >= $LmKeepMin AS lm
+       |  FROM sc),
+       |tk AS (SELECT doc_id, $qualityOkSql AS rule,
+       |    string_split(text, ' ') AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    unnest(t || list_transform(generate_series(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1])) AS f
+       |  FROM tk),
+       |w AS (
+       |  SELECT doc_id,
+       |    ((${DedupQueries.sqlH32("f")}) % $ClfBuckets * 2654435761) % 1001 - 500 AS w
+       |  FROM f),
+       |mg AS (SELECT doc_id, SUM(w) > 0 AS clf FROM w GROUP BY doc_id),
+       |r AS (
+       |  SELECT tk.rule, mg.clf, COALESCE(lmk.lm, FALSE) AS lm
+       |  FROM tk JOIN mg USING (doc_id) LEFT JOIN lmk USING (doc_id)),
+       |p AS (
+       |  SELECT 'clf_vs_lm' AS pair, clf AS a, lm AS b FROM r
+       |  UNION ALL SELECT 'rule_vs_clf', rule, clf FROM r
+       |  UNION ALL SELECT 'rule_vs_lm', rule, lm FROM r),
+       |cm AS (
+       |  SELECT pair,
+       |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM p GROUP BY pair)
+       |SELECT pair, n11, n10, n01, n00,
+       |  $agree / $n AS po,
+       |  CASE WHEN $n * $n <> $pe THEN
+       |    ($n * $agree - $pe) / ($n * $n - $pe)
+       |  END AS kappa
+       |FROM cm ORDER BY pair""".stripMargin
+  }
 
   // ---- q109: token-budget curriculum selection ----
 
@@ -2647,6 +2891,8 @@ object TextQueries {
     "q158_ccnet_buckets"    -> (q158CcnetBuckets _),
     "q159_dsir_weights"     -> (q159DsirWeights _),
     "q160_gk_stream_dual"   -> (q160GkGateStreamDual _),
+    "q161_clf_auc"          -> (q161ClfAuc _),
+    "q162_gate_agreement"   -> (q162GateAgreement _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2661,6 +2907,8 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q161_clf_auc"            -> q161Sql,
+    "q162_gate_agreement"     -> q162Sql,
     "q139_source_drift"       -> q139Sql,
     "q136_unigram_segment"    -> q136Sql,
     "q135_html_extract"       -> q135Sql,
