@@ -138,7 +138,13 @@ object AmoDumpCli {
   *   --stage codes-delete --dir X --ids ids.parquet   (vec_id rows)
   *   --stage rot-delete   --dir X --ids ids.parquet   (vec_id rows)
   *   --stage graph-retract --batch gone.parquet --batch-id take-2026-08-15
-  *   --stage occ-compact | codes-compact | rot-compact | graph-compact */
+  *   --stage occ-compact | codes-compact | rot-compact | graph-compact
+  *
+  * Consistency audit ([[graft.jobs.StateFsck]]) — one greppable
+  * `[fsck] family/check ok=… observed=… detail` line per check, plus a
+  * failure summary in the result:
+  *
+  *   --stage fsck --dir X [--prefix graph-prefix] */
 object IngestCli {
   def run(spark: SparkSession, o: Map[String, String]): String = {
     def dir = o("dir")
@@ -209,10 +215,19 @@ object IngestCli {
         o.get("append").foreach(p => RotIngest.appendBatch(spark,
           Cli.readTable(spark, p), RotIngest.tablePrefix(dir)))
         s"stage=rot table=$c rows=${spark.table(c).count()}"
+      case "fsck" =>
+        val rows = StateFsck.all(spark, dir,
+          o.get("prefix").orElse(Some(livePrefix))).collect()
+        rows.foreach(r => println(s"[fsck] ${r.getString(0)}/${r.getString(1)} " +
+          s"ok=${r.getBoolean(2)} observed=${r.getLong(3)} ${r.getString(4)}"))
+        val bad = rows.filterNot(_.getBoolean(2))
+        s"stage=fsck checks=${rows.length} failures=${bad.length}" +
+          (if (bad.isEmpty) ""
+           else bad.map(r => s" ${r.getString(0)}/${r.getString(1)}").mkString(" BAD:", "", ""))
       case s => sys.error(s"unknown --stage $s " +
         "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal|" +
         "graph-retract|graph-compact|occ-delete|occ-compact|codes-delete|" +
-        "codes-compact|rot-delete|rot-compact)")
+        "codes-compact|rot-delete|rot-compact|fsck)")
     }
   }
 

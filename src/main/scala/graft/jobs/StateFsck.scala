@@ -1,0 +1,191 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.SimilarityQueries
+
+/** Consistency auditor (`fsck`) for the four derived-state families —
+  * the day-2 operation the heal/lease machinery deliberately does NOT
+  * cover. `heal` finishes or abandons a rewrite the PROTOCOL parked;
+  * `WriterLease` keeps compliant writers out of each other's way; this
+  * job detects what neither can: drift between a state table and the
+  * corpus it claims to derive from (a takedown applied to the corpus
+  * but not the family, a foreign writer that ignored the lease, a
+  * restored-from-backup table of the wrong vintage), value-domain
+  * corruption, and protocol residue awaiting a heal.
+  *
+  * Output: one row per check — (family, chk, ok, observed, detail) —
+  * so the CLI face is greppable and a scheduler can alert on any
+  * `ok = false`. An ABSENT family is ok (every family is
+  * rebuild-if-absent by design); a PARTIAL table set is not.
+  *
+  * Scale: every check is either a catalog probe or ONE column-pruned
+  * aggregation/anti-join over a bucketed state table — the most
+  * expensive (referential integrity) costs a key-column scan of the
+  * state table + the corpus id column, orders below the re-ingest it
+  * rules out. Checks collect 1-row counts driver-side (the heal/CLI
+  * convention: fsck is an operations command, not a query operator). */
+object StateFsck {
+
+  private val schema = StructType(Seq(
+    StructField("family", StringType, nullable = false),
+    StructField("chk", StringType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("observed", LongType, nullable = false),
+    StructField("detail", StringType, nullable = false)))
+
+  private def mk(s: SparkSession, rows: Seq[(String, String, Boolean, Long, String)]): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3, r._4, r._5)): _*),
+      schema)
+
+  private def cnt(df: DataFrame): Long = df.count()
+
+  /** Rewrite-protocol residue on `table`: staging and/or marker left by
+    * a crashed StagedRewrite. Residue is healable, but it is also the
+    * fingerprint of a crashed writer — fsck surfaces it instead of
+    * silently absorbing it the way the next rewrite would. */
+  private def residue(s: SparkSession, family: String, table: String)
+      : (String, String, Boolean, Long, String) = {
+    val st = s.catalog.tableExists(graft.io.StagedRewrite.stagingTable(table))
+    val mk = s.catalog.tableExists(graft.io.StagedRewrite.markerTable(table))
+    val n = (if (st) 1L else 0L) + (if (mk) 1L else 0L)
+    (family, "rewrite_residue", n == 0L, n,
+      if (n == 0L) "no parked rewrite"
+      else if (mk) "certified staging parked - heal completes the swap"
+      else "uncertified staging orphan - heal abandons it")
+  }
+
+  /** All-or-nothing table-set existence: absent families are legal
+    * (rebuild-if-absent), partial sets are corruption. */
+  private def tableSet(s: SparkSession, family: String, tables: Seq[String])
+      : ((String, String, Boolean, Long, String), Boolean) = {
+    val missing = tables.filterNot(s.catalog.tableExists)
+    val present = missing.size < tables.size
+    val ok = missing.isEmpty || !present
+    ((family, "table_set", ok, missing.size.toLong,
+      if (missing.isEmpty) "complete"
+      else if (!present) "absent - consumers rebuild on demand"
+      else s"PARTIAL: missing ${missing.mkString(", ")}"),
+      missing.isEmpty)
+  }
+
+  /** Occurrence frame vs its corpus dir. */
+  def occ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = OccIngest.occTable(dir)
+    val (setRow, complete) = tableSet(s, "occ", Seq(t))
+    val rows = Seq(setRow, residue(s, "occ", t)) ++ (if (!complete) Nil else {
+      val stored = s.table(t)
+      val orphans = cnt(stored.select($"doc_id").distinct()
+        .join(Tables.documents(s, dir).select($"doc_id"), Seq("doc_id"), "left_anti"))
+      val badKind = cnt(stored.where(!$"kind".isin(0, 1)))
+      val badH = cnt(stored.where($"h".isNotNull &&
+        ($"h" < 0L || $"h" >= (1L << 60))))
+      Seq(
+        ("occ", "referential", orphans == 0L, orphans,
+          if (orphans == 0L) "every stored doc_id exists in the corpus"
+          else "stored doc_ids absent from the corpus - stale state or missed takedown"),
+        ("occ", "kind_domain", badKind == 0L, badKind, "kind must be 0 or 1"),
+        ("occ", "h_domain", badH == 0L, badH, "h must fit 60 bits"))
+    })
+    mk(s, rows)
+  }
+
+  /** SQ8/PQ/binary codes tables vs the embeddings table. */
+  def codes(s: SparkSession, dir: String): DataFrame =
+    codesLike(s, "codes", CodesIngest.tablePrefix(dir),
+      Seq("_codes", "_codebook", "_stats"), dir)
+
+  /** Learned-rotation codes tables vs the embeddings table. */
+  def rot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prefix = RotIngest.tablePrefix(dir)
+    val base = codesLike(s, "rot", prefix,
+      Seq("_codes", "_codebook", "_model", "_stats"), dir)
+    if (!s.catalog.tableExists(s"${prefix}_model")) base
+    else {
+      // the stored rotation must be a complete d-row basis of d-wide rows
+      val m = s.table(s"${prefix}_model")
+      val nRows = cnt(m)
+      val badWidth = cnt(m.where(size($"brow") =!= SimilarityQueries.EmbDim))
+      val ok = nRows == SimilarityQueries.EmbDim.toLong && badWidth == 0L
+      base.unionByName(mk(s, Seq(("rot", "model_shape", ok,
+        if (ok) 0L else math.max(badWidth, math.abs(nRows - SimilarityQueries.EmbDim)),
+        s"basis must be ${SimilarityQueries.EmbDim} rows x ${SimilarityQueries.EmbDim} doubles"))))
+    }
+  }
+
+  /** Shared codes-family checks: table set, residue, vec_id uniqueness,
+    * referential integrity vs embeddings, pq code domain. */
+  private def codesLike(s: SparkSession, family: String, prefix: String,
+      suffixes: Seq[String], dir: String): DataFrame = {
+    import s.implicits._
+    val t = s"${prefix}_codes"
+    val (setRow, complete) = tableSet(s, family, suffixes.map(prefix + _))
+    val rows = Seq(setRow, residue(s, family, t)) ++ (if (!complete) Nil else {
+      val stored = s.table(t)
+      val n = cnt(stored)
+      val dup = n - cnt(stored.select($"vec_id").distinct())
+      val orphans = cnt(stored.select($"vec_id").distinct()
+        .join(Tables.embeddings(s, dir).select($"vec_id"), Seq("vec_id"), "left_anti"))
+      val badPq = cnt(stored.where(exists($"pq",
+        x => x < 0 || x >= SimilarityQueries.PqK)))
+      Seq(
+        (family, "vec_id_unique", dup == 0L, dup,
+          "one code row per vector (append idempotency invariant)"),
+        (family, "referential", orphans == 0L, orphans,
+          if (orphans == 0L) "every coded vec_id exists in embeddings"
+          else "coded vec_ids absent from embeddings - stale codes or missed takedown"),
+        (family, "pq_domain", badPq == 0L, badPq,
+          s"pq codes must lie in [0, ${SimilarityQueries.PqK})"))
+    })
+    mk(s, rows)
+  }
+
+  /** Graph family: provenance, parked advances, history balance,
+    * retraction debt. Prefix-based like the graph mutators — the
+    * PRODUCTION pair is the CLI's `--prefix` (or its graphlive
+    * default), not the corpus-derived q146 demo pair, whose provenance
+    * is deliberately `consistent = false`. */
+  def graph(s: SparkSession, prefix: String): DataFrame = {
+    import s.implicits._
+    val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
+    val (setRow, complete) = tableSet(s, "graph",
+      Seq(edgesT, histT, s"${prefix}_meta"))
+    val rows = Seq(setRow) ++ (if (!complete) Nil else {
+      val consistent =
+        try s.table(s"${prefix}_meta").select($"consistent")
+          .head().getBoolean(0)
+        catch { case _: Throwable => false }
+      val pending = s.catalog.tableExists(s"${prefix}_pending")
+      // every hist round must describe the same node set: per-round row
+      // counts are equal iff the roll-forward committed atomically
+      val perRound = s.table(histT).groupBy($"round")
+        .agg(count(lit(1)).as("n")).agg(
+          (max($"n") === min($"n")).as("bal"), max($"n").as("mx")).head()
+      val retracted = cnt(s.table(edgesT).groupBy($"u", $"v")
+        .agg(sum($"w").as("sw")).where($"sw" <= 0L))
+      Seq(
+        ("graph", "provenance", consistent, if (consistent) 0L else 1L,
+          "meta.consistent must be true (edges and history describe one graph)"),
+        ("graph", "no_parked_advance", !pending, if (pending) 1L else 0L,
+          if (pending) "pending marker present - run graph-heal" else "no advance in flight"),
+        ("graph", "hist_balanced", perRound.getBoolean(0), perRound.getLong(1),
+          "every LPA round carries the same node count"),
+        ("graph", "retraction_debt", true, retracted,
+          "fully-retracted pairs awaiting compaction (informational)"))
+    })
+    mk(s, rows)
+  }
+
+  /** All four families, one frame. `graphPrefix` defaults to the CLI's
+    * graphlive convention for `dir`. */
+  def all(s: SparkSession, dir: String, graphPrefix: Option[String] = None): DataFrame =
+    occ(s, dir).unionByName(codes(s, dir)).unionByName(rot(s, dir))
+      .unionByName(graph(s, graphPrefix.getOrElse(
+        graft.io.Bucketing.corpusPrefix("graphlive", dir))))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Bucketing, StagedRewrite}
+import graft.jobs.{CodesIngest, GraphIngest, OccIngest, RotIngest, StateFsck}
+import graft.queries.GraphQueries
+
+/** StateFsck: a healthy state passes every check; each corruption class
+  * the auditor exists for — foreign-writer junk, protocol residue,
+  * partial table sets, parked advances, history imbalance — is injected
+  * for real and pinned detected (and, where a remedy exists, pinned
+  * green again after it). */
+class StateFsckSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getBoolean(2), r.getLong(3)))).toMap
+
+  test("fsck end-to-end: freshly ingested families are green; injected " +
+      "corruption of every class is detected; heal restores the " +
+      "rewrite-residue check") {
+    val dir = tmpDir("fsck_corpus")
+    Tables.documents(spark, sf0001).write.parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    OccIngest.ingest(spark, dir)
+    CodesIngest.ingest(spark, dir)
+    RotIngest.ingest(spark, dir)
+    val gp = "fsck_graph_live"
+    GraphIngest.ingestConsistent(spark, gp,
+      GraphQueries.weightedEdgesPartitioned(spark, sf0001))
+
+    // healthy state: every check ok
+    val healthy = asMap(StateFsck.all(spark, dir, Some(gp)))
+    assert(healthy.nonEmpty && healthy.values.forall(_._1),
+      s"healthy state must be all-green: ${healthy.filterNot(_._2._1).keys}")
+    assert(healthy.contains(("occ", "referential")) &&
+      healthy.contains(("codes", "pq_domain")) &&
+      healthy.contains(("graph", "provenance")))
+
+    // foreign writer appends junk to the occ table: a doc_id the corpus
+    // never had, an undefined kind, an h outside 60 bits
+    Bucketing.appendBucketed(
+      Seq((999999L, 7, -5L)).toDF("doc_id", "kind", "h"),
+      OccIngest.occTable(dir), "doc_id", OccIngest.Buckets)
+    val occBad = asMap(StateFsck.occ(spark, dir))
+    assert(!occBad(("occ", "referential"))._1 &&
+      occBad(("occ", "referential"))._2 == 1L)
+    assert(!occBad(("occ", "kind_domain"))._1)
+    assert(!occBad(("occ", "h_domain"))._1)
+
+    // rewrite residue: an uncertified staging orphan parks on the codes
+    // table; fsck flags it, heal abandons it, fsck is green again
+    val codesT = s"${CodesIngest.tablePrefix(dir)}_codes"
+    Seq((1L, "junk")).toDF("a", "b").write
+      .saveAsTable(StagedRewrite.stagingTable(codesT))
+    assert(!asMap(StateFsck.codes(spark, dir))(("codes", "rewrite_residue"))._1)
+    StagedRewrite.heal(spark, codesT)
+    assert(asMap(StateFsck.codes(spark, dir))(("codes", "rewrite_residue"))._1)
+
+    // foreign writer duplicates a code row with an out-of-domain pq
+    val dup = spark.table(codesT).limit(1)
+      .withColumn("pq", transform($"pq", _ => lit(99)))
+    Bucketing.appendBucketed(dup, codesT, "vec_id", CodesIngest.Buckets)
+    val codesBad = asMap(StateFsck.codes(spark, dir))
+    assert(!codesBad(("codes", "vec_id_unique"))._1 &&
+      codesBad(("codes", "vec_id_unique"))._2 == 1L)
+    assert(!codesBad(("codes", "pq_domain"))._1)
+
+    // partial table set: the rot stats table vanishes
+    Bucketing.dropManaged(spark, RotIngest.statsTable(dir))
+    val rotBad = asMap(StateFsck.rot(spark, dir))
+    assert(!rotBad(("rot", "table_set"))._1 &&
+      rotBad(("rot", "table_set"))._2 == 1L)
+
+    // parked advance: a pending marker without its commit
+    Seq("batch-x").toDF("batch_id").write.saveAsTable(s"${gp}_pending")
+    val gBad = asMap(StateFsck.graph(spark, gp))
+    assert(!gBad(("graph", "no_parked_advance"))._1)
+    GraphIngest.heal(spark, gp)
+    assert(asMap(StateFsck.graph(spark, gp))(("graph", "no_parked_advance"))._1)
+
+    // history imbalance: a stray round with one node
+    spark.sql(s"INSERT INTO ${gp}_lpahist VALUES (999, 1, 1)")
+    assert(!asMap(StateFsck.graph(spark, gp))(("graph", "hist_balanced"))._1)
+  }
+
+  test("fsck on an empty warehouse: absent families are legal " +
+      "(rebuild-if-absent), nothing fails") {
+    val dir = tmpDir("fsck_absent")
+    val out = asMap(StateFsck.all(spark, dir, Some("fsck_no_such_graph")))
+    assert(out.values.forall(_._1), s"absent state must be green: $out")
+    assert(out(("occ", "table_set"))._2 == 1L) // observed = missing count
+  }
+
+  test("fsck CLI stage: greppable rows + failure summary in the result") {
+    val dir = tmpDir("fsck_cli")
+    Tables.documents(spark, sf0001).limit(50)
+      .write.parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding").limit(50)
+      .write.parquet(s"$dir/embeddings.parquet")
+    OccIngest.ingest(spark, dir)
+    val ok = graft.cli.IngestCli.run(spark, Map("stage" -> "fsck", "dir" -> dir))
+    assert(ok.startsWith("stage=fsck") && ok.contains("failures=0"))
+    Bucketing.appendBucketed(Seq((888888L, 0, 1L)).toDF("doc_id", "kind", "h"),
+      OccIngest.occTable(dir), "doc_id", OccIngest.Buckets)
+    val bad = graft.cli.IngestCli.run(spark, Map("stage" -> "fsck", "dir" -> dir))
+    assert(bad.contains("failures=1") && bad.contains("occ/referential"))
+  }
+}
