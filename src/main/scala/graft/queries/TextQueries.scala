@@ -1911,8 +1911,11 @@ object TextQueries {
     auc(dom).unionByName(auc(domAll)).orderBy($"lang")
   }
 
-  val q161Sql: String =
-    s"""WITH tk AS (SELECT doc_id, lang, $qualityOkSql AS pos,
+  /** The q107 margin chain as oracle CTEs — tk(doc_id, <extra>, t) → f
+    * → w → m(doc_id, m = SUM(w)) — with `extra` columns riding tk for
+    * later joins. Shared by q161/q162/q165 (single-sourcing rule). */
+  private def clfMarginCtes(extra: String): String =
+    s"""tk AS (SELECT doc_id, $extra
        |    string_split(text, ' ') AS t FROM documents),
        |f AS (
        |  SELECT doc_id,
@@ -1923,7 +1926,10 @@ object TextQueries {
        |  SELECT doc_id,
        |    ((${DedupQueries.sqlH32("f")}) % $ClfBuckets * 2654435761) % 1001 - 500 AS w
        |  FROM f),
-       |m AS (SELECT doc_id, SUM(w) AS m FROM w GROUP BY doc_id),
+       |m AS (SELECT doc_id, SUM(w) AS m FROM w GROUP BY doc_id)""".stripMargin
+
+  val q161Sql: String =
+    s"""WITH ${clfMarginCtes(s"lang, $qualityOkSql AS pos,")},
        |scj AS (SELECT tk.lang, m.m, tk.pos FROM tk JOIN m USING (doc_id)),
        |dom AS (
        |  SELECT lang, m,
@@ -2029,21 +2035,10 @@ object TextQueries {
        |  SELECT doc_id,
        |    round((CAST(sq AS DOUBLE) / 1.0e12) / n_bigrams, 6) >= $LmKeepMin AS lm
        |  FROM sc),
-       |tk AS (SELECT doc_id, $qualityOkSql AS rule,
-       |    string_split(text, ' ') AS t FROM documents),
-       |f AS (
-       |  SELECT doc_id,
-       |    unnest(t || list_transform(generate_series(1, len(t) - 1),
-       |      i -> t[i] || ' ' || t[i+1])) AS f
-       |  FROM tk),
-       |w AS (
-       |  SELECT doc_id,
-       |    ((${DedupQueries.sqlH32("f")}) % $ClfBuckets * 2654435761) % 1001 - 500 AS w
-       |  FROM f),
-       |mg AS (SELECT doc_id, SUM(w) > 0 AS clf FROM w GROUP BY doc_id),
+       |${clfMarginCtes(s"$qualityOkSql AS rule,")},
        |r AS (
-       |  SELECT tk.rule, mg.clf, COALESCE(lmk.lm, FALSE) AS lm
-       |  FROM tk JOIN mg USING (doc_id) LEFT JOIN lmk USING (doc_id)),
+       |  SELECT tk.rule, m.m > 0 AS clf, COALESCE(lmk.lm, FALSE) AS lm
+       |  FROM tk JOIN m USING (doc_id) LEFT JOIN lmk USING (doc_id)),
        |p AS (
        |  SELECT 'clf_vs_lm' AS pair, clf AS a, lm AS b FROM r
        |  UNION ALL SELECT 'rule_vs_clf', rule, clf FROM r
@@ -2062,6 +2057,92 @@ object TextQueries {
        |  END AS kappa
        |FROM cm ORDER BY pair""".stripMargin
   }
+
+  // ---- q165: classifier calibration / lift table ----
+
+  /** Calibration table bins (deciles — the standard lift-table width). */
+  val CalibBins = 10L
+
+  /** q165: the calibration/lift table of the q107 classifier against
+    * the rule-gate label — the OTHER evaluation axis after q161's
+    * discrimination: AUC says whether the score RANKS positives above
+    * negatives; the per-decile positive rate says whether the score's
+    * LEVELS mean anything (and the lift column is what a curation
+    * budget decision actually reads: "the top decile is 1.8× base
+    * rate"). Score deciles are EXACT ranks over the margin count domain
+    * (q158's machinery — decile(m) = ⌈cum(m)·10/n⌉, integer
+    * arithmetic; a tied margin value belongs wholly to one decile, so
+    * tie-heavy domains legitimately produce uneven — or missing —
+    * deciles rather than splitting a value across two).
+    *
+    * Arithmetic: counts exact; pos_rate is one exact IEEE division;
+    * lift = (p_d·N)/(n_d·P) with each factor cast to double before the
+    * multiply (q159's overflow convention), NULL when the corpus has no
+    * positives. decile's cum·10 stays in Long for any corpus below
+    * ~9·10¹⁷ documents.
+    *
+    * Scale: one map-only scoring pass, one map-side-combined margin
+    * domain aggregation (checkpointed — the prefix window and the
+    * totals row both read it), then everything is domain-sized. Same
+    * honest caveat as q161: a near-unique continuous score degenerates
+    * the domain row-sized (the GK-sketch regime). */
+  def q165CalibrationTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    calibCore(s, Tables.documents(s, dir)
+      .select(clfMarginCol(s).as("m"), qualityOkCol.as("pos")))
+  }
+
+  /** q165 body over any (m: long score, pos: boolean) frame. */
+  private[graft] def calibCore(s: SparkSession, sc: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dom = sc.groupBy($"m").agg(count(lit(1)).as("n"),
+      sum(when($"pos", 1L).otherwise(0L)).as("p"))
+      .localCheckpoint(true)
+    val tot = dom.agg(sum($"n").as("nt"), sum($"p").as("pt"))
+    val cum = dom.withColumn("cum", sum($"n").over(
+      Window.orderBy($"m").rowsBetween(Window.unboundedPreceding, 0)))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("decile", expr(s"(cum * $CalibBins + nt - 1) div nt"))
+      .groupBy($"decile")
+      .agg(min($"m").as("lo_margin"), max($"m").as("hi_margin"),
+        sum($"n").as("n_docs"), sum($"p").as("n_pos"),
+        max($"nt").as("nt"), max($"pt").as("pt"))
+      .select($"decile", $"lo_margin", $"hi_margin", $"n_docs", $"n_pos",
+        ($"n_pos".cast("double") / $"n_docs".cast("double")).as("pos_rate"),
+        when($"pt" > 0L,
+          ($"n_pos".cast("double") * $"nt".cast("double")) /
+            ($"n_docs".cast("double") * $"pt".cast("double"))).as("lift"))
+      .orderBy($"decile")
+  }
+
+  val q165Sql: String =
+    s"""WITH ${clfMarginCtes(s"$qualityOkSql AS pos,")},
+       |dom AS (
+       |  SELECT m.m, COUNT(*) AS n,
+       |    SUM(CASE WHEN tk.pos THEN 1 ELSE 0 END) AS p
+       |  FROM m JOIN tk USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS nt, SUM(p) AS pt FROM dom),
+       |cum AS (
+       |  SELECT m, n, p, SUM(n) OVER (ORDER BY m
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM dom),
+       |d AS (
+       |  SELECT (cum * $CalibBins + nt - 1) // nt AS decile, m, n, p, nt, pt
+       |  FROM cum CROSS JOIN tot),
+       |g AS (
+       |  SELECT decile, MIN(m) AS lo_margin, MAX(m) AS hi_margin,
+       |    CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(p) AS BIGINT) AS n_pos,
+       |    CAST(MAX(nt) AS BIGINT) AS nt, CAST(MAX(pt) AS BIGINT) AS pt
+       |  FROM d GROUP BY 1)
+       |SELECT CAST(decile AS BIGINT) AS decile, lo_margin, hi_margin,
+       |  n_docs, n_pos,
+       |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate,
+       |  CASE WHEN pt > 0 THEN
+       |    (CAST(n_pos AS DOUBLE) * CAST(nt AS DOUBLE))
+       |      / (CAST(n_docs AS DOUBLE) * CAST(pt AS DOUBLE))
+       |  END AS lift
+       |FROM g ORDER BY decile""".stripMargin
 
   // ---- q109: token-budget curriculum selection ----
 
@@ -2893,6 +2974,7 @@ object TextQueries {
     "q160_gk_stream_dual"   -> (q160GkGateStreamDual _),
     "q161_clf_auc"          -> (q161ClfAuc _),
     "q162_gate_agreement"   -> (q162GateAgreement _),
+    "q165_calibration"      -> (q165CalibrationTable _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2909,6 +2991,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "q161_clf_auc"            -> q161Sql,
     "q162_gate_agreement"     -> q162Sql,
+    "q165_calibration"        -> q165Sql,
     "q139_source_drift"       -> q139Sql,
     "q136_unigram_segment"    -> q136Sql,
     "q135_html_extract"       -> q135Sql,

@@ -55,6 +55,32 @@ object R15Probe {
         .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
       GraphQueries.clearMemos(spark)
     }
+
+    // evaluation/audit family 10x probes (sf0.01 -> sf0.1): the domain
+    // arguments predict near-flat post-agg cost, corpus-pass-dominated
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      println(s"[probe] == eval family $dir ==")
+      time("q161 clf AUC")(
+        noop(graft.queries.TextQueries.q161ClfAuc(spark, dir)))
+      time("q162 gate agreement")(
+        noop(graft.queries.TextQueries.q162GateAgreement(spark, dir)))
+      time("q163 skew audit")(
+        noop(graft.queries.RelationalQueries.q163SkewAudit(spark, dir)))
+      time("q164 split leakage")(
+        noop(graft.queries.DedupQueries.q164SplitLeakage(spark, dir)))
+      time("q165 calibration")(
+        noop(graft.queries.TextQueries.q165CalibrationTable(spark, dir)))
+      graft.queries.DedupQueries.clearMemos(spark)
+    }
+
+    // fsck probe: the audit's cost on the sf0.1 state tables
+    val fd = "/root/testdata/sf0.1"
+    OccIngest.ingest(spark, fd)
+    time("fsck occ (sf0.1 state)")(
+      println(s"[probe] fsck rows=${graft.jobs.StateFsck.occ(spark, fd).count()}"))
+    OccIngest.drop(spark, fd)
     spark.stop()
   }
 }

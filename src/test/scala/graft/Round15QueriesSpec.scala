@@ -124,6 +124,38 @@ class Round15QueriesSpec extends SparkSuite {
     assert(h.getDouble(7) == 9.9 && h.getLong(8) == 10L)
   }
 
+  // ---- q165 ----
+
+  test("q165 fixture: exact-rank deciles — distinct scores land on their " +
+      "ceil-rank decile (missing deciles are legitimate), a fully tied " +
+      "domain collapses into one decile, lift is the exact rate ratio") {
+    // 5 distinct scores, one doc each, positives at m=4,5:
+    // decile(m) = ceil(cum*10/5) = 2,4,6,8,10
+    val sc = Seq((1L, false), (2L, false), (3L, false), (4L, true), (5L, true))
+      .toDF("m", "pos")
+    val out = TextQueries.calibCore(spark, sc).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2))) // lo == hi == m
+    assert(out.map(_.getDouble(5)).toSeq == Seq(0.0, 0.0, 0.0, 1.0, 1.0))
+    // lift of a positive decile: (1 * 5) / (1 * 2) = 2.5
+    assert(out.last.getDouble(6) == 2.5)
+    // one tied value: the whole domain row lands in decile 10
+    val tied = Seq.fill(6)((7L, true)).++(Seq.fill(4)((7L, false))).toDF("m", "pos")
+    val t = TextQueries.calibCore(spark, tied).collect()
+    assert(t.length == 1 && t(0).getLong(0) == 10L && t(0).getLong(3) == 10L
+      && t(0).getDouble(5) == 0.6 && t(0).getDouble(6) == 1.0)
+  }
+
+  test("q165 corpus: deciles partition the corpus, and the lift profile " +
+      "agrees with q161's verdict (anti-correlated: the top decile does " +
+      "not beat the bottom)") {
+    val out = TextQueries.q165CalibrationTable(spark, sf0001).collect()
+    val n = Tables.documents(spark, sf0001).count()
+    assert(out.map(_.getLong(3)).sum == n)
+    assert(out.head.getDouble(5) >= out.last.getDouble(5),
+      "an anti-correlated score must not show a rising lift profile")
+  }
+
   // ---- q164 ----
 
   test("q164: the leakage list re-derives from q26's pairs + q56's split " +
