@@ -1999,6 +1999,22 @@ object TextQueries {
     agreementCore(s, r)
   }
 
+  /** Append (po, kappa) to a confusion frame carrying n11/n10/n01/n00 —
+    * the fixed-order double formulas shared by q162, q166, and (as the
+    * identical Scala arithmetic) the AgreementStream fold. */
+  private[graft] def withKappa(cm: DataFrame, key: Column): DataFrame = {
+    val n = (col("n11") + col("n10") + col("n01") + col("n00")).cast("double")
+    val agree = (col("n11") + col("n00")).cast("double")
+    val pe = (col("n11") + col("n10")).cast("double") *
+      (col("n11") + col("n01")).cast("double") +
+      (col("n01") + col("n00")).cast("double") *
+        (col("n10") + col("n00")).cast("double")
+    cm.select(key, col("n11"), col("n10"), col("n01"), col("n00"),
+      (agree / n).as("po"),
+      when(n * n =!= pe, (n * agree - pe) / (n * n - pe)).as("kappa"))
+      .orderBy(key)
+  }
+
   /** q162 body over any (rule, clf, lm) boolean-rater frame — spec
     * fixtures drive hand-computed kappas through it. */
   private[graft] def agreementCore(s: SparkSession, r: DataFrame): DataFrame = {
@@ -2015,21 +2031,24 @@ object TextQueries {
       sum(when($"a" && !$"b", 1L).otherwise(0L)).as("n10"),
       sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("n01"),
       sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00"))
-    val n = ($"n11" + $"n10" + $"n01" + $"n00").cast("double")
-    val agree = ($"n11" + $"n00").cast("double")
-    val pe = ($"n11" + $"n10").cast("double") * ($"n11" + $"n01").cast("double") +
-      ($"n01" + $"n00").cast("double") * ($"n10" + $"n00").cast("double")
-    cm.select($"pair", $"n11", $"n10", $"n01", $"n00",
-      (agree / n).as("po"),
-      when(n * n =!= pe, (n * agree - pe) / (n * n - pe)).as("kappa"))
-      .orderBy($"pair")
+    withKappa(cm, $"pair")
   }
 
-  val q162Sql: String = {
-    val n = "CAST(n11 + n10 + n01 + n00 AS DOUBLE)"
-    val agree = "CAST(n11 + n00 AS DOUBLE)"
-    val pe = "(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)" +
+  /** SQL duals of [[withKappa]]'s po/kappa expressions over a CTE
+    * exposing n11/n10/n01/n00 — shared by q162 and q166. */
+  private val kappaSqlN = "CAST(n11 + n10 + n01 + n00 AS DOUBLE)"
+  private val kappaSqlAgree = "CAST(n11 + n00 AS DOUBLE)"
+  private val kappaSqlPe =
+    "(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)" +
       " + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))"
+  private def kappaSqlCols: String =
+    s"""  $kappaSqlAgree / $kappaSqlN AS po,
+       |  CASE WHEN $kappaSqlN * $kappaSqlN <> $kappaSqlPe THEN
+       |    ($kappaSqlN * $kappaSqlAgree - $kappaSqlPe)
+       |      / ($kappaSqlN * $kappaSqlN - $kappaSqlPe)
+       |  END AS kappa""".stripMargin
+
+  val q162Sql: String = {
     s"""WITH $lmScoreCtes,
        |lmk AS (
        |  SELECT doc_id,
@@ -2051,12 +2070,46 @@ object TextQueries {
        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
        |  FROM p GROUP BY pair)
        |SELECT pair, n11, n10, n01, n00,
-       |  $agree / $n AS po,
-       |  CASE WHEN $n * $n <> $pe THEN
-       |    ($n * $agree - $pe) / ($n * $n - $pe)
-       |  END AS kappa
+       |$kappaSqlCols
        |FROM cm ORDER BY pair""".stripMargin
   }
+
+  // ---- q166: per-source gate agreement (drift-monitor batch dual) ----
+
+  /** q166: the rule-vs-classifier confusion matrix and kappa PER
+    * SOURCE — the batch dual of [[graft.streaming.AgreementStream]],
+    * the distribution-shift monitor: a source whose kappa departs from
+    * the corpus baseline is a source whose incoming documents the two
+    * gates suddenly disagree about — the first observable symptom of a
+    * crawl change, an encoding regression, or a classifier gone stale.
+    * Same arithmetic as q162 ([[withKappa]], single-sourced), keyed by
+    * source instead of gate pair; one map-only pass + one
+    * map-side-combined |sources|-row aggregate. */
+  def q166SourceAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.documents(s, dir)
+      .select($"source", qualityOkCol.as("a"), (clfMarginCol(s) > 0L).as("b"))
+    withKappa(r.groupBy($"source").agg(
+      sum(when($"a" && $"b", 1L).otherwise(0L)).as("n11"),
+      sum(when($"a" && !$"b", 1L).otherwise(0L)).as("n10"),
+      sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("n01"),
+      sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00")), $"source")
+  }
+
+  val q166Sql: String =
+    s"""WITH ${clfMarginCtes(s"source, $qualityOkSql AS a,")},
+       |r AS (SELECT tk.source, tk.a, m.m > 0 AS b
+       |      FROM tk JOIN m USING (doc_id)),
+       |cm AS (
+       |  SELECT source,
+       |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM r GROUP BY source)
+       |SELECT source, n11, n10, n01, n00,
+       |$kappaSqlCols
+       |FROM cm ORDER BY source""".stripMargin
 
   // ---- q165: classifier calibration / lift table ----
 
@@ -2975,6 +3028,7 @@ object TextQueries {
     "q161_clf_auc"          -> (q161ClfAuc _),
     "q162_gate_agreement"   -> (q162GateAgreement _),
     "q165_calibration"      -> (q165CalibrationTable _),
+    "q166_source_agreement" -> (q166SourceAgreement _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -2992,6 +3046,7 @@ object TextQueries {
     "q161_clf_auc"            -> q161Sql,
     "q162_gate_agreement"     -> q162Sql,
     "q165_calibration"        -> q165Sql,
+    "q166_source_agreement"   -> q166Sql,
     "q139_source_drift"       -> q139Sql,
     "q136_unigram_segment"    -> q136Sql,
     "q135_html_extract"       -> q135Sql,

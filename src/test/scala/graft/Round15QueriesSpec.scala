@@ -124,6 +124,74 @@ class Round15QueriesSpec extends SparkSuite {
     assert(h.getDouble(7) == 9.9 && h.getLong(8) == 10L)
   }
 
+  // ---- randomized brute-force pins for the eval family ----
+
+  /** Deterministic Gen sampler (PropertySpec's offline-cache pattern). */
+  private def cases[A](gen: org.scalacheck.Gen[A], n: Int)(body: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed)
+        .foreach { a => body(a); i += 1 }
+      seed = seed.next
+    }
+  }
+
+  test("q161 property: aucCore equals the brute-force pair count on random " +
+      "tie-heavy frames (per lang and for the '*' global row)") {
+    import org.scalacheck.Gen
+    val row = Gen.zip(Gen.oneOf("x", "y"), Gen.choose(-3L, 3L), Gen.oneOf(true, false))
+    cases(Gen.nonEmptyListOf(row), 8) { rows =>
+      val out = TextQueries.aucCore(spark, rows.toDF("lang", "m", "pos"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      def brute(sel: Seq[(String, Long, Boolean)]): Option[Double] = {
+        val pos = sel.filter(_._3).map(_._2)
+        val neg = sel.filterNot(_._3).map(_._2)
+        if (pos.isEmpty || neg.isEmpty) None
+        else {
+          val num2 = (for (p <- pos; q <- neg) yield
+            if (p > q) 2L else if (p == q) 1L else 0L).sum
+          Some(num2.toDouble / (pos.length.toDouble * neg.length.toDouble * 2.0))
+        }
+      }
+      (rows.groupBy(_._1).map { case (l, sel) => l -> brute(sel) } +
+        ("*" -> brute(rows))).foreach { case (l, want) =>
+        assert(out(l) == want, s"lang $l: ${out(l)} != $want in $rows")
+      }
+    }
+  }
+
+  test("q165 property: calibCore partitions every frame (Σ n_docs = rows), " +
+      "deciles are the exact ceil-rank of each value's cumulative count, " +
+      "and decile ranges never overlap") {
+    import org.scalacheck.Gen
+    val row = Gen.zip(Gen.choose(-4L, 4L), Gen.oneOf(true, false))
+    cases(Gen.nonEmptyListOf(row), 8) { rows =>
+      val out = TextQueries.calibCore(spark, rows.toDF("m", "pos")).collect()
+      assert(out.map(_.getLong(3)).sum == rows.length.toLong)
+      // brute-force decile per value from the cumulative domain count
+      val n = rows.length.toLong
+      val dom = rows.groupBy(_._1).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val want = dom.map { case (m, c) =>
+        cum += c; m -> ((cum * 10L + n - 1L) / n)
+      }.toMap
+      out.foreach { r =>
+        (r.getLong(1) to r.getLong(2)).filter(want.contains).foreach { m =>
+          assert(want(m) == r.getLong(0),
+            s"value $m should land in decile ${want(m)}, not ${r.getLong(0)}")
+        }
+      }
+      val spans = out.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi < lo2, "overlapping deciles")
+        case _ =>
+      }
+    }
+  }
+
   // ---- q165 ----
 
   test("q165 fixture: exact-rank deciles — distinct scores land on their " +

@@ -641,4 +641,47 @@ class StreamingSpec extends SparkSuite {
     assert(math.abs(rank - target) <= 100000 / GkGateStream.Acc + 1,
       s"rank $rank vs target $target")
   }
+
+  test("streaming agreement monitor: the final per-source snapshot equals " +
+      "the oracle-checked q166 batch dual bit-for-bit (kappa doubles " +
+      "included), and per-batch snapshots grow monotonically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextQueries
+    val dir = tmpDir("docs_agree")
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text")
+    val mid = 250L
+    docs.where($"doc_id" < mid).coalesce(1).write.parquet(s"$dir/h1")
+    docs.where($"doc_id" >= mid).coalesce(1).write.parquet(s"$dir/h2")
+    for ((src, dst) <- Seq("h1" -> "d1.parquet", "h2" -> "d2.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val streamed = graft.streaming.AgreementStream
+      .runBounded(spark, s"$dir/d*.parquet", "agree_mon",
+        maxFilesPerTrigger = Some(1))
+      .collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    val dual = TextQueries.q166SourceAgreement(spark, sf0001).collect()
+    assert(key(streamed) == key(dual),
+      "final snapshots must equal the oracle-checked batch dual exactly")
+    // trajectory: every source emitted one snapshot per touching batch,
+    // with cumulative counts strictly growing
+    val snaps = spark.table("agree_mon").collect()
+      .groupBy(_.getString(0))
+    assert(snaps.values.exists(_.length >= 2),
+      "the two-batch drive must produce multi-snapshot trajectories")
+    snaps.foreach { case (src, rows) =>
+      val totals = rows.map(r => r.getLong(2) + r.getLong(3) +
+        r.getLong(4) + r.getLong(5)).sorted
+      assert(totals.distinct.length == totals.length,
+        s"$src: cumulative totals must strictly grow across batches")
+    }
+  }
 }
