@@ -44,6 +44,19 @@ object StateFsck {
 
   private def cnt(df: DataFrame): Long = df.count()
 
+  /** Run a family's value checks; a thrown analysis/read error (schema
+    * drift, unreadable files) becomes an `audit_error` FINDING — an
+    * auditor that crashes on the corruption it exists to find would be
+    * useless exactly when needed. */
+  private def guarded(family: String)(
+      checks: => Seq[(String, String, Boolean, Long, String)])
+      : Seq[(String, String, Boolean, Long, String)] =
+    try checks catch {
+      case e: Throwable =>
+        Seq((family, "audit_error", false, 1L,
+          s"check failed to run: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next().take(160)}"))
+    }
+
   /** Rewrite-protocol residue on `table`: staging and/or marker left by
     * a crashed StagedRewrite. Residue is healable, but it is also the
     * fingerprint of a crashed writer — fsck surfaces it instead of
@@ -78,7 +91,8 @@ object StateFsck {
     import s.implicits._
     val t = OccIngest.occTable(dir)
     val (setRow, complete) = tableSet(s, "occ", Seq(t))
-    val rows = Seq(setRow, residue(s, "occ", t)) ++ (if (!complete) Nil else {
+    val rows = Seq(setRow, residue(s, "occ", t)) ++ (if (!complete) Nil
+    else guarded("occ") {
       val stored = s.table(t)
       val orphans = cnt(stored.select($"doc_id").distinct()
         .join(Tables.documents(s, dir).select($"doc_id"), Seq("doc_id"), "left_anti"))
@@ -107,16 +121,16 @@ object StateFsck {
     val base = codesLike(s, "rot", prefix,
       Seq("_codes", "_codebook", "_model", "_stats"), dir)
     if (!s.catalog.tableExists(s"${prefix}_model")) base
-    else {
+    else base.unionByName(mk(s, guarded("rot") {
       // the stored rotation must be a complete d-row basis of d-wide rows
       val m = s.table(s"${prefix}_model")
       val nRows = cnt(m)
       val badWidth = cnt(m.where(size($"brow") =!= SimilarityQueries.EmbDim))
       val ok = nRows == SimilarityQueries.EmbDim.toLong && badWidth == 0L
-      base.unionByName(mk(s, Seq(("rot", "model_shape", ok,
+      Seq(("rot", "model_shape", ok,
         if (ok) 0L else math.max(badWidth, math.abs(nRows - SimilarityQueries.EmbDim)),
-        s"basis must be ${SimilarityQueries.EmbDim} rows x ${SimilarityQueries.EmbDim} doubles"))))
-    }
+        s"basis must be ${SimilarityQueries.EmbDim} rows x ${SimilarityQueries.EmbDim} doubles"))
+    }))
   }
 
   /** Shared codes-family checks: table set, residue, vec_id uniqueness,
@@ -126,7 +140,8 @@ object StateFsck {
     import s.implicits._
     val t = s"${prefix}_codes"
     val (setRow, complete) = tableSet(s, family, suffixes.map(prefix + _))
-    val rows = Seq(setRow, residue(s, family, t)) ++ (if (!complete) Nil else {
+    val rows = Seq(setRow, residue(s, family, t)) ++ (if (!complete) Nil
+    else guarded(family) {
       val stored = s.table(t)
       val n = cnt(stored)
       val dup = n - cnt(stored.select($"vec_id").distinct())
@@ -156,7 +171,8 @@ object StateFsck {
     val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
     val (setRow, complete) = tableSet(s, "graph",
       Seq(edgesT, histT, s"${prefix}_meta"))
-    val rows = Seq(setRow) ++ (if (!complete) Nil else {
+    val rows = Seq(setRow) ++ (if (!complete) Nil
+    else guarded("graph") {
       val consistent =
         try s.table(s"${prefix}_meta").select($"consistent")
           .head().getBoolean(0)
@@ -164,9 +180,12 @@ object StateFsck {
       val pending = s.catalog.tableExists(s"${prefix}_pending")
       // every hist round must describe the same node set: per-round row
       // counts are equal iff the roll-forward committed atomically
+      // (an EMPTY history is unbalanced-by-vacancy: a complete table set
+      // with zero history rows is itself corruption, not a green state)
       val perRound = s.table(histT).groupBy($"round")
         .agg(count(lit(1)).as("n")).agg(
-          (max($"n") === min($"n")).as("bal"), max($"n").as("mx")).head()
+          coalesce(max($"n") === min($"n"), lit(false)).as("bal"),
+          coalesce(max($"n"), lit(0L)).as("mx")).head()
       val retracted = cnt(s.table(edgesT).groupBy($"u", $"v")
         .agg(sum($"w").as("sw")).where($"sw" <= 0L))
       Seq(

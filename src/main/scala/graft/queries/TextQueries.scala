@@ -2197,6 +2197,85 @@ object TextQueries {
        |  END AS lift
        |FROM g ORDER BY decile""".stripMargin
 
+  // ---- q167: mixture / epoch plan ----
+
+  /** Token budget for the plan: ¼ of the corpus (q109's constant). */
+  private val PlanBudgetDiv = 4L
+
+  /** q167: the temperature-mixture PLAN — the (share, rate) table a
+    * training-mix config actually consumes, completing the mixture
+    * family's arc: q85 DRAWS a doc-level temperature sample, q109 takes
+    * the best-k tokens, q159 reweights documents; q167 answers the
+    * planning question those all presuppose — "at this token budget,
+    * what fraction of each source do we take, and how many epochs of
+    * the small sources will the model see?" (the Pile/DoReMi recipe:
+    * α = ½ target shares upsample low-resource sources, and any source
+    * with rate > 1 repeats for multiple epochs).
+    *
+    * Per source: doc/token counts, raw share, temperature-α=½ target
+    * share, and rate = tgt_share·budget / n_tokens — the expected
+    * EPOCHS of that source at the budget (> 1 ⇒ upsampled/repeated).
+    *
+    * Engine-exact: q85's quantization — w = floor(sqrt(n_tokens)·10⁴)
+    * (sqrt and the product are single correctly-rounded IEEE ops), Σw
+    * exact integers, every emitted ratio ONE fixed-order double
+    * expression of exact integers (factors cast before multiplying).
+    *
+    * Scale: one map-side-combined |sources|-row aggregate over a
+    * column-pruned corpus pass; the plan frame is checkpointed
+    * (|sources| rows) so the totals row and the final projection both
+    * read it; nothing else exists. */
+  def q167MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    planCore(s, Tables.documents(s, dir)
+      .select($"source", size(toks($"text")).cast("long").as("nt")))
+  }
+
+  /** q167 body over any (source, nt = tokens-per-doc) frame. */
+  private[graft] def planCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val per = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+      .withColumn("w", floor(sqrt($"n_tokens".cast("double")) *
+        lit(MixScale.toDouble)).cast("long"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum($"n_tokens").as("t_corpus"), sum($"w").as("sw"))
+      .select($"t_corpus", $"sw",
+        expr(s"t_corpus div $PlanBudgetDiv").as("budget"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_tokens",
+        ($"n_tokens".cast("double") / $"t_corpus".cast("double")).as("raw_share"),
+        ($"w".cast("double") / $"sw".cast("double")).as("tgt_share"),
+        (($"w".cast("double") * $"budget".cast("double")) /
+          ($"sw".cast("double") * $"n_tokens".cast("double"))).as("rate"))
+      .withColumn("upsampled", $"rate" > 1.0)
+      .orderBy($"source")
+  }
+
+  val q167Sql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |pw AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * ${MixScale}.0e0)
+       |      AS BIGINT) AS w
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_corpus,
+       |    CAST(SUM(w) AS BIGINT) AS sw,
+       |    CAST(SUM(n_tokens) AS BIGINT) // $PlanBudgetDiv AS budget
+       |  FROM pw)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(t_corpus AS DOUBLE) AS raw_share,
+       |  CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) AS tgt_share,
+       |  (CAST(w AS DOUBLE) * CAST(budget AS DOUBLE))
+       |    / (CAST(sw AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS rate,
+       |  (CAST(w AS DOUBLE) * CAST(budget AS DOUBLE))
+       |    / (CAST(sw AS DOUBLE) * CAST(n_tokens AS DOUBLE)) > 1.0e0 AS upsampled
+       |FROM pw CROSS JOIN tot ORDER BY source""".stripMargin
+
   // ---- q109: token-budget curriculum selection ----
 
   /** Keep the best-scoring quarter of corpus tokens (budget = total/4). */
@@ -3029,6 +3108,7 @@ object TextQueries {
     "q162_gate_agreement"   -> (q162GateAgreement _),
     "q165_calibration"      -> (q165CalibrationTable _),
     "q166_source_agreement" -> (q166SourceAgreement _),
+    "q167_mixture_plan"     -> (q167MixturePlan _),
     "q63_vocab_build"       -> (q63VocabBuild _),
     "q64_bm25"              -> (q64Bm25 _),
     "q65_chunk_pack"        -> (q65ChunkPack _),
@@ -3047,6 +3127,7 @@ object TextQueries {
     "q162_gate_agreement"     -> q162Sql,
     "q165_calibration"        -> q165Sql,
     "q166_source_agreement"   -> q166Sql,
+    "q167_mixture_plan"       -> q167Sql,
     "q139_source_drift"       -> q139Sql,
     "q136_unigram_segment"    -> q136Sql,
     "q135_html_extract"       -> q135Sql,

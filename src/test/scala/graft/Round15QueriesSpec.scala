@@ -124,6 +124,40 @@ class Round15QueriesSpec extends SparkSuite {
     assert(h.getDouble(7) == 9.9 && h.getLong(8) == 10L)
   }
 
+  // ---- q167 ----
+
+  test("q167 fixture: hand-computed temperature plan — exact quantized " +
+      "sqrt weights, α=½ boosts the small source, rate = expected epochs " +
+      "at the quarter budget") {
+    // source a: 9 tokens, source b: 1 token → w = 30000, 10000 exactly;
+    // tgt shares 3/4, 1/4; budget = 10 div 4 = 2;
+    // rate_a = (30000·2)/(40000·9) = 1/6, rate_b = (10000·2)/(40000·1) = 1/2
+    val docs = Seq(("a", 3L), ("a", 3L), ("a", 3L), ("b", 1L))
+      .toDF("source", "nt")
+    val out = TextQueries.planCore(spark, docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(2) == 9L && out("b").getLong(2) == 1L)
+    assert(out("a").getDouble(4) == 0.75 && out("b").getDouble(4) == 0.25)
+    assert(out("a").getDouble(5) == 60000.0 / 360000.0)
+    assert(out("b").getDouble(5) == 0.5)
+    assert(!out("a").getBoolean(6) && !out("b").getBoolean(6))
+    // α=½ boosts the low-resource source: target share above raw share
+    assert(out("b").getDouble(4) > out("b").getDouble(3))
+    assert(out("a").getDouble(4) < out("a").getDouble(3))
+  }
+
+  test("q167 corpus: shares each sum to 1 (exact integer numerators make " +
+      "the double sums exact here), and Σ rate·n_tokens ≈ the budget") {
+    val out = TextQueries.q167MixturePlan(spark, sf0001).collect()
+    val rawSum = out.map(_.getDouble(3)).sum
+    val tgtSum = out.map(_.getDouble(4)).sum
+    assert(math.abs(rawSum - 1.0) < 1e-12 && math.abs(tgtSum - 1.0) < 1e-12)
+    val t = out.map(_.getLong(2)).sum
+    val planned = out.map(r => r.getDouble(5) * r.getLong(2)).sum
+    assert(math.abs(planned - t / 4) <= 4.0,
+      s"planned tokens $planned must meet the budget ${t / 4}")
+  }
+
   // ---- randomized brute-force pins for the eval family ----
 
   /** Deterministic Gen sampler (PropertySpec's offline-cache pattern). */

@@ -95,6 +95,20 @@ class StateFsckSpec extends SparkSuite {
     assert(out(("occ", "table_set"))._2 == 1L) // observed = missing count
   }
 
+  test("fsck on schema drift: a state table with the wrong shape yields " +
+      "an audit_error FINDING, not a crashed auditor") {
+    val dir = tmpDir("fsck_drift")
+    Tables.documents(spark, sf0001).limit(10)
+      .write.parquet(s"$dir/documents.parquet")
+    // a foreign writer left a wrong-schema table under the occ name
+    Seq((1L, "junk")).toDF("doc_id", "payload")
+      .write.saveAsTable(OccIngest.occTable(dir))
+    val out = asMap(StateFsck.occ(spark, dir))
+    assert(out(("occ", "table_set"))._1, "table exists - set is complete")
+    assert(out.contains(("occ", "audit_error")) && !out(("occ", "audit_error"))._1,
+      s"schema drift must surface as audit_error: $out")
+  }
+
   test("fsck CLI stage: greppable rows + failure summary in the result") {
     val dir = tmpDir("fsck_cli")
     Tables.documents(spark, sf0001).limit(50)
