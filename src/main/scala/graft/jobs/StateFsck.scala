@@ -52,7 +52,7 @@ object StateFsck {
       checks: => Seq[(String, String, Boolean, Long, String)])
       : Seq[(String, String, Boolean, Long, String)] =
     try checks catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         Seq((family, "audit_error", false, 1L,
           s"check failed to run: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next().take(160)}"))
     }
@@ -176,7 +176,7 @@ object StateFsck {
       val consistent =
         try s.table(s"${prefix}_meta").select($"consistent")
           .head().getBoolean(0)
-        catch { case _: Throwable => false }
+        catch { case scala.util.control.NonFatal(_) => false }
       val pending = s.catalog.tableExists(s"${prefix}_pending")
       // every hist round must describe the same node set: per-round row
       // counts are equal iff the roll-forward committed atomically
