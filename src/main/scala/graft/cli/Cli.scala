@@ -144,7 +144,10 @@ object AmoDumpCli {
   * `[fsck] family/check ok=… observed=… detail` line per check, plus a
   * failure summary in the result:
   *
-  *   --stage fsck --dir X [--prefix graph-prefix] */
+  *   --stage fsck --dir X [--prefix graph-prefix]
+  *   --stage fsck-repair --dir X [--prefix graph-prefix]
+  *     (heal + row-scrub the row-keyed families, heal the graph, then
+  *      re-audit; un-repairable findings stay visible in the output) */
 object IngestCli {
   def run(spark: SparkSession, o: Map[String, String]): String = {
     def dir = o("dir")
@@ -215,19 +218,20 @@ object IngestCli {
         o.get("append").foreach(p => RotIngest.appendBatch(spark,
           Cli.readTable(spark, p), RotIngest.tablePrefix(dir)))
         s"stage=rot table=$c rows=${spark.table(c).count()}"
-      case "fsck" =>
-        val rows = StateFsck.all(spark, dir,
-          o.get("prefix").orElse(Some(livePrefix))).collect()
+      case stage @ ("fsck" | "fsck-repair") =>
+        val gp = o.get("prefix").orElse(Some(livePrefix))
+        val rows = (if (stage == "fsck") StateFsck.all(spark, dir, gp)
+                    else StateFsck.repair(spark, dir, gp)).collect()
         rows.foreach(r => println(s"[fsck] ${r.getString(0)}/${r.getString(1)} " +
           s"ok=${r.getBoolean(2)} observed=${r.getLong(3)} ${r.getString(4)}"))
         val bad = rows.filterNot(_.getBoolean(2))
-        s"stage=fsck checks=${rows.length} failures=${bad.length}" +
+        s"stage=$stage checks=${rows.length} failures=${bad.length}" +
           (if (bad.isEmpty) ""
            else bad.map(r => s" ${r.getString(0)}/${r.getString(1)}").mkString(" BAD:", "", ""))
       case s => sys.error(s"unknown --stage $s " +
         "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal|" +
         "graph-retract|graph-compact|occ-delete|occ-compact|codes-delete|" +
-        "codes-compact|rot-delete|rot-compact|fsck)")
+        "codes-compact|rot-delete|rot-compact|fsck|fsck-repair)")
     }
   }
 

@@ -184,6 +184,33 @@ object CodesIngest {
       }
     }
 
+  /** [[StateFsck]]'s remedy on this family (dir-keyed tables): heal
+    * protocol residue, then rewrite the codes table keeping one
+    * deterministic row per vec_id (smallest full row — a duplicated
+    * vec_id violates the append idempotency invariant, so at most one
+    * copy is engine-written), pq codes inside [0, PqK), and only
+    * vec_ids present in the embeddings table. No-op when absent. */
+  def scrub(s: SparkSession, dir: String): Unit = CodesIngest.synchronized {
+    graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
+      IngestGuards.scrubRewrite(s, s"${tablePrefix(dir)}_codes", "vec_id",
+        Buckets)(scrubCodesRows(s, dir))
+    }
+  }
+
+  /** The codes-row validity transform shared by [[scrub]] and
+    * [[RotIngest.scrub]] (same table shape on both tiers). */
+  private[jobs] def scrubCodesRows(s: SparkSession, dir: String)(
+      df: DataFrame): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir).select(col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(df.columns.map(col): _*)
+    df.join(emb, Seq("vec_id"), "left_semi")
+      .where(!exists(col("pq"),
+        x => x < 0 || x >= SimilarityQueries.PqK))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** STREAMING face of the incremental ingest: new embedding batches
     * landing in a drop dir flow through [[appendBatch]] via
     * foreachBatch — the index stays searchable (and exchange-free-

@@ -25,6 +25,18 @@ object IngestGuards {
       _.join(broadcast(idsC), Seq(key), "left_anti"))
   }
 
+  /** Repair rewrite ([[StateFsck]]'s remedy): heal protocol residue,
+    * then — if the table exists — rewrite it through `valid`, the
+    * family's row-validity transform. Unlike delete/compact, an absent
+    * table is a NO-OP, not an error: repair must be safe to run against
+    * any warehouse state. */
+  private[jobs] def scrubRewrite(s: SparkSession, table: String,
+      key: String, buckets: Int)(valid: DataFrame => DataFrame): Unit = {
+    StagedRewrite.heal(s, table)
+    if (s.catalog.tableExists(table))
+      StagedRewrite.rewrite(s, table, key, buckets)(valid)
+  }
+
   /** Row-identical compaction rewrite (same heal-before-require order). */
   private[jobs] def compactRewrite(s: SparkSession, table: String,
       key: String, buckets: Int): Unit = {

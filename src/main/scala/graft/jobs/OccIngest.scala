@@ -194,6 +194,25 @@ object OccIngest {
       }
     }
 
+  /** [[StateFsck]]'s remedy on this family: heal protocol residue, then
+    * rewrite the table keeping only rows the ENGINE could have written —
+    * kind ∈ {0, 1} (null padding rows kept: gram-less docs legitimately
+    * carry one), h inside 60 bits, doc_id present in the corpus. A
+    * domain-invalid row cannot have come from the mint, so removing it
+    * RESTORES ingest equivalence rather than breaking it; a referential
+    * orphan is exactly what [[deleteDocs]] would remove on a missed
+    * takedown. No-op on an absent table. */
+  def scrub(s: SparkSession, dir: String): Unit = OccIngest.synchronized {
+    graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
+      IngestGuards.scrubRewrite(s, occTable(dir), "doc_id", Buckets) { df =>
+        val corpus = graft.Tables.documents(s, dir).select(col("doc_id"))
+        df.where((col("kind").isNull || col("kind").isin(0, 1)) &&
+            (col("h").isNull || (col("h") >= 0L && col("h") < (1L << 60))))
+          .join(corpus, Seq("doc_id"), "left_semi")
+      }
+    }
+  }
+
   /** Collapse the table's accumulated append files to one file per
     * bucket (VERDICT r14 item 2) — a row-identical [[graft.io
     * .StagedRewrite]] pass. */

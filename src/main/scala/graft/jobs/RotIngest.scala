@@ -182,6 +182,16 @@ object RotIngest {
       }
     }
 
+  /** [[StateFsck]]'s remedy on the learned tier —
+    * [[CodesIngest.scrubCodesRows]]'s transform over this family's
+    * codes table (same shape, same invariants). No-op when absent. */
+  def scrub(s: SparkSession, dir: String): Unit = RotIngest.synchronized {
+    graft.io.WriterLease.withLease(s, tablePrefix(dir)) {
+      IngestGuards.scrubRewrite(s, codesTable(dir), "vec_id", Buckets)(
+        CodesIngest.scrubCodesRows(s, dir))
+    }
+  }
+
   /** STREAMING face of the frozen-model increment (the
     * [[CodesIngest.appendStreamBounded]] shape on the learned tier):
     * new embedding batches landing in a drop dir flow through

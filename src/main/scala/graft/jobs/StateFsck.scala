@@ -207,4 +207,23 @@ object StateFsck {
     occ(s, dir).unionByName(codes(s, dir)).unionByName(rot(s, dir))
       .unionByName(graph(s, graphPrefix.getOrElse(
         graft.io.Bucketing.corpusPrefix("graphlive", dir))))
+
+  /** Apply the remedies for what [[all]] finds, then re-audit: heal +
+    * row-scrub on each row-keyed family (domain-invalid rows cannot
+    * have come from the engine, so removing them RESTORES ingest
+    * equivalence; referential orphans are removed exactly as the
+    * takedown path would), and a protocol heal on the graph. Returns
+    * the POST-repair audit — what repair cannot fix stays visible
+    * there: a partial table set (re-ingest the family), inconsistent
+    * graph provenance (graph-init), unbalanced history (rebuild). */
+  def repair(s: SparkSession, dir: String,
+      graphPrefix: Option[String] = None): DataFrame = {
+    OccIngest.scrub(s, dir)
+    CodesIngest.scrub(s, dir)
+    RotIngest.scrub(s, dir)
+    val gp = graphPrefix.getOrElse(
+      graft.io.Bucketing.corpusPrefix("graphlive", dir))
+    if (s.catalog.tableExists(s"${gp}_meta")) GraphIngest.heal(s, gp)
+    all(s, dir, Some(gp))
+  }
 }

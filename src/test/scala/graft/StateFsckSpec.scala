@@ -95,6 +95,44 @@ class StateFsckSpec extends SparkSuite {
     assert(out(("occ", "table_set"))._2 == 1L) // observed = missing count
   }
 
+  test("fsck-repair: heal + row-scrub returns a corrupted warehouse to " +
+      "green, removing EXACTLY the junk (clean row counts preserved)") {
+    val dir = tmpDir("fsck_repair")
+    Tables.documents(spark, sf0001).write.parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    OccIngest.ingest(spark, dir)
+    CodesIngest.ingest(spark, dir)
+    val occT = OccIngest.occTable(dir)
+    val codesT = s"${CodesIngest.tablePrefix(dir)}_codes"
+    val (occClean, codesClean) = (spark.table(occT).count(), spark.table(codesT).count())
+
+    // corruption: occ junk (orphan id, bad kind, bad h), a duplicated
+    // codes row with out-of-domain pq, a staging orphan on codes
+    Bucketing.appendBucketed(Seq((777777L, 9, -1L)).toDF("doc_id", "kind", "h"),
+      occT, "doc_id", OccIngest.Buckets)
+    Bucketing.appendBucketed(
+      spark.table(codesT).limit(1).withColumn("pq", transform($"pq", _ => lit(99))),
+      codesT, "vec_id", CodesIngest.Buckets)
+    Seq((1L, "junk")).toDF("a", "b").write
+      .saveAsTable(StagedRewrite.stagingTable(codesT))
+    val pre = asMap(StateFsck.all(spark, dir, Some("fsck_repair_none")))
+    assert(pre.exists(!_._2._1), "corruption must be visible pre-repair")
+
+    val post = asMap(graft.jobs.StateFsck.repair(spark, dir, Some("fsck_repair_none")))
+    assert(post.values.forall(_._1),
+      s"post-repair audit must be green: ${post.filterNot(_._2._1).keys}")
+    assert(spark.table(occT).count() == occClean,
+      "scrub must remove exactly the junk occ row")
+    assert(spark.table(codesT).count() == codesClean,
+      "scrub must remove exactly the duplicated codes row")
+
+    // CLI face: the repair stage reports zero failures afterwards
+    val out = graft.cli.IngestCli.run(spark,
+      Map("stage" -> "fsck-repair", "dir" -> dir, "prefix" -> "fsck_repair_none"))
+    assert(out.startsWith("stage=fsck-repair") && out.contains("failures=0"))
+  }
+
   test("fsck on schema drift: a state table with the wrong shape yields " +
       "an audit_error FINDING, not a crashed auditor") {
     val dir = tmpDir("fsck_drift")
