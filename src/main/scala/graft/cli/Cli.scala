@@ -219,7 +219,7 @@ object IngestCli {
           Cli.readTable(spark, p), RotIngest.tablePrefix(dir)))
         s"stage=rot table=$c rows=${spark.table(c).count()}"
       case stage @ ("fsck" | "fsck-repair") =>
-        val gp = o.get("prefix").orElse(Some(livePrefix))
+        val gp = Some(livePrefix) // livePrefix already honors --prefix
         val rows = (if (stage == "fsck") StateFsck.all(spark, dir, gp)
                     else StateFsck.repair(spark, dir, gp)).collect()
         rows.foreach(r => println(s"[fsck] ${r.getString(0)}/${r.getString(1)} " +

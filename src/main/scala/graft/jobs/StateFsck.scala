@@ -54,7 +54,8 @@ object StateFsck {
     try checks catch {
       case scala.util.control.NonFatal(e) =>
         Seq((family, "audit_error", false, 1L,
-          s"check failed to run: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next().take(160)}"))
+          "check failed to run: " + Option(e.getMessage).getOrElse(e.toString)
+            .linesIterator.nextOption().getOrElse(e.getClass.getName).take(160)))
     }
 
   /** Rewrite-protocol residue on `table`: staging and/or marker left by
@@ -171,7 +172,17 @@ object StateFsck {
     val (edgesT, histT) = (s"${prefix}_edges", s"${prefix}_lpahist")
     val (setRow, complete) = tableSet(s, "graph",
       Seq(edgesT, histT, s"${prefix}_meta"))
-    val rows = Seq(setRow) ++ (if (!complete) Nil
+    // the graph has TWO rewrite protocols: StagedRewrite on the edges
+    // table (compact) and the hist __next staging (advance) — a parked
+    // compact was invisible without this row (review r15)
+    val histNext = s.catalog.tableExists(s"${histT}__next")
+    val edgeRes = residue(s, "graph", edgesT)
+    val resRow = ("graph", "rewrite_residue",
+      edgeRes._3 && !histNext, edgeRes._4 + (if (histNext) 1L else 0L),
+      if (edgeRes._3 && !histNext) "no parked rewrite"
+      else if (!edgeRes._3) edgeRes._5
+      else "hist staging parked - graph-heal commits or abandons it")
+    val rows = Seq(setRow, resRow) ++ (if (!complete) Nil
     else guarded("graph") {
       val consistent =
         try s.table(s"${prefix}_meta").select($"consistent")

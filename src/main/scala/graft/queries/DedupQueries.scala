@@ -416,12 +416,16 @@ object DedupQueries {
     jaccardVerify(cand, docsV)
   }
 
-  def q26MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The verified near-dup pair frame (doc_a, doc_b, jaccard) —
+    * [[minhashPairsOn]]'s body with the signature chain riding the
+    * family-shared occurrence memo; verification re-shingles ONLY
+    * candidate docs from text (broadcast semi-join — the strings there
+    * are candidate-bounded, never corpus-bounded). Eagerly checkpointed
+    * (pairs are candidate-bounded KB): q164 consumes it twice, and the
+    * ONE chain definition serves q26 and q164 so the leakage audit can
+    * never disagree with the pair operator it composes (review r15). */
+  private[graft] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // [[minhashPairsOn]]'s body with the signature chain riding the
-    // family-shared occurrence memo; verification still re-shingles
-    // ONLY candidate docs from text (broadcast semi-join — the strings
-    // there are candidate-bounded, never corpus-bounded)
     val bl = bandLabels(minhashSignaturesMemo(s, dir))
     val cand = lshCandidates(bl).localCheckpoint(false)
     val candIds = cand
@@ -429,7 +433,12 @@ object DedupQueries {
     val docsV = Tables.documents(s, dir)
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select($"doc_id", shingles($"text").as("shingles"))
-    jaccardVerify(cand, docsV).orderBy($"doc_a", $"doc_b")
+    jaccardVerify(cand, docsV).localCheckpoint(true)
+  }
+
+  def q26MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    verifiedPairs(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
   /** The q26 verified-pairs CTE chain ending in `pairs(doc_a, doc_b,
@@ -489,16 +498,9 @@ object DedupQueries {
     * SLA number: eval contamination = leaked eval docs / eval docs. */
   def q164SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // q26's verified-pairs body (memoized signatures, candidate-bounded
-    // re-shingling), checkpointed because both union directions read it
-    val bl = bandLabels(minhashSignaturesMemo(s, dir))
-    val cand = lshCandidates(bl).localCheckpoint(false)
-    val candIds = cand
-      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-    val docsV = Tables.documents(s, dir)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select($"doc_id", shingles($"text").as("shingles"))
-    val pairs = jaccardVerify(cand, docsV).localCheckpoint(true)
+    // ONE pair-chain definition ([[verifiedPairs]], shared with q26),
+    // checkpointed because both union directions read it
+    val pairs = verifiedPairs(s, dir)
     val both = pairs.select($"doc_a".as("eval_id"), $"doc_b".as("other"), $"jaccard")
       .unionByName(
         pairs.select($"doc_b".as("eval_id"), $"doc_a".as("other"), $"jaccard"))

@@ -1818,17 +1818,12 @@ object TextQueries {
         ($"margin" > 0).as("keep"))
   }
 
+  // the tk/f/w chain comes from clfMarginCtes so the scorer text exists
+  // ONCE across q107 and the q161/q162/q165/q166 audits (review r15);
+  // the final aggregate is q107's own (it also needs n_feats, so the
+  // shared m CTE goes unused here — DuckDB permits that)
   val q107Sql: String =
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |f AS (
-       |  SELECT doc_id,
-       |    unnest(t || list_transform(generate_series(1, len(t) - 1),
-       |      i -> t[i] || ' ' || t[i+1])) AS f
-       |  FROM tk),
-       |w AS (
-       |  SELECT doc_id,
-       |    ((${DedupQueries.sqlH32("f")}) % $ClfBuckets * 2654435761) % 1001 - 500 AS w
-       |  FROM f)
+    s"""WITH ${clfMarginCtes("")}
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
        |  CAST(SUM(w) AS BIGINT) AS margin,
        |  CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_w,
