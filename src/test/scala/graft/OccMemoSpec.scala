@@ -250,17 +250,20 @@ class OccMemoSpec extends SparkSuite {
       s"warm q83 must not re-tokenize the corpus: $scans")
     assert(DedupQueries.sharedRddIds(spark) == shared,
       "q83 must not have minted a second occurrence frame")
-    // q26 verification legitimately re-shingles CANDIDATE docs from
-    // text (broadcast semi-join, candidate-bounded): the verify join
-    // references docsV as both sides (doc_a/doc_b), so the static plan
-    // carries that pruned scan twice — the SIGNATURE chain itself must
-    // contribute zero text scans (3 scans = the old per-query mint)
+    // q26's pair chain is EAGERLY checkpointed at mint since r15
+    // (verifiedPairs — shared with q164): the candidate-verify text
+    // scans (candidate-bounded broadcast semi-join, referenced twice by
+    // the doc_a/doc_b join sides) run inside the mint, so the FINAL
+    // plan scans only the checkpointed pair RDD — zero text scans, and
+    // still no second memo frame
     val scans26 = DedupQueries.q26MinhashPairs(spark, sf0001)
       .queryExecution.sparkPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.schema.fieldNames.contains("text") => s
       }
-    assert(scans26.size == 2,
-      s"q26 = memo chain + candidate-verify scans only, got ${scans26.size}")
+    assert(scans26.isEmpty,
+      s"q26 reads its checkpointed pair frame, got ${scans26.size} text scans")
+    assert(DedupQueries.sharedRddIds(spark) == shared,
+      "the pair mint must ride the existing memo, not mint a second frame")
   }
 }
