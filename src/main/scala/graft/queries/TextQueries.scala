@@ -2179,7 +2179,8 @@ object TextQueries {
        |  SELECT (cum * $CalibBins + nt - 1) // nt AS decile, m, n, p, nt, pt
        |  FROM cum CROSS JOIN tot),
        |g AS (
-       |  SELECT decile, MIN(m) AS lo_margin, MAX(m) AS hi_margin,
+       |  SELECT decile,
+       |    CAST(MIN(m) AS BIGINT) AS lo_margin, CAST(MAX(m) AS BIGINT) AS hi_margin,
        |    CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(p) AS BIGINT) AS n_pos,
        |    CAST(MAX(nt) AS BIGINT) AS nt, CAST(MAX(pt) AS BIGINT) AS pt
        |  FROM d GROUP BY 1)
