@@ -140,6 +140,16 @@ object AmoDumpCli {
   *   --stage graph-retract --batch gone.parquet --batch-id take-2026-08-15
   *   --stage occ-compact | codes-compact | rot-compact | graph-compact
   *
+  * Cross-family takedown (VERDICT r15 item 2) — one command, one
+  * lease, one resumable marker ([[graft.jobs.Takedown]]):
+  *
+  *   --stage takedown --dir X --ids ids.parquet
+  *       [--batch gone.parquet --batch-id B [--prefix gp]]
+  *       [--kv-path kv.parquet [--kv-id-col doc_id]]
+  *   --stage takedown-heal --dir X
+  *     (complete a takedown parked by a crash; re-run of `takedown`
+  *      also heals first)
+  *
   * Consistency audit ([[graft.jobs.StateFsck]]) — one greppable
   * `[fsck] family/check ok=… observed=… detail` line per check, plus a
   * failure summary in the result:
@@ -218,6 +228,20 @@ object IngestCli {
         o.get("append").foreach(p => RotIngest.appendBatch(spark,
           Cli.readTable(spark, p), RotIngest.tablePrefix(dir)))
         s"stage=rot table=$c rows=${spark.table(c).count()}"
+      case "takedown" =>
+        // one command, one lease, one resumable marker (VERDICT r15
+        // item 2): --ids columns select families (doc_id → occ,
+        // vec_id → codes+rot); optional --batch/--batch-id retract a
+        // graph delta at --prefix; optional --kv-path/--kv-id-col
+        // anti-join the KV store on the named ids column
+        Takedown.run(spark, dir, Cli.readTable(spark, o("ids")),
+          graphPrefix = o.get("batch").map(_ => livePrefix),
+          batchId = o.get("batch-id"),
+          edges = o.get("batch").map(Cli.readTable(spark, _)),
+          kvPath = o.get("kv-path"),
+          kvIdCol = o.getOrElse("kv-id-col", "doc_id"))
+      case "takedown-heal" =>
+        Takedown.heal(spark, dir)
       case stage @ ("fsck" | "fsck-repair") =>
         val gp = Some(livePrefix) // livePrefix already honors --prefix
         val rows = (if (stage == "fsck") StateFsck.all(spark, dir, gp)
@@ -231,7 +255,8 @@ object IngestCli {
       case s => sys.error(s"unknown --stage $s " +
         "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal|" +
         "graph-retract|graph-compact|occ-delete|occ-compact|codes-delete|" +
-        "codes-compact|rot-delete|rot-compact|fsck|fsck-repair)")
+        "codes-compact|rot-delete|rot-compact|takedown|takedown-heal|" +
+        "fsck|fsck-repair)")
     }
   }
 

@@ -147,4 +147,112 @@ class DayTwoOpsSpec extends SparkSuite {
     DedupQueries.clearMemos(spark)
     GraphQueries.clearMemos(spark)
   }
+
+  /** VERDICT r15 item 2: the one-command takedown. A crash BETWEEN
+    * families leaves corpus↔state drift that fsck makes visible; the
+    * certified marker makes the takedown resumable, and resume drives
+    * it to a state fsck reports fully green. */
+  test("takedown: one command, crash between families -> fsck red, " +
+      "heal resumes to fsck green") {
+    val dir = tmpDir("td_corpus")
+    val docs = Tables.documents(spark, sf0001).localCheckpoint(true)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    docs.write.mode("append").parquet(s"$dir/documents.parquet")
+    emb.write.mode("append").parquet(s"$dir/embeddings.parquet")
+
+    // the full day-2 perimeter: four state families + a KV store
+    val gp = "td_graph_test"
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % GraphQueries.ChurnMod === 0
+    IngestCli.run(spark, Map("stage" -> "occ", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "codes", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "rot", "dir" -> dir))
+    GraphIngest.ingestConsistent(spark, gp, full.where(!isBatch))
+    val stage = tmpDir("td_batches")
+    full.where(isBatch).write.parquet(s"$stage/graph_day.parquet")
+    val dayBatch = spark.read.parquet(s"$stage/graph_day.parquet")
+    GraphIngest.advanceState(spark, gp, "day1", dayBatch)
+    val kvPath = s"$stage/kv.parquet"
+    graft.io.KvSink.write(spark, docs.select($"doc_id", $"lang"), "doc_id", kvPath)
+
+    // the takedown: docs % 7 == 0 (and their same-id vectors) go away,
+    // the graph loses the day batch. The corpus owner removes them from
+    // the corpus dir FIRST — state now lags the corpus until the
+    // takedown completes.
+    val gone = $"doc_id" % 7 === 0
+    val ids = docs.where(gone)
+      .select($"doc_id", $"doc_id".as("vec_id")).localCheckpoint(true)
+    docs.where(!gone).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emb.where($"vec_id" % 7 =!= 0).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    DedupQueries.clearMemos(spark)
+
+    // crash after the codes family: occ + codes applied, rot/graph/kv not
+    val parked = jobs.Takedown.runUntil(spark, dir, ids,
+      Some(gp), Some("take-day1"), Some(dayBatch), Some(kvPath), "doc_id",
+      stopAfter = "codes")
+    assert(parked.contains("parked after codes"))
+    val tp = jobs.Takedown.tdPrefix(dir)
+    assert(spark.catalog.tableExists(jobs.Takedown.pendingTable(tp)),
+      "the certified marker must survive the crash")
+    // the drift is VISIBLE: rot still holds the taken-down vectors the
+    // reduced embeddings no longer carry
+    val fsckMid = jobs.StateFsck.all(spark, dir, Some(gp))
+    assert(fsckMid.where($"family" === "rot" && $"chk" === "referential" &&
+      !$"ok").count() == 1, "half-applied takedown must surface as rot drift")
+    // ...and the lease was RELEASED by the crash simulation, so heal
+    // (any process) can resume
+    jobs.Takedown.heal(spark, dir)
+    assert(!spark.catalog.tableExists(jobs.Takedown.pendingTable(tp)))
+    val fsckDone = jobs.StateFsck.all(spark, dir, Some(gp))
+    assert(fsckDone.where(!$"ok").isEmpty,
+      s"post-heal fsck must be fully green: ${fsckDone.where(!$"ok").collect().toSeq}")
+    // value-level: every family saw exactly the one takedown
+    assert(spark.table(OccIngest.occTable(dir))
+      .where($"doc_id" % 7 === 0).count() == 0)
+    assert(spark.table(s"${CodesIngest.tablePrefix(dir)}_codes")
+      .where($"vec_id" % 7 === 0).count() == 0)
+    assert(spark.table(RotIngest.codesTable(dir))
+      .where($"vec_id" % 7 === 0).count() == 0)
+    assert(rows(spark.table(s"${gp}_edges").groupBy($"u", $"v")
+      .agg(sum($"w").as("w")).where($"w" > 0).orderBy($"u", $"v")) ==
+      rows(full.where(!isBatch).orderBy($"u", $"v")),
+      "retract must recover the base graph")
+    val goneKeys = ids.select(sha2($"doc_id".cast("string"), 256).as("key"))
+    assert(spark.read.parquet(kvPath).join(goneKeys, Seq("key"), "left_semi")
+      .isEmpty, "KV rows of taken-down docs must be gone")
+    assert(spark.read.parquet(kvPath).count() ==
+      docs.where(!gone).count())
+
+    // second crash window: inside a family, after its mutation but
+    // before its done marker — resume re-applies it (idempotent)
+    val gone2 = $"doc_id" % 11 === 3
+    val ids2 = docs.where(gone2 && !gone)
+      .select($"doc_id", $"doc_id".as("vec_id")).localCheckpoint(true)
+    docs.where(!gone && !gone2).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    emb.where($"vec_id" % 7 =!= 0 && $"vec_id" % 11 =!= 3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    DedupQueries.clearMemos(spark)
+    val parked2 = jobs.Takedown.runUntil(spark, dir, ids2,
+      None, None, None, None, "doc_id", stopAfter = "occ-nomark")
+    assert(parked2.contains("parked inside occ"))
+    jobs.Takedown.heal(spark, dir) // re-runs occ (no-op rewrite), then the rest
+    assert(jobs.StateFsck.all(spark, dir, Some(gp)).where(!$"ok").isEmpty)
+    assert(spark.table(OccIngest.occTable(dir)).select($"doc_id").distinct()
+      .count() == docs.where(!gone && !gone2).count())
+
+    // cleanup
+    OccIngest.drop(spark, dir)
+    Seq("_codes", "_codebook", "_stats").foreach(sfx =>
+      graft.io.Bucketing.dropManaged(spark, s"${CodesIngest.tablePrefix(dir)}$sfx"))
+    Seq("_codes", "_codebook", "_model", "_stats").foreach(sfx =>
+      graft.io.Bucketing.dropManaged(spark, s"${RotIngest.tablePrefix(dir)}$sfx"))
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $gp$sfx"))
+    DedupQueries.clearMemos(spark)
+    GraphQueries.clearMemos(spark)
+  }
 }
