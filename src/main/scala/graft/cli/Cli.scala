@@ -155,9 +155,15 @@ object AmoDumpCli {
   * failure summary in the result:
   *
   *   --stage fsck --dir X [--prefix graph-prefix]
-  *   --stage fsck-repair --dir X [--prefix graph-prefix]
-  *     (heal + row-scrub the row-keyed families, heal the graph, then
-  *      re-audit; un-repairable findings stay visible in the output) */
+  *       [--kv-path kv.parquet [--kv-optouts ids.parquet] [--kv-id-col c]]
+  *   --stage fsck-repair --dir X [--prefix graph-prefix] [--kv-path ...]
+  *     (heal + row-scrub the row-keyed families, heal the graph, scrub
+  *      the KV store when given, then re-audit; un-repairable findings
+  *      stay visible in the output)
+  *
+  * KV store maintenance (VERDICT r15 item 3):
+  *
+  *   --stage kv-compact --kv-path kv.parquet [--kv-target-bytes N] */
 object IngestCli {
   def run(spark: SparkSession, o: Map[String, String]): String = {
     def dir = o("dir")
@@ -242,10 +248,17 @@ object IngestCli {
           kvIdCol = o.getOrElse("kv-id-col", "doc_id"))
       case "takedown-heal" =>
         Takedown.heal(spark, dir)
+      case "kv-compact" =>
+        graft.io.KvSink.compact(spark, o("kv-path"),
+          o.get("kv-target-bytes").map(_.toLong).getOrElse(256L << 20))
+        s"stage=kv-compact rows=${spark.read.parquet(o("kv-path")).count()}"
       case stage @ ("fsck" | "fsck-repair") =>
         val gp = Some(livePrefix) // livePrefix already honors --prefix
-        val rows = (if (stage == "fsck") StateFsck.all(spark, dir, gp)
-                    else StateFsck.repair(spark, dir, gp)).collect()
+        val kvp = o.get("kv-path")
+        val kvOpt = o.get("kv-optouts").map(Cli.readTable(spark, _))
+        val kvCol = o.getOrElse("kv-id-col", "client_id")
+        val rows = (if (stage == "fsck") StateFsck.all(spark, dir, gp, kvp, kvOpt, kvCol)
+                    else StateFsck.repair(spark, dir, gp, kvp, kvOpt, kvCol)).collect()
         rows.foreach(r => println(s"[fsck] ${r.getString(0)}/${r.getString(1)} " +
           s"ok=${r.getBoolean(2)} observed=${r.getLong(3)} ${r.getString(4)}"))
         val bad = rows.filterNot(_.getBoolean(2))
@@ -256,7 +269,7 @@ object IngestCli {
         "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal|" +
         "graph-retract|graph-compact|occ-delete|occ-compact|codes-delete|" +
         "codes-compact|rot-delete|rot-compact|takedown|takedown-heal|" +
-        "fsck|fsck-repair)")
+        "kv-compact|fsck|fsck-repair)")
     }
   }
 

@@ -21,6 +21,19 @@ import graft.functions.Zlib
   */
 object KvSink {
 
+  /** Cross-process lease scope for a KV store path (VERDICT r15 item 3:
+    * the KV store is production state like the four derived-state
+    * families, so its mutators get the same one-writer-per-store
+    * guard). Same injective naming as the ingest families. */
+  def leaseName(kvPath: String): String = Bucketing.corpusPrefix("kv", kvPath)
+
+  /** Run `f` holding the KV store's writer lease (re-entrant; see
+    * [[WriterLease]]). Every mutating entry point below routes through
+    * this, so two processes can no longer interleave rewrites of one
+    * store — the same contract the ingest families already have. */
+  def withStoreLease[T](spark: SparkSession, kvPath: String)(f: => T): T =
+    WriterLease.withLease(spark, leaseName(kvPath))(f)
+
   /** Build the KV frame: key = sha256(idCol), payload = zlib(json(row)).
     *
     * The payload carries the HASHED id, not the raw one — the reference
@@ -42,13 +55,14 @@ object KvSink {
   }
 
   def write(spark: SparkSession, df: DataFrame, idCol: String, path: String,
-      codec: String = "zlib"): Unit =
+      codec: String = "zlib"): Unit = withStoreLease(spark, path) {
     toKv(spark, df, idCol, codec).write.mode("overwrite").parquet(path)
+  }
 
   /** K5 — opt-out delete: drop every key whose source id appears in
     * `optOutIds` (anti-join; taar_profile_bigtable.py:193-223, :332-339). */
   def deleteOptOuts(spark: SparkSession, kvPath: String, optOutIds: DataFrame,
-      idCol: String): Unit = {
+      idCol: String): Unit = withStoreLease(spark, kvPath) {
     recoverInterrupted(spark, kvPath)
     val keys = optOutIds.select(sha2(col(idCol).cast("string"), 256).as("key")).distinct()
     val kv = spark.read.parquet(kvPath)
@@ -79,7 +93,7 @@ object KvSink {
     * snapshot already needs. */
   def expireOlderThan(spark: SparkSession, kvPath: String, asOfMicros: Long,
       days: Int = 90, verField: String = "ver", codec: String = "zlib",
-      keepUnversioned: Boolean = false): Unit = {
+      keepUnversioned: Boolean = false): Unit = withStoreLease(spark, kvPath) {
     val cutoff = asOfMicros - days.toLong * 24L * 3600L * 1000000L
     recoverInterrupted(spark, kvPath)
     val kv = spark.read.parquet(kvPath)
@@ -142,6 +156,54 @@ object KvSink {
          else s"previous contents preserved at $old"))
     }
     fs.delete(old, true)
+  }
+
+  /** Collapse the store's accumulated data files (VERDICT r15 item 3:
+    * every rewrite/upsert re-lands the full row set, but file counts
+    * still grow wherever the input partitioning does — the same
+    * O(days)-files problem the bucketed families solved with their
+    * compact stages). Row-identical: one scan, hash-repartitioned on
+    * the key into ceil(bytes / targetFileBytes) files and sorted within
+    * each, so pointed key reads prune on parquet min/max stats. Commits
+    * under the same tmp/old/live rename protocol as every KV rewrite. */
+  def compact(spark: SparkSession, kvPath: String,
+      targetFileBytes: Long = 256L << 20): Unit = withStoreLease(spark, kvPath) {
+    recoverInterrupted(spark, kvPath)
+    val live = new org.apache.hadoop.fs.Path(kvPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(live).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    rewriteInPlace(spark, kvPath,
+      spark.read.parquet(kvPath)
+        .repartition(n, col("key")).sortWithinPartitions("key"))
+  }
+
+  /** [[graft.jobs.StateFsck]]'s remedy on the KV store: restore an
+    * interrupted rewrite, clear orphan task-attempt temp dirs
+    * (`_temporary` inside the store — a crashed write job's residue),
+    * then rewrite keeping only rows the engine could have written
+    * (non-empty key and payload) with ONE row per key (the
+    * maxVersions=1 invariant; the deterministic max-payload row wins a
+    * conflict). When `optOuts` is given, their hashed keys are removed
+    * too — exactly what [[deleteOptOuts]] would have done on the missed
+    * takedown the drift implies. No-op on an absent store. */
+  def scrub(spark: SparkSession, kvPath: String,
+      optOuts: Option[DataFrame] = None,
+      idCol: String = "client_id"): Unit = withStoreLease(spark, kvPath) {
+    val live = new org.apache.hadoop.fs.Path(kvPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && !fs.exists(
+      new org.apache.hadoop.fs.Path(kvPath + ".old_rewrite"))) return
+    recoverInterrupted(spark, kvPath)
+    fs.delete(new org.apache.hadoop.fs.Path(live, "_temporary"), true)
+    val keys = optOuts.map(_.select(
+      sha2(col(idCol).cast("string"), 256).as("key")).distinct())
+    val kept0 = spark.read.parquet(kvPath)
+      .where(col("key").isNotNull && length(col("key")) > 0 &&
+        col("payload").isNotNull && octet_length(col("payload")) > 0)
+      .groupBy(col("key")).agg(max(col("payload")).as("payload"))
+    rewriteInPlace(spark, kvPath, keys.fold(kept0)(k =>
+      kept0.join(broadcast(k), Seq("key"), "left_anti")))
   }
 
   /** Decode a KV payload back to JSON text (consumer side / tests). */

@@ -212,12 +212,82 @@ object StateFsck {
     mk(s, rows)
   }
 
-  /** All four families, one frame. `graphPrefix` defaults to the CLI's
-    * graphlive convention for `dir`. */
-  def all(s: SparkSession, dir: String, graphPrefix: Option[String] = None): DataFrame =
-    occ(s, dir).unionByName(codes(s, dir)).unionByName(rot(s, dir))
+  /** KV profile store checks (VERDICT r15 item 3) — the K4/K5 parquet
+    * KV store is the one component the reference itself treats as
+    * production state (the Bigtable table), so it joins the fsck
+    * perimeter: rewrite-protocol residue (interrupted tmp/old renames,
+    * orphan task-attempt `_temporary` dirs), the maxVersions=1 key
+    * uniqueness invariant, value-domain (non-empty key and payload),
+    * opt-out referential drift (hashed opt-out ids still present — a
+    * missed or half-applied takedown), and informational file growth
+    * (what [[graft.io.KvSink.compact]] folds). An absent store is ok. */
+  def kv(s: SparkSession, kvPath: String, optOuts: Option[DataFrame] = None,
+      idCol: String = "client_id"): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(kvPath)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def ex(suffix: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(kvPath + suffix))
+    val (liveEx, oldEx, tmpEx) = (fs.exists(live), ex(".old_rewrite"),
+      ex(".tmp_rewrite"))
+    val orphanTmp = liveEx &&
+      fs.exists(new org.apache.hadoop.fs.Path(live, "_temporary"))
+    val setRow = ("kv", "table_set", liveEx || !oldEx,
+      if (liveEx) 0L else 1L,
+      if (liveEx) "store present"
+      else if (oldEx) "INTERRUPTED rewrite: live missing, backup present - " +
+        "any KV mutator (or scrub) restores it"
+      else "absent - nothing to audit")
+    val resN = (if (tmpEx) 1L else 0L) + (if (orphanTmp) 1L else 0L) +
+      (if (oldEx && liveEx) 1L else 0L)
+    val resRow = ("kv", "rewrite_residue", resN == 0L, resN,
+      if (resN == 0L) "no rewrite residue"
+      else "crashed-writer residue: " + Seq(
+        if (tmpEx) Some("staged .tmp_rewrite") else None,
+        if (orphanTmp) Some("orphan _temporary task dirs") else None,
+        if (oldEx && liveEx) Some("post-publish .old_rewrite backup") else None)
+        .flatten.mkString(", ") + " - scrub clears it")
+    val rows = Seq(setRow, resRow) ++ (if (!liveEx) Nil else guarded("kv") {
+      val kvDf = s.read.parquet(kvPath)
+      val n = cnt(kvDf)
+      val dup = n - cnt(kvDf.select(col("key")).distinct())
+      val bad = cnt(kvDf.where(col("key").isNull || length(col("key")) === 0 ||
+        col("payload").isNull || octet_length(col("payload")) === 0))
+      val drift = optOuts.map(o => cnt(kvDf.join(
+        broadcast(o.select(sha2(col(idCol).cast("string"), 256).as("key"))
+          .distinct()), Seq("key"), "left_semi")))
+      val files = {
+        val it = fs.listFiles(live, true)
+        var c = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.startsWith("part-")) c += 1
+        }
+        c
+      }
+      Seq(
+        ("kv", "key_unique", dup == 0L, dup,
+          "one row per key (the maxVersions=1 invariant)"),
+        ("kv", "key_domain", bad == 0L, bad,
+          "keys and payloads must be non-empty"),
+        ("kv", "file_growth", true, files,
+          "accumulated data files (informational - compact folds them)")) ++
+        drift.map(d => ("kv", "optout_drift", d == 0L, d,
+          if (d == 0L) "no opted-out key present"
+          else "opted-out keys still stored - missed or half-applied takedown"))
+    })
+    mk(s, rows)
+  }
+
+  /** All four families, one frame — plus the KV store when a path is
+    * given. `graphPrefix` defaults to the CLI's graphlive convention
+    * for `dir`. */
+  def all(s: SparkSession, dir: String, graphPrefix: Option[String] = None,
+      kvPath: Option[String] = None, kvOptOuts: Option[DataFrame] = None,
+      kvIdCol: String = "client_id"): DataFrame = {
+    val four = occ(s, dir).unionByName(codes(s, dir)).unionByName(rot(s, dir))
       .unionByName(graph(s, graphPrefix.getOrElse(
         graft.io.Bucketing.corpusPrefix("graphlive", dir))))
+    kvPath.fold(four)(p => four.unionByName(kv(s, p, kvOptOuts, kvIdCol)))
+  }
 
   /** Apply the remedies for what [[all]] finds, then re-audit: heal +
     * row-scrub on each row-keyed family (domain-invalid rows cannot
@@ -228,13 +298,16 @@ object StateFsck {
     * there: a partial table set (re-ingest the family), inconsistent
     * graph provenance (graph-init), unbalanced history (rebuild). */
   def repair(s: SparkSession, dir: String,
-      graphPrefix: Option[String] = None): DataFrame = {
+      graphPrefix: Option[String] = None, kvPath: Option[String] = None,
+      kvOptOuts: Option[DataFrame] = None,
+      kvIdCol: String = "client_id"): DataFrame = {
     OccIngest.scrub(s, dir)
     CodesIngest.scrub(s, dir)
     RotIngest.scrub(s, dir)
     val gp = graphPrefix.getOrElse(
       graft.io.Bucketing.corpusPrefix("graphlive", dir))
     if (s.catalog.tableExists(s"${gp}_meta")) GraphIngest.heal(s, gp)
-    all(s, dir, Some(gp))
+    kvPath.foreach(p => graft.io.KvSink.scrub(s, p, kvOptOuts, kvIdCol))
+    all(s, dir, Some(gp), kvPath, kvOptOuts, kvIdCol)
   }
 }

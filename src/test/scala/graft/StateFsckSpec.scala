@@ -147,6 +147,82 @@ class StateFsckSpec extends SparkSuite {
       s"schema drift must surface as audit_error: $out")
   }
 
+  test("fsck on the KV store (VERDICT r15 item 3): every injected " +
+      "corruption class detected; scrub + compact restore green; the " +
+      "mutators are lease-guarded") {
+    val base = tmpDir("fsck_kv")
+    val kvPath = s"$base/kv.parquet"
+    val docs = Tables.documents(spark, sf0001).limit(100).localCheckpoint(true)
+    graft.io.KvSink.write(spark, docs.select($"doc_id", $"lang"), "doc_id", kvPath)
+
+    // healthy store: all green; absent store: green (nothing to audit)
+    val ok = asMap(StateFsck.kv(spark, kvPath))
+    assert(ok.values.forall(_._1), s"healthy KV must be green: $ok")
+    assert(ok(("kv", "file_growth"))._2 >= 1L)
+    assert(asMap(StateFsck.kv(spark, s"$base/nope.parquet")).values.forall(_._1))
+
+    // corruption injection: a staged tmp orphan + a crashed write job's
+    // _temporary dir, a duplicated key, an empty key/payload row, and
+    // five opted-out ids still stored
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(kvPath),
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(kvPath + ".tmp_rewrite"))
+    spark.read.parquet(kvPath).limit(1).write.mode("append").parquet(kvPath)
+    Seq(("", Array[Byte]())).toDF("key", "payload")
+      .write.mode("append").parquet(kvPath)
+    // after the appends: a normal job commit would have cleared this
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$kvPath/_temporary"))
+    val opt = docs.limit(5).select($"doc_id").localCheckpoint(true)
+    val bad = asMap(StateFsck.kv(spark, kvPath, Some(opt), "doc_id"))
+    assert(!bad(("kv", "rewrite_residue"))._1 &&
+      bad(("kv", "rewrite_residue"))._2 == 2L)
+    assert(!bad(("kv", "key_unique"))._1 && bad(("kv", "key_unique"))._2 == 1L)
+    assert(!bad(("kv", "key_domain"))._1 && bad(("kv", "key_domain"))._2 == 1L)
+    // >= 5: drift counts stored ROWS, and the duplicated row's key may
+    // itself be one of the opted-out five
+    assert(!bad(("kv", "optout_drift"))._1 &&
+      bad(("kv", "optout_drift"))._2 >= 5L)
+
+    // scrub: green again, removing EXACTLY the junk + the opt-outs
+    graft.io.KvSink.scrub(spark, kvPath, Some(opt), "doc_id")
+    val post = asMap(StateFsck.kv(spark, kvPath, Some(opt), "doc_id"))
+    assert(post.values.forall(_._1), s"post-scrub KV must be green: " +
+      s"${post.filterNot(_._2._1).keys}")
+    assert(spark.read.parquet(kvPath).count() == 95L)
+
+    // interrupted rewrite (live stepped aside, crash before publish):
+    // fsck flags it, scrub restores the backup
+    assert(fs.rename(new org.apache.hadoop.fs.Path(kvPath),
+      new org.apache.hadoop.fs.Path(kvPath + ".old_rewrite")))
+    assert(!asMap(StateFsck.kv(spark, kvPath))(("kv", "table_set"))._1)
+    graft.io.KvSink.scrub(spark, kvPath)
+    assert(asMap(StateFsck.kv(spark, kvPath)).values.forall(_._1))
+    assert(spark.read.parquet(kvPath).count() == 95L)
+
+    // compact: row-identical, folded to one file at the default target
+    val before = spark.read.parquet(kvPath).orderBy($"key")
+      .collect().toSeq
+    graft.io.KvSink.compact(spark, kvPath)
+    assert(spark.read.parquet(kvPath).orderBy($"key").collect().toSeq == before)
+    assert(asMap(StateFsck.kv(spark, kvPath))(("kv", "file_growth"))._2 == 1L)
+    val cliOut = graft.cli.IngestCli.run(spark,
+      Map("stage" -> "kv-compact", "kv-path" -> kvPath))
+    assert(cliOut.contains("rows=95"))
+
+    // the lease: a live foreign lease refuses the mutation fail-fast
+    val lease = graft.io.WriterLease.leasePath(spark,
+      graft.io.KvSink.leaseName(kvPath))
+    lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(lease, false).close()
+    intercept[IllegalStateException] {
+      graft.io.KvSink.deleteOptOuts(spark, kvPath, opt, "doc_id")
+    }
+    lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lease, false)
+    graft.io.KvSink.deleteOptOuts(spark, kvPath, opt, "doc_id") // released: works
+    assert(spark.read.parquet(kvPath).count() == 95L) // idempotent re-delete
+  }
+
   test("fsck CLI stage: greppable rows + failure summary in the result") {
     val dir = tmpDir("fsck_cli")
     Tables.documents(spark, sf0001).limit(50)
