@@ -66,4 +66,23 @@ object Coinstall {
       .groupBy(col("guid_a"), col("guid_b"))
       .agg(sum(col("c")).as("n_clients"))
   }
+
+  /** [[transformSalted]] with the salt factor chosen by the q163 skew
+    * audit instead of a hand guess (VERDICT r15 item 4 — the audit's
+    * recommendation used to dead-end in a report). The audited key is
+    * the guid popularity of the capped (client, guid) projection: a hot
+    * pair's count is bounded by its hotter guid's count, so the guid
+    * audit's ⌈skew⌉ is the fan-out that levels the pair-count shuffle.
+    * Costs one extra count-aggregation diagnosis pass; results are
+    * identical to [[transform]] at ANY salt (ExtensionsSpec pins
+    * audit-chosen ≡ hand-chosen ≡ unsalted on a hot-guid fixture). */
+  def transformAutoSalted(clientAddons: DataFrame, clientCol: String,
+      guidCol: String, maxPerClient: Int = 200): DataFrame = {
+    val ca = clientAddons
+      .select(col(clientCol).as("client"), col(guidCol).as("guid")).distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("client"))))
+      .where(col("n") <= maxPerClient)
+    val salt = graft.operators.SkewAudit.recommendedSalt(ca, "guid")
+    transformSalted(clientAddons, clientCol, guidCol, maxPerClient, salt)
+  }
 }

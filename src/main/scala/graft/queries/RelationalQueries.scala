@@ -478,6 +478,22 @@ object RelationalQueries {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** [[intervalCoreSalted]] with the salt factor chosen by the q163
+    * skew audit instead of a hand guess (VERDICT r15 item 4): the
+    * audited key is the click side's user_id — the hub key whose
+    * concentration the salting exists to break. A balanced frame audits
+    * to a small salt (≤2, harmless); a hub frame audits to its ⌈skew⌉.
+    * Costs one extra count-aggregation pass over the clicks (the
+    * diagnosis); results are identical to [[intervalCore]] at ANY salt
+    * (AsofRangeSpec pins hand-chosen ≡ audit-chosen ≡ unsalted). */
+  private[graft] def intervalCoreAutoSalted(s: SparkSession,
+      ev: DataFrame): DataFrame = {
+    import s.implicits._
+    val salt = graft.operators.SkewAudit.recommendedSalt(
+      ev.where($"event_type" === "click"), "user_id")
+    intervalCoreSalted(s, ev, salt)
+  }
+
   /** q114 body over an arbitrary (user_id, event_id, event_type, value,
     * tus) frame — fixture specs pin the half-open range and the
     * bucket-boundary candidate expansion.
@@ -1690,35 +1706,13 @@ object RelationalQueries {
   // ---- q163: join-key skew audit (salt-factor recommendation) ----
 
   /** One table/key audit row: exact key-count distribution statistics
-    * from the count-of-counts DOMAIN. */
+    * from the count-of-counts DOMAIN. Delegates to
+    * [[graft.operators.SkewAudit.auditOne]] — ONE implementation serves
+    * both this oracle-checked face and the production auto-salt hook
+    * (VERDICT r15 item 4). */
   private[graft] def skewAuditOne(s: SparkSession, df: DataFrame,
-      table: String, key: String): DataFrame = {
-    import s.implicits._
-    val per = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-    // the KB-sized count-of-counts domain is checkpointed so the
-    // quantile window and the totals row both read it — otherwise each
-    // branch re-runs the full per-key count over the table
-    val cc = per.groupBy($"c").agg(count(lit(1)).as("nk")).localCheckpoint(true)
-    // exact p50/p99 of the per-key row count: prefix ranks over the
-    // count-of-counts domain (the q149/q158 exact-rank pattern); the
-    // unpartitioned window runs over DOMAIN rows (≤ distinct counts,
-    // KB at any corpus size), never over keys
-    val cum = cc.withColumn("cum", sum($"nk").over(
-      Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, 0)))
-    val tot = cc.agg(sum($"nk").as("n_keys"),
-      sum($"c" * $"nk").as("n_rows"), max($"c").as("max_cnt"))
-    val skew = $"max_cnt".cast("double") * $"n_keys".cast("double") /
-      $"n_rows".cast("double")
-    cum.crossJoin(broadcast(tot))
-      .agg(max($"n_keys").as("n_keys"), max($"n_rows").as("n_rows"),
-        max($"max_cnt").as("max_cnt"),
-        min(when($"cum" * 100L >= $"n_keys" * 50L, $"c")).as("p50_cnt"),
-        min(when($"cum" * 100L >= $"n_keys" * 99L, $"c")).as("p99_cnt"))
-      .select(lit(table).as("table_name"), lit(key).as("key_name"),
-        $"n_rows", $"n_keys", $"max_cnt", $"p50_cnt", $"p99_cnt",
-        skew.as("skew"),
-        greatest(lit(1L), ceil(skew).cast("long")).as("salt"))
-  }
+      table: String, key: String): DataFrame =
+    graft.operators.SkewAudit.auditOne(s, df, table, key)
 
   /** q163: join-key skew audit — the diagnosis that decides whether a
     * shuffle join needs salting (and with what factor) BEFORE the job

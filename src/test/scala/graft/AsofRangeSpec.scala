@@ -59,6 +59,13 @@ class AsofRangeSpec extends SparkSuite {
     val plain = RelationalQueries.intervalCore(spark, fixture).collect().toSeq
     val salted = RelationalQueries.intervalCoreSalted(spark, fixture, 8).collect().toSeq
     assert(plain == salted)
+    // the auto-salt loop (VERDICT r15 item 4): the audit diagnoses the
+    // hub (200 clicks on one user vs 1 on the other → salt > 1) and the
+    // audit-chosen salt gives the identical answer
+    assert(graft.operators.SkewAudit.recommendedSalt(
+      fixture.where($"event_type" === "click"), "user_id") > 1)
+    assert(RelationalQueries.intervalCoreAutoSalted(spark, fixture)
+      .collect().toSeq == plain)
     // and on the real corpus
     val evReal = Tables.events(spark, sf0001)
       .select($"user_id", $"event_id", $"event_type", $"value",

@@ -20,6 +20,28 @@ class ExtensionsSpec extends SparkSuite {
     assert(plain.nonEmpty)
   }
 
+  test("auto-salt closes the q163 loop: audit-chosen salt == hand-chosen " +
+      "on a hot-guid fixture (VERDICT r15 item 4)") {
+    // one guid co-installed by (almost) every client — the hot pair
+    // regime transformSalted exists for — plus a sparse tail
+    val hot = (0 until 300).flatMap(c =>
+      Seq((c.toLong, "hot"), (c.toLong, s"g${c % 10}")))
+    val ca = hot.toDF("client", "guid")
+    // the audit actually diagnoses the skew (hot guid = 300 of 600 rows
+    // over 11 distinct guids → skew >> 1)
+    val salt = graft.operators.SkewAudit.recommendedSalt(
+      ca.distinct(), "guid")
+    assert(salt > 1, s"the hot fixture must audit to a salt > 1, got $salt")
+    val plain = Coinstall.transform(ca, "client", "guid")
+      .orderBy("guid_a", "guid_b").collect()
+    val auto = Coinstall.transformAutoSalted(ca, "client", "guid")
+      .orderBy("guid_a", "guid_b").collect()
+    val hand = Coinstall.transformSalted(ca, "client", "guid", salts = salt)
+      .orderBy("guid_a", "guid_b").collect()
+    assert(plain.sameElements(auto) && auto.sameElements(hand))
+    assert(plain.nonEmpty)
+  }
+
   test("HLL approx distinct within declared 5% rsd of exact (3 sigma)") {
     // q18 now carries the bound verdict itself (oracle-checked); assert
     // it here too so a local run fails fast without the DuckDB harness
