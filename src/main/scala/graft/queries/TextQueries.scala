@@ -1374,6 +1374,190 @@ object TextQueries {
        |SELECT doc_id, source, score, n_seen, cnt_le, TRUE AS gate_ok
        |FROM pre ORDER BY doc_id""".stripMargin
 
+  // ---- q169: drift monitor's batch dual (per-source AUC + top-decile lift) ----
+
+  /** q169: the ORACLE-CHECKED batch dual of
+    * [[graft.streaming.DriftStream]] (VERDICT r15 item 6 — the
+    * monitoring triple's discrimination + calibration face): the
+    * stream's per-source margin-domain fold runs over the batch frame
+    * (flatMapGroupsWithState on a batch Dataset — one group invocation
+    * per source, the q160/q166 anchoring pattern) and its snapshot
+    * doubles are hash-checked against DuckDB computing q161's AUC and
+    * q165's top-decile lift PER SOURCE from the same single-sourced
+    * margin chain. Every count is an exact BIGINT; auc and lift_top are
+    * the q161/q165 fixed-order double expressions verbatim, so the
+    * doubles are bit-equal, not approximately equal.
+    *
+    * Scale: the q107 margin chain is one map-only corpus pass; the
+    * domain aggregation shuffles (source, margin) pairs with map-side
+    * combine; everything after is domain-sized per source. The stream
+    * face holds exactly this domain as state. */
+  def q169DriftDual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    graft.streaming.DriftStream.snapshots(
+      Tables.documents(s, dir).select($"doc_id", $"source", $"text"),
+      ttl = None)
+      .toDF()
+      .select($"source", $"n_docs", $"n_pos", $"n_neg", $"auc", $"lift_top")
+      .orderBy($"source")
+  }
+
+  // lazy: this val sits ABOVE ClfBuckets/CalibBins in object init
+  // order; eager interpolation would read them as 0
+  lazy val q169Sql: String = {
+    val bins = CalibBins
+    s"""WITH ${clfMarginCtes(s"source, $qualityOkSql AS pos,")},
+       |scj AS (SELECT tk.source, m.m, tk.pos FROM tk JOIN m USING (doc_id)),
+       |dom AS (
+       |  SELECT source, m,
+       |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+       |  FROM scj GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT source, m, p, q,
+       |    COALESCE(SUM(q) OVER (PARTITION BY source ORDER BY m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM dom),
+       |a AS (
+       |  SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+       |    CAST(SUM(q) AS BIGINT) AS n_neg,
+       |    SUM(CAST(p AS HUGEINT) * (2 * nb + q)) AS num
+       |  FROM nb GROUP BY 1),
+       |cum AS (
+       |  SELECT source, m, p, q,
+       |    SUM(p + q) OVER (PARTITION BY source ORDER BY m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM dom),
+       |tot AS (SELECT source, CAST(SUM(p + q) AS BIGINT) AS nt,
+       |    CAST(SUM(p) AS BIGINT) AS pt FROM dom GROUP BY 1),
+       |g AS (
+       |  SELECT c.source,
+       |    CAST(SUM(c.p + c.q) AS BIGINT) AS dn, CAST(SUM(c.p) AS BIGINT) AS dp,
+       |    CAST(MAX(t.nt) AS BIGINT) AS nt, CAST(MAX(t.pt) AS BIGINT) AS pt
+       |  FROM cum c JOIN tot t USING (source)
+       |  WHERE (c.cum * $bins + t.nt - 1) // t.nt = $bins
+       |  GROUP BY 1)
+       |SELECT a.source, CAST(a.n_pos + a.n_neg AS BIGINT) AS n_docs,
+       |  a.n_pos, a.n_neg,
+       |  CASE WHEN a.n_pos > 0 AND a.n_neg > 0 THEN
+       |    CAST(a.num AS DOUBLE)
+       |      / (CAST(a.n_pos AS DOUBLE) * CAST(a.n_neg AS DOUBLE) * 2.0e0)
+       |  END AS auc,
+       |  CASE WHEN g.pt > 0 AND g.dn > 0 THEN
+       |    (CAST(g.dp AS DOUBLE) * CAST(g.nt AS DOUBLE))
+       |      / (CAST(g.dn AS DOUBLE) * CAST(g.pt AS DOUBLE))
+       |  END AS lift_top
+       |FROM a JOIN g ON a.source = g.source
+       |ORDER BY a.source""".stripMargin
+  }
+
+  // ---- q168: adaptive gate's batch audit dual (exact↔sketch migration) ----
+
+  /** q168: the ORACLE-CHECKED batch dual of
+    * [[graft.streaming.AdaptiveGateStream]] (VERDICT r15 item 5 — the
+    * unified admission gate): the adaptive fold runs over a TWO-REGIME
+    * scored frame — the length-4 sources collapse to one "dense" source
+    * whose score is n_chars mod 32 (a 32-value domain: exact state
+    * forever), the length-5 sources to one "unique" source whose score
+    * is n_chars·1024 + doc_id mod 1024 (effectively unique: the domain
+    * tracks the row count and the source migrates to the GK sketch at
+    * the density crossover).
+    *
+    * What is hash-checked, per document: (a) the exact prefix census
+    * (n_seen, cnt_le — DuckDB-reproducible); (b) `is_sketch`, the MODE
+    * the fold decided under — the crossover is itself SQL-expressible
+    * (a prefix-distinct-count window over the same self-join, crossed
+    * strictly BEFORE the doc, matching the fold's check-after-verdict
+    * order), so DuckDB independently derives where each source
+    * migrated; (c) `ok`, asserted uniformly TRUE — exact-mode verdicts
+    * must equal the [[GateDen]] rule verbatim, sketch-mode verdicts
+    * must be consistent with their emitted threshold AND that
+    * threshold's true prefix rank must sit within the GK band (q160's
+    * honesty pattern: sketch internals never reach the oracle, their
+    * guarantee does).
+    *
+    * Scale note, stated honestly: THIS dual is the oracle face — the
+    * prefix census is quadratic in per-source rows; it exists to be
+    * SQL-replayable (q157's note verbatim). The production face is the
+    * stream, whose per-source state is min(domain, sketch)-sized by
+    * construction. */
+  def q168AdaptiveGateDual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    adaptiveGateDualCore(s, Tables.documents(s, dir).select($"doc_id",
+      when(length($"source") === 4, lit("dense"))
+        .otherwise(lit("unique")).as("source"),
+      when(length($"source") === 4, $"n_chars" % 32L)
+        .otherwise($"n_chars" * 1024L + $"doc_id" % 1024L)
+        .cast("long").as("score")))
+  }
+
+  /** q168 body over any (doc_id, source, score LONG) frame. */
+  private[graft] def adaptiveGateDualCore(s: SparkSession,
+      scoredIn: DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val acc = graft.streaming.GkGateStream.Acc
+    val pct = graft.streaming.GkGateStream.QuantilePct
+    val sc = scoredIn.localCheckpoint(false) // fold + both prefix sides
+    val folded = graft.streaming.AdaptiveGateStream.verdicts(sc, ttl = None)
+      .toDF().localCheckpoint(false)
+    val b = sc.select($"source", $"doc_id".as("b_id"), $"score".as("b_score"))
+    val rank = expr(s"(n_seen * $pct + 99) div 100")
+    folded.join(b, Seq("source"))
+      .where($"b_id" <= $"doc_id")
+      .groupBy($"doc_id", $"source", $"score", $"n_seen", $"is_sketch",
+        $"thr", $"admit")
+      .agg(count(lit(1)).as("n_pre"),
+        sum(when($"b_score" <= $"score", 1L).otherwise(0L)).as("cnt_le"),
+        sum(when($"b_score".cast("double") <= $"thr", 1L).otherwise(0L))
+          .as("le_thr"),
+        sum(when($"b_score".cast("double") < $"thr", 1L).otherwise(0L))
+          .as("lt_thr"))
+      .select($"doc_id", $"source", $"score", $"n_seen", $"cnt_le",
+        $"is_sketch",
+        ($"n_pre" === $"n_seen" &&
+          when(!$"is_sketch",
+            // exact mode: the decision IS the SQL rule
+            $"admit" === (lit(GateDen) * $"cnt_le" >= $"n_seen"))
+          .otherwise(
+            // sketch mode: decision consistent with the emitted
+            // threshold, and the threshold inside the GK rank band
+            $"admit" === ($"score".cast("double") >= $"thr") &&
+            lit(acc.toLong) * $"le_thr" >=
+              lit(acc.toLong) * rank - $"n_seen" - lit(acc.toLong) &&
+            lit(acc.toLong) * ($"lt_thr" + 1L) <=
+              lit(acc.toLong) * rank + $"n_seen" + lit(acc.toLong)))
+          .as("ok"))
+      .orderBy($"doc_id")
+  }
+
+  val q168Sql: String = {
+    val den = graft.streaming.AdaptiveGateStream.DensityDen
+    val minN = graft.streaming.AdaptiveGateStream.MinN
+    s"""WITH sc AS (SELECT doc_id,
+       |    CASE WHEN length(source) = 4 THEN 'dense' ELSE 'unique' END
+       |      AS source,
+       |    CAST(CASE WHEN length(source) = 4 THEN n_chars % 32
+       |      ELSE n_chars * 1024 + doc_id % 1024 END AS BIGINT) AS score
+       |  FROM documents),
+       |pre AS (SELECT a.doc_id, a.source, a.score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_seen,
+       |    CAST(SUM(CASE WHEN b.score <= a.score THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_le,
+       |    CAST(COUNT(DISTINCT b.score) AS BIGINT) AS d_pre
+       |  FROM sc a JOIN sc b ON a.source = b.source AND b.doc_id <= a.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, source, score, n_seen, cnt_le,
+       |  COALESCE(MAX(CASE WHEN d_pre * $den > n_seen AND n_seen >= $minN
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+       |    AS is_sketch,
+       |  TRUE AS ok
+       |FROM pre ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q85: temperature-balanced corpus mixing ----
 
   /** Integer quantization factor for the per-language weights:
@@ -3100,6 +3284,8 @@ object TextQueries {
     "q158_ccnet_buckets"    -> (q158CcnetBuckets _),
     "q159_dsir_weights"     -> (q159DsirWeights _),
     "q160_gk_stream_dual"   -> (q160GkGateStreamDual _),
+    "q168_adaptive_gate_dual" -> (q168AdaptiveGateDual _),
+    "q169_drift_dual"       -> (q169DriftDual _),
     "q161_clf_auc"          -> (q161ClfAuc _),
     "q162_gate_agreement"   -> (q162GateAgreement _),
     "q165_calibration"      -> (q165CalibrationTable _),
@@ -3149,6 +3335,8 @@ object TextQueries {
     "q158_ccnet_buckets"    -> q158Sql,
     "q159_dsir_weights"     -> q159Sql,
     "q160_gk_stream_dual"   -> q160Sql,
+    "q168_adaptive_gate_dual" -> q168Sql,
+    "q169_drift_dual"       -> q169Sql,
     "q63_vocab_build"       -> q63Sql,
     "q64_bm25"              -> q64Sql,
     "q65_chunk_pack"        -> q65Sql,

@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.queries.TextQueries
+
+/** UNIFIED admission gate (VERDICT r15 item 5): [[GateStream]] (exact
+  * per-source score-domain state) vs [[GkGateStream]] (GK sketch state)
+  * was a caller decision — pick wrong and the exact state is
+  * corpus-sized (effectively-unique scores) or the sketch pays its εn
+  * slack on a 50-value domain that exact state would hold in 50 map
+  * entries. This face dispatches per SOURCE on the observed
+  * distinct-score density, the q156 selectivity-chooser precedent
+  * transported to state management:
+  *
+  *  - a source starts in EXACT mode — [[GateStream]]'s Fenwick fold,
+  *    bit-identical admit decisions;
+  *  - after each document, if the source's distinct-score count exceeds
+  *    n/[[DensityDen]] with at least [[MinN]] rows seen (scores are
+  *    effectively unique → the domain is growing like the row count),
+  *    the source MIGRATES: its exact domain becomes the initial GK
+  *    summary directly — a sorted (score → count) domain IS a GK
+  *    summary with g = count and Δ = 0 (ranks exact), so the handoff
+  *    costs one domain-sized pass and loses NOTHING at the crossover;
+  *    one compress then sheds it to O(Acc·log n) tuples;
+  *  - from the next document on, the source folds through
+  *    [[GkGateStream]]'s insert/quantile with its rank guarantee.
+  *
+  * The admit rule is the same cut on both sides of the crossover:
+  * bottom-1/[[TextQueries.GateDen]] of the source's prefix
+  * distribution (exact mode tests GateDen·cnt_le ≥ n; sketch mode
+  * tests score ≥ the [[GkGateStream.QuantilePct]]-quantile —
+  * GateDen·QuantilePct = 100, asserted at class load). Migration is
+  * PER-DOCUMENT, not per-micro-batch, so the decision sequence is
+  * independent of batch boundaries — the batch ≡ stream contract every
+  * face in this package carries.
+  *
+  * Oracle anchoring: the batch dual q168 ([[TextQueries
+  * .q168AdaptiveGateDual]]) replays this fold over a two-regime scored
+  * frame and hash-checks (a) the exact prefix census, (b) the MODE
+  * column itself — the crossover point is SQL-expressible from prefix
+  * distinct counts, so DuckDB independently derives where each source
+  * migrated — and (c) per-verdict correctness: exact rows must equal
+  * the SQL rule verbatim, sketch rows must satisfy the GK rank band
+  * (q160's honesty pattern).
+  *
+  * Scale: per-source state is min(domain, sketch)-sized BY
+  * CONSTRUCTION — dense sources keep exact domains (no εn slack),
+  * unique-score sources are capped at sketch size the moment their
+  * domain starts tracking the row count. */
+object AdaptiveGateStream {
+
+  /** Migrate when distinct · DensityDen > n — the domain holds more
+    * than every-other-row-distinct, i.e. it scales with rows, not with
+    * a value domain. */
+  val DensityDen = 2L
+
+  /** Minimum rows before density is judged (a 10-row prefix is always
+    * "dense" in the ratio sense; judging it would migrate every
+    * source). */
+  val MinN = 64L
+
+  require(GkGateStream.QuantilePct * TextQueries.GateDen == 100L,
+    "exact and sketch modes must gate the same percentile cut")
+
+  /** Default state TTL (disabled in bounded test drivers). */
+  val StateTtl = "30 days"
+
+  case class DocRow(doc_id: Long, source: String, score: Long)
+  /** Exactly one of `dom` (exact mode) / `gk` (sketch mode) is set. */
+  case class AdState(dom: Option[GateStream.SourceState],
+      gk: Option[GkGateStream.GkState])
+  case class Verdict(doc_id: Long, source: String, score: Long,
+      n_seen: Long, is_sketch: Boolean, thr: Double, admit: Boolean)
+
+  /** The exact domain as the initial GK summary: one tuple per distinct
+    * score with g = its count and Δ = 0 — rank-exact by construction —
+    * then one compress to shed it to sketch size. */
+  private[graft] def migrate(keys: Array[Long], counts: Array[Long],
+      n: Long): GkGateStream.GkState =
+    GkGateStream.compress(GkGateStream.GkState(
+      keys.indices.iterator.filter(counts(_) > 0L)
+        .map(i => GkGateStream.GkTuple(keys(i).toDouble, counts(i), 0L))
+        .toList, n, 0L))
+
+  /** Per-document adaptive fold: exact Fenwick decisions until the
+    * density crossover, sketch decisions after. Deterministic and
+    * batch-boundary-independent. */
+  private[graft] def adaptiveFold(st0: AdState, docs: Seq[DocRow])
+      : (Seq[Verdict], AdState) = {
+    val out = Seq.newBuilder[Verdict]
+    var gk = st0.gk
+    var i = 0
+    if (gk.isEmpty) {
+      // ---- exact phase: GateStream's Fenwick fold + a distinct
+      // counter, checking the density trigger after every doc ----
+      val dom0 = st0.dom.map(_.dom).getOrElse(Map.empty[Long, Long])
+      var n = st0.dom.map(_.n).getOrElse(0L)
+      val keys = (dom0.keysIterator ++ docs.iterator.map(_.score))
+        .toArray.distinct.sorted
+      val m = keys.length
+      val fen = new Array[Long](m + 1)
+      def add(i0: Int, v: Long): Unit = {
+        var j = i0 + 1
+        while (j <= m) { fen(j) += v; j += j & (-j) }
+      }
+      def cumLe(i0: Int): Long = {
+        var j = i0 + 1
+        var s = 0L
+        while (j > 0) { s += fen(j); j -= j & (-j) }
+        s
+      }
+      val counts = new Array[Long](m)
+      var distinct = 0L
+      var k = 0
+      while (k < m) {
+        val c = dom0.getOrElse(keys(k), 0L)
+        if (c != 0L) { counts(k) = c; add(k, c); distinct += 1L }
+        k += 1
+      }
+      while (i < docs.length && gk.isEmpty) {
+        val r = docs(i)
+        val at = java.util.Arrays.binarySearch(keys, r.score)
+        if (counts(at) == 0L) distinct += 1L
+        counts(at) += 1L
+        add(at, 1L)
+        n += 1L
+        out += Verdict(r.doc_id, r.source, r.score, n, is_sketch = false,
+          thr = Double.NaN, admit = TextQueries.GateDen * cumLe(at) >= n)
+        if (distinct * DensityDen > n && n >= MinN)
+          gk = Some(migrate(keys, counts, n)) // remaining docs → sketch
+        i += 1
+      }
+      if (gk.isEmpty) {
+        val dom = keys.indices.iterator
+          .filter(counts(_) != 0L).map(j => keys(j) -> counts(j)).toMap
+        return (out.result(), AdState(Some(GateStream.SourceState(dom, n)), None))
+      }
+    }
+    // ---- sketch phase ----
+    var st = gk.get
+    while (i < docs.length) {
+      val r = docs(i)
+      st = GkGateStream.insert(st, r.score.toDouble)
+      val thr = GkGateStream.quantile(st, GkGateStream.QuantilePct)
+      out += Verdict(r.doc_id, r.source, r.score, st.n, is_sketch = true,
+        thr = thr, admit = r.score.toDouble >= thr)
+      i += 1
+    }
+    (out.result(), AdState(None, Some(st)))
+  }
+
+  private[graft] def fold(source: String, it: Iterator[DocRow],
+      state: GroupState[AdState], ttl: Option[String]): Iterator[Verdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val st0 = state.getOption.getOrElse(AdState(None, None))
+    val (out, st1) = adaptiveFold(st0, it.toSeq.sortBy(_.doc_id))
+    state.update(st1)
+    ttl.foreach(t => state.setTimeoutDuration(t))
+    out.iterator
+  }
+
+  /** Per-document admission verdicts of a streaming (or batch) frame of
+    * (doc_id, source, score LONG). `ttl = None` disables expiry. */
+  def verdicts(docs: DataFrame, ttl: Option[String] = Some(StateTtl))
+      (implicit spark: SparkSession): Dataset[Verdict] = {
+    import spark.implicits._
+    val rows = docs.select($"doc_id", $"source", $"score").as[DocRow]
+    val conf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_.source).flatMapGroupsWithState(OutputMode.Append(), conf)(
+      (src: String, it: Iterator[DocRow], st: GroupState[AdState]) =>
+        fold(src, it, st, ttl))
+  }
+
+  /** Drive to completion on a bounded (doc_id, source, score) drop-dir;
+    * returns the verdict frame ordered by doc_id. */
+  def runBounded(spark: SparkSession, glob: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)))
+    BoundedDrive.run(spark, glob, queryName, schema, maxFilesPerTrigger)(
+      verdicts(_, ttl = None))
+      .select($"doc_id", $"source", $"score", $"n_seen", $"is_sketch",
+        $"thr", $"admit")
+      .orderBy($"doc_id")
+  }
+}

@@ -642,6 +642,158 @@ class StreamingSpec extends SparkSuite {
       s"rank $rank vs target $target")
   }
 
+  test("adaptive gate (VERDICT r15 item 5): exact state until the density " +
+      "crossover, GK sketch after; migration is per-doc (batch == stream " +
+      "across boundaries), admit-decision-compatible at the crossover, and " +
+      "state stays min(domain, sketch)-sized") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{AdaptiveGateStream, GateStream, GkGateStream}
+    import AdaptiveGateStream.{AdState, DocRow}
+    val dir = tmpDir("docs_adgate")
+    // the q168 two-regime frame: dense (32-value domain) + unique scores
+    val docs = Tables.documents(spark, sf0001).select($"doc_id",
+      when(length($"source") === 4, lit("dense"))
+        .otherwise(lit("unique")).as("source"),
+      when(length($"source") === 4, $"n_chars" % 32L)
+        .otherwise($"n_chars" * 1024L + $"doc_id" % 1024L)
+        .cast("long").as("score")).localCheckpoint(true)
+    val mid = 250L
+    docs.where($"doc_id" < mid).coalesce(1).write.parquet(s"$dir/h1")
+    docs.where($"doc_id" >= mid).coalesce(1).write.parquet(s"$dir/h2")
+    for ((src, dst) <- Seq("h1" -> "d1.parquet", "h2" -> "d2.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val streamed = AdaptiveGateStream
+      .runBounded(spark, s"$dir/d*.parquet", "ad_gate",
+        maxFilesPerTrigger = Some(1)).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(6))).toSeq
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val batch = AdaptiveGateStream.verdicts(docs, ttl = None)
+      .toDF().select($"doc_id", $"source", $"score", $"n_seen",
+        $"is_sketch", $"thr", $"admit").orderBy($"doc_id").collect()
+    // per-doc migration ⇒ identical verdicts whatever the batching
+    assert(key(streamed) == key(batch))
+
+    // dense source: NEVER migrates, decisions bit-identical to the
+    // pure exact gate's fold over the same rows
+    val dense = batch.filter(_.getString(1) == "dense")
+    assert(dense.forall(!_.getBoolean(4)), "dense source must stay exact")
+    val denseRows = docs.where($"source" === "dense").orderBy($"doc_id")
+      .collect().map(r => GateStream.DocRow(r.getLong(0), "dense", r.getLong(2)))
+    val (exactDense, _, _) = GateStream.admitFoldLinear(Map.empty, 0L, denseRows)
+    assert(dense.map(r => (r.getLong(0), r.getBoolean(6))).toSeq ==
+      exactDense.map(v => (v.doc_id, v.admit)))
+
+    // unique source: migrates exactly once, at the deterministic
+    // crossover (first doc AFTER MinN rows of effectively-unique
+    // scores), and never un-migrates
+    val uniq = batch.filter(_.getString(1) == "unique")
+    val firstSketch = uniq.indexWhere(_.getBoolean(4))
+    assert(firstSketch >= 0, "the unique source must migrate")
+    assert(uniq(firstSketch).getLong(3) == AdaptiveGateStream.MinN + 1,
+      s"crossover at n_seen=${uniq(firstSketch).getLong(3)}")
+    assert(uniq.drop(firstSketch).forall(_.getBoolean(4)))
+    // pre-crossover: bit-identical to the exact fold; at + after the
+    // crossover: decisions may differ from exact ONLY inside the GK
+    // rank band around the cut (admit-decision compatibility)
+    val uniqRows = docs.where($"source" === "unique").orderBy($"doc_id")
+      .collect().map(r => GateStream.DocRow(r.getLong(0), "unique", r.getLong(2)))
+    val (exactUniq, _, _) = GateStream.admitFoldLinear(Map.empty, 0L, uniqRows)
+    val exactByDoc = exactUniq.map(v => v.doc_id -> v).toMap
+    uniq.foreach { r =>
+      val ev = exactByDoc(r.getLong(0))
+      if (!r.getBoolean(4))
+        assert(r.getBoolean(6) == ev.admit, s"pre-crossover doc ${ev.doc_id}")
+      else if (r.getBoolean(6) != ev.admit) {
+        // exact prefix rank of this doc vs the cut, from the exact fold
+        val n = ev.n_seen
+        val cut = (n * GkGateStream.QuantilePct + 99) / 100
+        val cntLe = uniqRows.take(exactUniq.indexWhere(_.doc_id == ev.doc_id) + 1)
+          .count(_.score <= ev.score).toLong
+        assert(math.abs(cntLe - cut) <= n / GkGateStream.Acc + 1,
+          s"doc ${ev.doc_id}: decision flip outside the GK band " +
+            s"(cnt_le=$cntLe cut=$cut n=$n)")
+      }
+    }
+
+    // the q168 dual (oracle-green) audits this very fold: ok uniform
+    val audited = graft.queries.TextQueries
+      .q168AdaptiveGateDual(spark, sf0001).collect()
+    assert(audited.length == batch.length)
+    assert(audited.forall(_.getBoolean(6)), "q168 ok must be uniform true")
+
+    // state-size contract, both regimes, 100k rows each direct fold:
+    // unique scores → sketch-sized; 32-value domain → 32 map entries
+    val uniqBig = (1L to 100000L).map(i =>
+      DocRow(i, "u", i * 2654435761L % 1000003L))
+    val (_, stU) = AdaptiveGateStream.adaptiveFold(AdState(None, None), uniqBig)
+    assert(stU.dom.isEmpty && stU.gk.get.ts.length < 2000,
+      s"unique-score state must be sketch-sized, got ${stU.gk.get.ts.length}")
+    val denseBig = (1L to 100000L).map(i => DocRow(i, "d", i % 32L))
+    val (_, stD) = AdaptiveGateStream.adaptiveFold(AdState(None, None), denseBig)
+    assert(stD.gk.isEmpty && stD.dom.get.dom.size == 32,
+      "dense state must stay the exact 32-entry domain")
+  }
+
+  test("streaming drift monitor (VERDICT r15 item 6): final per-source " +
+      "snapshot equals the oracle-checked q169 batch dual bit-for-bit " +
+      "(auc + lift_top doubles included), completing the monitoring " +
+      "triple; state is the margin DOMAIN, not rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DriftStream
+    val dir = tmpDir("docs_drift")
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text")
+    val mid = 250L
+    docs.where($"doc_id" < mid).coalesce(1).write.parquet(s"$dir/h1")
+    docs.where($"doc_id" >= mid).coalesce(1).write.parquet(s"$dir/h2")
+    for ((src, dst) <- Seq("h1" -> "d1.parquet", "h2" -> "d2.parquet")) {
+      val part = new java.io.File(s"$dir/$src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dst"))
+    }
+    val streamed = DriftStream
+      .runBounded(spark, s"$dir/d*.parquet", "drift_mon",
+        maxFilesPerTrigger = Some(1)).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    // the cumulative domain state across two micro-batches must land on
+    // EXACTLY the q169 dual (which DuckDB hash-checks): counts equal,
+    // auc and lift_top doubles bit-equal — same single-sourced
+    // arithmetic, not approximately equal
+    val dual = graft.queries.TextQueries.q169DriftDual(spark, sf0001).collect()
+    assert(key(streamed) == key(dual))
+    // the monitor must actually discriminate somewhere: at least one
+    // source with a defined AUC away from coin-flip, and a defined lift
+    assert(streamed.exists(r => !r.isNullAt(4) &&
+      math.abs(r.getDouble(4) - 0.5) > 0.05))
+    assert(streamed.exists(r => !r.isNullAt(5)))
+    // state contract: the fold's domain holds DISTINCT margins, not
+    // rows — 100k rows over a 101-value margin domain stay 101 entries
+    val rows100k = (1L to 100000L).map(i =>
+      DriftStream.MarginRow(i, "s", i % 101L - 50L, i % 3L == 0L))
+    var st = Map.empty[Long, DriftStream.PQ]
+    val it = rows100k.iterator
+    it.foreach { r =>
+      val pq = st.getOrElse(r.m, DriftStream.PQ(0L, 0L))
+      st = st.updated(r.m,
+        if (r.pos) pq.copy(p = pq.p + 1L) else pq.copy(q = pq.q + 1L))
+    }
+    assert(st.size == 101)
+    val snap = DriftStream.snapOf("s", 0L, st)
+    assert(snap.n_docs == 100000L && snap.auc.isDefined && snap.lift_top.isDefined)
+  }
+
   test("streaming agreement monitor: the final per-source snapshot equals " +
       "the oracle-checked q166 batch dual bit-for-bit (kappa doubles " +
       "included), and per-batch snapshots grow monotonically") {

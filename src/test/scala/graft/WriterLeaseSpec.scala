@@ -67,6 +67,47 @@ class WriterLeaseSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.lease.staleMs")
   }
 
+  test("a dead heartbeat's lease is stolen and the thief's FIRST act heals " +
+      "the corpse's parked mutation (VERDICT r15 item 8: the crash window " +
+      "the steal contract leans on, driven end to end)") {
+    import graft.io.StagedRewrite
+    val dir = tmpDir("lease_dead_corpus")
+    Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    OccIngest.ingest(spark, dir)
+    val t = OccIngest.occTable(dir)
+    val before = spark.table(t).count()
+    // writer 1 "dies" mid-delete: its rewrite is staged AND certified
+    // (marker written) but the swap never ran — exactly what a crash
+    // after the marker leaves behind
+    val victim = spark.table(t).select($"doc_id").orderBy($"doc_id")
+      .limit(1).head().getLong(0)
+    StagedRewrite.rewriteUntil(spark, t, "doc_id", OccIngest.Buckets,
+      stopAfter = "marker")(_.where($"doc_id" =!= victim))
+    assert(spark.catalog.tableExists(StagedRewrite.markerTable(t)))
+    // ...and its heartbeat died with it: the lease file sits there with
+    // a stale mtime (no thread refreshing it)
+    val prefix = OccIngest.tablePrefix(dir)
+    val lease = WriterLease.leasePath(spark, prefix)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lease, false)
+    out.write("corpse@elsewhere".getBytes("UTF-8")); out.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 16L * 60L * 1000L, -1)
+    // the thief: a routine compact. Its acquire steals the stale lease;
+    // its rewrite heals the certified staging FIRST (completing the
+    // corpse's swap — the victim row is gone), then compacts.
+    OccIngest.compact(spark, dir)
+    assert(!spark.catalog.tableExists(StagedRewrite.markerTable(t)) &&
+      !spark.catalog.tableExists(StagedRewrite.stagingTable(t)),
+      "healing must consume the parked rewrite")
+    assert(spark.table(t).where($"doc_id" === victim).count() == 0,
+      "the certified staged delete must have committed, not been lost")
+    assert(spark.table(t).count() < before,
+      "only the victim's rows may be missing")
+    assert(!fs.exists(lease), "the thief must release the stolen lease")
+    OccIngest.drop(spark, dir)
+  }
+
   test("nested mutators re-enter the lease instead of deadlocking; the " +
       "graph family's full day cycle (advance -> heal -> retract -> " +
       "compact) holds ONE lease end to end") {
