@@ -277,15 +277,38 @@ object StateFsck {
     mk(s, rows)
   }
 
-  /** All four families, one frame — plus the KV store when a path is
-    * given. `graphPrefix` defaults to the CLI's graphlive convention
-    * for `dir`. */
+  /** Cross-family takedown residue: a CERTIFIED takedown marker means a
+    * takedown is parked mid-flight — some families may already be
+    * mutated (their own checks stay green against the reduced corpus
+    * only after it completes), so fsck surfaces it; `takedown-heal`
+    * (or the next takedown) resumes it. Uncertified manifest residue
+    * is abandoned staging — informational, the next run drops it. */
+  def takedown(s: SparkSession, dir: String): DataFrame = {
+    val p = Takedown.tdPrefix(dir)
+    val pending = s.catalog.tableExists(Takedown.pendingTable(p))
+    val residue = Seq(Takedown.idsTable(p), Takedown.edgesTable(p),
+      Takedown.metaTable(p)).count(s.catalog.tableExists)
+    mk(s, Seq(
+      ("takedown", "no_parked_takedown", !pending, if (pending) 1L else 0L,
+        if (pending) "certified takedown in flight - run takedown-heal"
+        else "no takedown in flight"),
+      ("takedown", "manifest_residue", pending || residue == 0,
+        residue.toLong,
+        if (residue == 0) "no manifest residue"
+        else if (pending) "manifest of the in-flight takedown"
+        else "uncertified manifest - the next takedown/heal drops it")))
+  }
+
+  /** All four families + the takedown orchestration scope, one frame —
+    * plus the KV store when a path is given. `graphPrefix` defaults to
+    * the CLI's graphlive convention for `dir`. */
   def all(s: SparkSession, dir: String, graphPrefix: Option[String] = None,
       kvPath: Option[String] = None, kvOptOuts: Option[DataFrame] = None,
       kvIdCol: String = "client_id"): DataFrame = {
     val four = occ(s, dir).unionByName(codes(s, dir)).unionByName(rot(s, dir))
       .unionByName(graph(s, graphPrefix.getOrElse(
         graft.io.Bucketing.corpusPrefix("graphlive", dir))))
+      .unionByName(takedown(s, dir))
     kvPath.fold(four)(p => four.unionByName(kv(s, p, kvOptOuts, kvIdCol)))
   }
 
@@ -301,6 +324,10 @@ object StateFsck {
       graphPrefix: Option[String] = None, kvPath: Option[String] = None,
       kvOptOuts: Option[DataFrame] = None,
       kvIdCol: String = "client_id"): DataFrame = {
+    // a parked takedown completes FIRST: its remaining family deletes
+    // are exactly the referential repairs the scrubs below would
+    // otherwise re-derive row by row
+    Takedown.heal(s, dir)
     OccIngest.scrub(s, dir)
     CodesIngest.scrub(s, dir)
     RotIngest.scrub(s, dir)

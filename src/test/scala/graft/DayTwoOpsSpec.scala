@@ -202,6 +202,9 @@ class DayTwoOpsSpec extends SparkSuite {
     val fsckMid = jobs.StateFsck.all(spark, dir, Some(gp))
     assert(fsckMid.where($"family" === "rot" && $"chk" === "referential" &&
       !$"ok").count() == 1, "half-applied takedown must surface as rot drift")
+    assert(fsckMid.where($"family" === "takedown" &&
+      $"chk" === "no_parked_takedown" && !$"ok").count() == 1,
+      "fsck must surface the in-flight takedown itself")
     // ...and the lease was RELEASED by the crash simulation, so heal
     // (any process) can resume
     jobs.Takedown.heal(spark, dir)
@@ -239,8 +242,10 @@ class DayTwoOpsSpec extends SparkSuite {
     val parked2 = jobs.Takedown.runUntil(spark, dir, ids2,
       None, None, None, None, "doc_id", stopAfter = "occ-nomark")
     assert(parked2.contains("parked inside occ"))
-    jobs.Takedown.heal(spark, dir) // re-runs occ (no-op rewrite), then the rest
-    assert(jobs.StateFsck.all(spark, dir, Some(gp)).where(!$"ok").isEmpty)
+    // fsck-repair is the operational remedy: it completes the parked
+    // takedown (re-running occ idempotently, then the rest) before its
+    // scrubs, and its returned audit is fully green
+    assert(jobs.StateFsck.repair(spark, dir, Some(gp)).where(!$"ok").isEmpty)
     assert(spark.table(OccIngest.occTable(dir)).select($"doc_id").distinct()
       .count() == docs.where(!gone && !gone2).count())
 
