@@ -102,6 +102,11 @@ object Takedown {
     require(graphPrefix.isEmpty == batchId.isEmpty &&
       batchId.isEmpty == edges.isEmpty,
       "graph retraction needs graphPrefix + batchId + edges together")
+    // validated BEFORE the manifest is certified: a takedown staged with
+    // a missing KV id column would otherwise park and fail every resume
+    require(kvPath.isEmpty || ids.columns.contains(kvIdCol),
+      s"KV takedown needs column '$kvIdCol' in the ids frame " +
+        s"(has: ${ids.columns.mkString(", ")})")
     val p = tdPrefix(dir)
     WriterLease.withLease(s, p) {
       healLocked(s, dir, p) // a parked takedown completes before a new one

@@ -407,13 +407,37 @@ object DedupQueries {
     * discipline) — the verify sides join on different keys (doc_a/doc_b),
     * so stage reuse can never help there and the old shape ran the
     * corpus-wide shingle HOF once per side. */
-  def minhashPairsOn(docs: DataFrame, salts: Int = 0): DataFrame = {
-    val bl = bandLabels(minhashSignatures(docs))
+  def minhashPairsOn(docs: DataFrame, salts: Int = 0): DataFrame =
+    minhashPairsFromLabels(bandLabels(minhashSignatures(docs)), docs, salts)
+
+  private def minhashPairsFromLabels(bl: DataFrame, docs: DataFrame,
+      salts: Int): DataFrame = {
     val cand = lshCandidates(bl, salts).localCheckpoint(false)
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val docsV = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     jaccardVerify(cand, docsV)
+  }
+
+  /** [[minhashPairsOn]] with the salt chosen by the q163 skew audit on
+    * the BAND-BUCKET key (the VERDICT r15 item 4 loop extended to the
+    * third salted operator): a hot duplicate cluster of h copies puts h
+    * rows in one (band_id, bh) bucket of every band, so the audit reads
+    * skew ≈ h there — and the raw ⌈skew⌉ recommendation is CAPPED at
+    * the session's shuffle parallelism, because fan-out beyond the
+    * reducer count buys no parallelism while multiplying the replicated
+    * B side for nothing (the cap is the production rule the coinstall
+    * case never needed: its skew ratios are small). Band labels are
+    * checkpointed once and shared by the audit and the join (the audit
+    * would otherwise re-mint the corpus signature pass). Results are
+    * identical to the plain join at any salt (LshSkewSpec). */
+  def minhashPairsAutoSalted(docs: DataFrame): DataFrame = {
+    val bl = bandLabels(minhashSignatures(docs)).localCheckpoint(true)
+    val raw = graft.operators.SkewAudit.recommendedSalt(
+      bl.select(concat_ws(":", col("band_id"), col("bh")).as("bucket")),
+      "bucket")
+    val cap = bl.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    minhashPairsFromLabels(bl, docs, math.min(raw, math.max(2, cap)))
   }
 
   /** The verified near-dup pair frame (doc_a, doc_b, jaccard) —

@@ -44,6 +44,21 @@ class LshSkewSpec extends SparkSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("auto-salt (the q163 loop on the band-bucket key): the audit " +
+      "diagnoses the 1k-copy hot bucket, the cap bounds the fan-out, and " +
+      "the pair set is identical") {
+    val bl = bandLabels(minhashSignatures(docs))
+    val raw = graft.operators.SkewAudit.recommendedSalt(
+      bl.select(concat_ws(":", $"band_id", $"bh").as("bucket")), "bucket")
+    // the hot bucket IS the skew: ⌈max·keys/rows⌉ lands near the copy
+    // count (most other buckets are singletons)
+    assert(raw > Salts, s"the 1k-copy fixture must audit far above a " +
+      s"hand salt, got $raw")
+    val auto = DedupQueries.minhashPairsAutoSalted(docs)
+    val plain = minhashPairsOn(docs)
+    assert(plain.exceptAll(auto).isEmpty && auto.exceptAll(plain).isEmpty)
+  }
+
   test("salting splits the hot band bucket across reducers") {
     val bl = bandLabels(minhashSignatures(docs))
     // unsalted: the hot cluster is ONE join key of size 1000 per band
