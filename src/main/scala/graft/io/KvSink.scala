@@ -171,6 +171,9 @@ object KvSink {
     recoverInterrupted(spark, kvPath)
     val live = new org.apache.hadoop.fs.Path(kvPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the ingest families' compact convention: absent state is an
+    // error here (unlike scrub, which must be safe on any state)
+    require(fs.exists(live), s"compact needs an existing KV store: $kvPath")
     val bytes = fs.getContentSummary(live).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     rewriteInPlace(spark, kvPath,

@@ -209,6 +209,11 @@ class StateFsckSpec extends SparkSuite {
       Map("stage" -> "kv-compact", "kv-path" -> kvPath))
     assert(cliOut.contains("rows=95"))
 
+    // compact on an absent store: the families' fail-fast convention
+    intercept[IllegalArgumentException] {
+      graft.io.KvSink.compact(spark, s"$base/no_such.parquet")
+    }
+
     // the lease: a live foreign lease refuses the mutation fail-fast
     val lease = graft.io.WriterLease.leasePath(spark,
       graft.io.KvSink.leaseName(kvPath))
