@@ -28,14 +28,18 @@ import org.apache.spark.sql.SparkSession
   * of stdout, and round 6's 83-query full-name line (~2.8 KB) no longer
   * fit — the driver recorded `parsed: null`. The stdout line therefore
   * keys queries by their UNIQUE qNN prefix ("q77" for
-  * q77_triangle_count, exactly the contract's documented shape) which
-  * keeps it ~1.5 KB at 107 queries (headroom to ~140), printed ONCE:
-  * round 7 printed it twice and the tail window then held a truncated
-  * first copy ahead of the complete second one, which — combined with
-  * sbt's "[info] " decoration of the forked stdout (now disabled via
-  * run/outputStrategy := StdoutOutput in build.sbt) — kept the parse
-  * failing. One complete bare line fits the window with room for sbt's
-  * "[success]" trailer. The FULL-name line is written to
+  * q77_triangle_count, exactly the contract's documented shape),
+  * printed ONCE: round 7 printed it twice and the tail window then held
+  * a truncated first copy ahead of the complete second one, which —
+  * combined with sbt's "[info] " decoration of the forked stdout (now
+  * disabled via run/outputStrategy := StdoutOutput in build.sbt) — kept
+  * the parse failing. At 161 queries even the qNN line overflowed again
+  * (rounds 15–16: ~2.4 KB), so the stdout copy is now additionally
+  * MINIMAL-envelope (contract fields + "comparable"/"failed" only; sf
+  * as basename) and PRECISION-ADAPTIVE: the highest of 3/2/1 decimals
+  * whose line fits SPARK_GRAFT_STDOUT_BUDGET bytes (default 1880 —
+  * 2000 minus sbt's "[success] Total time ..." trailer and slack). The
+  * FULL-name, full-envelope, 3-decimal line is written to
   * SPARK_GRAFT_BENCH_OUT (default ./bench_result.json) for the
   * committed records.
   *
@@ -242,18 +246,54 @@ object Bench {
       // as like-for-like against records lacking the markers (ADVICE r12)
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","warmups":$warmups,"memo_spared":true,"comparable":${failed.isEmpty},"load":[${sec(loadStart)},${sec(loadEnd)}],"nproc":[$nprocStart,$nprocEnd],"failed":$fs$conc,"queries":$qs,"sf":"$sfDir"}"""
     }
-    // full names to the file; unique qNN prefixes on stdout (tail-window
-    // budget — see scaladoc). Prefix collisions (none today) fall back to
-    // full names for the colliding keys.
+    // full names + full evidence envelope to the file; unique qNN
+    // prefixes on stdout (tail-window budget — see scaladoc). Prefix
+    // collisions (none today) fall back to full names.
     val prefixes = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
       .collect { case (p, ns) if ns.size == 1 => ns.head -> p }
     val line = jsonLine(identity)
-    val shortLine = jsonLine(n => prefixes.getOrElse(n, n))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
-    println(shortLine)
+    // The consumer keeps only the LAST ~2000 bytes of stdout, and sbt's
+    // "[success] Total time ..." trailer (~80 bytes) lands after this
+    // line — at 161 queries the r16 full-envelope short line (~2.4 KB)
+    // overflowed the window and the round artifact recorded
+    // `parsed: null` (VERDICT r16 item 8). The stdout line is therefore
+    // (a) MINIMAL-envelope — only the contract fields plus the
+    // comparability pair ("comparable"/"failed"), with the evidence
+    // fields (stat/warmups/memo_spared/load/nproc) living in the
+    // SPARK_GRAFT_BENCH_OUT file, and the sf dir shortened to its
+    // basename (the driver records the numeric sf itself) — and
+    // (b) PRECISION-ADAPTIVE: per-query values print at the highest of
+    // 3/2/1 decimals (trailing zeros trimmed) whose line fits the byte
+    // budget, so the line keeps parsing as the query count grows. Full
+    // 3-decimal precision is always in the file; the stdout copy exists
+    // so the round artifact parses at all.
+    def stdoutLine(prec: Int): String = {
+      def fmt(v: Double): String = {
+        val s0 = s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+        if (s0.contains('.'))
+          s0.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        else s0
+      }
+      val qs = timed.map { case (k, v) =>
+        "\"" + prefixes.getOrElse(k, k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val fs = failed.map(n => "\"" + prefixes.getOrElse(n, n) + "\"")
+        .mkString("[", ",", "]")
+      val sfName = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${sec(timed.map(_._2).sum)},"unit":"sec","comparable":${failed.isEmpty},"failed":$fs,"queries":$qs,"sf":"$sfName"}"""
+    }
+    val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1880").toInt
+    val chosen = Seq(3, 2, 1).map(stdoutLine).find(_.length <= budget)
+      .getOrElse {
+        System.err.println("[bench] stdout line exceeds the tail-window " +
+          "budget even at 1 decimal — the consumer may truncate it")
+        stdoutLine(1)
+      }
+    println(chosen)
     spark.stop()
   }
 }

@@ -150,12 +150,26 @@ object AmoDumpCli {
   *     (complete a takedown parked by a crash; re-run of `takedown`
   *      also heals first)
   *
+  * Warehouse snapshot/restore (VERDICT r16 item 3) — one consistent
+  * copy of the whole state perimeter, and its idempotent replay
+  * ([[graft.jobs.Warehouse]]):
+  *
+  *   --stage snapshot --dir X --snap-dir S [--prefix gp] [--kv-path kv]
+  *   --stage restore --dir X --snap-dir S
+  *     (restore reads the graph prefix and KV path from the snapshot's
+  *      own manifest; a snapshot without its _COMPLETE marker — a copy
+  *      that crashed mid-flight — is rejected)
+  *
   * Consistency audit ([[graft.jobs.StateFsck]]) — one greppable
   * `[fsck] family/check ok=… observed=… detail` line per check, plus a
   * failure summary in the result:
   *
   *   --stage fsck --dir X [--prefix graph-prefix]
-  *       [--kv-path kv.parquet [--kv-optouts ids.parquet] [--kv-id-col c]]
+  *       [--kv-path kv.parquet [--kv-optouts ids.parquet --kv-id-col c]]
+  *     (--kv-id-col is REQUIRED with --kv-optouts: stores are keyed by
+  *      doc_id or client_id depending on which pipeline owns them, and
+  *      a silently-wrong default would hash the wrong column into a
+  *      meaningless optout_drift verdict)
   *   --stage fsck-repair --dir X [--prefix graph-prefix] [--kv-path ...]
   *     (heal + row-scrub the row-keyed families, heal the graph, scrub
   *      the KV store when given, then re-audit; un-repairable findings
@@ -248,6 +262,17 @@ object IngestCli {
           kvIdCol = o.getOrElse("kv-id-col", "doc_id"))
       case "takedown-heal" =>
         Takedown.heal(spark, dir)
+      case "snapshot" =>
+        // one consistent copy of the whole state perimeter (VERDICT r16
+        // item 3): four families + graph provenance (+ KV store when
+        // given), healed first, under every writer lease at once
+        graft.jobs.Warehouse.snapshot(spark, dir, o("snap-dir"),
+          graphPrefix = Some(livePrefix), kvPath = o.get("kv-path"))
+      case "restore" =>
+        // the manifest inside the snapshot names every table, the graph
+        // prefix and the KV path — restore cannot be mis-aimed by a
+        // mismatched --prefix/--kv-path, so it takes none
+        graft.jobs.Warehouse.restore(spark, dir, o("snap-dir"))
       case "kv-compact" =>
         graft.io.KvSink.compact(spark, o("kv-path"),
           o.get("kv-target-bytes").map(_.toLong).getOrElse(256L << 20))
@@ -256,7 +281,24 @@ object IngestCli {
         val gp = Some(livePrefix) // livePrefix already honors --prefix
         val kvp = o.get("kv-path")
         val kvOpt = o.get("kv-optouts").map(Cli.readTable(spark, _))
-        val kvCol = o.getOrElse("kv-id-col", "client_id")
+        // NO silent default when an opt-out drift audit was requested:
+        // sibling stages key different stores differently (takedown
+        // defaults doc_id, profile stores are client_id-keyed), and a
+        // wrong guess here hashes the wrong column into a meaningless
+        // optout_drift verdict — or feeds fsck-repair's scrub wrong
+        // anti-join keys (ADVICE r16). Takedown's own default is safe
+        // because it VALIDATES the column exists in the ids frame
+        // before certifying; fsck has no such frame-side check.
+        val kvCol = o.get("kv-id-col").getOrElse {
+          require(kvOpt.isEmpty,
+            "--kv-optouts needs an explicit --kv-id-col (the opt-out " +
+              "frame's id column: 'doc_id' for takedown-managed stores, " +
+              "'client_id' for profile stores)")
+          "client_id"
+        }
+        kvOpt.foreach(f => require(f.columns.contains(kvCol),
+          s"--kv-optouts frame has no column '$kvCol' " +
+            s"(has: ${f.columns.mkString(", ")})"))
         val rows = (if (stage == "fsck") StateFsck.all(spark, dir, gp, kvp, kvOpt, kvCol)
                     else StateFsck.repair(spark, dir, gp, kvp, kvOpt, kvCol)).collect()
         rows.foreach(r => println(s"[fsck] ${r.getString(0)}/${r.getString(1)} " +
@@ -269,7 +311,7 @@ object IngestCli {
         "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal|" +
         "graph-retract|graph-compact|occ-delete|occ-compact|codes-delete|" +
         "codes-compact|rot-delete|rot-compact|takedown|takedown-heal|" +
-        "kv-compact|fsck|fsck-repair)")
+        "snapshot|restore|kv-compact|fsck|fsck-repair)")
     }
   }
 

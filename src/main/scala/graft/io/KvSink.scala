@@ -54,9 +54,22 @@ object KvSink {
       payload.as("payload"))
   }
 
+  /** A bare overwrite clears the live path BEFORE the new files land,
+    * so a crash mid-write would destroy the previous contents with no
+    * backup — the one window the rewrite protocol exists to close
+    * (ADVICE r16). When the store already exists (or an interrupted
+    * rewrite parked it at `.old_rewrite`), the write therefore routes
+    * through [[rewriteInPlace]]'s tmp/old/live rename commit like every
+    * other KV mutator; the direct overwrite remains only for initial
+    * creation, where there is nothing to lose. */
   def write(spark: SparkSession, df: DataFrame, idCol: String, path: String,
       codec: String = "zlib"): Unit = withStoreLease(spark, path) {
-    toKv(spark, df, idCol, codec).write.mode("overwrite").parquet(path)
+    recoverInterrupted(spark, path)
+    val kv = toKv(spark, df, idCol, codec)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) rewriteInPlace(spark, path, kv)
+    else kv.write.mode("overwrite").parquet(path)
   }
 
   /** K5 — opt-out delete: drop every key whose source id appears in
@@ -157,6 +170,35 @@ object KvSink {
     }
     fs.delete(old, true)
   }
+
+  /** Restore an interrupted rewrite if one is parked; no other effect.
+    * [[graft.jobs.Warehouse.snapshot]] calls this so a snapshot never
+    * reads a store whose only copy sits at `.old_rewrite`. */
+  def heal(spark: SparkSession, kvPath: String): Unit =
+    withStoreLease(spark, kvPath) { recoverInterrupted(spark, kvPath) }
+
+  /** Replace the store's contents with an ALREADY-ENCODED (key, payload)
+    * frame under the rewrite protocol — [[graft.jobs.Warehouse.restore]]'s
+    * KV path (the frame comes from a snapshot of this store, so
+    * re-encoding through [[toKv]] would double-hash and double-compress).
+    * Creates the store if absent; crash-safe either way. */
+  def restoreFrom(spark: SparkSession, kvPath: String, kv: DataFrame): Unit =
+    withStoreLease(spark, kvPath) {
+      recoverInterrupted(spark, kvPath)
+      rewriteInPlace(spark, kvPath, kv.select(col("key"), col("payload")))
+    }
+
+  /** Drop the store and every rewrite-protocol sibling path —
+    * [[graft.jobs.Warehouse.restore]]'s answer to a store created only
+    * AFTER the snapshot point (and K6's table-drop shape on the KV
+    * layout). Safe on any state. */
+  def dropStore(spark: SparkSession, kvPath: String): Unit =
+    withStoreLease(spark, kvPath) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(kvPath),
+        spark.sparkContext.hadoopConfiguration)
+      Seq("", ".tmp_rewrite", ".old_rewrite").foreach(sfx =>
+        fs.delete(new org.apache.hadoop.fs.Path(kvPath + sfx), true))
+    }
 
   /** Collapse the store's accumulated data files (VERDICT r15 item 3:
     * every rewrite/upsert re-lands the full row set, but file counts

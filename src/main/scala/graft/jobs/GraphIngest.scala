@@ -61,6 +61,23 @@ object GraphIngest {
   private def pendingTable(prefix: String): String = s"${prefix}_pending"
   private def appliedTable(prefix: String): String = s"${prefix}_applied"
 
+  /** True iff `batchId` was already applied to `prefix`'s graph —
+    * recorded in the `_applied` compaction watermark or still tagged on
+    * delta rows of `_edges`. Read-only (two 1-row probes). This is the
+    * SAME screen [[advanceState]] uses to make redelivery a no-op;
+    * exposed so [[Takedown]] can reject a retraction staged under a
+    * reused batch id BEFORE certifying it (ADVICE r16: the replay
+    * screen would otherwise silently skip the retraction while the
+    * takedown reports `graph=retracted`). */
+  def batchApplied(s: SparkSession, prefix: String, batchId: String): Boolean = {
+    import s.implicits._
+    (s.catalog.tableExists(appliedTable(prefix)) &&
+      !s.table(appliedTable(prefix)).where($"batch_id" === batchId).isEmpty) ||
+    (s.catalog.tableExists(s"${prefix}_edges") &&
+      s.table(s"${prefix}_edges").columns.contains("batch_id") &&
+      !s.table(s"${prefix}_edges").where($"batch_id" === batchId).isEmpty)
+  }
+
   /** Ingest the graph state of `dir`; returns (edgesTable, histTable).
     * Idempotent — a pair already in this session's catalog is reused
     * (same dir ⇒ same derived tables; the [[CodesIngest.ingestFrame]]

@@ -110,6 +110,23 @@ object Takedown {
     val p = tdPrefix(dir)
     WriterLease.withLease(s, p) {
       healLocked(s, dir, p) // a parked takedown completes before a new one
+      // A retraction staged under an ALREADY-APPLIED batch id would
+      // certify, then no-op inside the graph family (advanceState's
+      // redelivery screen — the same screen that makes crash-resume
+      // idempotent, so it cannot be removed) and report
+      // `graph=retracted` with every edge still live (ADVICE r16).
+      // Validated at STAGE time, after the heal (a parked takedown with
+      // this id has then legitimately applied it) and before
+      // certification; resume never re-stages, so heal idempotency is
+      // untouched. Checked only when graph state exists — against an
+      // absent family the takedown records "absent" and a later rebuild
+      // reads the reduced corpus.
+      for (g <- graphPrefix; b <- batchId)
+        require(!(s.catalog.tableExists(s"${g}_meta") &&
+            GraphIngest.batchApplied(s, g, b)),
+          s"retraction batch id '$b' was already applied to graph '$g' - " +
+            "advanceState would silently skip it; pick a fresh retraction " +
+            "batch id (e.g. 'take-" + b + "')")
       // ---- stage the manifest (nothing mutated yet) ----
       dropResidue(s, p)
       ids.write.format("parquet").saveAsTable(idsTable(p))

@@ -229,6 +229,23 @@ class DayTwoOpsSpec extends SparkSuite {
     assert(spark.read.parquet(kvPath).count() ==
       docs.where(!gone).count())
 
+    // ADVICE r16: a retraction staged under an ALREADY-APPLIED batch id
+    // ("day1" here — the id of the batch being taken down, the natural
+    // operator mistake) must be REJECTED at stage time: advanceState's
+    // redelivery screen would otherwise silently skip the retraction
+    // while the takedown reports graph=retracted. Nothing may be staged
+    // or mutated by the rejected attempt.
+    val reuse = intercept[IllegalArgumentException] {
+      jobs.Takedown.run(spark, dir, ids, Some(gp), Some("day1"),
+        Some(dayBatch), None, "doc_id")
+    }
+    assert(reuse.getMessage.contains("already applied"))
+    assert(!spark.catalog.tableExists(jobs.Takedown.pendingTable(tp)) &&
+      !spark.catalog.tableExists(jobs.Takedown.idsTable(tp)),
+      "a rejected stage must leave no marker or manifest residue")
+    // ...and the fresh-id guidance works: the suggested prefixing scheme
+    // passed above ("take-day1") was accepted
+
     // second crash window: inside a family, after its mutation but
     // before its done marker — resume re-applies it (idempotent)
     val gone2 = $"doc_id" % 11 === 3
@@ -248,6 +265,118 @@ class DayTwoOpsSpec extends SparkSuite {
     assert(jobs.StateFsck.repair(spark, dir, Some(gp)).where(!$"ok").isEmpty)
     assert(spark.table(OccIngest.occTable(dir)).select($"doc_id").distinct()
       .count() == docs.where(!gone && !gone2).count())
+
+    // cleanup
+    OccIngest.drop(spark, dir)
+    Seq("_codes", "_codebook", "_stats").foreach(sfx =>
+      graft.io.Bucketing.dropManaged(spark, s"${CodesIngest.tablePrefix(dir)}$sfx"))
+    Seq("_codes", "_codebook", "_model", "_stats").foreach(sfx =>
+      graft.io.Bucketing.dropManaged(spark, s"${RotIngest.tablePrefix(dir)}$sfx"))
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $gp$sfx"))
+    DedupQueries.clearMemos(spark)
+    GraphQueries.clearMemos(spark)
+  }
+
+  test("warehouse snapshot/restore (VERDICT r16 item 3): one consistent " +
+      "copy of four families + KV store; mutate, restore, fsck green, " +
+      "consumers read the snapshot state") {
+    val dir = tmpDir("snap_corpus")
+    val docs = Tables.documents(spark, sf0001).localCheckpoint(true)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    docs.write.mode("append").parquet(s"$dir/documents.parquet")
+    emb.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val gp = "snap_graph_test"
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % GraphQueries.ChurnMod === 0
+    IngestCli.run(spark, Map("stage" -> "occ", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "codes", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "rot", "dir" -> dir))
+    GraphIngest.ingestConsistent(spark, gp, full.where(!isBatch))
+    val aux = tmpDir("snap_aux")
+    val kvPath = s"$aux/kv.parquet"
+    graft.io.KvSink.write(spark, docs.select($"doc_id", $"lang"),
+      "doc_id", kvPath)
+
+    // the state a consumer would read at the snapshot point
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val occT = OccIngest.occTable(dir)
+    def graphView() = spark.table(s"${gp}_edges").groupBy($"u", $"v")
+      .agg(sum($"w").as("w")).where($"w" > 0)
+    val occAt = sorted(spark.table(occT))
+    val codesAt = sorted(spark.table(s"${CodesIngest.tablePrefix(dir)}_codes")
+      .select($"vec_id"))
+    val graphAt = sorted(graphView())
+    val kvAt = sorted(spark.read.parquet(kvPath).select($"key"))
+
+    // snapshot through the CLI (the takedown lease + every family lease)
+    val snapDir = s"$aux/snap1"
+    val snapOut = IngestCli.run(spark, Map("stage" -> "snapshot",
+      "dir" -> dir, "prefix" -> gp, "snap-dir" -> snapDir,
+      "kv-path" -> kvPath))
+    assert(snapOut.contains(s"$occT=copied") && snapOut.contains("kv.parquet=copied"))
+    // a half-finished snapshot must be rejected: retract the marker
+    val fs = new org.apache.hadoop.fs.Path(snapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(snapDir, "_COMPLETE"), false))
+    val rejected = intercept[IllegalArgumentException] {
+      jobs.Warehouse.restore(spark, dir, snapDir)
+    }
+    assert(rejected.getMessage.contains("_COMPLETE"))
+    // re-snapshot into the same dir re-certifies (idempotent re-run)
+    IngestCli.run(spark, Map("stage" -> "snapshot", "dir" -> dir,
+      "prefix" -> gp, "snap-dir" -> snapDir, "kv-path" -> kvPath))
+
+    // ---- mutate EVERYTHING after the snapshot ----
+    // graph: advance a day batch, then compact (compaction creates the
+    // _applied watermark — a table that did NOT exist at the snapshot
+    // point, so restore must DROP it)
+    full.where(isBatch).write.parquet(s"$aux/day.parquet")
+    val dayBatch = spark.read.parquet(s"$aux/day.parquet")
+    GraphIngest.advanceState(spark, gp, "day1", dayBatch)
+    GraphIngest.compact(spark, gp)
+    assert(spark.catalog.tableExists(s"${gp}_applied"))
+    // row families + KV: a takedown of every doc_id % 5 == 0 (the
+    // corpus dir is UNCHANGED, so both vintages stay referentially
+    // green — fsck's referential checks are state ⊆ corpus)
+    val ids = docs.where($"doc_id" % 5 === 0)
+      .select($"doc_id", $"doc_id".as("vec_id")).localCheckpoint(true)
+    jobs.Takedown.run(spark, dir, ids, None, None, None,
+      Some(kvPath), "doc_id")
+    assert(sorted(spark.table(occT)) != occAt, "mutation must be visible")
+    assert(sorted(graphView()) != graphAt)
+
+    // ---- restore: no --prefix/--kv-path, the manifest knows them ----
+    val restOut = IngestCli.run(spark,
+      Map("stage" -> "restore", "dir" -> dir, "snap-dir" -> snapDir))
+    assert(restOut.contains(s"$occT=restored") &&
+      restOut.contains(s"${gp}_applied=dropped"), restOut)
+    assert(!spark.catalog.tableExists(s"${gp}_applied"),
+      "a table created after the snapshot is not of this vintage")
+
+    // consumers read the snapshot state, value-level, every family
+    assert(sorted(spark.table(occT)) == occAt)
+    assert(sorted(spark.table(s"${CodesIngest.tablePrefix(dir)}_codes")
+      .select($"vec_id")) == codesAt)
+    assert(sorted(graphView()) == graphAt)
+    assert(sorted(spark.read.parquet(kvPath).select($"key")) == kvAt)
+    // ...the bucket spec survived the restore (co-located joins depend
+    // on it): a fresh advance works against the restored graph
+    GraphIngest.advanceState(spark, gp, "day1b", dayBatch)
+    assert(sorted(graphView()) != graphAt)
+
+    // fsck fully green on the restored point (advance rolled forward)
+    val fsck = jobs.StateFsck.all(spark, dir, Some(gp), Some(kvPath))
+    assert(fsck.where(!$"ok").isEmpty,
+      s"post-restore fsck must be green: ${fsck.where(!$"ok").collect().toSeq}")
+
+    // restore is idempotent replay: running it again converges to the
+    // same state (the day1b advance above is rolled back again)
+    jobs.Warehouse.restore(spark, dir, snapDir)
+    assert(sorted(graphView()) == graphAt)
 
     // cleanup
     OccIngest.drop(spark, dir)

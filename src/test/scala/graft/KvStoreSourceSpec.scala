@@ -119,4 +119,36 @@ class KvStoreSourceSpec extends SparkSuite {
     assert(spark.read.parquet(dir).collect().map(_.getString(0)).sorted.toSeq == before)
     assert(!fs.exists(old), "backup should be consumed by a successful rewrite")
   }
+
+  test("write on an EXISTING store commits under the rewrite protocol: " +
+      "a write that fails mid-flight leaves the previous contents intact " +
+      "(ADVICE r16)") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val dir = tmpDir("kvrewrite") + "/store"
+    val v1 = Seq(("a", "en"), ("b", "de")).toDF("client_id", "locale")
+    KvSink.write(spark, v1, "client_id", dir)
+    val before = spark.read.parquet(dir).collect().map(_.getString(0)).sorted.toSeq
+    // a frame that fails at EXECUTION time (not analysis): before the
+    // fix, write() published with a bare overwrite, which clears the
+    // live store before any new file lands — this exact failure then
+    // destroyed the previous contents with no backup
+    val boom = udf((s: String) =>
+      if (s != null) throw new RuntimeException("boom") else s)
+    val bad = v1.withColumn("locale", boom(col("locale")))
+    intercept[org.apache.spark.SparkException] {
+      KvSink.write(spark, bad, "client_id", dir)
+    }
+    assert(spark.read.parquet(dir).collect().map(_.getString(0)).sorted.toSeq
+      == before, "a failed rewrite must leave the store untouched")
+    // ...and a SUCCESSFUL re-write replaces the contents completely,
+    // consuming its own tmp/old residue
+    val v2 = Seq(("c", "fr")).toDF("client_id", "locale")
+    KvSink.write(spark, v2, "client_id", dir)
+    assert(spark.read.parquet(dir).count() == 1L)
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(dir + ".tmp_rewrite")) &&
+      !fs2.exists(new org.apache.hadoop.fs.Path(dir + ".old_rewrite")),
+      "a successful write must leave no rewrite residue")
+  }
 }

@@ -458,8 +458,12 @@ class StreamingSpec extends SparkSuite {
       "a timed-out bucket must drop its sketch and emit nothing")
   }
 
-  test("adaptive gate stream: TTL expiry reclaims an idle source's domain; " +
+  test("gate stream: TTL expiry reclaims an idle source's domain; " +
       "surviving state re-arms and the admit rule includes the new doc") {
+    // (drives GateStream.fold — the EXACT gate; the unified adaptive
+    // face's own TTL path has its own spec below. This test was
+    // mislabeled "adaptive gate stream" through r16, which hid that
+    // AdaptiveGateStream.fold's timeout branch was untested.)
     import graft.streaming.GateStream._
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
@@ -520,6 +524,105 @@ class StreamingSpec extends SparkSuite {
       Iterator.empty, dead, Some("30 days")).toSeq
     assert(gone.isEmpty && dead.isRemoved,
       "a timed-out source must drop its sketch and emit nothing")
+  }
+
+  test("adaptive gate stream: TTL expiry reclaims an idle source's state " +
+      "in BOTH modes; surviving state re-arms (VERDICT r16 item 5)") {
+    import graft.streaming.{AdaptiveGateStream, GateStream, GkGateStream}
+    import AdaptiveGateStream.{AdState, DocRow}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.api.java.Optional
+    // live EXACT-mode state {score 5 → 4 docs}; a score-1 doc arrives:
+    // n = 5, cum_le(1) = 1, GateDen·1 = 4 < 5 ⇒ rejected, still exact
+    // (distinct·2 = 4 ≤ 5 and n < MinN), and the timeout re-arms
+    val exact = AdState(Some(GateStream.SourceState(Map(5L -> 4L), 4L)), None)
+    val live = TestGroupState.create[AdState](
+      Optional.of(exact), GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out = AdaptiveGateStream.fold("s1",
+      Iterator(DocRow(9L, "s1", 1L)), live, Some("30 days")).toSeq
+    assert(out.map(v => (v.doc_id, v.n_seen, v.is_sketch, v.admit)) ==
+      Seq((9L, 5L, false, false)))
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "surviving state must re-arm its processing-time timeout")
+    // timed-out EXACT-mode state: removed, nothing emitted
+    val deadExact = TestGroupState.create[AdState](
+      Optional.of(exact), GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val goneE = AdaptiveGateStream.fold("s1",
+      Iterator.empty, deadExact, Some("30 days")).toSeq
+    assert(goneE.isEmpty && deadExact.isRemoved,
+      "a timed-out exact-mode source must drop its domain and emit nothing")
+    // timed-out SKETCH-mode state: same branch, pinned for the mode the
+    // 30-day idle source is most likely in (it migrated long ago)
+    val sketch = AdState(None, Some(GkGateStream.GkState(
+      List(GkGateStream.GkTuple(2.0, 1, 0), GkGateStream.GkTuple(8.0, 1, 0)),
+      2L, 0L)))
+    val deadSketch = TestGroupState.create[AdState](
+      Optional.of(sketch), GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val goneS = AdaptiveGateStream.fold("s1",
+      Iterator.empty, deadSketch, Some("30 days")).toSeq
+    assert(goneS.isEmpty && deadSketch.isRemoved,
+      "a timed-out sketch-mode source must drop its sketch and emit nothing")
+  }
+
+  test("adaptive gate stream: migration is one-way BY DESIGN — a migrated " +
+      "source stays sketched under fully re-densified input, and its " +
+      "decisions stay inside the GK rank band (VERDICT r16 missing #1)") {
+    import graft.streaming.{AdaptiveGateStream, GkGateStream}
+    import AdaptiveGateStream.{AdState, DocRow}
+    // drive a source through the crossover with effectively-unique
+    // scores, then collapse the distribution to a 3-value domain (the
+    // upstream-quantizer-change scenario) for 10× more rows than the
+    // unique prefix — if any demotion path existed, this is exactly the
+    // input that would trigger it
+    val uniquePrefix = (0 until 100).map(i =>
+      DocRow(i.toLong, "s", i.toLong * 7919L + 13L))
+    val densified = (0 until 1000).map(i =>
+      DocRow(100L + i, "s", (i % 3).toLong))
+    val (out1, st1) = AdaptiveGateStream.adaptiveFold(
+      AdState(None, None), uniquePrefix)
+    assert(st1.gk.isDefined && st1.dom.isEmpty,
+      "the unique prefix must migrate the source to sketch mode")
+    assert(out1.exists(_.is_sketch) && !out1.head.is_sketch)
+    val (out2, st2) = AdaptiveGateStream.adaptiveFold(st1, densified)
+    assert(st2.gk.isDefined && st2.dom.isEmpty,
+      "re-densified input must NOT demote a migrated source (one-way " +
+        "contract: a compressed GK summary cannot reconstruct the domain)")
+    assert(out2.forall(_.is_sketch), "every post-migration verdict is sketch-mode")
+    // sketch state stays sketch-SIZED under the dense flood (the point
+    // of the εn trade the source keeps paying): the O(Acc·log n)
+    // envelope (= Acc·⌈log2 1100⌉ = 1100 here — same order as the
+    // history at this tiny n, so pin the practical bound the 100k-row
+    // GK spec below uses scaled to n: a constant fraction of Acc·log n,
+    // nowhere near the history it replaced had the dense rows kept
+    // accumulating an exact domain PLUS per-row growth)
+    val bound = GkGateStream.Acc * (64 - java.lang.Long
+      .numberOfLeadingZeros(uniquePrefix.length + densified.length)) / 2
+    assert(st2.gk.get.ts.length <= bound,
+      s"sketch grew to ${st2.gk.get.ts.length} tuples (bound $bound)")
+    // and the rank guarantee stays honest at the seam and after: each
+    // admit decision matches the exact prefix rank to within the GK band
+    val all = uniquePrefix ++ densified
+    val scoresSoFar = collection.mutable.ArrayBuffer[Long]()
+    all.zip(out1 ++ out2).foreach { case (d, v) =>
+      scoresSoFar += d.score
+      if (v.is_sketch) {
+        val n = scoresSoFar.length.toLong
+        val cut = (n * GkGateStream.QuantilePct + 99) / 100
+        val cntLe = scoresSoFar.count(_ <= d.score).toLong
+        // a decision may flip vs exact only within the band
+        val exactAdmit = graft.queries.TextQueries.GateDen * cntLe >= n
+        if (v.admit != exactAdmit)
+          assert(math.abs(cntLe - cut) <= n / GkGateStream.Acc + 1,
+            s"doc ${d.doc_id}: flip outside the GK band (cntLe=$cntLe cut=$cut n=$n)")
+      }
+    }
   }
 
   test("near-dup gate: shingle-less docs are admitted ungated, not cross-flagged") {

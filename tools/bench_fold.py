@@ -31,10 +31,18 @@ def main():
         else:
             warm.append(json.load(open(args[i]))); i += 1
 
-    prev = json.load(open(out_path))
+    # Re-folding the SAME round (the documented workflow: a round's board
+    # is folded repeatedly as runs accumulate) replaces the board in
+    # place — archiving it would shadow the round under its own
+    # prior_rounds key. A first-ever board (no "round") archives nothing.
+    try:
+        prev = json.load(open(out_path))
+    except FileNotFoundError:
+        prev = {}
     prior = prev.pop("prior_rounds", {})
-    prev_round = prev.pop("round")
-    prior[f"r{prev_round}"] = prev
+    prev_round = prev.pop("round", rnd)
+    if prev_round != rnd and prev:
+        prior[f"r{prev_round}"] = prev
 
     names = sorted({n for r in warm for n in r["queries"]})
     queries = {n: min(r["queries"][n] for r in warm if n in r["queries"])
@@ -74,8 +82,10 @@ def main():
         board["concurrent_wall_sec"] = conc.get("concurrent_wall_sec")
     board["prior_rounds"] = prior
     json.dump(board, open(out_path, "w"), indent=1)
+    prev_note = (f"(prev r{prev_round}: {prior[f'r{prev_round}']['value']}s)"
+                 if f"r{prev_round}" in prior else "(no prior board)")
     print(f"round {rnd}: {len(queries)} queries, total {board['value']}s "
-          f"(prev r{prev_round}: {prior[f'r{prev_round}']['value']}s)")
+          f"{prev_note}")
 
 
 if __name__ == "__main__":
