@@ -155,7 +155,21 @@ object Warehouse {
   /** Restore the point captured at `snapDir`. The manifest names every
     * table, the graph prefix, and the KV path — the caller only points
     * at the snapshot. Idempotent; re-run after any crash. */
-  def restore(s: SparkSession, dir: String, snapDir: String): String = {
+  def restore(s: SparkSession, dir: String, snapDir: String): String =
+    restoreUntil(s, dir, snapDir, stopAfter = None)
+
+  /** Failpoint-instrumented [[restore]] — `stopAfter = Some(name)`
+    * simulates a crash after the named manifest item is applied
+    * (production passes None). Restore carries no marker of its own
+    * BY DESIGN: it is stateless replay from an immutable source, so
+    * the recovery protocol for a crash at ANY point is simply "run
+    * restore again" — each per-item step is individually crash-safe
+    * (StagedRewrite / rename protocol / drop), already-restored items
+    * re-converge to the same rows, and not-yet-restored items get
+    * their turn. The seam exists so DayTwoOpsSpec can drive a REAL
+    * mid-restore crash through the REAL path and pin that contract. */
+  private[graft] def restoreUntil(s: SparkSession, dir: String,
+      snapDir: String, stopAfter: Option[String]): String = {
     val fs = fsOf(s, snapDir)
     require(fs.exists(completeMarker(snapDir)),
       s"no _COMPLETE marker at $snapDir - not a finished snapshot " +
@@ -172,7 +186,8 @@ object Warehouse {
       Takedown.heal(s, dir)
       gp.filter(g => s.catalog.tableExists(s"${g}_meta"))
         .foreach(GraphIngest.heal(s, _))
-      val outcomes = manifest.toSeq.map { r =>
+      val outcomes = scala.collection.mutable.ArrayBuffer[String]()
+      for (r <- manifest) {
         val (kind, name, present) = (r.getString(0), r.getString(1),
           r.getBoolean(4))
         val outcome = kind match {
@@ -210,7 +225,14 @@ object Warehouse {
               "dropped"
             }
         }
-        s"$name=$outcome"
+        outcomes += s"$name=$outcome"
+        if (stopAfter.contains(name)) {
+          // a real crash would not clear memos either — but this JVM
+          // lives on, so stale memos must go before anything reads them
+          graft.queries.GraphQueries.clearMemos(s)
+          graft.queries.DedupQueries.clearMemos(s)
+          return s"restore parked after $name"
+        }
       }
       // session memos keyed to this dir's tables are stale after the
       // content swap — same contract as advance/retract

@@ -378,6 +378,29 @@ class DayTwoOpsSpec extends SparkSuite {
     jobs.Warehouse.restore(spark, dir, snapDir)
     assert(sorted(graphView()) == graphAt)
 
+    // mid-restore CRASH window: mutate again, then park the restore
+    // right after its first manifest item (occ). occ is back at the
+    // snapshot point, the graph and KV store are not — and the
+    // documented recovery ("run restore again": stateless replay from
+    // an immutable source) converges everything
+    GraphIngest.advanceState(spark, gp, "day1c", dayBatch)
+    jobs.Takedown.run(spark, dir, ids, None, None, None,
+      Some(kvPath), "doc_id")
+    val parked = jobs.Warehouse.restoreUntil(spark, dir, snapDir, Some(occT))
+    assert(parked == s"restore parked after $occT")
+    assert(sorted(spark.table(occT)) == occAt,
+      "the item applied before the crash is already at the snapshot point")
+    assert(sorted(graphView()) != graphAt,
+      "items after the crash point must still carry the mutation")
+    assert(sorted(spark.read.parquet(kvPath).select($"key")) != kvAt)
+    jobs.Warehouse.restore(spark, dir, snapDir) // the recovery IS a re-run
+    assert(sorted(spark.table(occT)) == occAt)
+    assert(sorted(graphView()) == graphAt)
+    assert(sorted(spark.read.parquet(kvPath).select($"key")) == kvAt)
+    val fsck2 = jobs.StateFsck.all(spark, dir, Some(gp), Some(kvPath))
+    assert(fsck2.where(!$"ok").isEmpty,
+      s"post-crash-recovery fsck must be green: ${fsck2.where(!$"ok").collect().toSeq}")
+
     // cleanup
     OccIngest.drop(spark, dir)
     Seq("_codes", "_codebook", "_stats").foreach(sfx =>
