@@ -48,6 +48,18 @@ import graft.io.{Bucketing, KvSink, StagedRewrite, WriterLease}
   * restore: each per-table step is individually crash-safe and the
   * source never changes.
   *
+  * CORPUS VINTAGE. The perimeter is the STATE roots — the corpus dir
+  * itself (documents/embeddings parquet) is the operator's own data and
+  * is not copied. A restore is therefore consistent with the corpus AS
+  * OF the snapshot: corpus GROWTH since the snapshot stays fsck-green
+  * (referential checks are state ⊆ corpus; the restored state simply
+  * lags, and the next append catches up), while a corpus TAKEDOWN since
+  * the snapshot makes the restored state resurrect rows for removed
+  * docs — which fsck flags as referential drift, exactly as it should:
+  * that restore re-created the condition a takedown exists to prevent,
+  * and the remedy is re-running the takedown (its manifest ids), not
+  * suppressing the check.
+  *
   * SCALE. Snapshot is one linear copy of each state root (no shuffle —
   * table scan → parquet write at the table's own parallelism); restore
   * pays one bucket-aligned write per bucketed table (the same cost as
