@@ -159,6 +159,10 @@ object AmoDumpCli {
   *     (restore reads the graph prefix and KV path from the snapshot's
   *      own manifest; a snapshot without its _COMPLETE marker — a copy
   *      that crashed mid-flight — is rejected)
+  *   --stage snapshot-verify --snap-dir S
+  *     (read-only, lease-free restorability audit: marker, manifest,
+  *      per-item readability + bucket-key presence — run it on a
+  *      schedule, not at the emergency restore)
   *
   * Consistency audit ([[graft.jobs.StateFsck]]) — one greppable
   * `[fsck] family/check ok=… observed=… detail` line per check, plus a
@@ -273,6 +277,16 @@ object IngestCli {
         // prefix and the KV path — restore cannot be mis-aimed by a
         // mismatched --prefix/--kv-path, so it takes none
         graft.jobs.Warehouse.restore(spark, dir, o("snap-dir"))
+      case "snapshot-verify" =>
+        // "is this snapshot restorable?" asked on a schedule, not at
+        // the emergency restore; read-only, lease-free
+        val rows = graft.jobs.Warehouse.verify(spark, o("snap-dir")).collect()
+        rows.foreach(r => println(s"[snap] ${r.getString(0)}/${r.getString(1)} " +
+          s"ok=${r.getBoolean(2)} observed=${r.getLong(3)} ${r.getString(4)}"))
+        val bad = rows.filterNot(_.getBoolean(2))
+        s"stage=snapshot-verify checks=${rows.length} failures=${bad.length}" +
+          (if (bad.isEmpty) ""
+           else bad.map(r => s" ${r.getString(1)}").mkString(" BAD:", "", ""))
       case "kv-compact" =>
         graft.io.KvSink.compact(spark, o("kv-path"),
           o.get("kv-target-bytes").map(_.toLong).getOrElse(256L << 20))
@@ -311,7 +325,7 @@ object IngestCli {
         "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal|" +
         "graph-retract|graph-compact|occ-delete|occ-compact|codes-delete|" +
         "codes-compact|rot-delete|rot-compact|takedown|takedown-heal|" +
-        "snapshot|restore|kv-compact|fsck|fsck-repair)")
+        "snapshot|restore|snapshot-verify|kv-compact|fsck|fsck-repair)")
     }
   }
 

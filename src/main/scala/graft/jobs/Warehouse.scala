@@ -164,6 +164,60 @@ object Warehouse {
         .mkString("snapshot ", " ", "")
     }
 
+  /** Snapshot integrity audit — "is this snapshot restorable?", asked
+    * BEFORE it is needed (the fsck convention transported to the
+    * backup: a snapshot is only worth its weakest table, and the time
+    * to discover a half-lost copy is a scheduled audit, not the
+    * emergency restore). One (family, chk, ok, observed, detail) row
+    * per check, same shape as [[StateFsck]]: the `_COMPLETE` marker,
+    * manifest readability, and per present item — the copied data
+    * exists, reads, and (bucketed tables) still carries its bucket-key
+    * column so the restore-side bucketed rewrite cannot fail midway.
+    * READ-ONLY: never takes a lease, never mutates — safe against live
+    * snapshots and from any process. Scale: catalog/FS probes plus one
+    * schema read (parquet footer) per item; the row-count probe reads
+    * metadata only. */
+  def verify(s: SparkSession, snapDir: String): DataFrame = {
+    val fs = fsOf(s, snapDir)
+    val marker = fs.exists(completeMarker(snapDir))
+    val markerRow = ("snapshot", "complete_marker", marker,
+      if (marker) 0L else 1L,
+      if (marker) "_COMPLETE present"
+      else "no _COMPLETE - the copy crashed mid-flight (or this is not " +
+        "a snapshot dir); restore refuses it")
+    val rows = Seq(markerRow) ++ (try {
+      val manifest = s.read.parquet(s"$snapDir/manifest").collect()
+      val manRow = ("snapshot", "manifest", true, manifest.length.toLong,
+        s"${manifest.length} items")
+      Seq(manRow) ++ manifest.toSeq.filter(_.getBoolean(4)).map { r =>
+        val (kind, name) = (r.getString(0), r.getString(1))
+        val path = if (kind == "kv") s"$snapDir/kv" else s"$snapDir/tables/$name"
+        try {
+          val df = s.read.parquet(path)
+          val keyOk = Option(r.getString(2)).forall(df.columns.contains)
+          val n = df.count() // parquet footer metadata, no data scan
+          if (!keyOk)
+            ("snapshot", s"item:$name", false, 1L,
+              s"bucket key '${r.getString(2)}' missing from the copied " +
+                "schema - the restore-side bucketed rewrite would fail")
+          else ("snapshot", s"item:$name", true, n, s"readable, $n rows")
+        } catch { case scala.util.control.NonFatal(e) =>
+          ("snapshot", s"item:$name", false, 1L,
+            "copied data unreadable: " + Option(e.getMessage).getOrElse(
+              e.getClass.getName).linesIterator.nextOption()
+              .getOrElse("").take(120))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      Seq(("snapshot", "manifest", false, 1L,
+        "manifest unreadable: " + Option(e.getMessage).getOrElse(
+          e.getClass.getName).linesIterator.nextOption()
+          .getOrElse("").take(120)))
+    })
+    import s.implicits._
+    rows.toDF("family", "chk", "ok", "observed", "detail")
+  }
+
   /** Restore the point captured at `snapDir`. The manifest names every
     * table, the graph prefix, and the KV path — the caller only points
     * at the snapshot. Idempotent; re-run after any crash. */

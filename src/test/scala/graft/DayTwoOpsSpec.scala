@@ -326,9 +326,17 @@ class DayTwoOpsSpec extends SparkSuite {
       jobs.Warehouse.restore(spark, dir, snapDir)
     }
     assert(rejected.getMessage.contains("_COMPLETE"))
+    // ...and the scheduled-audit face sees the same thing, read-only
+    assert(jobs.Warehouse.verify(spark, snapDir)
+      .where($"chk" === "complete_marker" && !$"ok").count() == 1,
+      "snapshot-verify must flag the missing marker")
     // re-snapshot into the same dir re-certifies (idempotent re-run)
     IngestCli.run(spark, Map("stage" -> "snapshot", "dir" -> dir,
       "prefix" -> gp, "snap-dir" -> snapDir, "kv-path" -> kvPath))
+    val audit = jobs.Warehouse.verify(spark, snapDir)
+    assert(audit.where(!$"ok").isEmpty,
+      s"fresh snapshot must audit green: ${audit.where(!$"ok").collect().toSeq}")
+    assert(audit.where($"chk" === s"item:$occT").count() == 1)
 
     // ---- mutate EVERYTHING after the snapshot ----
     // graph: advance a day batch, then compact (compaction creates the
@@ -400,6 +408,15 @@ class DayTwoOpsSpec extends SparkSuite {
     val fsck2 = jobs.StateFsck.all(spark, dir, Some(gp), Some(kvPath))
     assert(fsck2.where(!$"ok").isEmpty,
       s"post-crash-recovery fsck must be green: ${fsck2.where(!$"ok").collect().toSeq}")
+
+    // a snapshot that LOST a table's data after certification (bit rot,
+    // partial storage loss — the marker alone cannot vouch for the
+    // bytes) audits red on exactly that item, before any restore needs it
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$snapDir/tables/$occT"), true))
+    val rotted = jobs.Warehouse.verify(spark, snapDir)
+    assert(rotted.where($"chk" === s"item:$occT" && !$"ok").count() == 1,
+      "snapshot-verify must flag the lost table copy")
+    assert(rotted.where($"chk" === "complete_marker" && $"ok").count() == 1)
 
     // cleanup
     OccIngest.drop(spark, dir)
