@@ -286,8 +286,16 @@ object Bench {
       val sfName = new java.io.File(sfDir).getName
       s"""{"metric":"total","value":${sec(timed.map(_._2).sum)},"unit":"sec","comparable":${failed.isEmpty},"failed":$fs,"queries":$qs,"sf":"$sfName"}"""
     }
-    val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1880").toInt
-    val chosen = Seq(3, 2, 1).map(stdoutLine).find(_.length <= budget)
+    // a malformed env value must not discard the serial record already
+    // earned (the SPARK_GRAFT_STREAMS convention above); the ladder is
+    // lazy so the common first-fit case formats the line once
+    val budget = sys.env.get("SPARK_GRAFT_STDOUT_BUDGET")
+      .flatMap(_.trim.toIntOption match {
+        case None => System.err.println(
+          "[bench] ignoring non-integer SPARK_GRAFT_STDOUT_BUDGET"); None
+        case b => b
+      }).getOrElse(1880)
+    val chosen = Iterator(3, 2, 1).map(stdoutLine).find(_.length <= budget)
       .getOrElse {
         System.err.println("[bench] stdout line exceeds the tail-window " +
           "budget even at 1 decimal — the consumer may truncate it")

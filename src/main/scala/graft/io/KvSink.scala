@@ -27,12 +27,28 @@ object KvSink {
     * guard). Same injective naming as the ingest families. */
   def leaseName(kvPath: String): String = Bucketing.corpusPrefix("kv", kvPath)
 
-  /** Run `f` holding the KV store's writer lease (re-entrant; see
-    * [[WriterLease]]). Every mutating entry point below routes through
-    * this, so two processes can no longer interleave rewrites of one
-    * store — the same contract the ingest families already have. */
-  def withStoreLease[T](spark: SparkSession, kvPath: String)(f: => T): T =
-    WriterLease.withLease(spark, leaseName(kvPath))(f)
+  /** Per-store in-process monitor. [[WriterLease]] excludes other
+    * PROCESSES but is deliberately JVM-re-entrant (its `held` set has
+    * no thread owner), so it cannot exclude a second THREAD in this
+    * JVM — the ingest families each pair their lease with an object
+    * monitor for exactly that reason, and until round 17 the KV store
+    * was the one mutable root without the in-process half (review
+    * finding: two same-JVM threads could interleave rewrites of one
+    * store, and [[graft.jobs.Warehouse.snapshot]]'s consistency claim
+    * needs the thread case closed too). */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `f` holding the KV store's in-process monitor AND its
+    * cross-process writer lease (both re-entrant for the same thread).
+    * Every mutating entry point below routes through this, so neither
+    * another process nor another thread of this one can interleave
+    * rewrites of one store — the same two-guard contract the ingest
+    * families have (object monitor + lease). */
+  def withStoreLease[T](spark: SparkSession, kvPath: String)(f: => T): T = {
+    val mon = storeLocks.computeIfAbsent(leaseName(kvPath), _ => new Object)
+    mon.synchronized { WriterLease.withLease(spark, leaseName(kvPath))(f) }
+  }
 
   /** Build the KV frame: key = sha256(idCol), payload = zlib(json(row)).
     *

@@ -63,12 +63,17 @@ object GraphIngest {
 
   /** True iff `batchId` was already applied to `prefix`'s graph —
     * recorded in the `_applied` compaction watermark or still tagged on
-    * delta rows of `_edges`. Read-only (two 1-row probes). This is the
-    * SAME screen [[advanceState]] uses to make redelivery a no-op;
-    * exposed so [[Takedown]] can reject a retraction staged under a
-    * reused batch id BEFORE certifying it (ADVICE r16: the replay
-    * screen would otherwise silently skip the retraction while the
-    * takedown reports `graph=retracted`). */
+    * delta rows of `_edges`. Read-only. Cost honesty (review r17): the
+    * watermark probe is 1-row on a days-sized table; the tagged-row
+    * probe is a FILTERED SCAN of `_edges` that parquet footer stats
+    * prune to near zero — each advance/retract lands whole files with a
+    * constant `batch_id`, so min/max stats skip every other batch's
+    * files and the base's all-null files — not a literal 1-row read.
+    * This is the SAME screen [[advanceState]] uses to make redelivery a
+    * no-op; exposed so [[Takedown]] can reject a retraction staged
+    * under a reused batch id BEFORE certifying it (ADVICE r16: the
+    * replay screen would otherwise silently skip the retraction while
+    * the takedown reports `graph=retracted`). */
   def batchApplied(s: SparkSession, prefix: String, batchId: String): Boolean = {
     import s.implicits._
     (s.catalog.tableExists(appliedTable(prefix)) &&
@@ -76,6 +81,31 @@ object GraphIngest {
     (s.catalog.tableExists(s"${prefix}_edges") &&
       s.table(s"${prefix}_edges").columns.contains("batch_id") &&
       !s.table(s"${prefix}_edges").where($"batch_id" === batchId).isEmpty)
+  }
+
+  /** True iff the tagged delta rows of `batchId` in `prefix`'s edges
+    * table equal `want` exactly (pair set AND summed weights; both
+    * sides pair-distinct aggregated, null-safe compare). Lets
+    * [[Takedown]] distinguish a REDELIVERY of an already-applied
+    * retraction (same delta — converging silently is correct and is
+    * the crash-recovery re-run path) from a NEW retraction staged
+    * under a reused id (different delta — must be rejected). False
+    * when the tagged rows were compacted away: the comparison is then
+    * impossible and the caller must treat the id as unavailable. Cost:
+    * one footer-pruned scan of the batch's own files + a delta-sized
+    * join. */
+  def taggedDeltaEquals(s: SparkSession, prefix: String, batchId: String,
+      want: DataFrame): Boolean = {
+    import s.implicits._
+    val edgesT = s"${prefix}_edges"
+    if (!s.catalog.tableExists(edgesT) ||
+        !s.table(edgesT).columns.contains("batch_id")) return false
+    val applied = s.table(edgesT).where($"batch_id" === batchId)
+      .groupBy($"u", $"v").agg(sum($"w").as("wa"))
+    val wanted = want.select($"u", $"v", $"w")
+      .groupBy($"u", $"v").agg(sum($"w").as("ww"))
+    applied.join(wanted, Seq("u", "v"), "full_outer")
+      .where(!($"wa" <=> $"ww")).isEmpty
   }
 
   /** Ingest the graph state of `dir`; returns (edgesTable, histTable).

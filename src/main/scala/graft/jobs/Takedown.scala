@@ -121,12 +121,26 @@ object Takedown {
       // untouched. Checked only when graph state exists — against an
       // absent family the takedown records "absent" and a later rebuild
       // reads the reduced corpus.
-      for (g <- graphPrefix; b <- batchId)
-        require(!(s.catalog.tableExists(s"${g}_meta") &&
-            GraphIngest.batchApplied(s, g, b)),
-          s"retraction batch id '$b' was already applied to graph '$g' - " +
-            "advanceState would silently skip it; pick a fresh retraction " +
-            "batch id (e.g. 'take-" + b + "')")
+      // ...but a REDELIVERY of the same completed retraction — tagged
+      // rows of the id equal the negated incoming delta — must still
+      // converge silently (review r17: crash-after-certification
+      // recovery IS re-running the identical command, and the first cut
+      // of this check threw on exactly that recovery, with advice that
+      // would have double-retracted the edges). The rejection therefore
+      // fires only when the deltas DIFFER or the tagged rows were
+      // compacted away (comparison impossible; the message names both
+      // readings).
+      for (g <- graphPrefix; b <- batchId; e <- edges)
+        if (s.catalog.tableExists(s"${g}_meta") &&
+            GraphIngest.batchApplied(s, g, b))
+          require(GraphIngest.taggedDeltaEquals(s, g, b,
+              e.select(col("u"), col("v"), (-col("w")).as("w"))),
+            s"batch id '$b' was already applied to graph '$g' with a " +
+              "DIFFERENT delta (or its tagged rows were compacted away). " +
+              "If this is a redelivery of an already-completed " +
+              "retraction, it has already taken effect and there is " +
+              "nothing to do; if this is a NEW retraction, pick a fresh " +
+              "batch id (e.g. 'take-" + b + "')")
       // ---- stage the manifest (nothing mutated yet) ----
       dropResidue(s, p)
       ids.write.format("parquet").saveAsTable(idsTable(p))

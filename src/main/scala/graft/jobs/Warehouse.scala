@@ -16,15 +16,18 @@ import graft.io.{Bucketing, KvSink, StagedRewrite, WriterLease}
   * leases. This gives the detection its legitimate counterpart as one
   * command each way.
   *
-  * CONSISTENCY. A snapshot is taken holding the takedown-orchestration
-  * lease (so no cross-family takedown interleaves between two family
-  * copies — the exact drift window [[Takedown]] exists to close) AND
-  * every per-family writer lease + the KV store lease (so no
-  * single-family append/delete/compact lands mid-copy from another
-  * process; [[WriterLease.withLease]] is re-entrant, so the nesting is
-  * free in-process). Every family is HEALED first — a parked takedown
-  * completes, parked rewrites/advances commit, an interrupted KV
-  * rewrite restores — so the copied point is protocol-clean, never
+  * CONSISTENCY. A snapshot is taken holding BOTH guard layers every
+  * state mutator uses: the in-process object monitors (Takedown + the
+  * four families + the KV store's per-store monitor — [[graft.io
+  * .WriterLease]] is deliberately JVM-re-entrant, so leases alone
+  * cannot exclude a second thread of this JVM) and the cross-process
+  * writer leases (takedown scope, each family, the KV store). No
+  * cross-family takedown can interleave between two family copies —
+  * the exact drift window [[Takedown]] exists to close — and no
+  * single-family append/delete/compact can land mid-copy from another
+  * process OR another thread. Every family is HEALED first — a parked
+  * takedown completes, parked rewrites/advances commit, an interrupted
+  * KV rewrite restores — so the copied point is protocol-clean, never
   * mid-crash-window.
   *
   * SNAPSHOT LAYOUT. `snapDir/tables/<tableName>` (plain parquet, one
@@ -111,17 +114,35 @@ object Warehouse {
   private def completeMarker(snapDir: String) =
     new org.apache.hadoop.fs.Path(snapDir, "_COMPLETE")
 
-  /** Acquire the takedown lease + each family lease (+ KV lease when a
-    * store is in scope) around `f`. */
-  private def withAllLeases[T](s: SparkSession, dir: String,
+  /** Acquire EVERY guard a state mutator can hold, around `f`:
+    *
+    *  - the in-process object monitors (Takedown + the four families,
+    *    in the SAME order Takedown's own chain acquires them —
+    *    Takedown first, then families — so no lock-order cycle exists
+    *    anywhere in the module; review r17 finding: [[WriterLease]] is
+    *    deliberately JVM-re-entrant, so leases alone exclude other
+    *    PROCESSES but not other THREADS of this one, and a same-JVM
+    *    mutator thread would otherwise pass straight through
+    *    mid-copy);
+    *  - the cross-process writer leases (takedown scope + each family
+    *    + the KV store's combined monitor+lease via
+    *    [[KvSink.withStoreLease]]). Leases fail fast on cross-process
+    *    contention rather than block, so they cannot deadlock. */
+  private def withAllGuards[T](s: SparkSession, dir: String,
       gp: Option[String], kvPath: Option[String])(f: => T): T = {
     def nest(names: List[String])(g: => T): T = names match {
       case Nil => g
       case n :: rest => WriterLease.withLease(s, n)(nest(rest)(g))
     }
-    nest(List(Takedown.tdPrefix(dir), OccIngest.tablePrefix(dir),
-      CodesIngest.tablePrefix(dir), RotIngest.tablePrefix(dir)) ++
-      gp.toList ++ kvPath.map(KvSink.leaseName).toList)(f)
+    Takedown.synchronized { OccIngest.synchronized {
+      CodesIngest.synchronized { RotIngest.synchronized {
+        GraphIngest.synchronized {
+          def leased = nest(List(Takedown.tdPrefix(dir),
+            OccIngest.tablePrefix(dir), CodesIngest.tablePrefix(dir),
+            RotIngest.tablePrefix(dir)) ++ gp.toList)(f)
+          kvPath.fold(leased)(p => KvSink.withStoreLease(s, p)(leased))
+        }
+      } } } }
   }
 
   /** One consistent copy of the warehouse state of `dir` (+ the graph
@@ -130,7 +151,7 @@ object Warehouse {
   def snapshot(s: SparkSession, dir: String, snapDir: String,
       graphPrefix: Option[String] = None,
       kvPath: Option[String] = None): String =
-    withAllLeases(s, dir, graphPrefix, kvPath) {
+    withAllGuards(s, dir, graphPrefix, kvPath) {
       val fs = fsOf(s, snapDir)
       // retract a stale marker FIRST: a crash mid-re-snapshot must not
       // leave an old _COMPLETE validating mixed-vintage contents
@@ -150,7 +171,11 @@ object Warehouse {
         ("table", t, spec.map(_._1).orNull,
           spec.map(x => Integer.valueOf(x._2)).orNull, present)
       } ++ kvPath.map { p =>
-        val present = fs.exists(new org.apache.hadoop.fs.Path(p))
+        // the store's OWN filesystem, not the snapshot dir's (review
+        // r17: probing an hdfs:// store with the local snapDir FS would
+        // record it absent, certify a storeless snapshot, and a later
+        // restore would then DROP the live store as post-snapshot)
+        val present = fsOf(s, p).exists(new org.apache.hadoop.fs.Path(p))
         if (present) s.read.parquet(p).write.mode("overwrite")
           .parquet(s"$snapDir/kv")
         ("kv", p, null, null, present)
@@ -178,6 +203,9 @@ object Warehouse {
     * schema read (parquet footer) per item; the row-count probe reads
     * metadata only. */
   def verify(s: SparkSession, snapDir: String): DataFrame = {
+    def firstLine(e: Throwable): String = Option(e.getMessage)
+      .getOrElse(e.getClass.getName).linesIterator.nextOption()
+      .getOrElse("").take(120)
     val fs = fsOf(s, snapDir)
     val marker = fs.exists(completeMarker(snapDir))
     val markerRow = ("snapshot", "complete_marker", marker,
@@ -203,16 +231,12 @@ object Warehouse {
           else ("snapshot", s"item:$name", true, n, s"readable, $n rows")
         } catch { case scala.util.control.NonFatal(e) =>
           ("snapshot", s"item:$name", false, 1L,
-            "copied data unreadable: " + Option(e.getMessage).getOrElse(
-              e.getClass.getName).linesIterator.nextOption()
-              .getOrElse("").take(120))
+            "copied data unreadable: " + firstLine(e))
         }
       }
     } catch { case scala.util.control.NonFatal(e) =>
       Seq(("snapshot", "manifest", false, 1L,
-        "manifest unreadable: " + Option(e.getMessage).getOrElse(
-          e.getClass.getName).linesIterator.nextOption()
-          .getOrElse("").take(120)))
+        "manifest unreadable: " + firstLine(e)))
     })
     import s.implicits._
     rows.toDF("family", "chk", "ok", "observed", "detail")
@@ -245,7 +269,7 @@ object Warehouse {
         r.getString(1).endsWith("_edges"))
       .map(_.getString(1).stripSuffix("_edges"))
     val kvPath = manifest.find(_.getString(0) == "kv").map(_.getString(1))
-    withAllLeases(s, dir, gp, kvPath) {
+    withAllGuards(s, dir, gp, kvPath) {
       // heal first so every live table is protocol-clean before its
       // rewrite (a parked swap would otherwise fail the rewrite's
       // own require)

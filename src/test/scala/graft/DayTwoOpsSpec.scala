@@ -243,6 +243,21 @@ class DayTwoOpsSpec extends SparkSuite {
     assert(!spark.catalog.tableExists(jobs.Takedown.pendingTable(tp)) &&
       !spark.catalog.tableExists(jobs.Takedown.idsTable(tp)),
       "a rejected stage must leave no marker or manifest residue")
+    // ...while a REDELIVERY of the completed takedown — the identical
+    // command, the automation/crash-recovery re-run — must still
+    // converge silently (review r17: the first cut of the reuse check
+    // threw on exactly this, and obeying its fresh-id advice would have
+    // double-retracted the edges): the graph family's redelivery screen
+    // no-ops and every view is unchanged
+    val graphBefore = rows(spark.table(s"${gp}_edges").groupBy($"u", $"v")
+      .agg(sum($"w").as("w")).where($"w" > 0).orderBy($"u", $"v"))
+    val redelivered = jobs.Takedown.run(spark, dir, ids,
+      Some(gp), Some("take-day1"), Some(dayBatch), Some(kvPath), "doc_id")
+    assert(redelivered.contains("graph=retracted"))
+    assert(rows(spark.table(s"${gp}_edges").groupBy($"u", $"v")
+      .agg(sum($"w").as("w")).where($"w" > 0).orderBy($"u", $"v"))
+      == graphBefore, "a redelivered retraction must not change the graph")
+    assert(spark.read.parquet(kvPath).count() == docs.where(!gone).count())
     // ...and the fresh-id guidance works: the suggested prefixing scheme
     // passed above ("take-day1") was accepted
 

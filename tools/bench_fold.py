@@ -40,8 +40,12 @@ def main():
     except FileNotFoundError:
         prev = {}
     prior = prev.pop("prior_rounds", {})
-    prev_round = prev.pop("round", rnd)
-    if prev_round != rnd and prev:
+    prev_round = prev.pop("round", None)
+    if prev and prev_round is None:
+        # a legacy/hand-edited board without "round": archive rather
+        # than silently discard (review r17)
+        prior["unversioned"] = prev
+    elif prev and prev_round != rnd:
         prior[f"r{prev_round}"] = prev
 
     names = sorted({n for r in warm for n in r["queries"]})
