@@ -120,6 +120,30 @@ class KvStoreSourceSpec extends SparkSuite {
     assert(!fs.exists(old), "backup should be consumed by a successful rewrite")
   }
 
+  test("per-store in-process monitor: a second THREAD's mutator waits for " +
+      "the first (the writer lease alone is JVM-re-entrant by design and " +
+      "only excludes other processes)") {
+    val dir = tmpDir("kvmonitor") + "/store"
+    val v1 = Seq(("a", "en")).toDF("client_id", "locale")
+    KvSink.write(spark, v1, "client_id", dir)
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val t1 = new Thread(() => KvSink.withStoreLease(spark, dir) {
+      order.add("a-in"); aEntered.countDown()
+      Thread.sleep(400)
+      order.add("a-out")
+    }, "kv-holder")
+    t1.start()
+    assert(aEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val t2 = new Thread(() => KvSink.withStoreLease(spark, dir) {
+      order.add("b-in")
+    }, "kv-contender")
+    t2.start()
+    t1.join(30000); t2.join(30000)
+    assert(order.toArray.toSeq == Seq("a-in", "a-out", "b-in"),
+      s"the contender must enter only after the holder exits: ${order.toArray.toSeq}")
+  }
+
   test("write on an EXISTING store commits under the rewrite protocol: " +
       "a write that fails mid-flight leaves the previous contents intact " +
       "(ADVICE r16)") {
