@@ -352,6 +352,9 @@ class DayTwoOpsSpec extends SparkSuite {
     assert(audit.where(!$"ok").isEmpty,
       s"fresh snapshot must audit green: ${audit.where(!$"ok").collect().toSeq}")
     assert(audit.where($"chk" === s"item:$occT").count() == 1)
+    val auditCli = IngestCli.run(spark, Map("stage" -> "snapshot-verify",
+      "dir" -> dir, "snap-dir" -> snapDir))
+    assert(auditCli.contains("failures=0"), auditCli)
 
     // ---- mutate EVERYTHING after the snapshot ----
     // graph: advance a day batch, then compact (compaction creates the
