@@ -261,11 +261,17 @@ object Bench {
     // line — at 161 queries the r16 full-envelope short line (~2.4 KB)
     // overflowed the window and the round artifact recorded
     // `parsed: null` (VERDICT r16 item 8). The stdout line is therefore
-    // (a) MINIMAL-envelope — only the contract fields plus the
-    // comparability pair ("comparable"/"failed"), with the evidence
-    // fields (stat/warmups/memo_spared/load/nproc) living in the
-    // SPARK_GRAFT_BENCH_OUT file, and the sf dir shortened to its
-    // basename (the driver records the numeric sf itself) — and
+    // (a) LEAN-envelope — the contract fields, the comparability pair
+    // ("comparable"/"failed"), and (ADVICE r17) the fields a consumer
+    // needs to READ the per-query values correctly: "prec" (the chosen
+    // decimals — at prec<2 a value like 0.1 carries ±50% relative error
+    // and per-query analysis must use the SPARK_GRAFT_BENCH_OUT file,
+    // whose values are always 3-decimal) and the statistic-regime
+    // markers ("stat"/"warmups"/"memo_spared" — without them a reduced-
+    // precision line was indistinguishable from a pre-round-7 median
+    // record). Only the host-evidence arrays (load/nproc) stay
+    // file-only, and the sf dir is shortened to its basename (the
+    // driver records the numeric sf itself). And
     // (b) PRECISION-ADAPTIVE: per-query values print at the highest of
     // 3/2/1 decimals (trailing zeros trimmed) whose line fits the byte
     // budget, so the line keeps parsing as the query count grows. Full
@@ -284,7 +290,7 @@ object Bench {
       val fs = failed.map(n => "\"" + prefixes.getOrElse(n, n) + "\"")
         .mkString("[", ",", "]")
       val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${sec(timed.map(_._2).sum)},"unit":"sec","comparable":${failed.isEmpty},"failed":$fs,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${sec(timed.map(_._2).sum)},"unit":"sec","prec":$prec,"stat":"min","warmups":$warmups,"memo_spared":true,"comparable":${failed.isEmpty},"failed":$fs,"queries":$qs,"sf":"$sfName"}"""
     }
     // a malformed env value must not discard the serial record already
     // earned (the SPARK_GRAFT_STREAMS convention above); the ladder is

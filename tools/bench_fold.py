@@ -10,9 +10,28 @@ the per-query MIN across the warm runs, archives the previous board
 under prior_rounds, and writes the new round-scoped record. The record
 is ROUND-SCOPED by policy: reset each round so a regression cannot hide
 under a prior round's min (VERDICT r13 #5).
+
+Inputs must be the FILE artifacts, never a captured stdout line: the
+stdout copy is precision-adaptive (its "prec" field says how many
+decimals survived — at prec<3 per-query values drift up to ~0.05s from
+the file's 3-decimal truth), so folding it would bake rounding error
+into the record (ADVICE r17). Enforced below: a run carrying "prec"<3
+is refused.
 """
 import json
 import sys
+
+
+def load_run(path):
+    r = json.load(open(path))
+    # the stdout copy is reduced-precision (it says so via "prec"); only
+    # the SPARK_GRAFT_BENCH_OUT file (full 3-decimal, host-evidence
+    # arrays present) may be folded into the record (ADVICE r17)
+    if r.get("prec", 3) < 3 or "load" not in r:
+        sys.exit(f"{path}: looks like a captured stdout line "
+                 f"(prec={r.get('prec')}, load={'load' in r}) - fold the "
+                 "SPARK_GRAFT_BENCH_OUT file instead")
+    return r
 
 
 def main():
@@ -23,13 +42,13 @@ def main():
     i = 2
     while i < len(args):
         if args[i] == "--cold":
-            cold = json.load(open(args[i + 1])); i += 2
+            cold = load_run(args[i + 1]); i += 2
         elif args[i] == "--cold-single":
-            cold_single = json.load(open(args[i + 1])); i += 2
+            cold_single = load_run(args[i + 1]); i += 2
         elif args[i] == "--concurrent":
-            conc = json.load(open(args[i + 1])); i += 2
+            conc = load_run(args[i + 1]); i += 2
         else:
-            warm.append(json.load(open(args[i]))); i += 1
+            warm.append(load_run(args[i])); i += 1
 
     # Re-folding the SAME round (the documented workflow: a round's board
     # is folded repeatedly as runs accumulate) replaces the board in
