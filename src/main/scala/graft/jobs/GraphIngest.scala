@@ -60,6 +60,8 @@ object GraphIngest {
   private def metaTable(prefix: String): String = s"${prefix}_meta"
   private def pendingTable(prefix: String): String = s"${prefix}_pending"
   private def appliedTable(prefix: String): String = s"${prefix}_applied"
+  private[graft] def appliedDigestTable(prefix: String): String =
+    s"${prefix}_applied_digest"
 
   /** True iff `batchId` was already applied to `prefix`'s graph —
     * recorded in the `_applied` compaction watermark or still tagged on
@@ -90,8 +92,9 @@ object GraphIngest {
     * retraction (same delta — converging silently is correct and is
     * the crash-recovery re-run path) from a NEW retraction staged
     * under a reused id (different delta — must be rejected). False
-    * when the tagged rows were compacted away: the comparison is then
-    * impossible and the caller must treat the id as unavailable. Cost:
+    * when the tagged rows were compacted away: the row-level comparison
+    * is then impossible — the caller falls back to the digest the
+    * compact recorded ([[appliedDigestEquals]], ADVICE r17). Cost:
     * one footer-pruned scan of the batch's own files + a delta-sized
     * join. */
   def taggedDeltaEquals(s: SparkSession, prefix: String, batchId: String,
@@ -106,6 +109,52 @@ object GraphIngest {
       .groupBy($"u", $"v").agg(sum($"w").as("ww"))
     applied.join(wanted, Seq("u", "v"), "full_outer")
       .where(!($"wa" <=> $"ww")).isEmpty
+  }
+
+  /** Order-insensitive digest of a mirrored weighted delta, over its
+    * pair-aggregated normal form — the SAME normal form
+    * [[taggedDeltaEquals]] compares row-level: (distinct pair count,
+    * Σw, XOR of per-pair xxhash64(u, v, w)). Types are normalized
+    * (u/v long, w double) before hashing, so a caller-long and a
+    * stored-double weight digest identically. XOR makes the hash leg
+    * partitioning-independent; two identical pairs cannot cancel
+    * because the pair-aggregation keys them apart first, and a
+    * differing multiset always moves the count or the sum. Returns
+    * (0, null, null) for an empty delta. */
+  private def deltaDigest(delta: DataFrame): (Long, Option[Double], Option[Long]) = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val r = delta.select($"u".cast("long").as("u"), $"v".cast("long").as("v"),
+        $"w".cast("double").as("w"))
+      .groupBy($"u", $"v").agg(sum($"w").as("wa"))
+      .agg(count(lit(1)).as("pair_cnt"), sum($"wa").as("w_sum"),
+        expr("bit_xor(xxhash64(u, v, wa))").as("xhash"))
+      .head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))
+  }
+
+  /** True iff [[compact]] recorded a digest for `batchId` and it equals
+    * `want`'s digest — the post-compaction redelivery screen (ADVICE
+    * r17): after the fold removes the tagged rows, this is what still
+    * distinguishes "the identical completed retraction, redelivered"
+    * (converge silently — the crash-recovery re-run path) from "a NEW
+    * delta under a reused id" (reject). False when no digest was
+    * recorded (a pre-digest compact, or a never-applied id): the caller
+    * must then treat the id as unavailable. Cost: a 1-row probe on a
+    * days-sized table + one delta-sized aggregation. */
+  def appliedDigestEquals(s: SparkSession, prefix: String, batchId: String,
+      want: DataFrame): Boolean = {
+    import s.implicits._
+    val t = appliedDigestTable(prefix)
+    if (!s.catalog.tableExists(t)) return false
+    s.table(t).where($"batch_id" === batchId).collect().exists { rec =>
+      val (cnt, wSum, xh) = deltaDigest(want)
+      rec.getLong(1) == cnt &&
+        (if (rec.isNullAt(2)) wSum.isEmpty else wSum.contains(rec.getDouble(2))) &&
+        (if (rec.isNullAt(3)) xh.isEmpty else xh.contains(rec.getLong(3)))
+    }
   }
 
   /** Ingest the graph state of `dir`; returns (edgesTable, histTable).
@@ -156,7 +205,7 @@ object GraphIngest {
     val prefix = edgesT.stripSuffix("_edges")
     graft.io.StagedRewrite.dropAll(s, edgesT) // incl. stale rewrite residue
     Seq(histT, metaTable(prefix), pendingTable(prefix),
-      appliedTable(prefix))
+      appliedTable(prefix), appliedDigestTable(prefix))
       .foreach(Bucketing.dropManaged(s, _))
     Bucketing.writeBucketed(
       edges.withColumn("batch_id", lit(null).cast("string")),
@@ -475,9 +524,30 @@ object GraphIngest {
       require(s.catalog.tableExists(edgesT),
         s"compact needs an ingested edges table: $edgesT")
       healLocked(s, prefix) // no advance may be in flight
-      // phase 1: extend the applied-batch watermark (monotone, replay-safe)
-      val folded = s.table(edgesT).where($"batch_id".isNotNull)
-        .select($"batch_id").distinct().localCheckpoint(true)
+      // phase 1a: record each folded batch's DIGEST while its tagged
+      // rows still exist (ADVICE r17: after the fold, taggedDeltaEquals
+      // can no longer compare, and a legitimate redelivery of a
+      // completed retraction would be hard-rejected — the digest keeps
+      // it distinguishable from a new delta under a reused id). Same
+      // monotone anti-join append semantics as the watermark; written
+      // FIRST so no window exists where a batch is watermarked but
+      // digest-less (the digest is derivable only pre-fold).
+      val digests = s.table(edgesT).where($"batch_id".isNotNull)
+        .select($"batch_id", $"u".cast("long").as("u"),
+          $"v".cast("long").as("v"), $"w".cast("double").as("w"))
+        .groupBy($"batch_id", $"u", $"v").agg(sum($"w").as("wa"))
+        .groupBy($"batch_id").agg(count(lit(1)).as("pair_cnt"),
+          sum($"wa").as("w_sum"), expr("bit_xor(xxhash64(u, v, wa))").as("xhash"))
+        .localCheckpoint(true)
+      val digT = appliedDigestTable(prefix)
+      if (!s.catalog.tableExists(digT))
+        digests.write.format("parquet").saveAsTable(digT)
+      else
+        digests.join(s.table(digT).select($"batch_id"), Seq("batch_id"), "left_anti")
+          .localCheckpoint(true) // materialize before appending to the scanned table
+          .write.mode("append").format("parquet").saveAsTable(digT)
+      // phase 1b: extend the applied-batch watermark (monotone, replay-safe)
+      val folded = digests.select($"batch_id")
       val appliedT = appliedTable(prefix)
       if (!s.catalog.tableExists(appliedT))
         folded.write.format("parquet").saveAsTable(appliedT)
@@ -499,6 +569,7 @@ object GraphIngest {
     graft.io.WriterLease.withLease(s, prefix) {
       Seq(edgesTable(dir), histTable(dir), s"${histTable(dir)}__next",
         metaTable(prefix), pendingTable(prefix), appliedTable(prefix),
+        appliedDigestTable(prefix),
         graft.io.StagedRewrite.stagingTable(edgesTable(dir)),
         graft.io.StagedRewrite.markerTable(edgesTable(dir)))
         .foreach(Bucketing.dropManaged(s, _))

@@ -126,21 +126,28 @@ object Takedown {
       // converge silently (review r17: crash-after-certification
       // recovery IS re-running the identical command, and the first cut
       // of this check threw on exactly that recovery, with advice that
-      // would have double-retracted the edges). The rejection therefore
-      // fires only when the deltas DIFFER or the tagged rows were
-      // compacted away (comparison impossible; the message names both
-      // readings).
+      // would have double-retracted the edges). When a graph-compact
+      // has folded the tagged rows away, the digest the compact
+      // recorded in `_applied_digest` takes over the comparison (ADVICE
+      // r17: a retry landing after a compaction is the same legitimate
+      // recovery, not an error). The rejection therefore fires only
+      // when the deltas genuinely DIFFER — or the batch was folded by a
+      // pre-digest compact, the one remaining incomparable case (the
+      // message names the operator action).
       for (g <- graphPrefix; b <- batchId; e <- edges)
         if (s.catalog.tableExists(s"${g}_meta") &&
-            GraphIngest.batchApplied(s, g, b))
-          require(GraphIngest.taggedDeltaEquals(s, g, b,
-              e.select(col("u"), col("v"), (-col("w")).as("w"))),
+            GraphIngest.batchApplied(s, g, b)) {
+          val negated = e.select(col("u"), col("v"), (-col("w")).as("w"))
+          require(GraphIngest.taggedDeltaEquals(s, g, b, negated) ||
+              GraphIngest.appliedDigestEquals(s, g, b, negated),
             s"batch id '$b' was already applied to graph '$g' with a " +
-              "DIFFERENT delta (or its tagged rows were compacted away). " +
-              "If this is a redelivery of an already-completed " +
-              "retraction, it has already taken effect and there is " +
-              "nothing to do; if this is a NEW retraction, pick a fresh " +
-              "batch id (e.g. 'take-" + b + "')")
+              "DIFFERENT delta (or it was compacted before digests were " +
+              "recorded, making comparison impossible). If this is a " +
+              "redelivery of an already-completed retraction, it has " +
+              "already taken effect and there is nothing to do; if this " +
+              "is a NEW retraction, pick a fresh batch id (e.g. 'take-" +
+              b + "')")
+        }
       // ---- stage the manifest (nothing mutated yet) ----
       dropResidue(s, p)
       ids.write.format("parquet").saveAsTable(idsTable(p))

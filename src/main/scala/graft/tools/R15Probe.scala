@@ -38,7 +38,7 @@ object R15Probe {
       OccIngest.drop(spark, dir)
 
       val prefix = "r15probe_" + dir.replaceAll("[^0-9]", "")
-      Seq("_edges", "_lpahist", "_meta", "_pending", "_applied")
+      Seq("_edges", "_lpahist", "_meta", "_pending", "_applied", "_applied_digest")
         .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
       val full = GraphQueries.weightedEdgesPartitioned(spark, dir)
         .localCheckpoint(true)
@@ -51,7 +51,7 @@ object R15Probe {
       time(s"graph retract")(
         GraphIngest.retractBatch(spark, prefix, "t1", batch))
       time(s"graph compact")(GraphIngest.compact(spark, prefix))
-      Seq("_edges", "_lpahist", "_meta", "_pending", "_applied")
+      Seq("_edges", "_lpahist", "_meta", "_pending", "_applied", "_applied_digest")
         .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
       GraphQueries.clearMemos(spark)
     }

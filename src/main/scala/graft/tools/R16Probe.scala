@@ -38,7 +38,7 @@ object R16Probe {
     time("occ ingest")(OccIngest.ingest(spark, dir))
     time("codes ingest")(CodesIngest.ingest(spark, dir))
     time("rot ingest")(RotIngest.ingest(spark, dir))
-    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied")
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied", "_applied_digest")
       .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $gp$sfx"))
     val full = GraphQueries.weightedEdgesPartitioned(spark, dir)
       .localCheckpoint(true)
@@ -96,7 +96,7 @@ object R16Probe {
       graft.io.Bucketing.dropManaged(spark, s"${CodesIngest.tablePrefix(dir)}$sfx"))
     Seq("_codes", "_codebook", "_model", "_stats").foreach(sfx =>
       graft.io.Bucketing.dropManaged(spark, s"${RotIngest.tablePrefix(dir)}$sfx"))
-    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied")
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied", "_applied_digest")
       .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $gp$sfx"))
     GraphQueries.clearMemos(spark)
     spark.stop()

@@ -131,7 +131,7 @@ class GraphIngestSpec extends SparkSuite {
 
   private def dropPrefix(prefix: String): Unit =
     Seq("_edges", "_lpahist", "_lpahist__next", "_meta", "_pending",
-      "_applied", "_edges__rnext", "_edges__rpending")
+      "_applied", "_applied_digest", "_edges__rnext", "_edges__rpending")
       .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
 
   private def histRows(prefix: String, k: Int): Seq[Seq[Any]] =

@@ -128,7 +128,7 @@ class WriterLeaseSpec extends SparkSuite {
     val lease = WriterLease.leasePath(spark, prefix)
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(lease), "every cycle stage must release the lease")
-    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied")
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied", "_applied_digest")
       .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
   }
 }
