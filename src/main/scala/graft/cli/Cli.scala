@@ -150,19 +150,50 @@ object AmoDumpCli {
   *     (complete a takedown parked by a crash; re-run of `takedown`
   *      also heals first)
   *
+  * Reusing a --batch-id: a batch id already applied to the graph is
+  * compared against the incoming delta — an IDENTICAL redelivery (the
+  * crash-recovery / automation re-run) converges silently, a DIFFERENT
+  * delta is rejected at stage time with nothing mutated. The comparison
+  * survives graph-compact: the compact records each folded batch's
+  * digest in `<gp>_applied_digest`, so a retry landing after a
+  * compaction still converges. The ONE incomparable case is a batch
+  * folded by a compact that predates digest recording — the takedown
+  * then refuses the id outright; the operator action is to verify the
+  * retraction against the takedown's own record (was this command
+  * already run to completion? then accept the no-op and move on) or,
+  * for a genuinely new retraction, pick a fresh id as the error
+  * message suggests.
+  *
   * Warehouse snapshot/restore (VERDICT r16 item 3) — one consistent
   * copy of the whole state perimeter, and its idempotent replay
   * ([[graft.jobs.Warehouse]]):
   *
   *   --stage snapshot --dir X --snap-dir S [--prefix gp] [--kv-path kv]
+  *       [--base priorSnapDir]
+  *     (--base takes a DELTA against a finished prior snapshot of the
+  *      same warehouse: only buckets whose content changed since the
+  *      base are copied; unchanged buckets are inherited by reference,
+  *      so the chain pins its ancestors — retire a chain with a fresh
+  *      full snapshot before deleting old ones)
   *   --stage restore --dir X --snap-dir S
   *     (restore reads the graph prefix and KV path from the snapshot's
-  *      own manifest; a snapshot without its _COMPLETE marker — a copy
+  *      own manifest, and REFUSES a --dir that differs from the
+  *      recorded source dir — guards and data must aim at the same
+  *      warehouse; a snapshot without its _COMPLETE marker — a copy
   *      that crashed mid-flight — is rejected)
+  *   --stage restore-clone --snap-dir S --into-dir D
+  *       [--into-prefix gp2] [--into-kv-path kv2]
+  *     (rebuild the snapshot point under a DIFFERENT warehouse identity
+  *      — the DR-drill / staging face; the source warehouse is never
+  *      read, locked, or written; --into-prefix / --into-kv-path are
+  *      required iff the snapshot carries graph / KV state)
   *   --stage snapshot-verify --snap-dir S
   *     (read-only, lease-free restorability audit: marker, manifest,
-  *      per-item readability + bucket-key presence — run it on a
-  *      schedule, not at the emergency restore)
+  *      recorded source dir, and per item the copied bytes re-counted
+  *      and re-fingerprinted against the expectations RECORDED at
+  *      snapshot time — a copy that silently lost one part file goes
+  *      red here, item-exact, not at the emergency restore; run it on
+  *      a schedule)
   *
   * Consistency audit ([[graft.jobs.StateFsck]]) — one greppable
   * `[fsck] family/check ok=… observed=… detail` line per check, plus a
@@ -269,14 +300,25 @@ object IngestCli {
       case "snapshot" =>
         // one consistent copy of the whole state perimeter (VERDICT r16
         // item 3): four families + graph provenance (+ KV store when
-        // given), healed first, under every writer lease at once
+        // given), healed first, under every writer lease at once;
+        // --base makes it a changed-buckets-only delta (VERDICT r17)
         graft.jobs.Warehouse.snapshot(spark, dir, o("snap-dir"),
-          graphPrefix = Some(livePrefix), kvPath = o.get("kv-path"))
+          graphPrefix = Some(livePrefix), kvPath = o.get("kv-path"),
+          baseSnapDir = o.get("base"))
       case "restore" =>
         // the manifest inside the snapshot names every table, the graph
         // prefix and the KV path — restore cannot be mis-aimed by a
-        // mismatched --prefix/--kv-path, so it takes none
+        // mismatched --prefix/--kv-path, so it takes none; and --dir
+        // must MATCH the recorded source dir (fail-fast), so the guards
+        // and the rewrites always aim at the same warehouse (ADVICE r17)
         graft.jobs.Warehouse.restore(spark, dir, o("snap-dir"))
+      case "restore-clone" =>
+        // the DR-drill face (VERDICT r17 item 5): the manifest stays
+        // authoritative for the SOURCE, the caller names only targets,
+        // and the live source warehouse is untouched
+        graft.jobs.Warehouse.restoreInto(spark, o("snap-dir"), o("into-dir"),
+          intoGraphPrefix = o.get("into-prefix"),
+          intoKvPath = o.get("into-kv-path"))
       case "snapshot-verify" =>
         // "is this snapshot restorable?" asked on a schedule, not at
         // the emergency restore; read-only, lease-free
@@ -325,7 +367,8 @@ object IngestCli {
         "(occ|graph|codes|rot|graph-init|graph-advance|graph-heal|" +
         "graph-retract|graph-compact|occ-delete|occ-compact|codes-delete|" +
         "codes-compact|rot-delete|rot-compact|takedown|takedown-heal|" +
-        "snapshot|restore|snapshot-verify|kv-compact|fsck|fsck-repair)")
+        "snapshot|restore|restore-clone|snapshot-verify|kv-compact|" +
+        "fsck|fsck-repair)")
     }
   }
 

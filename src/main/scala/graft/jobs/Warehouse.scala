@@ -1,20 +1,17 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.io.{Bucketing, KvSink, StagedRewrite, WriterLease}
 
-/** Warehouse-level snapshot/restore (VERDICT r16 item 3): copy the four
-  * derived-state families + the KV store + the graph provenance at ONE
-  * consistent point, and later restore that point with fsck green.
-  *
-  * fsck can already DETECT a wrong-vintage restore (the graph
-  * provenance row) and every family is rebuild-if-absent, but the
-  * operator story stopped there: "copy the five state roots at a
-  * consistent point" required hand-sequencing five paths and their
-  * leases. This gives the detection its legitimate counterpart as one
-  * command each way.
+/** Warehouse-level snapshot/restore (VERDICT r16 item 3; extended r18):
+  * copy the four derived-state families + the KV store + the graph
+  * provenance at ONE consistent point, audit the copy against RECORDED
+  * expectations, take incremental (delta) snapshots against a base, and
+  * later restore that point — in place or as a CLONE into a different
+  * warehouse — with fsck green.
   *
   * CONSISTENCY. A snapshot is taken holding BOTH guard layers every
   * state mutator uses: the in-process object monitors (Takedown + the
@@ -28,28 +25,79 @@ import graft.io.{Bucketing, KvSink, StagedRewrite, WriterLease}
   * process OR another thread. Every family is HEALED first — a parked
   * takedown completes, parked rewrites/advances commit, an interrupted
   * KV rewrite restores — so the copied point is protocol-clean, never
-  * mid-crash-window.
+  * mid-crash-window. Cross-process streaming mutators
+  * ([[graft.streaming.EventStream.kvUpsertBatch]]) wait out the
+  * snapshot with a bounded lease retry rather than dying on the
+  * fail-fast (VERDICT r17 item 4 — see [[KvSink.withStoreLeaseRetry]]).
   *
-  * SNAPSHOT LAYOUT. `snapDir/tables/<tableName>` (plain parquet, one
-  * dir per managed table), `snapDir/kv` (the KV store rows), and
-  * `snapDir/manifest` — rows (kind, name, bucket_key, buckets,
-  * present) — written BEFORE the `_COMPLETE` marker file, which is
-  * written LAST and is the only thing [[restore]] trusts: a snapshot
-  * that crashed mid-copy is rejected, and re-running [[snapshot]] into
-  * the same dir first retracts the stale marker so a second crash
-  * cannot leave an old marker validating mixed vintages. ABSENT tables
-  * are recorded absent (present=false), so restore can drop a table
-  * that was created only after the snapshot.
+  * SNAPSHOT LAYOUT. `snapDir/tables/<tableName>` (plain parquet —
+  * a FULL snapshot lands every row; a DELTA snapshot lands only the
+  * rows of buckets that changed since `--base`), `snapDir/kv` (the KV
+  * store rows, when copied this snapshot), `snapDir/manifest` — one row
+  * per item (kind, name, family, suffix, bucket_key, buckets, present)
+  * plus `meta` rows recording the SOURCE corpus dir and the graph
+  * prefix VERBATIM (review r17: the prefix was previously re-inferred
+  * from an `endsWith("_edges")` scan of table names, which a corpus dir
+  * sanitizing to `...edges` could fool; and the dir was never recorded
+  * at all, so a restore invoked with the wrong `--dir` took its guards
+  * on the wrong prefixes while rewriting the right tables) — and
+  * `snapDir/parts`: the RECORDED EXPECTATION, one row per (item,
+  * bucket) with its row count, content fingerprint, and the snapshot
+  * dir (`src`) that physically holds that bucket's copy. Everything is
+  * written BEFORE the `_COMPLETE` marker, which is written LAST and is
+  * the only thing [[restore]] trusts: a snapshot that crashed mid-copy
+  * is rejected, and re-running [[snapshot]] into the same dir first
+  * retracts the stale marker so a second crash cannot leave an old
+  * marker validating mixed vintages. ABSENT tables are recorded absent
+  * (present=false), so restore can drop a table that was created only
+  * after the snapshot.
   *
-  * RESTORE is idempotent replay from the immutable snapshot — the
+  * FINGERPRINTS (VERDICT r17 item 1). Every present item records, per
+  * bucket (bucket −1 = the whole item for unbucketed tables, the KV
+  * store, and empty tables), its row count and an order-insensitive
+  * content fingerprint: XOR of xxhash64 over all columns in sorted-name
+  * order. XOR is partitioning-independent and overflow-free; a lost or
+  * truncated part file always moves the count, and a same-count content
+  * swap moves the XOR. [[verify]] recomputes both from the copied bytes
+  * and compares — a snapshot that silently lost ONE part file of a
+  * multi-file copy now audits red on exactly that item, instead of
+  * "readable, fewer rows" surfacing at the emergency restore.
+  *
+  * DELTA SNAPSHOTS (VERDICT r17 item 2). `snapshot(..., baseSnapDir =
+  * Some(prior))` compares each item's live per-bucket (rows,
+  * fingerprint) against the base's RECORDED parts and copies only the
+  * buckets that differ; unchanged buckets inherit the base part row
+  * verbatim — including its `src`, so a chain of deltas resolves each
+  * bucket directly to the snapshot that last copied it (no chain walk
+  * at restore). Daily cadence on a mostly-unchanged warehouse thus pays
+  * O(changed buckets) copy I/O plus one fingerprint scan per item —
+  * the scan any change detector must pay — instead of O(state). A
+  * delta chain PINS its ancestors: deleting a base invalidates every
+  * descendant (verify goes red on the missing `src`; the contract is
+  * "retire a chain by taking a fresh full snapshot first").
+  *
+  * RESTORE is idempotent replay from the immutable snapshot chain — the
   * manifest (not the caller) names every table, the graph prefix and
-  * the KV path, so a restore cannot be mis-aimed; bucketed tables
-  * rewrite under [[StagedRewrite]]'s marker discipline (bucket spec
-  * preserved: same key, same count, one file per bucket), small tables
-  * overwrite in place, and the KV store rewrites under its tmp/old/live
-  * rename protocol. A crash mid-restore is recovered by RE-RUNNING
-  * restore: each per-table step is individually crash-safe and the
-  * source never changes.
+  * the KV path; the caller's `dir` must MATCH the recorded source dir
+  * (fail-fast before any guard or mutation — review r17: guards were
+  * previously keyed to the caller's dir while the data targets came
+  * from the manifest, so a wrong --dir guarded one warehouse and
+  * rewrote another). Bucketed tables rewrite under [[StagedRewrite]]'s
+  * marker discipline (bucket spec preserved), small tables overwrite in
+  * place, and the KV store rewrites under its tmp/old/live rename
+  * protocol. A crash mid-restore is recovered by RE-RUNNING restore:
+  * each per-table step is individually crash-safe and the source never
+  * changes.
+  *
+  * RESTORE-AS-CLONE (VERDICT r17 item 5). [[restoreInto]] rebuilds the
+  * snapshot point under a DIFFERENT warehouse identity — target corpus
+  * dir, graph prefix, KV path — for DR drills and staging environments.
+  * The manifest stays authoritative for the SOURCE (which tables, what
+  * content, what's absent); the caller names only destinations; every
+  * guard is taken on the TARGET, and the source warehouse is never
+  * read, locked, or written. Family table names are re-derived from the
+  * recorded (family, suffix) pairs — never by string surgery on source
+  * names.
   *
   * CORPUS VINTAGE. The perimeter is the STATE roots — the corpus dir
   * itself (documents/embeddings parquet) is the operator's own data and
@@ -63,49 +111,74 @@ import graft.io.{Bucketing, KvSink, StagedRewrite, WriterLease}
   * and the remedy is re-running the takedown (its manifest ids), not
   * suppressing the check.
   *
-  * SCALE. Snapshot is one linear copy of each state root (no shuffle —
-  * table scan → parquet write at the table's own parallelism); restore
-  * pays one bucket-aligned write per bucketed table (the same cost as
-  * any family rewrite) and linear copies for the rest. Nothing here is
-  * corpus-sized beyond the state being copied. At warehouse scale the
-  * underlying copy would be storage-level (distcp / GCS rewrite); this
-  * module is the orchestration protocol — what must be quiesced, in
-  * which order, and what marks a snapshot trustworthy. */
+  * SCALE. A full snapshot is one linear copy of each state root plus
+  * one fingerprint aggregation per item (no shuffle beyond the
+  * per-bucket partial agg — bucket counts are single-digit, the agg is
+  * map-side); a delta snapshot is the fingerprint scans plus a copy of
+  * only the changed buckets. Restore pays one bucket-aligned write per
+  * bucketed table (the same cost as any family rewrite) and linear
+  * copies for the rest; resolving a bucket from a delta chain is a
+  * footer-pruned filtered read of the one file that holds it. Nothing
+  * here is corpus-sized beyond the state being copied. At warehouse
+  * scale the underlying copy would be storage-level (distcp / GCS
+  * rewrite); this module is the orchestration protocol — what must be
+  * quiesced, in which order, what marks a snapshot trustworthy, and
+  * what the restorer must compare before trusting a copy. */
 object Warehouse {
 
-  /** Everything a snapshot covers for (dir, graphPrefix): table name →
-    * bucket spec (None = small unbucketed table). */
+  /** Everything a snapshot covers for (dir, graphPrefix):
+    * (family, suffix, tableName, bucket spec) — family+suffix are
+    * recorded in the manifest so [[restoreInto]] can re-derive target
+    * names mechanically (None spec = small unbucketed table). */
   private def inventory(dir: String, gp: Option[String])
-      : Seq[(String, Option[(String, Int)])] = {
+      : Seq[(String, String, String, Option[(String, Int)])] = {
     val emb = CodesIngest.tablePrefix(dir)
     val rot = RotIngest.tablePrefix(dir)
     Seq(
-      OccIngest.occTable(dir) -> Some(("doc_id", OccIngest.Buckets)),
-      s"${emb}_codes" -> Some(("vec_id", CodesIngest.Buckets)),
-      s"${emb}_codebook" -> None,
-      s"${emb}_stats" -> None,
-      s"${rot}_codes" -> Some(("vec_id", RotIngest.Buckets)),
-      s"${rot}_codebook" -> None,
-      s"${rot}_model" -> None,
-      s"${rot}_stats" -> None) ++
+      ("occ", "_tagged", OccIngest.occTable(dir),
+        Some(("doc_id", OccIngest.Buckets))),
+      ("emb", "_codes", s"${emb}_codes", Some(("vec_id", CodesIngest.Buckets))),
+      ("emb", "_codebook", s"${emb}_codebook", None),
+      ("emb", "_stats", s"${emb}_stats", None),
+      ("rot", "_codes", s"${rot}_codes", Some(("vec_id", RotIngest.Buckets))),
+      ("rot", "_codebook", s"${rot}_codebook", None),
+      ("rot", "_model", s"${rot}_model", None),
+      ("rot", "_stats", s"${rot}_stats", None)) ++
       gp.toSeq.flatMap(g => Seq(
-        s"${g}_edges" -> Some(("u", GraphIngest.Buckets)),
-        s"${g}_lpahist" -> Some(("v", GraphIngest.Buckets)),
-        s"${g}_meta" -> None,
-        s"${g}_applied" -> None))
+        ("graph", "_edges", s"${g}_edges", Some(("u", GraphIngest.Buckets))),
+        ("graph", "_lpahist", s"${g}_lpahist", Some(("v", GraphIngest.Buckets))),
+        ("graph", "_meta", s"${g}_meta", None),
+        ("graph", "_applied", s"${g}_applied", None),
+        ("graph", "_applied_digest", s"${g}_applied_digest", None)))
   }
 
-  private def manifestSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("kind",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("name",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("bucket_key",
-      org.apache.spark.sql.types.StringType, nullable = true),
-    org.apache.spark.sql.types.StructField("buckets",
-      org.apache.spark.sql.types.IntegerType, nullable = true),
-    org.apache.spark.sql.types.StructField("present",
-      org.apache.spark.sql.types.BooleanType)))
+  /** The family's table-name prefix under a TARGET identity — the clone
+    * mapping's only naming rule: target table = prefix + recorded suffix. */
+  private def prefixFor(family: String, dir: String, gp: Option[String]): String =
+    family match {
+      case "occ"   => OccIngest.tablePrefix(dir)
+      case "emb"   => CodesIngest.tablePrefix(dir)
+      case "rot"   => RotIngest.tablePrefix(dir)
+      case "graph" => gp.getOrElse(sys.error(
+        "the snapshot carries graph state - a target graph prefix is required"))
+    }
+
+  private val manifestSchema = StructType(Seq(
+    StructField("kind", StringType),                      // table | kv | meta
+    StructField("name", StringType),
+    StructField("family", StringType, nullable = true),   // occ|emb|rot|graph
+    StructField("suffix", StringType, nullable = true),
+    StructField("value", StringType, nullable = true),    // meta rows only
+    StructField("bucket_key", StringType, nullable = true),
+    StructField("buckets", IntegerType, nullable = true),
+    StructField("present", BooleanType)))
+
+  private val partsSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("bucket", IntegerType),   // -1 = the whole item
+    StructField("rows", LongType),
+    StructField("fp", LongType, nullable = true), // null for an empty part
+    StructField("src", StringType)))      // snapshot dir holding the copy
 
   private def fsOf(s: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -113,6 +186,31 @@ object Warehouse {
 
   private def completeMarker(snapDir: String) =
     new org.apache.hadoop.fs.Path(snapDir, "_COMPLETE")
+
+  /** The bucket-id expression of a spec — the SAME murmur3 pmod the
+    * bucketed writers use ([[StagedRewrite]]), so snapshot parts,
+    * delta change detection, verify, and restore all agree on which
+    * rows a bucket holds. No spec → the whole-item bucket −1. */
+  private def bucketExpr(spec: Option[(String, Int)]): Column =
+    spec.map { case (k, n) => pmod(hash(col(k)), lit(n)).cast("int") }
+      .getOrElse(lit(-1).cast("int"))
+
+  /** Per-bucket (rows, fingerprint) of a frame — the recorded
+    * expectation and its verifier, one definition. Fingerprint = XOR of
+    * xxhash64 over all columns in sorted-name order (order-insensitive,
+    * overflow-free; two identical rows cannot cancel a LOSS — any loss
+    * moves the count). Driver-side map is bucket-count-sized (≤ the
+    * bucket spec, single digits), never data-sized. */
+  private def partsOf(df: DataFrame, spec: Option[(String, Int)])
+      : Map[Int, (Long, Option[Long])] =
+    df.select(bucketExpr(spec).as("__b"),
+        xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*).as("__h"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("fp"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
 
   /** Acquire EVERY guard a state mutator can hold, around `f`:
     *
@@ -145,14 +243,51 @@ object Warehouse {
       } } } }
   }
 
+  /** The recorded parts of a finished snapshot, keyed by item name. */
+  private def readParts(s: SparkSession, snapDir: String)
+      : Map[String, Map[Int, (Long, Option[Long], String)]] =
+    s.read.parquet(s"$snapDir/parts").collect()
+      .groupBy(_.getString(0))
+      .map { case (n, rs) => n -> rs.map(r => r.getInt(1) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4))).toMap }
+
+  private def metaValue(manifest: Array[Row], name: String): Option[String] =
+    manifest.find(r => r.getString(0) == "meta" && r.getString(1) == name)
+      .map(_.getString(4))
+
   /** One consistent copy of the warehouse state of `dir` (+ the graph
-    * at `graphPrefix`, + the KV store at `kvPath`) into `snapDir`.
-    * Returns the per-item outcome line. */
+    * at `graphPrefix`, + the KV store at `kvPath`) into `snapDir` —
+    * full by default, or a DELTA against `baseSnapDir` (copy only the
+    * buckets whose content changed since that base; the base must be a
+    * FINISHED snapshot of the SAME dir/prefix/path identity). Returns
+    * the per-item outcome line with the per-item copied-bucket counts. */
   def snapshot(s: SparkSession, dir: String, snapDir: String,
       graphPrefix: Option[String] = None,
-      kvPath: Option[String] = None): String =
+      kvPath: Option[String] = None,
+      baseSnapDir: Option[String] = None): String =
     withAllGuards(s, dir, graphPrefix, kvPath) {
       val fs = fsOf(s, snapDir)
+
+      // a delta's base must be finished and of the SAME warehouse
+      // identity — a delta over a different dir/prefix/path would
+      // inherit parts that describe someone else's tables
+      val baseParts: Map[String, Map[Int, (Long, Option[Long], String)]] =
+        baseSnapDir.map { base =>
+          require(fsOf(s, base).exists(completeMarker(base)),
+            s"delta base $base has no _COMPLETE marker - not a finished snapshot")
+          val bm = s.read.parquet(s"$base/manifest").collect()
+          require(metaValue(bm, "dir").contains(dir),
+            s"delta base $base was taken for dir '${metaValue(bm, "dir")
+              .getOrElse("?")}', not '$dir'")
+          require(metaValue(bm, "graph_prefix") == graphPrefix,
+            s"delta base $base graph prefix ${metaValue(bm, "graph_prefix")} " +
+              s"!= $graphPrefix")
+          require(bm.find(_.getString(0) == "kv").map(_.getString(1)) == kvPath,
+            s"delta base $base KV path != $kvPath")
+          readParts(s, base)
+        }.getOrElse(Map.empty)
+
       // retract a stale marker FIRST: a crash mid-re-snapshot must not
       // leave an old _COMPLETE validating mixed-vintage contents
       fs.delete(completeMarker(snapDir), false)
@@ -160,33 +295,84 @@ object Warehouse {
       Takedown.heal(s, dir)
       graphPrefix.filter(g => s.catalog.tableExists(s"${g}_meta"))
         .foreach(GraphIngest.heal(s, _))
-      inventory(dir, graphPrefix).foreach { case (t, _) =>
+      inventory(dir, graphPrefix).foreach { case (_, _, t, _) =>
         StagedRewrite.heal(s, t) }
       kvPath.foreach(KvSink.heal(s, _))
 
-      val items = inventory(dir, graphPrefix).map { case (t, spec) =>
+      val partRows = Seq.newBuilder[Row]
+      // copy one item: compute live parts, diff against the base's
+      // recorded parts, land changed buckets at outPath, inherit the
+      // rest. Returns the outcome token for the summary line.
+      def copyItem(name: String, frame: DataFrame,
+          spec: Option[(String, Int)], outPath: String): String = {
+        val live = partsOf(frame, spec)
+        val base = baseParts.getOrElse(name, Map.empty)
+        val changed = live.filter { case (b, (n, fp)) =>
+          !base.get(b).exists { case (bn, bfp, _) => bn == n && bfp == fp } }
+        // buckets the base had that are now empty: no rows to copy, but
+        // the part must be re-pointed here so restore stops reading the
+        // base's stale rows for them
+        val emptied = (base.keySet -- live.keySet).filter(_ != -1)
+        val inherited = (live.keySet -- changed.keySet).toSeq.sorted
+          .map(b => { val (n, fp, src) = base(b); Row(name, b, n, fp.map(
+            java.lang.Long.valueOf).orNull, src) })
+        val fresh = changed.toSeq.sortBy(_._1).map { case (b, (n, fp)) =>
+          Row(name, b, n, fp.map(java.lang.Long.valueOf).orNull, snapDir) } ++
+          emptied.toSeq.sorted.map(b => Row(name, b, 0L, null, snapDir))
+        val all =
+          if ((inherited ++ fresh).nonEmpty) inherited ++ fresh
+          // wholly-empty item: inherit the base's whole-item part when
+          // it already records emptiness (a repeated delta copies
+          // nothing), else record one whole-item part here so restore/
+          // verify still have a recorded expectation + a schema source
+          else base.get(-1) match {
+            case Some((0L, None, src)) => Seq(Row(name, -1, 0L, null, src))
+            case _ => Seq(Row(name, -1, 0L, null, snapDir))
+          }
+        partRows ++= all
+        val copiesHere = all.exists(_.getString(4) == snapDir)
+        if (copiesHere) {
+          val keep = changed.keySet
+          val toCopy =
+            if (base.isEmpty || spec.isEmpty) frame // full copy
+            else frame.where(bucketExpr(spec).isin(keep.toSeq: _*))
+          toCopy.write.mode("overwrite").parquet(outPath)
+        }
+        if (base.isEmpty) "copied"
+        else s"delta(${changed.size + emptied.size}/${
+          (live.keySet ++ base.keySet - (-1)).size} buckets)"
+      }
+
+      val items = inventory(dir, graphPrefix).map { case (fam, sfx, t, spec) =>
         val present = s.catalog.tableExists(t)
-        if (present) s.table(t).write.mode("overwrite")
-          .parquet(s"$snapDir/tables/$t")
-        ("table", t, spec.map(_._1).orNull,
-          spec.map(x => Integer.valueOf(x._2)).orNull, present)
+        val outcome =
+          if (present) copyItem(t, s.table(t), spec, s"$snapDir/tables/$t")
+          else "absent"
+        (Row("table", t, fam, sfx, null, spec.map(_._1).orNull,
+          spec.map(x => Integer.valueOf(x._2)).orNull, present), t, outcome)
       } ++ kvPath.map { p =>
         // the store's OWN filesystem, not the snapshot dir's (review
         // r17: probing an hdfs:// store with the local snapDir FS would
         // record it absent, certify a storeless snapshot, and a later
         // restore would then DROP the live store as post-snapshot)
         val present = fsOf(s, p).exists(new org.apache.hadoop.fs.Path(p))
-        if (present) s.read.parquet(p).write.mode("overwrite")
-          .parquet(s"$snapDir/kv")
-        ("kv", p, null, null, present)
+        val outcome =
+          if (present) copyItem(p, s.read.parquet(p), None, s"$snapDir/kv")
+          else "absent"
+        (Row("kv", p, null, null, null, null, null, present), p, outcome)
       }
+
+      val metaRows = Seq(
+        Row("meta", "dir", null, null, dir, null, null, true)) ++
+        graphPrefix.map(g =>
+          Row("meta", "graph_prefix", null, null, g, null, null, true))
       import scala.jdk.CollectionConverters._
-      s.createDataFrame(items.map(i => org.apache.spark.sql.Row(
-        i._1, i._2, i._3, i._4, i._5)).asJava, manifestSchema)
+      s.createDataFrame((items.map(_._1) ++ metaRows).asJava, manifestSchema)
         .coalesce(1).write.mode("overwrite").parquet(s"$snapDir/manifest")
+      s.createDataFrame(partRows.result().asJava, partsSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$snapDir/parts")
       fs.create(completeMarker(snapDir), true).close() // certify LAST
-      items.map(i => s"${i._2}=${if (i._5) "copied" else "absent"}")
-        .mkString("snapshot ", " ", "")
+      items.map(i => s"${i._2}=${i._3}").mkString("snapshot ", " ", "")
     }
 
   /** Snapshot integrity audit — "is this snapshot restorable?", asked
@@ -195,13 +381,21 @@ object Warehouse {
     * to discover a half-lost copy is a scheduled audit, not the
     * emergency restore). One (family, chk, ok, observed, detail) row
     * per check, same shape as [[StateFsck]]: the `_COMPLETE` marker,
-    * manifest readability, and per present item — the copied data
-    * exists, reads, and (bucketed tables) still carries its bucket-key
-    * column so the restore-side bucketed rewrite cannot fail midway.
-    * READ-ONLY: never takes a lease, never mutates — safe against live
-    * snapshots and from any process. Scale: catalog/FS probes plus one
-    * schema read (parquet footer) per item; the row-count probe reads
-    * metadata only. */
+    * manifest + parts readability, the recorded source-dir row, and per
+    * present item — the copied data exists AND matches the RECORDED
+    * per-bucket row counts and content fingerprints (VERDICT r17
+    * item 1: readability alone passed a copy that silently lost one of
+    * its part files; now the loss is caught at the audit, item-exact),
+    * plus (bucketed tables) the bucket-key column is still in the
+    * copied schema so the restore-side bucketed rewrite cannot fail
+    * midway. For a delta chain every referenced ancestor is read too —
+    * a deleted base surfaces here as the missing src it is. READ-ONLY:
+    * never takes a lease, never mutates — safe against live snapshots
+    * and from any process. Cost, honestly (review r17: the previous
+    * "metadata only" claim was wrong — `count()` schedules a scan
+    * job even on parquet): one filtered scan + fingerprint aggregation
+    * per (item, src) pair over the COPIED data — the audit reads what
+    * the restore would, which is the point. */
   def verify(s: SparkSession, snapDir: String): DataFrame = {
     def firstLine(e: Throwable): String = Option(e.getMessage)
       .getOrElse(e.getClass.getName).linesIterator.nextOption()
@@ -215,36 +409,74 @@ object Warehouse {
         "a snapshot dir); restore refuses it")
     val rows = Seq(markerRow) ++ (try {
       val manifest = s.read.parquet(s"$snapDir/manifest").collect()
-      val manRow = ("snapshot", "manifest", true, manifest.length.toLong,
-        s"${manifest.length} items")
-      Seq(manRow) ++ manifest.toSeq.filter(_.getBoolean(4)).map { r =>
-        val (kind, name) = (r.getString(0), r.getString(1))
-        val path = if (kind == "kv") s"$snapDir/kv" else s"$snapDir/tables/$name"
-        try {
-          val df = s.read.parquet(path)
-          val keyOk = Option(r.getString(2)).forall(df.columns.contains)
-          val n = df.count() // parquet footer metadata, no data scan
-          if (!keyOk)
-            ("snapshot", s"item:$name", false, 1L,
-              s"bucket key '${r.getString(2)}' missing from the copied " +
-                "schema - the restore-side bucketed rewrite would fail")
-          else ("snapshot", s"item:$name", true, n, s"readable, $n rows")
-        } catch { case scala.util.control.NonFatal(e) =>
-          ("snapshot", s"item:$name", false, 1L,
-            "copied data unreadable: " + firstLine(e))
-        }
-      }
+      val parts = readParts(s, snapDir)
+      val manRow = ("snapshot", "manifest", true,
+        manifest.count(_.getString(0) != "meta").toLong,
+        s"${manifest.count(_.getString(0) != "meta")} items, " +
+          s"${parts.valuesIterator.map(_.size).sum} recorded parts")
+      val dirOk = metaValue(manifest, "dir").isDefined
+      val dirRow = ("snapshot", "source_dir_recorded", dirOk,
+        if (dirOk) 0L else 1L,
+        metaValue(manifest, "dir").map(d => s"dir=$d")
+          .getOrElse("no recorded source dir - restore cannot validate " +
+            "its --dir against this snapshot"))
+      Seq(manRow, dirRow) ++
+        manifest.toSeq.filter(r => r.getString(0) != "meta" && r.getBoolean(7))
+          .map { r =>
+            val (kind, name) = (r.getString(0), r.getString(1))
+            val spec = Option(r.getString(5)).map(k => (k, r.getInt(6)))
+            val recorded = parts.getOrElse(name, Map.empty)
+            try {
+              val bySrc = recorded.groupBy(_._2._3)
+              var bad = List.empty[String]
+              var keyOk = true
+              for ((src, recs) <- bySrc.toSeq.sortBy(_._1)) {
+                val path = if (kind == "kv") s"$src/kv" else s"$src/tables/$name"
+                val df = s.read.parquet(path)
+                if (!Option(r.getString(5)).forall(df.columns.contains)) {
+                  keyOk = false
+                  bad ::= s"bucket key '${r.getString(5)}' missing from " +
+                    s"the copy at $src"
+                } else {
+                  val want = recs.keySet
+                  val observed = partsOf(
+                    if (spec.isEmpty || want == Set(-1)) df
+                    else df.where(bucketExpr(spec).isin(want.toSeq: _*)), spec)
+                  for (b <- want.toSeq.sorted) {
+                    val (rn, rfp, _) = recs(b)
+                    val got = observed.getOrElse(b, (0L, None))
+                    if (got != ((rn, rfp)))
+                      bad ::= s"bucket $b at $src: recorded ${rn} rows" +
+                        s"/fp=${rfp.getOrElse("-")}, observed ${got._1}" +
+                        s" rows/fp=${got._2.getOrElse("-")}"
+                  }
+                }
+              }
+              val total = recorded.valuesIterator.map(_._1).sum
+              if (bad.isEmpty && keyOk)
+                ("snapshot", s"item:$name", true, total,
+                  s"$total rows in ${recorded.size} parts across " +
+                    s"${bySrc.size} snapshot(s), counts+fingerprints match")
+              else ("snapshot", s"item:$name", false, bad.size.toLong,
+                bad.reverse.mkString("; ").take(200))
+            } catch { case scala.util.control.NonFatal(e) =>
+              ("snapshot", s"item:$name", false, 1L,
+                "copied data unreadable: " + firstLine(e))
+            }
+          }
     } catch { case scala.util.control.NonFatal(e) =>
       Seq(("snapshot", "manifest", false, 1L,
-        "manifest unreadable: " + firstLine(e)))
+        "manifest/parts unreadable: " + firstLine(e)))
     })
     import s.implicits._
     rows.toDF("family", "chk", "ok", "observed", "detail")
   }
 
   /** Restore the point captured at `snapDir`. The manifest names every
-    * table, the graph prefix, and the KV path — the caller only points
-    * at the snapshot. Idempotent; re-run after any crash. */
+    * table, the graph prefix, and the KV path; `dir` must equal the
+    * RECORDED source dir (fail-fast — a mis-aimed --dir must not take
+    * guards on one warehouse while rewriting another; review r17).
+    * Idempotent; re-run after any crash. */
   def restore(s: SparkSession, dir: String, snapDir: String): String =
     restoreUntil(s, dir, snapDir, stopAfter = None)
 
@@ -260,14 +492,15 @@ object Warehouse {
     * mid-restore crash through the REAL path and pin that contract. */
   private[graft] def restoreUntil(s: SparkSession, dir: String,
       snapDir: String, stopAfter: Option[String]): String = {
-    val fs = fsOf(s, snapDir)
-    require(fs.exists(completeMarker(snapDir)),
-      s"no _COMPLETE marker at $snapDir - not a finished snapshot " +
-        "(a snapshot that crashed mid-copy must not be restored)")
-    val manifest = s.read.parquet(s"$snapDir/manifest").collect()
-    val gp = manifest.find(r => r.getString(0) == "table" &&
-        r.getString(1).endsWith("_edges"))
-      .map(_.getString(1).stripSuffix("_edges"))
+    val (manifest, parts) = openSnapshot(s, snapDir)
+    val recordedDir = metaValue(manifest, "dir").getOrElse(
+      sys.error(s"snapshot $snapDir records no source dir - not a " +
+        "restorable manifest"))
+    require(recordedDir == dir,
+      s"this snapshot was taken for dir '$recordedDir', not '$dir' - " +
+        "an in-place restore must name the recorded dir (use restoreInto " +
+        "to rebuild the point under a different warehouse identity)")
+    val gp = metaValue(manifest, "graph_prefix")
     val kvPath = manifest.find(_.getString(0) == "kv").map(_.getString(1))
     withAllGuards(s, dir, gp, kvPath) {
       // heal first so every live table is protocol-clean before its
@@ -276,59 +509,143 @@ object Warehouse {
       Takedown.heal(s, dir)
       gp.filter(g => s.catalog.tableExists(s"${g}_meta"))
         .foreach(GraphIngest.heal(s, _))
-      val outcomes = scala.collection.mutable.ArrayBuffer[String]()
-      for (r <- manifest) {
-        val (kind, name, present) = (r.getString(0), r.getString(1),
-          r.getBoolean(4))
-        val outcome = kind match {
-          case "table" =>
-            StagedRewrite.heal(s, name)
-            val live = s.catalog.tableExists(name)
-            if (!present) {
-              // the table did not exist at the snapshot point: a copy
-              // created since is NOT of this vintage — drop it
-              if (live) { StagedRewrite.dropAll(s, name); "dropped" }
-              else "absent"
-            } else {
-              val snap = s.read.parquet(s"$snapDir/tables/$name")
-              (Option(r.getString(2)), live) match {
-                case (Some(key), true) =>
-                  StagedRewrite.rewrite(s, name, key, r.getInt(3))(_ => snap)
-                  "restored"
-                case (Some(key), false) =>
-                  StagedRewrite.dropAll(s, name) // stale staging residue
-                  Bucketing.writeBucketed(snap.repartition(r.getInt(3),
-                    pmod(hash(col(key)), lit(r.getInt(3)))),
-                    name, key, r.getInt(3))
-                  "restored"
-                case (None, _) =>
-                  Bucketing.dropManaged(s, name) // incl. orphan warehouse dir
-                  snap.write.format("parquet").saveAsTable(name)
-                  "restored"
-              }
-            }
-          case "kv" =>
-            if (present) { KvSink.restoreFrom(s, name,
-              s.read.parquet(s"$snapDir/kv")); "restored" }
-            else {
-              KvSink.dropStore(s, name)
-              "dropped"
-            }
-        }
-        outcomes += s"$name=$outcome"
-        if (stopAfter.contains(name)) {
-          // a real crash would not clear memos either — but this JVM
-          // lives on, so stale memos must go before anything reads them
-          graft.queries.GraphQueries.clearMemos(s)
-          graft.queries.DedupQueries.clearMemos(s)
-          return s"restore parked after $name"
-        }
-      }
-      // session memos keyed to this dir's tables are stale after the
-      // content swap — same contract as advance/retract
-      graft.queries.GraphQueries.clearMemos(s)
-      graft.queries.DedupQueries.clearMemos(s)
-      outcomes.mkString("restore ", " ", "")
+      applyItems(s, manifest, parts, identity, kvPath.map(p => p -> p),
+        stopAfter)
     }
+  }
+
+  /** Rebuild the snapshot point as a CLONE under a different warehouse
+    * identity (VERDICT r17 item 5): target corpus `intoDir`, target
+    * graph prefix `intoGraphPrefix` (required iff the snapshot carries
+    * graph state), target KV path `intoKvPath` (required iff it carries
+    * a KV store). The manifest stays authoritative for the SOURCE; the
+    * caller names only destinations; guards and heals run on the TARGET
+    * identity only — the source warehouse is never read, locked, or
+    * mutated. Idempotent like [[restore]] (re-run on any crash);
+    * converges a dirty target (tables absent from the snapshot are
+    * dropped there too, so a re-clone is exact, not additive). */
+  def restoreInto(s: SparkSession, snapDir: String, intoDir: String,
+      intoGraphPrefix: Option[String] = None,
+      intoKvPath: Option[String] = None): String = {
+    val (manifest, parts) = openSnapshot(s, snapDir)
+    val srcDir = metaValue(manifest, "dir").getOrElse(
+      sys.error(s"snapshot $snapDir records no source dir"))
+    val srcGp = metaValue(manifest, "graph_prefix")
+    val srcKv = manifest.find(_.getString(0) == "kv").map(_.getString(1))
+    require(srcGp.isEmpty || intoGraphPrefix.isDefined,
+      s"the snapshot carries graph state (prefix '${srcGp.get}') - name " +
+        "a target with intoGraphPrefix")
+    require(srcKv.isEmpty || intoKvPath.isDefined,
+      s"the snapshot carries a KV store ('${srcKv.get}') - name a target " +
+        "with intoKvPath")
+    require(intoDir != srcDir,
+      s"clone target dir equals the snapshot's source dir '$srcDir' - " +
+        "use restore for an in-place restore")
+    // target name = target family prefix + the RECORDED suffix
+    val nameMap: String => String = { srcName =>
+      manifest.find(r => r.getString(0) == "table" &&
+          r.getString(1) == srcName) match {
+        case Some(r) =>
+          prefixFor(r.getString(2), intoDir, intoGraphPrefix) + r.getString(3)
+        case None => srcName
+      }
+    }
+    withAllGuards(s, intoDir, intoGraphPrefix, intoKvPath) {
+      Takedown.heal(s, intoDir)
+      intoGraphPrefix.filter(g => s.catalog.tableExists(s"${g}_meta"))
+        .foreach(GraphIngest.heal(s, _))
+      applyItems(s, manifest, parts, nameMap,
+        srcKv.map(sk => sk -> intoKvPath.get), stopAfter = None)
+    }
+  }
+
+  /** _COMPLETE-gated read of a snapshot's manifest + recorded parts. */
+  private def openSnapshot(s: SparkSession, snapDir: String)
+      : (Array[Row], Map[String, Map[Int, (Long, Option[Long], String)]]) = {
+    require(fsOf(s, snapDir).exists(completeMarker(snapDir)),
+      s"no _COMPLETE marker at $snapDir - not a finished snapshot " +
+        "(a snapshot that crashed mid-copy must not be restored)")
+    (s.read.parquet(s"$snapDir/manifest").collect(), readParts(s, snapDir))
+  }
+
+  /** Resolve an item's frame from its recorded parts: per source
+    * snapshot, read that snapshot's copy filtered to the buckets it is
+    * authoritative for (bucket −1 = the whole file), union across
+    * sources. A full snapshot resolves to one unfiltered read; a delta
+    * chain resolves each bucket to the one snapshot that last copied
+    * it. */
+  private def resolveFrame(s: SparkSession, kind: String, name: String,
+      spec: Option[(String, Int)],
+      recorded: Map[Int, (Long, Option[Long], String)]): DataFrame = {
+    val bySrc = recorded.groupBy(_._2._3).toSeq.sortBy(_._1)
+    bySrc.map { case (src, recs) =>
+      val path = if (kind == "kv") s"$src/kv" else s"$src/tables/$name"
+      val df = s.read.parquet(path)
+      val want = recs.keySet
+      if (spec.isEmpty || want == Set(-1)) df
+      else df.where(bucketExpr(spec).isin(want.toSeq: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Shared apply loop of [[restoreUntil]] and [[restoreInto]]: replay
+    * every manifest item onto its (possibly re-mapped) target. Each
+    * step is individually crash-safe; the loop is stateless replay. */
+  private def applyItems(s: SparkSession, manifest: Array[Row],
+      parts: Map[String, Map[Int, (Long, Option[Long], String)]],
+      nameMap: String => String, kvMap: Option[(String, String)],
+      stopAfter: Option[String]): String = {
+    val outcomes = scala.collection.mutable.ArrayBuffer[String]()
+    for (r <- manifest if r.getString(0) != "meta") {
+      val (kind, srcName, present) = (r.getString(0), r.getString(1),
+        r.getBoolean(7))
+      val spec = Option(r.getString(5)).map(k => (k, r.getInt(6)))
+      val outcome = kind match {
+        case "table" =>
+          val name = nameMap(srcName)
+          StagedRewrite.heal(s, name)
+          val live = s.catalog.tableExists(name)
+          if (!present) {
+            // the table did not exist at the snapshot point: a copy
+            // created since is NOT of this vintage — drop it
+            if (live) { StagedRewrite.dropAll(s, name); "dropped" }
+            else "absent"
+          } else {
+            val snap = resolveFrame(s, kind, srcName, spec,
+              parts.getOrElse(srcName, Map.empty))
+            (spec, live) match {
+              case (Some((key, n)), true) =>
+                StagedRewrite.rewrite(s, name, key, n)(_ => snap)
+                "restored"
+              case (Some((key, n)), false) =>
+                StagedRewrite.dropAll(s, name) // stale staging residue
+                Bucketing.writeBucketed(snap.repartition(n,
+                  pmod(hash(col(key)), lit(n))), name, key, n)
+                "restored"
+              case (None, _) =>
+                Bucketing.dropManaged(s, name) // incl. orphan warehouse dir
+                snap.write.format("parquet").saveAsTable(name)
+                "restored"
+            }
+          }
+        case "kv" =>
+          val target = kvMap.map(_._2).getOrElse(srcName)
+          if (present) { KvSink.restoreFrom(s, target, resolveFrame(s, kind,
+            srcName, None, parts.getOrElse(srcName, Map.empty))); "restored" }
+          else { KvSink.dropStore(s, target); "dropped" }
+      }
+      outcomes += s"${nameMap(srcName)}=$outcome"
+      if (stopAfter.contains(srcName)) {
+        // a real crash would not clear memos either — but this JVM
+        // lives on, so stale memos must go before anything reads them
+        graft.queries.GraphQueries.clearMemos(s)
+        graft.queries.DedupQueries.clearMemos(s)
+        return s"restore parked after $srcName"
+      }
+    }
+    // session memos keyed to this dir's tables are stale after the
+    // content swap — same contract as advance/retract
+    graft.queries.GraphQueries.clearMemos(s)
+    graft.queries.DedupQueries.clearMemos(s)
+    outcomes.mkString("restore ", " ", "")
   }
 }

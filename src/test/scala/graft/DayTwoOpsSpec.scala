@@ -142,7 +142,7 @@ class DayTwoOpsSpec extends SparkSuite {
       graft.io.Bucketing.dropManaged(spark, s"${CodesIngest.tablePrefix(dir)}$sfx"))
     Seq("_codes", "_codebook", "_model", "_stats").foreach(sfx =>
       graft.io.Bucketing.dropManaged(spark, s"${RotIngest.tablePrefix(dir)}$sfx"))
-    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied").foreach(sfx =>
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied", "_applied_digest").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $graphPrefix$sfx"))
     DedupQueries.clearMemos(spark)
     GraphQueries.clearMemos(spark)
@@ -261,6 +261,29 @@ class DayTwoOpsSpec extends SparkSuite {
     // ...and the fresh-id guidance works: the suggested prefixing scheme
     // passed above ("take-day1") was accepted
 
+    // ADVICE r17: a graph-compact folds the tagged rows into the
+    // _applied watermark — the row-level comparison above becomes
+    // impossible, and the first cut of the gate then hard-rejected the
+    // SAME legitimate redelivery it was built to accept. The compact now
+    // records each folded batch's digest, so the comparison survives:
+    GraphIngest.compact(spark, gp)
+    assert(spark.table(s"${gp}_edges").where($"batch_id".isNotNull).isEmpty,
+      "compact must fold every tagged row")
+    val redeliveredPostCompact = jobs.Takedown.run(spark, dir, ids,
+      Some(gp), Some("take-day1"), Some(dayBatch), Some(kvPath), "doc_id")
+    assert(redeliveredPostCompact.contains("graph=retracted"))
+    assert(rows(spark.table(s"${gp}_edges").groupBy($"u", $"v")
+      .agg(sum($"w").as("w")).where($"w" > 0).orderBy($"u", $"v"))
+      == graphBefore,
+      "a post-compaction redelivery must converge without touching the graph")
+    // ...while a genuinely DIFFERENT delta under the folded id stays
+    // rejected — the digest distinguishes, not just remembers
+    val reusePostCompact = intercept[IllegalArgumentException] {
+      jobs.Takedown.run(spark, dir, ids, Some(gp), Some("take-day1"),
+        Some(dayBatch.withColumn("w", $"w" * 2)), None, "doc_id")
+    }
+    assert(reusePostCompact.getMessage.contains("DIFFERENT delta"))
+
     // second crash window: inside a family, after its mutation but
     // before its done marker — resume re-applies it (idempotent)
     val gone2 = $"doc_id" % 11 === 3
@@ -287,7 +310,7 @@ class DayTwoOpsSpec extends SparkSuite {
       graft.io.Bucketing.dropManaged(spark, s"${CodesIngest.tablePrefix(dir)}$sfx"))
     Seq("_codes", "_codebook", "_model", "_stats").foreach(sfx =>
       graft.io.Bucketing.dropManaged(spark, s"${RotIngest.tablePrefix(dir)}$sfx"))
-    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied").foreach(sfx =>
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied", "_applied_digest").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $gp$sfx"))
     DedupQueries.clearMemos(spark)
     GraphQueries.clearMemos(spark)
@@ -436,14 +459,201 @@ class DayTwoOpsSpec extends SparkSuite {
       "snapshot-verify must flag the lost table copy")
     assert(rotted.where($"chk" === "complete_marker" && $"ok").count() == 1)
 
+    // ...and a mis-aimed in-place restore is refused BEFORE any guard or
+    // mutation: the manifest records the source dir, and a --dir that
+    // differs must not take leases on one warehouse while rewriting
+    // another (ADVICE r17)
+    val misAim = intercept[IllegalArgumentException] {
+      jobs.Warehouse.restore(spark, tmpDir("snap_wrong_dir"), snapDir)
+    }
+    assert(misAim.getMessage.contains(s"taken for dir '$dir'"), misAim.getMessage)
+
     // cleanup
     OccIngest.drop(spark, dir)
     Seq("_codes", "_codebook", "_stats").foreach(sfx =>
       graft.io.Bucketing.dropManaged(spark, s"${CodesIngest.tablePrefix(dir)}$sfx"))
     Seq("_codes", "_codebook", "_model", "_stats").foreach(sfx =>
       graft.io.Bucketing.dropManaged(spark, s"${RotIngest.tablePrefix(dir)}$sfx"))
-    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied").foreach(sfx =>
+    Seq("_edges", "_lpahist", "_meta", "_pending", "_applied", "_applied_digest").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $gp$sfx"))
+    DedupQueries.clearMemos(spark)
+    GraphQueries.clearMemos(spark)
+  }
+
+  /** VERDICT r17 items 1/2/5: the snapshot's RECORDED expectation
+    * (per-bucket counts + fingerprints) catches a single lost part
+    * file; a delta snapshot copies only the buckets that changed; a
+    * base+delta chain restores to the exact point; and restore-as-clone
+    * rebuilds the point under a different warehouse identity with the
+    * source untouched. */
+  test("warehouse r18: fingerprint verify, delta snapshots, chain " +
+      "restore, restore-as-clone") {
+    val dir = tmpDir("wh18_corpus")
+    val docs = Tables.documents(spark, sf0001).localCheckpoint(true)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    docs.write.mode("append").parquet(s"$dir/documents.parquet")
+    emb.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val gp = "wh18_graph_test"
+    val full = GraphQueries.weightedEdgesPartitioned(spark, sf0001)
+      .localCheckpoint(true)
+    val isBatch = ($"u" + $"v") % GraphQueries.ChurnMod === 0
+    IngestCli.run(spark, Map("stage" -> "occ", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "codes", "dir" -> dir))
+    IngestCli.run(spark, Map("stage" -> "rot", "dir" -> dir))
+    GraphIngest.ingestConsistent(spark, gp, full.where(!isBatch))
+    val aux = tmpDir("wh18_aux")
+    val kvPath = s"$aux/kv.parquet"
+    graft.io.KvSink.write(spark, docs.select($"doc_id", $"lang"),
+      "doc_id", kvPath)
+    val occT = OccIngest.occTable(dir)
+    val embT = s"${CodesIngest.tablePrefix(dir)}_codes"
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+    // ---- full snapshot, forced to land MULTI-FILE copies (tiny split
+    // targets) so partial loss is a real scenario at sf0.001 too ----
+    val snap1 = s"$aux/snap1"
+    withSQLConf("spark.sql.files.maxPartitionBytes" -> "16384",
+        "spark.sql.files.openCostInBytes" -> "1") {
+      IngestCli.run(spark, Map("stage" -> "snapshot", "dir" -> dir,
+        "prefix" -> gp, "snap-dir" -> snap1, "kv-path" -> kvPath))
+    }
+    assert(jobs.Warehouse.verify(spark, snap1).where(!$"ok").isEmpty)
+
+    // VERDICT r17 item 1: lose ONE part file of a multi-file copy — the
+    // copy still READS as valid parquet with fewer rows, which the r17
+    // readability audit passed green; the recorded counts+fingerprints
+    // go red on exactly that item
+    val occCopy = new java.io.File(s"$snap1/tables/$occT")
+    val occParts = occCopy.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(occParts.length >= 2,
+      s"need a multi-file copy to pin partial loss, got ${occParts.length}")
+    assert(occParts.head.delete())
+    val rotted = jobs.Warehouse.verify(spark, snap1)
+    assert(rotted.where($"chk" === s"item:$occT" && !$"ok").count() == 1,
+      "partial file loss must audit red on exactly the lossy item")
+    assert(rotted.where($"chk" =!= s"item:$occT" && !$"ok").isEmpty,
+      "every other item (and the marker) must stay green")
+    // a fresh snapshot into the same dir re-certifies green
+    IngestCli.run(spark, Map("stage" -> "snapshot", "dir" -> dir,
+      "prefix" -> gp, "snap-dir" -> snap1, "kv-path" -> kvPath))
+    assert(jobs.Warehouse.verify(spark, snap1).where(!$"ok").isEmpty)
+
+    // ---- VERDICT r17 item 2: mutate ONE family, delta-snapshot ----
+    // a 2-doc deletion: at most 2 of occ's 8 buckets change, so the
+    // delta's bucket granularity is observable (a wide deletion would
+    // legitimately touch all buckets and degrade to a full table copy)
+    val goneDocs = docs.where($"doc_id".isin(1L, 251L)).select($"doc_id")
+      .localCheckpoint(true)
+    OccIngest.deleteDocs(spark, dir, goneDocs)
+    // the state a consumer reads at the snap2 point, every family
+    val occAt2 = sorted(spark.table(occT))
+    val embAt2 = sorted(spark.table(embT).select($"vec_id"))
+    def graphView(p: String) = spark.table(s"${p}_edges")
+      .groupBy($"u", $"v").agg(sum($"w").as("w")).where($"w" > 0)
+    val graphAt2 = sorted(graphView(gp))
+    val kvAt2 = sorted(spark.read.parquet(kvPath).select($"key"))
+    val snap2 = s"$aux/snap2"
+    val out2 = IngestCli.run(spark, Map("stage" -> "snapshot", "dir" -> dir,
+      "prefix" -> gp, "snap-dir" -> snap2, "kv-path" -> kvPath,
+      "base" -> snap1))
+    // only the occ table physically copied, and only its CHANGED buckets
+    val deltaRe = (occT + """=delta\((\d+)/8 buckets\)""").r
+    val k = deltaRe.findFirstMatchIn(out2).map(_.group(1).toInt)
+      .getOrElse(fail(s"no delta outcome for $occT in: $out2"))
+    assert(k >= 1 && k <= 2,
+      s"a 2-doc deletion must change at most 2 of 8 buckets, got $k")
+    val copiedDirs = Option(new java.io.File(s"$snap2/tables").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    assert(copiedDirs == Set(occT),
+      s"delta must copy only the changed family's table: $copiedDirs")
+    assert(!new java.io.File(s"$snap2/kv").exists(),
+      "an unchanged KV store must not be re-copied")
+    def bytesUnder(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    assert(bytesUnder(s"$snap2/tables") < bytesUnder(s"$snap1/tables"),
+      "the delta's copy I/O must be smaller than the full snapshot's")
+    // the chain audits green (snap2's parts resolve into snap1's copies)
+    assert(jobs.Warehouse.verify(spark, snap2).where(!$"ok").isEmpty)
+
+    // ---- mutate EVERYTHING, restore from the delta: base+delta chain
+    // ≡ the point state, value-level, every family ----
+    full.where(isBatch).write.parquet(s"$aux/day.parquet")
+    val dayBatch = spark.read.parquet(s"$aux/day.parquet")
+    GraphIngest.advanceState(spark, gp, "day1", dayBatch)
+    val ids = docs.where($"doc_id" % 5 === 0)
+      .select($"doc_id", $"doc_id".as("vec_id")).localCheckpoint(true)
+    jobs.Takedown.run(spark, dir, ids, None, None, None,
+      Some(kvPath), "doc_id")
+    assert(sorted(spark.table(occT)) != occAt2)
+    IngestCli.run(spark, Map("stage" -> "restore", "dir" -> dir,
+      "snap-dir" -> snap2))
+    assert(sorted(spark.table(occT)) == occAt2,
+      "chain restore must recover the delta-snapshot point")
+    assert(sorted(spark.table(embT).select($"vec_id")) == embAt2)
+    assert(sorted(graphView(gp)) == graphAt2)
+    assert(sorted(spark.read.parquet(kvPath).select($"key")) == kvAt2)
+
+    // ---- VERDICT r17 item 5: restore-as-clone into a fresh identity;
+    // the source warehouse stays bit-unchanged ----
+    val dir2 = tmpDir("wh18_clone")
+    docs.write.mode("append").parquet(s"$dir2/documents.parquet")
+    emb.write.mode("append").parquet(s"$dir2/embeddings.parquet")
+    val gp2 = "wh18_clone_graph"
+    val kv2 = s"$aux/kv2.parquet"
+    val srcOcc = sorted(spark.table(occT))
+    val srcEmb = sorted(spark.table(embT))
+    val srcGraph = sorted(spark.table(s"${gp}_edges"))
+    // payload is binary — compare via base64, not Array.toString identity
+    def kvRows() = sorted(spark.read.parquet(kvPath)
+      .select($"key", base64($"payload")))
+    val srcKv = kvRows()
+    val cloneOut = IngestCli.run(spark, Map("stage" -> "restore-clone",
+      "snap-dir" -> snap2, "into-dir" -> dir2, "into-prefix" -> gp2,
+      "into-kv-path" -> kv2))
+    assert(cloneOut.contains(s"${OccIngest.occTable(dir2)}=restored"), cloneOut)
+    // the clone reads the snapshot point under ITS identity...
+    assert(sorted(spark.table(OccIngest.occTable(dir2))) == occAt2)
+    assert(sorted(spark.table(s"${CodesIngest.tablePrefix(dir2)}_codes")
+      .select($"vec_id")) == embAt2)
+    assert(sorted(graphView(gp2)) == graphAt2)
+    assert(sorted(spark.read.parquet(kv2).select($"key")) == kvAt2)
+    // ...is fsck-green there...
+    val cloneFsck = jobs.StateFsck.all(spark, dir2, Some(gp2), Some(kv2))
+    assert(cloneFsck.where(!$"ok").isEmpty,
+      s"clone fsck must be green: ${cloneFsck.where(!$"ok").collect().toSeq}")
+    // ...and the source warehouse is untouched, value-level
+    assert(sorted(spark.table(occT)) == srcOcc)
+    assert(sorted(spark.table(embT)) == srcEmb)
+    assert(sorted(spark.table(s"${gp}_edges")) == srcGraph)
+    assert(kvRows() == srcKv)
+
+    // a delta chain PINS its ancestors: losing a base item that the
+    // delta still references goes red at the DELTA's audit
+    assert(new org.apache.hadoop.fs.Path(s"$snap1/tables/$embT")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$snap1/tables/$embT"), true))
+    assert(jobs.Warehouse.verify(spark, snap2)
+      .where($"chk" === s"item:$embT" && !$"ok").count() == 1,
+      "a deleted base copy must surface at the delta's audit")
+
+    // cleanup (both identities)
+    for (d <- Seq(dir, dir2)) {
+      OccIngest.drop(spark, d)
+      Seq("_codes", "_codebook", "_stats").foreach(sfx =>
+        graft.io.Bucketing.dropManaged(spark, s"${CodesIngest.tablePrefix(d)}$sfx"))
+      Seq("_codes", "_codebook", "_model", "_stats").foreach(sfx =>
+        graft.io.Bucketing.dropManaged(spark, s"${RotIngest.tablePrefix(d)}$sfx"))
+    }
+    for (g <- Seq(gp, gp2))
+      Seq("_edges", "_lpahist", "_meta", "_pending", "_applied",
+        "_applied_digest").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $g$sfx"))
     DedupQueries.clearMemos(spark)
     GraphQueries.clearMemos(spark)
   }
