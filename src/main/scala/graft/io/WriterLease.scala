@@ -3,6 +3,15 @@ package graft.io
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
+/** The typed face of lease contention: thrown ONLY when another
+  * process's live lease refuses an acquire — never by the guarded work
+  * itself — so a bounded-wait caller ([[graft.io.KvSink
+  * .withStoreLeaseRetry]]) can retry contention precisely without
+  * swallowing real IllegalStateExceptions from the work it wraps.
+  * Subclasses IllegalStateException, so every existing fail-fast
+  * contract (and spec) is unchanged. */
+class LeaseHeldException(msg: String) extends IllegalStateException(msg)
+
 /** Cross-PROCESS single-writer guard for the state-ingest jobs (VERDICT
   * r14 item 7): `OccIngest`/`CodesIngest`/`RotIngest`/`GraphIngest`
   * serialize writers per JVM with object locks, but two processes
@@ -85,7 +94,7 @@ object WriterLease {
         try fs.delete(graveyard, false)
         catch { case _: java.io.IOException => }
       if (!(stolen && tryCreate(fs, path)))
-        throw new IllegalStateException(
+        throw new LeaseHeldException(
           s"another writer holds the lease ($path): one mutating " +
             "process per warehouse — wait for it, or delete the lease " +
             "file if its holder is known dead " +

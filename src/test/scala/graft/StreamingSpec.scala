@@ -119,6 +119,50 @@ class StreamingSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("kvUpsertBatch vs a foreign-process lease (VERDICT r17 item 4): " +
+      "bounded wait rides out a snapshot-length hold; an over-budget " +
+      "hold fails typed and the redelivery converges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val kvDir = tmpDir("kv_contend") + "/store"
+    val batch = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"value").limit(200).localCheckpoint(true)
+    // simulate ANOTHER PROCESS holding the store lease: create the lease
+    // FILE directly — this JVM's withLease would be re-entrant and pass
+    val leasePath = graft.io.WriterLease.leasePath(spark,
+      graft.io.KvSink.leaseName(kvDir))
+    val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(leasePath, false).close()
+    try {
+      // leg 1: the holder outlasts the wait budget — the micro-batch
+      // fails TYPED (LeaseHeldException names the budget), nothing is
+      // written, and the streaming engine's redelivery is the remedy
+      withSQLConf("spark.graft.lease.waitMs" -> "600") {
+        val e = intercept[graft.io.LeaseHeldException] {
+          EventStream.kvUpsertBatch(kvDir)(batch, 0L)
+        }
+        assert(e.getMessage.contains("bounded retry"))
+      }
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(kvDir)),
+        "a refused micro-batch must not have written the store")
+      // leg 2: the holder releases mid-wait (a snapshot finishing) —
+      // the SAME batch, redelivered, waits it out and lands
+      val releaser = new Thread(() => {
+        Thread.sleep(1200); fs.delete(leasePath, false); () })
+      releaser.start()
+      withSQLConf("spark.graft.lease.waitMs" -> "30000") {
+        EventStream.kvUpsertBatch(kvDir)(batch, 0L) // the redelivery
+      }
+      releaser.join()
+      val got = graft.io.KvSink.decodePayload(spark,
+          spark.read.format("graft.sources.KvStoreSource")
+            .option("path", kvDir).load())
+        .select($"key").count()
+      assert(got == batch.select($"user_id").distinct().count(),
+        "the waited-out batch must converge to latest-per-key")
+    } finally fs.delete(leasePath, false)
+  }
+
   test("streaming as-of (flatMapGroupsWithState) == batch q113 on the same bounded input") {
     // in-order delivery (two time-split halves, each a micro-batch):
     // the per-user purchase state must reproduce the batch window exactly
