@@ -555,6 +555,145 @@ object Multimodal {
       else None
     } catch { case _: Exception => None }
 
+  // ---- image perceptual hash (aHash) — the multimodal DEDUP face ----
+  //
+  // The corpus pipeline dedups text four ways (exact / shingle /
+  // substring / semantic) but images only byte-exact (q24's md5): a
+  // re-encoded, re-containered, or resized duplicate image sails
+  // through an md5. aHash (average hash — the classic pHash-family
+  // baseline) closes that: decode pixels for real, reduce to an 8×8
+  // grayscale area-average, threshold each cell against the mean — a
+  // 64-bit signature invariant to container, lossless re-encoding, and
+  // scaling, which then rides the EXACT Hamming band-LSH machinery the
+  // text side already has (q86/q128).
+
+  /** 64-bit average hash of an encoded image, as TWO 32-bit words
+    * (hi = cells 32..63, lo = cells 0..31 — the q128 two-word form,
+    * which also keeps every value positive for the SQL oracle). REAL
+    * ImageIO decode; then exact integer arithmetic end to end so the
+    * hash is bit-reproducible by any engine: per-pixel integer luma
+    * (BT.601 weights, floor — [[jpegMeanLuma]]'s convention), 8×8
+    * area-average with floor-division block boundaries (bx·w/8), cell
+    * bit set iff cell > floor(mean of the 64 cells). None for
+    * undecodable bytes or images smaller than the 8×8 grid (corrupt
+    * media degrades, never throws — X6). */
+  def aHash64(payload: Array[Byte]): Option[(Long, Long)] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(payload))).flatMap { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w < 8 || h < 8) None
+        else {
+          val cells = new Array[Long](64)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              val (x0, x1) = (bx * w / 8, (bx + 1) * w / 8)
+              val (y0, y1) = (by * h / 8, (by + 1) * h / 8)
+              var s = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  s += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                    114 * (rgb & 0xff)) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              cells(by * 8 + bx) = s / ((x1 - x0).toLong * (y1 - y0))
+              bx += 1
+            }
+            by += 1
+          }
+          val avg = cells.sum / 64
+          var (hi, lo) = (0L, 0L)
+          var i = 0
+          while (i < 64) {
+            if (cells(i) > avg) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Some((hi, lo))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** 60-bit value of the repo's portable md5-prefix convention
+    * ([[graft.functions.Md5Prefix64]] / DedupQueries.sqlH60) on a plain
+    * JVM string — the fixture generator below must hash EXACTLY like
+    * the DuckDB oracle recomputing it. */
+  private def md5Long60(s: String): Long = java.lang.Long.parseLong(
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 15), 16)
+
+  /** Deterministic PNG fixture for `docId` — the q42 fixture pattern
+    * lifted to the perceptual-hash oracle: a 16×16 grayscale image of
+    * 8×8 uniform 2×2 blocks whose gray levels (200/50) are a CLOSED-FORM
+    * md5 function of the doc id, so a SQL oracle can recompute the
+    * decoded cells (and therefore the hash) without any image codec,
+    * while the Spark side runs the REAL render → PNG encode → ImageIO
+    * decode → aHash path. Docs share a base pattern per group of 10
+    * (`docId / 10`) — the "duplicates" — and each doc flips each cell
+    * with probability 1/64 — the "re-encode noise", so within-group
+    * Hamming distances are small and cross-group ones are ~32. Every
+    * 17th-ish doc (docId % 17 == 3) gets CORRUPT bytes instead: the
+    * permissive-degrade row the operator must survive. */
+  def phashFixturePng(docId: Long): Array[Byte] =
+    if (docId % 17 == 3)
+      s"notanimage:$docId:deliberately-undecodable".getBytes("UTF-8")
+    else {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < 64) {
+        val base = md5Long60(s"phb|${docId / 10}|$i") % 2 == 1
+        val flip = md5Long60(s"phf|$docId|$i") % 64 == 0
+        val v = if (base ^ flip) 200 else 50
+        val rgb = (v << 16) | (v << 8) | v
+        val (bx, by) = (i % 8, i / 8)
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            img.setRGB(bx * 2 + dx, by * 2 + dy, rgb)
+            dx += 1
+          }
+          dy += 1
+        }
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Partition-wise fixture-render + perceptual-hash of a corpus:
+    * (doc_id) → (doc_id, hi, lo), null words for corrupt media — the
+    * q170 ingest leg. Map-only (no shuffle); the image bytes never
+    * leave the task that rendered them, only the 16-byte signature
+    * rides on. At 100 TB of real images this is the same shape with
+    * the render replaced by the payload column read. */
+  def phashCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("hi", LongType, nullable = true),
+      StructField("lo", LongType, nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val out: Dataset[Row] = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        aHash64(phashFixturePng(id)) match {
+          case Some((hi, lo)) => Row(id, hi, lo)
+          case None => Row(id, null, null)
+        }
+      }
+    }
+    out.toDF()
+  }
+
   /** Stride STUB for COMPRESSED CODEC frame PIXELS only (H.264, VP9,
     * AV1, ...): no video codec ships with the JRE or this container, so
     * the deterministic placeholder strides the raw payload. MJPEG and Y4M

@@ -1160,6 +1160,102 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q170: image perceptual-hash near-dup pairs (multimodal dedup) ----
+
+  /** Maximum Hamming distance for an emitted perceptual-hash pair. With
+    * [[PhBands]] = 4 exact 16-bit bands over the 64-bit hash, banding
+    * is pigeonhole-LOSSLESS for distance ≤ 3 — recall 1.0 by
+    * construction, like q86. */
+  val PhHamMax = 3
+  val PhBands = 4
+
+  /** q170: image NEAR-duplicate pairs by perceptual hash (VERDICT r17
+    * item 3 — the one corpus-dedup modality the pipeline lacked: q24's
+    * md5 catches only byte-identical images; a re-encoded, re-contained
+    * or resized duplicate sailed through). The operator is
+    * [[graft.operators.Multimodal.aHash64]] — REAL ImageIO pixel decode
+    * → integer 8×8 area-average → mean threshold, container- and
+    * scale-invariant — over deterministic generated PNG fixtures
+    * ([[graft.operators.Multimodal.phashFixturePng]]), then the exact
+    * Hamming machinery q86/q128 already proved: band the two 32-bit
+    * words into [[PhBands]] 16-bit chunks, bucket-join per (band,
+    * value), verify candidates with popcount. Corrupt rows (the
+    * fixture's every-17th doc) decode to null words and drop out — the
+    * permissive-degrade contract (X6), spec-pinned.
+    *
+    * Oracle (the q42 fixture-verdict pattern, VALUE-level): the fixture
+    * pixels are a closed-form md5 function of doc_id, so DuckDB
+    * recomputes the decoded cells, the threshold, the two hash WORDS
+    * and every pair verdict without an image codec — a hash match pins
+    * the whole render → PNG → decode → hash → band → verify chain.
+    *
+    * Scale: hashing is map-only (bytes never shuffle — only the 16-byte
+    * signature + 4 band rows per image); candidates are true bucket
+    * collisions only; the verify is a codegen'd two-popcount filter on
+    * columns already riding the bucket rows — no second pass over the
+    * images. Hot bands (billions of near-identical thumbnails) take the
+    * same salting q26's LSH uses ([[graft.operators.SkewAudit]]). */
+  def q170PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // checkpointed: the render+decode+hash is the per-row cost center —
+    // it must run over the corpus ONCE, not once per self-join side
+    // (the q86 rationale)
+    val hashed = graft.operators.Multimodal
+      .phashCorpus(s, Tables.documents(s, dir).select($"doc_id"))
+      .where($"hi".isNotNull)
+      .localCheckpoint()
+    val bands = hashed.select($"doc_id", $"hi", $"lo",
+      posexplode(array(
+        $"lo".bitwiseAND(lit(0xFFFFL)),
+        shiftright($"lo", 16).bitwiseAND(lit(0xFFFFL)),
+        $"hi".bitwiseAND(lit(0xFFFFL)),
+        shiftright($"hi", 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.hi").as("a_hi"), col("a.lo").as("a_lo"),
+        col("b.hi").as("b_hi"), col("b.lo").as("b_lo"))
+      .distinct()
+    cand
+      .select($"doc_a", $"doc_b", $"a_hi", $"a_lo", $"b_hi", $"b_lo",
+        (expr("bit_count(a_lo ^ b_lo)") + expr("bit_count(a_hi ^ b_hi)"))
+          .cast("long").as("hamming"))
+      .where($"hamming" <= PhHamMax)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q170Sql: String = {
+    val baseBit = "((" + sqlH60(
+      "md5('phb|' || CAST(doc_id // 10 AS VARCHAR) || '|' || CAST(i AS VARCHAR))") +
+      ") % 2)"
+    val flipBit = "(CASE WHEN (" + sqlH60(
+      "md5('phf|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR))") +
+      ") % 64 = 0 THEN 1 ELSE 0 END)"
+    s"""WITH cells AS (
+       |  SELECT d.doc_id, t.i,
+       |    CASE WHEN ($baseBit + $flipBit) % 2 = 1 THEN 200 ELSE 50 END AS g
+       |  FROM documents d, range(0, 64) t(i)
+       |  WHERE d.doc_id % 17 <> 3),
+       |thr AS (SELECT doc_id, SUM(g) // 64 AS avg FROM cells GROUP BY doc_id),
+       |bits AS (SELECT c.doc_id, c.i,
+       |    CASE WHEN c.g > t.avg THEN 1 ELSE 0 END AS b
+       |  FROM cells c JOIN thr t USING (doc_id)),
+       |words AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN i >= 32 THEN b * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(SUM(CASE WHEN i < 32 THEN b * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo,
+       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+       |FROM words a JOIN words b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $PhHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q94: longest duplicated-gram run (exact-substring dedup signal) ----
 
   /** Minimum run length (in grams) for a run to count in `n_runs`. */
@@ -2105,6 +2201,7 @@ object DedupQueries {
     "q28_rolling_fingerprint" -> (q28RollingFingerprint _),
     "q83_dup_gram_fraction"   -> (q83DupGramFraction _),
     "q86_simhash_pairs"       -> (q86SimhashPairs _),
+    "q170_phash_neardup"      -> (q170PhashNeardup _),
     "q88_cluster_keeper"      -> (q88ClusterKeeper _),
     "q89_incremental_dedup"   -> (q89IncrementalDedup _),
     "q94_dup_run_length"      -> (q94DupRunLength _),
@@ -2131,6 +2228,7 @@ object DedupQueries {
     "q28_rolling_fingerprint" -> q28Sql,
     "q83_dup_gram_fraction"   -> q83Sql,
     "q86_simhash_pairs"       -> q86Sql,
+    "q170_phash_neardup"      -> q170Sql,
     "q88_cluster_keeper"      -> q88Sql,
     "q89_incremental_dedup"   -> q89Sql,
     "q94_dup_run_length"      -> q94Sql,

@@ -372,4 +372,47 @@ class MultimodalSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("perceptual hash (q170): re-encoded and resized duplicates hash " +
+      "together, distinct images do not, corrupt bytes degrade") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val png = Multimodal.phashFixturePng(0L)
+    val h0 = Multimodal.aHash64(png).get
+    // words are 32-bit (the SQL-oracle-safe two-word form)
+    assert(h0._1 >= 0 && h0._1 < (1L << 32) && h0._2 >= 0 && h0._2 < (1L << 32))
+    // RE-ENCODED duplicate: same pixels, different container (PNG→BMP),
+    // different bytes — identical hash (q24's md5 misses exactly this)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(!java.util.Arrays.equals(png, bmp))
+    assert(Multimodal.aHash64(bmp).contains(h0),
+      "a lossless re-encode must hash identically")
+    // RESIZED duplicate: scale-invariance within the pairing threshold
+    val up = Multimodal.resizeImage(png, 32, 32).get
+    val hUp = Multimodal.aHash64(up).get
+    assert(hamming(h0, hUp) <= graft.queries.DedupQueries.PhHamMax,
+      s"a 2x resize must stay within the pairing threshold, got ${hamming(h0, hUp)}")
+    // DISTINCT image (another fixture group, not a corrupt id): far in
+    // Hamming space
+    val hOther = Multimodal.aHash64(Multimodal.phashFixturePng(40L)).get
+    assert(hamming(h0, hOther) > graft.queries.DedupQueries.PhHamMax,
+      s"distinct images must not pair, got ${hamming(h0, hOther)}")
+    // CORRUPT bytes: degrade to None, never throw (X6)
+    assert(Multimodal.aHash64(Multimodal.phashFixturePng(3L)).isEmpty)
+    assert(Multimodal.aHash64(Array.empty[Byte]).isEmpty)
+    // the full query survives corrupt rows and pairs only within the
+    // fixture's duplicate groups (cross-group distances are ~32)
+    val pairs = graft.queries.DedupQueries.q170PhashNeardup(spark, sf0001)
+      .collect()
+    assert(pairs.nonEmpty, "the fixture groups must yield near-dup pairs")
+    assert(pairs.forall(r => r.getLong(0) / 10 == r.getLong(1) / 10),
+      "every emitted pair must come from one duplicate group")
+    assert(pairs.forall(r => r.getLong(0) % 17 != 3 && r.getLong(1) % 17 != 3),
+      "corrupt rows must be excluded, not fatal")
+  }
 }
