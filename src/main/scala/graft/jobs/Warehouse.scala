@@ -439,9 +439,13 @@ object Warehouse {
                     s"the copy at $src"
                 } else {
                   val want = recs.keySet
-                  val observed = partsOf(
-                    if (spec.isEmpty || want == Set(-1)) df
-                    else df.where(bucketExpr(spec).isin(want.toSeq: _*)), spec)
+                  // whole-item parts (unbucketed tables, empty items)
+                  // aggregate under bucket −1 on the observed side too,
+                  // so a copy that GAINED rows mismatches as well
+                  val observed =
+                    if (spec.isEmpty || want == Set(-1)) partsOf(df, None)
+                    else partsOf(
+                      df.where(bucketExpr(spec).isin(want.toSeq: _*)), spec)
                   for (b <- want.toSeq.sorted) {
                     val (rn, rfp, _) = recs(b)
                     val got = observed.getOrElse(b, (0L, None))
