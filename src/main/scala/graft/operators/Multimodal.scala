@@ -694,6 +694,176 @@ object Multimodal {
     out.toDF()
   }
 
+  // ---- audio perceptual fingerprint (q171) --------------------------
+  // q170 closed the image modality gap; this is the same gap for audio:
+  // q24's md5 catches only byte-identical blobs, so a re-containered
+  // (WAV→AIFF), re-sampled, or losslessly re-encoded duplicate track
+  // sails through. The classic fix (Haitsma & Kalker's energy
+  // fingerprint family) reduces the decoded waveform to a per-segment
+  // energy profile and thresholds it — invariant to container,
+  // endianness, and sample-rate duplication — then rides the EXACT
+  // Hamming band-LSH machinery the text and image sides already share
+  // (q86/q128/q170).
+
+  /** 64-bit audio energy fingerprint, as TWO 32-bit words (the q128 /
+    * [[aHash64]] two-word form — positive values for the SQL oracle).
+    * REAL `javax.sound` decode, canonicalized to signed-16-bit
+    * little-endian PCM exactly like [[sampleAudioFrames]] (so AIFF/AU
+    * big-endian and 8-bit sources fingerprint identically to their WAV
+    * twins); then exact integer arithmetic end to end so the value is
+    * bit-reproducible by any engine: the stream is split into 64
+    * equal-duration segments with floor boundaries (i·frames/64 — the
+    * time-axis analogue of [[aHash64]]'s bx·w/8 blocks, which is what
+    * makes a duplicated-sample 2× "resample" fingerprint identically),
+    * per-segment mean ABSOLUTE amplitude of the first channel (floor
+    * division), and segment bit set iff its mean > floor(mean of the 64
+    * segment means). Decoding is STREAMING — one read buffer, never the
+    * whole decoded waveform ([[sampleAudioFrames]]'s OOM lesson, ADVICE
+    * r10) — when the converted stream knows its frame count; an
+    * unknown-length stream falls back to a buffered decode like the
+    * frame sampler. None for undecodable bytes or streams shorter than
+    * 64 frames (corrupt media degrades, never throws — X6). */
+  def afp64(payload: Array[Byte]): Option[(Long, Long)] =
+    try {
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val src = raw.getFormat
+        val canonical = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, /*bigEndian=*/ false)
+        val ais = AudioSystem.getAudioInputStream(canonical, raw)
+        try {
+          val frameSize = canonical.getFrameSize
+          val known = ais.getFrameLength
+          val bytes: Either[Long, Array[Byte]] =
+            if (known > 0) Left(known)
+            else Right(readFully(ais)) // unknown length: buffered fallback
+          val total = bytes.fold(identity, b => (b.length / frameSize).toLong)
+          if (total < 64) None
+          else {
+            val segSum = new Array[Long](64)
+            val segCnt = new Array[Long](64)
+            val buf = bytes.fold(_ => new Array[Byte](frameSize * 1024), identity)
+            var f = 0L
+            var seg = 0
+            var nextBoundary = total / 64 // b(i) = i*total/64, i = seg+1
+            var avail = bytes.fold(_ => 0, _.length) // buffered: all; streaming: filled below
+            var off = 0
+            while (f < total) {
+              if (off >= avail) { // refill (streaming path only)
+                avail = ais.read(buf, 0, buf.length)
+                off = 0
+                if (avail <= 0) { f = total } // truncated stream: stop
+              }
+              if (off < avail) {
+                while (f >= nextBoundary && seg < 63) {
+                  seg += 1; nextBoundary = (seg + 1).toLong * total / 64
+                }
+                // first channel, canonical 16-bit little-endian signed
+                val s = ((buf(off + 1) << 8) | (buf(off) & 0xff)).toLong
+                segSum(seg) += math.abs(s)
+                segCnt(seg) += 1
+                off += frameSize
+                f += 1
+              }
+            }
+            if (segCnt.exists(_ == 0L)) None // truncated before 64 segments
+            else {
+              val means = Array.tabulate(64)(i => segSum(i) / segCnt(i))
+              val avg = means.sum / 64
+              var (hi, lo) = (0L, 0L)
+              var i = 0
+              while (i < 64) {
+                if (means(i) > avg) {
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                i += 1
+              }
+              Some((hi, lo))
+            }
+          }
+        } finally ais.close()
+      } finally raw.close()
+    } catch { case _: Exception => None }
+
+  private def readFully(in: java.io.InputStream): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var r = in.read(buf)
+    while (r > 0) { bos.write(buf, 0, r); r = in.read(buf) }
+    bos.toByteArray
+  }
+
+  /** Deterministic WAV fixture for `docId` — [[phashFixturePng]]'s
+    * pattern lifted to audio: 8 kHz mono 16-bit PCM, 64 segments of 100
+    * alternating-sign samples whose AMPLITUDE (18000/2000) is a
+    * CLOSED-FORM md5 function of the doc id, so a SQL oracle recomputes
+    * the per-segment mean |amplitude| (= the amplitude exactly — the
+    * alternation has even period), the threshold, both hash words and
+    * every pair verdict without an audio codec, while the Spark side
+    * runs the REAL render → WAV encode → javax.sound decode → [[afp64]]
+    * path. Docs share a base profile per group of 10 (`docId / 10`) —
+    * the "duplicates" — and each doc flips each segment with
+    * probability 1/64 — the "re-encode noise". Every 19th-ish doc
+    * (docId % 19 == 5) gets CORRUPT bytes instead: the
+    * permissive-degrade row the operator must survive (a different
+    * modulus than the image fixture's %17, so the two corrupt
+    * populations don't shadow each other in shared-corpus tests). */
+  def afpFixtureWav(docId: Long): Array[Byte] =
+    if (docId % 19 == 5)
+      s"notaudio:$docId:deliberately-undecodable".getBytes("UTF-8")
+    else {
+      val segLen = 100
+      val pcm = new Array[Byte](64 * segLen * 2)
+      var i = 0
+      while (i < 64) {
+        val base = md5Long60(s"aub|${docId / 10}|$i") % 2 == 1
+        val flip = md5Long60(s"auf|$docId|$i") % 64 == 0
+        val a = if (base ^ flip) 18000 else 2000
+        var j = 0
+        while (j < segLen) {
+          val v = if (j % 2 == 0) a else -a
+          val off = (i * segLen + j) * 2
+          pcm(off) = (v & 0xff).toByte
+          pcm(off + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        /*signed=*/ true, /*bigEndian=*/ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, 64L * segLen)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+  /** Partition-wise fixture-render + audio-fingerprint of a corpus:
+    * (doc_id) → (doc_id, hi, lo), null words for corrupt media — the
+    * q171 ingest leg, shaped exactly like [[phashCorpus]]: map-only, the
+    * audio bytes never leave the task that rendered them, only the
+    * 16-byte signature rides on. */
+  def afpCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("hi", LongType, nullable = true),
+      StructField("lo", LongType, nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val out: Dataset[Row] = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        afp64(afpFixtureWav(id)) match {
+          case Some((hi, lo)) => Row(id, hi, lo)
+          case None => Row(id, null, null)
+        }
+      }
+    }
+    out.toDF()
+  }
+
   /** Stride STUB for COMPRESSED CODEC frame PIXELS only (H.264, VP9,
     * AV1, ...): no video codec ships with the JRE or this container, so
     * the deterministic placeholder strides the raw payload. MJPEG and Y4M

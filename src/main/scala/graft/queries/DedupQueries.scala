@@ -1256,6 +1256,100 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q171: audio fingerprint near-dup pairs (multimodal dedup) ----
+
+  /** Maximum Hamming distance for an emitted audio-fingerprint pair —
+    * 4 exact 16-bit bands over the 64-bit fingerprint, pigeonhole-
+    * lossless for distance ≤ 3 (the q86/q170 contract). */
+  val AfpHamMax = 3
+
+  /** q171: audio NEAR-duplicate pairs by energy fingerprint — q170's
+    * modality closure transported to audio (the last byte-exact-only
+    * dedup modality: q24's md5 misses a re-containered WAV→AIFF twin, a
+    * big-endian re-encode, or a duplicated-sample resample). The
+    * operator is [[graft.operators.Multimodal.afp64]] — REAL
+    * `javax.sound` decode canonicalized to 16-bit LE PCM → 64
+    * equal-duration segments (floor boundaries, the time axis of
+    * aHash's 8×8 blocks) → per-segment mean |amplitude| → threshold
+    * against the segment-mean average — over deterministic generated
+    * WAV fixtures ([[graft.operators.Multimodal.afpFixtureWav]]), then
+    * the exact Hamming band machinery (4×16-bit bands, bucket join,
+    * popcount verify). Corrupt rows (the fixture's every-19th doc)
+    * decode to null words and drop out (X6), spec-pinned.
+    *
+    * Oracle (the q42/q170 fixture-verdict pattern, VALUE-level): the
+    * fixture's per-segment amplitude is a closed-form md5 function of
+    * doc_id and the alternating-sign rendering has even period, so the
+    * per-segment mean |amplitude| IS the amplitude — DuckDB recomputes
+    * segments → threshold → both hash WORDS → pair verdicts with no
+    * audio codec, pinning render → WAV → decode → fingerprint → band →
+    * verify end to end.
+    *
+    * Scale: identical shape to q170 — hashing is map-only (audio bytes
+    * never shuffle; a 16-byte signature + 4 band rows ride), candidates
+    * are true bucket collisions, the verify is two codegen popcounts;
+    * hot bands (billions of near-silent clips) take q26's salting. */
+  def q171AudioFpNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // checkpointed: render+decode+fingerprint is the per-row cost
+    // center — it must run over the corpus ONCE, not once per
+    // self-join side (the q86/q170 rationale)
+    val hashed = graft.operators.Multimodal
+      .afpCorpus(s, Tables.documents(s, dir).select($"doc_id"))
+      .where($"hi".isNotNull)
+      .localCheckpoint()
+    val bands = hashed.select($"doc_id", $"hi", $"lo",
+      posexplode(array(
+        $"lo".bitwiseAND(lit(0xFFFFL)),
+        shiftright($"lo", 16).bitwiseAND(lit(0xFFFFL)),
+        $"hi".bitwiseAND(lit(0xFFFFL)),
+        shiftright($"hi", 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.hi").as("a_hi"), col("a.lo").as("a_lo"),
+        col("b.hi").as("b_hi"), col("b.lo").as("b_lo"))
+      .distinct()
+    cand
+      .select($"doc_a", $"doc_b", $"a_hi", $"a_lo", $"b_hi", $"b_lo",
+        (expr("bit_count(a_lo ^ b_lo)") + expr("bit_count(a_hi ^ b_hi)"))
+          .cast("long").as("hamming"))
+      .where($"hamming" <= AfpHamMax)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q171Sql: String = {
+    val baseBit = "((" + sqlH60(
+      "md5('aub|' || CAST(doc_id // 10 AS VARCHAR) || '|' || CAST(i AS VARCHAR))") +
+      ") % 2)"
+    val flipBit = "(CASE WHEN (" + sqlH60(
+      "md5('auf|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR))") +
+      ") % 64 = 0 THEN 1 ELSE 0 END)"
+    s"""WITH cells AS (
+       |  SELECT d.doc_id, t.i,
+       |    CASE WHEN ($baseBit + $flipBit) % 2 = 1 THEN 18000 ELSE 2000 END AS g
+       |  FROM documents d, range(0, 64) t(i)
+       |  WHERE d.doc_id % 19 <> 5),
+       |thr AS (SELECT doc_id, SUM(g) // 64 AS avg FROM cells GROUP BY doc_id),
+       |bits AS (SELECT c.doc_id, c.i,
+       |    CASE WHEN c.g > t.avg THEN 1 ELSE 0 END AS b
+       |  FROM cells c JOIN thr t USING (doc_id)),
+       |words AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN i >= 32 THEN b * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(SUM(CASE WHEN i < 32 THEN b * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo,
+       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+       |FROM words a JOIN words b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $AfpHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q94: longest duplicated-gram run (exact-substring dedup signal) ----
 
   /** Minimum run length (in grams) for a run to count in `n_runs`. */
@@ -2202,6 +2296,7 @@ object DedupQueries {
     "q83_dup_gram_fraction"   -> (q83DupGramFraction _),
     "q86_simhash_pairs"       -> (q86SimhashPairs _),
     "q170_phash_neardup"      -> (q170PhashNeardup _),
+    "q171_audio_fp_neardup"   -> (q171AudioFpNeardup _),
     "q88_cluster_keeper"      -> (q88ClusterKeeper _),
     "q89_incremental_dedup"   -> (q89IncrementalDedup _),
     "q94_dup_run_length"      -> (q94DupRunLength _),
@@ -2229,6 +2324,7 @@ object DedupQueries {
     "q83_dup_gram_fraction"   -> q83Sql,
     "q86_simhash_pairs"       -> q86Sql,
     "q170_phash_neardup"      -> q170Sql,
+    "q171_audio_fp_neardup"   -> q171Sql,
     "q88_cluster_keeper"      -> q88Sql,
     "q89_incremental_dedup"   -> q89Sql,
     "q94_dup_run_length"      -> q94Sql,

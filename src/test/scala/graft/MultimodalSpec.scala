@@ -415,4 +415,67 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.forall(r => r.getLong(0) % 17 != 3 && r.getLong(1) % 17 != 3),
       "corrupt rows must be excluded, not fatal")
   }
+
+  test("audio fingerprint (q171): re-containered and resampled duplicates " +
+      "hash together, distinct audio does not, corrupt bytes degrade") {
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val wav = Multimodal.afpFixtureWav(0L)
+    val h0 = Multimodal.afp64(wav).get
+    // words are 32-bit (the SQL-oracle-safe two-word form)
+    assert(h0._1 >= 0 && h0._1 < (1L << 32) && h0._2 >= 0 && h0._2 < (1L << 32))
+    // RE-CONTAINERED duplicate: same PCM, AIFF (big-endian) container,
+    // different bytes — identical fingerprint (q24's md5 misses this)
+    val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val be = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f,
+        /*bigEndian=*/ true), raw)
+    val bosA = new ByteArrayOutputStream()
+    AudioSystem.write(be, AudioFileFormat.Type.AIFF, bosA)
+    val aiff = bosA.toByteArray
+    assert(!java.util.Arrays.equals(wav, aiff))
+    assert(Multimodal.afp64(aiff).contains(h0),
+      "a lossless re-container (WAV→AIFF, endianness swap) must " +
+        "fingerprint identically")
+    // RESAMPLED duplicate: 2× sample rate by frame duplication — the
+    // relative segment boundaries keep the fingerprint inside the
+    // pairing threshold (here: exactly equal)
+    val mono = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val pcm = mono.readAllBytes()
+    val up = new Array[Byte](pcm.length * 2)
+    var f = 0
+    while (f < pcm.length / 2) {
+      up(4 * f) = pcm(2 * f); up(4 * f + 1) = pcm(2 * f + 1)
+      up(4 * f + 2) = pcm(2 * f); up(4 * f + 3) = pcm(2 * f + 1)
+      f += 1
+    }
+    val upFmt = new AudioFormat(16000f, 16, 1, true, false)
+    val upAis = new AudioInputStream(
+      new java.io.ByteArrayInputStream(up), upFmt, (pcm.length / 2) * 2L)
+    val bosU = new ByteArrayOutputStream()
+    AudioSystem.write(upAis, AudioFileFormat.Type.WAVE, bosU)
+    val hUp = Multimodal.afp64(bosU.toByteArray).get
+    assert(hamming(h0, hUp) <= graft.queries.DedupQueries.AfpHamMax,
+      s"a 2x resample must stay within the pairing threshold, " +
+        s"got ${hamming(h0, hUp)}")
+    // DISTINCT audio (another fixture group, not a corrupt id): far in
+    // Hamming space
+    val hOther = Multimodal.afp64(Multimodal.afpFixtureWav(40L)).get
+    assert(hamming(h0, hOther) > graft.queries.DedupQueries.AfpHamMax,
+      s"distinct audio must not pair, got ${hamming(h0, hOther)}")
+    // CORRUPT bytes: degrade to None, never throw (X6)
+    assert(Multimodal.afp64(Multimodal.afpFixtureWav(5L)).isEmpty)
+    assert(Multimodal.afp64(Array.empty[Byte]).isEmpty)
+    // too short for 64 segments: degrade, never divide by zero
+    assert(Multimodal.afp64(wavBytes(8000, 1, 63)).isEmpty)
+    // the full query survives corrupt rows and pairs only within the
+    // fixture's duplicate groups (cross-group distances are ~32)
+    val pairs = graft.queries.DedupQueries.q171AudioFpNeardup(spark, sf0001)
+      .collect()
+    assert(pairs.nonEmpty, "the fixture groups must yield near-dup pairs")
+    assert(pairs.forall(r => r.getLong(0) / 10 == r.getLong(1) / 10),
+      "every emitted pair must come from one duplicate group")
+    assert(pairs.forall(r => r.getLong(0) % 19 != 5 && r.getLong(1) % 19 != 5),
+      "corrupt rows must be excluded, not fatal")
+  }
 }
