@@ -529,7 +529,12 @@ class DayTwoOpsSpec extends SparkSuite {
     val occParts = occCopy.listFiles().filter(_.getName.endsWith(".parquet"))
     assert(occParts.length >= 2,
       s"need a multi-file copy to pin partial loss, got ${occParts.length}")
-    assert(occParts.head.delete())
+    // delete the LARGEST part: split packing sometimes lands a
+    // footer-only ZERO-ROW part file (a ~450-byte schema shell from an
+    // empty write task), and losing THAT is content-invisible by the
+    // manifest's own contract (recorded rows+fingerprints) — verify is
+    // correctly green on it, so the test must lose rows, not bytes
+    assert(occParts.maxBy(_.length).delete())
     val rotted = jobs.Warehouse.verify(spark, snap1)
     assert(rotted.where($"chk" === s"item:$occT" && !$"ok").count() == 1,
       "partial file loss must audit red on exactly the lossy item")
