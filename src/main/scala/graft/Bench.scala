@@ -110,7 +110,17 @@ object Bench {
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        // sortShared: materialize the final stage once under the
+        // deterministic output sort (the range-partitioner sample is a
+        // hidden second consumer of that stage — see the helper's
+        // scaladoc). Same rows, same order, same oracle hash; the stage
+        // just stops computing twice per action.
+        // SPARK_GRAFT_SORTSHARED=0 disables it — the measurement A/B
+        // switch used for the round-18 before/after evidence.
+        try { (if (sys.env.get("SPARK_GRAFT_SORTSHARED").contains("0"))
+            fn(spark, sfDir)
+          else graft.operators.Materialize.sortShared(fn(spark, sfDir)))
+          .write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
@@ -211,7 +221,8 @@ object Bench {
           val order = names.drop(sid * names.size / streams) ++
             names.take(sid * names.size / streams)
           val t = new Thread(() => order.foreach { n =>
-            try SparkEntry.queries(n)(spark, sfDir)
+            try graft.operators.Materialize.sortShared(
+                SparkEntry.queries(n)(spark, sfDir))
               .write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
               streamFailures.incrementAndGet()

@@ -23,7 +23,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // sortShared: same rows in the same order (the Sort stays
+      // outermost), the final stage just computes once instead of
+      // feeding the range-sampler and the shuffle map separately
+      try graft.operators.Materialize.sortShared(fn(spark, sfDir))
+        .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

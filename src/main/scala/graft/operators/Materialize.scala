@@ -56,6 +56,54 @@ object Materialize {
     * requirement) but folds materialization into the next action instead
     * of costing a dedicated job; with AQE off the partitioning is known
     * statically, so laziness does not cost the partitioning capture. */
+  /** Share the final stage under a query's deterministic output sort.
+    *
+    * Every declared query ends in a global `orderBy` so its oracle dump
+    * is deterministic. A global sort plants Exchange(rangepartitioning),
+    * and RangePartitioner SAMPLES the exchange's child to pick bounds —
+    * a reservoir pass that consumes every child partition's FULL
+    * iterator as its own job. The child of that exchange is everything
+    * after the previous stage boundary, so the final stage computes
+    * TWICE per action: once for the sample, once for the shuffle map.
+    * For a map-only query (no exchange anywhere else) that is the whole
+    * scan + projection run twice — measured 2.0× on q78/q135/q27 at
+    * sf0.1 (R18SortProbe; optimization-guide §7.2 "duplicated
+    * subtrees": the sampler is a hidden second consumer).
+    *
+    * Fix = the §9 plan-branch-reuse rule applied to the hidden branch:
+    * lazily `localCheckpoint` the sort's child so the sample job
+    * materializes the stage once and the shuffle map re-reads blocks.
+    * The Sort stays the outermost operator over the same rows, so the
+    * output row order — and therefore the driver's oracle hash — is
+    * bit-identical; only the number of times the stage computes changes.
+    * Scale note: the materialization is a node-local write of the
+    * result-sized frame — the same bytes the sort's own shuffle already
+    * moves — replacing a full recompute of the stage, so the trade
+    * improves with stage cost and is safe at any scale (and production
+    * sinks drop the oracle sort entirely, taking the exchange and this
+    * helper with it).
+    *
+    * Identity on plans that do not end in a global Sort (1-row audit
+    * queries): no behavior change. The sort keys are remapped onto the
+    * checkpoint's fresh attribute ids positionally, so expression keys
+    * (`orderBy(md5(..))`) survive. */
+  def sortShared(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    df.queryExecution.analyzed match {
+      case Sort(order, true, child, hint) =>
+        val base = GraftShim.ofRows(df.sparkSession, child).localCheckpoint(false)
+        val basePlan = base.queryExecution.analyzed
+        val amap = AttributeMap(child.output.zip(basePlan.output))
+        val newOrder = order.map(_.transform {
+          case a: Attribute => amap.getOrElse(a, a)
+        }.asInstanceOf[SortOrder])
+        GraftShim.ofRows(df.sparkSession,
+          Sort(newOrder, global = true, basePlan, hint))
+      case _ => df
+    }
+  }
+
   def checkpointPartitioned(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val ns = noAqeSession(spark)
