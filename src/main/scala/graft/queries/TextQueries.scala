@@ -2590,12 +2590,20 @@ object TextQueries {
       .select(explode(split($"text", " ")).as("word"))
       .where($"word" =!= "" && !$"word".contains(sep))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
+    // LAZY checkpoints through the whole training loop (round-18, the
+    // q79/q82 pattern): each round's top-pair collect is the action that
+    // materializes that round's state blocks — an eager checkpoint here
+    // and per round cost a dedicated materialization job each (2 jobs
+    // per merge round instead of 1; ~40 extra jobs per training run at
+    // BpeMerges=20, re-paid by q127's encode). Lineage still truncates
+    // per round, and round k's collect finds round k−1's blocks already
+    // materialized, so the pending-checkpoint chain never exceeds depth 1.
     var cur = vocab.select($"word", $"freq",
       concat(lit(sep),
         concat_ws(sep + sep,
           transform(sequence(lit(1), length($"word")), i => $"word".substr(i, lit(1)))),
         lit(sep)).as("s"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var k = 1
     var exhausted = false
@@ -2617,7 +2625,7 @@ object TextQueries {
         merges += ((k, l, r, cnt))
         cur = cur.withColumn("s", call_function("replace", $"s",
             lit(sep + l + sep + sep + r + sep), lit(sep + l + r + sep)))
-          .localCheckpoint()
+          .localCheckpoint(false)
         k += 1
       }
     }
