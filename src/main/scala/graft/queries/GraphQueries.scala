@@ -690,14 +690,31 @@ object GraphQueries {
       .select($"v", $"v".as("lab"))
   }
 
-  /** q140 core over any mirrored (u, v) edge frame — spec entry. */
+  /** q140 core over any mirrored (u, v) edge frame — spec entry.
+    *
+    * Round-18 measured negative result, recorded so it is not re-tried:
+    * switching these bare lazy localCheckpoints to the q72/q82
+    * `checkpointPartitioned` (to keep HashPartitioning(v) and drop the
+    * label-side exchange of each round's join) made the family 10–30%
+    * SLOWER in a same-session A/B at sf0.1 (q140 3.74→4.50,
+    * q146 7.43→9.70): each round's plan is then fixed at the static
+    * shuffle-partition count, losing AQE's small-shuffle coalescing,
+    * which at node-sized rounds is worth more than the exchange it
+    * saves. The label frames stay AQE-planned. */
   private[graft] def lpaCore(edges: DataFrame, rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
+    labeledCore(edges, rounds)
+      .select($"v".as("l_partkey"), $"lab".as("community"))
+      .orderBy($"l_partkey")
+  }
+
+  /** [[lpaCore]] without the q140 output sort: the (v, lab) label frame
+    * itself, for consumers that keep computing on it (q141). */
+  private[graft] def labeledCore(edges: DataFrame, rounds: Int): DataFrame = {
     var labels = lpaInit(edges).localCheckpoint(false)
     for (_ <- 1 to rounds)
       labels = lpaRound(edges, labels).localCheckpoint(false)
-    labels.select($"v".as("l_partkey"), $"lab".as("community"))
-      .orderBy($"l_partkey")
+    labels
   }
 
   /** The n1/l1..nN/lN synchronous-round CTEs over an edge CTE named
@@ -855,8 +872,11 @@ object GraphQueries {
     val edges = copurchaseEdgesPartitioned(s, dir)
     val isNew = (c: Column) => pmod(c, lit(LpaNewMod.toLong)) === 0L
     val oldEdges = edges.where(!isNew($"u") && !isNew($"v"))
-    val labels = lpaCore(oldEdges, LpaRounds)
-      .select($"l_partkey".as("u"), $"community")
+    // labeledCore, not lpaCore: the frozen labels are an intermediate
+    // here, so q140's deterministic output sort (a range exchange plus
+    // its sampling pass) would be pure waste before the votes join
+    val labels = labeledCore(oldEdges, LpaRounds)
+      .select($"v".as("u"), $"lab".as("community"))
     // batch-incident slice: old neighbor u -> new node v
     val newNodes = edges.select($"u".as("v")).where(isNew($"v")).distinct()
     val votes = edges.where(!isNew($"u") && isNew($"v"))
