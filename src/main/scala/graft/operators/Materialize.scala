@@ -104,6 +104,26 @@ object Materialize {
     }
   }
 
+  /** Re-plan `df` in the AQE-off companion session (same SparkContext,
+    * isolated SQLConf) and hand it back wrapped for the caller's
+    * session. For a DRIVER-SYNC action over a tiny frame (the per-round
+    * top-pair collect of a training loop), AQE's per-stage
+    * re-optimization costs more wall time than its partition coalescing
+    * recovers; the static plan runs the action in one scheduling pass.
+    * Use ONLY for actions whose result feeds the driver (collect/head) —
+    * frames consumed by further planning should stay in the caller's
+    * session. */
+  def noAqe(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val ns = noAqeSession(spark)
+    ns.synchronized {
+      ns.conf.set("spark.sql.adaptive.enabled", "false")
+      MirroredConfs.foreach(k =>
+        spark.conf.getOption(k).foreach(ns.conf.set(k, _)))
+      GraftShim.ofRows(ns, df.queryExecution.analyzed)
+    }
+  }
+
   def checkpointPartitioned(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val ns = noAqeSession(spark)

@@ -2615,10 +2615,11 @@ object TextQueries {
             i => struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r"))))
           .otherwise(array().cast("array<struct<l:string,r:string>>"))
       }
-      val top = cur.select($"freq", explode(pairsArr).as("p"))
-        .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
-        .limit(1).collect()
+      val top = graft.operators.Materialize.noAqe(
+        cur.select($"freq", explode(pairsArr).as("p"))
+          .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+          .limit(1)).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
