@@ -600,7 +600,10 @@ object GraphQueries {
         prIteration(edges, deg, cur).as("n")
           .join(cur.select($"u", $"r".as("r_prev")), "u")
           .select($"u", $"r", abs($"r" - $"r_prev").as("dr")))
-      delta = next.agg(max($"dr")).head.getDouble(0)
+      // noAqe: 1-row driver sync over the already-materialized segment
+      // frame (see lpaConvergeCore)
+      delta = graft.operators.Materialize.noAqe(next.agg(max($"dr")))
+        .head.getDouble(0)
       ranks = next.select($"u", $"r")
       iters += PrCheckEvery
     }
@@ -797,6 +800,10 @@ object GraphQueries {
       labels = lpaRound(edges, lm1).localCheckpoint(false)
       // both stop deltas in ONE action: 3-frame join, all sides
       // HashPartitioning(v), 1-row aggregate to the driver
+      // stays AQE-planned (round-18 A/B): unlike q82's sync (noAqe win),
+      // this join's three sides are bare lazy checkpoints with unknown
+      // partitioning, so a static plan plants three real exchanges that
+      // AQE instead coalesces — measured 7.21 vs 7.48 in favor of AQE
       val row = labels
         .join(lm1.select($"v", $"lab".as("lab1")), Seq("v"))
         .join(lm2.select($"v", $"lab".as("lab2")), Seq("v"))
