@@ -110,16 +110,12 @@ object Bench {
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        // sortShared: materialize the final stage once under the
-        // deterministic output sort (the range-partitioner sample is a
-        // hidden second consumer of that stage — see the helper's
-        // scaladoc). Same rows, same order, same oracle hash; the stage
-        // just stops computing twice per action.
-        // SPARK_GRAFT_SORTSHARED=0 disables it — the measurement A/B
-        // switch used for the round-18 before/after evidence.
-        try { (if (sys.env.get("SPARK_GRAFT_SORTSHARED").contains("0"))
-            fn(spark, sfDir)
-          else graft.operators.Materialize.sortShared(fn(spark, sfDir)))
+        // the declared query, exactly as SparkEntry exposes it (round-19:
+        // the round-18 harness-level sortShared wrap regressed the
+        // driver's 32-core bench 33% — the final-stage-reuse rewrite now
+        // lives in the query layer, applied per measured win, so the
+        // harness times fn(spark, sfDir) verbatim again)
+        try { fn(spark, sfDir)
           .write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -221,8 +217,7 @@ object Bench {
           val order = names.drop(sid * names.size / streams) ++
             names.take(sid * names.size / streams)
           val t = new Thread(() => order.foreach { n =>
-            try graft.operators.Materialize.sortShared(
-                SparkEntry.queries(n)(spark, sfDir))
+            try SparkEntry.queries(n)(spark, sfDir)
               .write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
               streamFailures.incrementAndGet()
@@ -255,7 +250,10 @@ object Bench {
       // spared by releaseQueryState) the same way "stat":"min" marks the
       // round-7 statistic switch — consumers must not read these totals
       // as like-for-like against records lacking the markers (ADVICE r12)
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","warmups":$warmups,"memo_spared":true,"comparable":${failed.isEmpty},"load":[${sec(loadStart)},${sec(loadEnd)}],"nproc":[$nprocStart,$nprocEnd],"failed":$fs$conc,"queries":$qs,"sf":"$sfDir"}"""
+      // "cpus" records the core count the run actually used (VERDICT r18
+      // #7): cross-core-count records must not be conflated — the r18
+      // regression was only visible because the driver ran paired 32c/8c
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min","warmups":$warmups,"memo_spared":true,"cpus":$cpus,"comparable":${failed.isEmpty},"load":[${sec(loadStart)},${sec(loadEnd)}],"nproc":[$nprocStart,$nprocEnd],"failed":$fs$conc,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full names + full evidence envelope to the file; unique qNN
     // prefixes on stdout (tail-window budget — see scaladoc). Prefix
@@ -301,7 +299,7 @@ object Bench {
       val fs = failed.map(n => "\"" + prefixes.getOrElse(n, n) + "\"")
         .mkString("[", ",", "]")
       val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${sec(timed.map(_._2).sum)},"unit":"sec","prec":$prec,"stat":"min","warmups":$warmups,"memo_spared":true,"comparable":${failed.isEmpty},"failed":$fs,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${sec(timed.map(_._2).sum)},"unit":"sec","prec":$prec,"stat":"min","warmups":$warmups,"memo_spared":true,"cpus":$cpus,"comparable":${failed.isEmpty},"failed":$fs,"queries":$qs,"sf":"$sfName"}"""
     }
     // a malformed env value must not discard the serial record already
     // earned (the SPARK_GRAFT_STREAMS convention above); the ladder is

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-import graft.functions.{Codec, DotProduct, HtmlText, UnigramSegment, IntSqDist, Md5Prefix64, NfcNormalize, Norm2, PayloadCompress, PayloadDecompress, SignedHadamard, WinnowGrams, WordpieceEncode, ZlibCompress, ZlibDecompress}
+import graft.functions.{Codec, DotProduct, HtmlText, UnigramSegment, IntSqDist, Md5Prefix64, NfcNormalize, Norm2, PayloadCompress, PayloadDecompress, SignedHadamard, SortedIntersectCount, VecAggMax, VecAggMin, VecAggSumDouble, VecAggSumLong, WinnowGrams, WordpieceEncode, ZlibCompress, ZlibDecompress}
 
 /** Session extension entry point — the deployment-shaped way to install
   * this library's native expressions and optimizer rules on a cluster:
@@ -43,6 +43,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_hadamard"),
       new ExpressionInfo(classOf[SignedHadamard].getName, "vec_hadamard"),
       (exprs: Seq[Expression]) => SignedHadamard(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_icount"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "vec_icount"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    // elementwise array aggregates (bare AggregateFunction builders — the
+    // analyzer wraps them, the registry convention for built-in aggregates)
+    ext.injectFunction((FunctionIdentifier("vec_agg_sum_l"),
+      new ExpressionInfo(classOf[VecAggSumLong].getName, "vec_agg_sum_l"),
+      (exprs: Seq[Expression]) => VecAggSumLong(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_agg_sum_d"),
+      new ExpressionInfo(classOf[VecAggSumDouble].getName, "vec_agg_sum_d"),
+      (exprs: Seq[Expression]) => VecAggSumDouble(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_agg_min"),
+      new ExpressionInfo(classOf[VecAggMin].getName, "vec_agg_min"),
+      (exprs: Seq[Expression]) => VecAggMin(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_agg_max"),
+      new ExpressionInfo(classOf[VecAggMax].getName, "vec_agg_max"),
+      (exprs: Seq[Expression]) => VecAggMax(exprs.head)))
     ext.injectFunction((FunctionIdentifier("md5_prefix64"),
       new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
       (exprs: Seq[Expression]) => Md5Prefix64(exprs.head,

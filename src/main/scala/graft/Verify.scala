@@ -23,15 +23,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
-      // sortShared: same rows in the same order (the Sort stays
-      // outermost), the final stage just computes once instead of
-      // feeding the range-sampler and the shuffle map separately
-      try graft.operators.Materialize.sortShared(fn(spark, sfDir))
+      // the declared query verbatim (round-19: the harness-level
+      // sortShared wrap moved into the query layer, so the oracle now
+      // exercises exactly the plan every consumer gets)
+      try fn(spark, sfDir)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per query (ADVICE r18): checkpoint blocks from one query
+      // must not accumulate across the other 162 — Bench's per-rep
+      // discipline, minus the memoized shared frames
+      spark.catalog.clearCache()
+      val keep = graft.queries.GraphQueries.sharedRddIds(spark) ++
+        graft.queries.DedupQueries.sharedRddIds(spark)
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(blocking = false) }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
     spark.stop()

@@ -161,6 +161,44 @@ case class SignedHadamard(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of common elements of two SORTED bigint arrays with DISTINCT
+  * elements — `size(array_intersect(a, b))` without materializing the
+  * intersection array. Spark's `array_intersect` builds a hash set and
+  * allocates the result array per call; for q77's triangle count that
+  * is one array allocation per oriented edge whose only consumer is
+  * `size(...)`. The two-pointer merge over the sorted adjacency arrays
+  * counts the same value (array_intersect dedups, and the adjacency
+  * arrays are distinct-by-construction: one entry per distinct
+  * neighbor) in O(|a|+|b|) with zero allocation, inside whole-stage
+  * codegen. PRECONDITION (caller-owned, like the length contract of
+  * [[DotProduct]]): both arrays ascending-sorted with distinct
+  * elements — q77 builds them with `array_sort(collect_list(...))`
+  * over distinct pairs. Null contract: null input array yields null;
+  * elements are assumed non-null. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_icount"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vec_icount needs two bigint arrays, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Vec.icountLL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Vec.icountLL($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object Vec {
   private def checkLen(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
@@ -204,6 +242,20 @@ object Vec {
     val n = checkLen(a, b); var acc = 0L; var i = 0
     while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
     acc
+  }
+
+  /** Two-pointer common-element count over ascending distinct arrays —
+    * the [[SortedIntersectCount]] kernel. */
+  def icountLL(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** (−1)^popcount(i·2654435761): the fixed sign diagonal D of
@@ -256,6 +308,9 @@ object Vec {
     if (!reg.functionExists(FunctionIdentifier("vec_hadamard")))
       reg.createOrReplaceTempFunction(
         "vec_hadamard", exprs => SignedHadamard(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("vec_icount")))
+      reg.createOrReplaceTempFunction(
+        "vec_icount", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 
   def dotCol(spark: SparkSession, a: Column, b: Column): Column = {
@@ -276,5 +331,10 @@ object Vec {
   def hadamardCol(spark: SparkSession, a: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("vec_hadamard", a)
+  }
+
+  def icountCol(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_icount", a, b)
   }
 }

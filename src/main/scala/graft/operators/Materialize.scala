@@ -37,25 +37,6 @@ object Materialize {
       s
     }
 
-  /** `localCheckpoint()` that PRESERVES the frame's hash partitioning.
-    *
-    * Under AQE, `Dataset.localCheckpoint` captures the adaptive plan's
-    * `outputPartitioning` before the final stage layout is surfaced, so
-    * the resulting LogicalRDD reports `UnknownPartitioning` and every
-    * downstream join/agg on the partition key re-plants an exchange —
-    * exactly the per-iteration edge re-shuffle this helper exists to
-    * avoid. The checkpoint is therefore PLANNED in the AQE-off companion
-    * session (the frames checkpointed here end in an explicit keyed
-    * repartition, the one exchange shape AQE could only disturb), and the
-    * resulting LogicalRDD — now carrying the true HashPartitioning — is
-    * re-wrapped into the caller's session. The analyzed plan re-executes
-    * identically: it is fully resolved, so no catalog/temp-function state
-    * from the original session is consulted.
-    *
-    * `eager = false` still truncates lineage per call (the many-iteration
-    * requirement) but folds materialization into the next action instead
-    * of costing a dedicated job; with AQE off the partitioning is known
-    * statically, so laziness does not cost the partitioning capture. */
   /** Share the final stage under a query's deterministic output sort.
     *
     * Every declared query ends in a global `orderBy` so its oracle dump
@@ -76,18 +57,44 @@ object Materialize {
     * The Sort stays the outermost operator over the same rows, so the
     * output row order — and therefore the driver's oracle hash — is
     * bit-identical; only the number of times the stage computes changes.
-    * Scale note: the materialization is a node-local write of the
-    * result-sized frame — the same bytes the sort's own shuffle already
-    * moves — replacing a full recompute of the stage, so the trade
-    * improves with stage cost and is safe at any scale (and production
-    * sinks drop the oracle sort entirely, taking the exchange and this
-    * helper with it).
+    *
+    * WHERE TO APPLY (round-19, the round-18 lesson): this is a TRADE —
+    * a result-sized block-store materialization buys one fewer compute
+    * of the final stage — and round 18 shipped it unconditionally in the
+    * bench/verify HARNESS, which taxed every query whose final stage is
+    * cheap (the driver's 32-core run regressed 102/161 queries). It now
+    * lives in the QUERY layer, applied per query where a paired
+    * 32-core A/B showed a win (each site cites its numbers); the bench
+    * and verify mains time/dump the declared queries verbatim.
+    * `SPARK_GRAFT_SORTSHARED=0` turns every application into the
+    * identity — the measurement A/B switch.
+    *
+    * Scale note: the checkpoint is a non-replicated executor-memory
+    * materialization of the pre-sort result — on executor loss the job
+    * must restart (lineage is truncated), and result-sized storage
+    * replaces a shuffle that spills gracefully. Appropriate for the
+    * bounded result frames it is applied to (top-k lists, per-domain
+    * aggregates); production sinks that do not need the deterministic
+    * output order should drop the final sort instead, which removes
+    * both the exchange and the need for this helper.
     *
     * Identity on plans that do not end in a global Sort (1-row audit
     * queries): no behavior change. The sort keys are remapped onto the
     * checkpoint's fresh attribute ids positionally, so expression keys
     * (`orderBy(md5(..))`) survive. */
+  /** Query-layer application of [[sortShared]]: wrap a declared query's
+    * (session, dir) => frame function at its registration site. Applied
+    * ONLY to queries with a paired 32-core A/B win on record
+    * (OPTIMIZATION_r19.md "sortShared allowlist") — round 18 applied the
+    * rewrite to all 163 queries from the harness and taxed every query
+    * whose final stage was already cheap. Identity under
+    * `SPARK_GRAFT_SORTSHARED=0` (the A/B switch). */
+  def sortSharedQuery(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, d) => sortShared(fn(s, d))
+
   def sortShared(df: DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SORTSHARED").contains("0")) return df
     import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap, SortOrder}
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     df.queryExecution.analyzed match {
@@ -106,13 +113,21 @@ object Materialize {
 
   /** Re-plan `df` in the AQE-off companion session (same SparkContext,
     * isolated SQLConf) and hand it back wrapped for the caller's
-    * session. For a DRIVER-SYNC action over a tiny frame (the per-round
-    * top-pair collect of a training loop), AQE's per-stage
-    * re-optimization costs more wall time than its partition coalescing
-    * recovers; the static plan runs the action in one scheduling pass.
-    * Use ONLY for actions whose result feeds the driver (collect/head) —
-    * frames consumed by further planning should stay in the caller's
-    * session. */
+    * session.
+    *
+    * RETIRED from every query path (round 19). Round 18 applied it to
+    * the BPE top-pair collects and q82's convergence sync on the theory
+    * that AQE's per-stage re-optimization costs more than its
+    * coalescing recovers for a 1-row driver sync. The theory holds only
+    * at LOW core counts: the static plan fixes each sync's shuffle at
+    * `spark.sql.shuffle.partitions` (= cores) tasks where AQE coalesces
+    * the KB-sized exchange to ~1, so the overhead grows linearly with
+    * the core count × rounds — the driver's paired 32c/8c runs measured
+    * the wrapped families 1.6–2.3× slower at 32 cores than at 8
+    * (VERDICT r18 #1/#3), precisely the failure mode the LPA family's
+    * recorded negative result predicted. Kept for completeness (tests
+    * pin its session-isolation semantics); do not reintroduce it on a
+    * query path without a ≥2-core-count A/B. */
   def noAqe(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val ns = noAqeSession(spark)
@@ -124,6 +139,25 @@ object Materialize {
     }
   }
 
+  /** `localCheckpoint()` that PRESERVES the frame's hash partitioning.
+    *
+    * Under AQE, `Dataset.localCheckpoint` captures the adaptive plan's
+    * `outputPartitioning` before the final stage layout is surfaced, so
+    * the resulting LogicalRDD reports `UnknownPartitioning` and every
+    * downstream join/agg on the partition key re-plants an exchange —
+    * exactly the per-iteration edge re-shuffle this helper exists to
+    * avoid. The checkpoint is therefore PLANNED in the AQE-off companion
+    * session (the frames checkpointed here end in an explicit keyed
+    * repartition, the one exchange shape AQE could only disturb), and the
+    * resulting LogicalRDD — now carrying the true HashPartitioning — is
+    * re-wrapped into the caller's session. The analyzed plan re-executes
+    * identically: it is fully resolved, so no catalog/temp-function state
+    * from the original session is consulted.
+    *
+    * `eager = false` still truncates lineage per call (the many-iteration
+    * requirement) but folds materialization into the next action instead
+    * of costing a dedicated job; with AQE off the partitioning is known
+    * statically, so laziness does not cost the partitioning capture. */
   def checkpointPartitioned(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val ns = noAqeSession(spark)

@@ -450,10 +450,16 @@ object GraphQueries {
     val wedges = adj.agg(coalesce(
       sum(expr("cast(size(nbrs) as bigint) * (size(nbrs) - 1) div 2")),
       lit(0L)).as("n_wedges"))
+    // vec_icount (round-19): |A_u ∩ A_v| as a two-pointer count over the
+    // sorted distinct adjacency arrays — size(array_intersect(...))
+    // built a hash set AND allocated the intersection array per oriented
+    // edge only to take its length; the codegen count is
+    // O(|au|+|av|) with zero allocation, same value (array_intersect
+    // dedups; adjacency arrays are distinct by construction)
     val tris = o
       .join(adj.select($"src", $"nbrs".as("au")), Seq("src"))
       .join(adj.select($"src".as("dst"), $"nbrs".as("av")), Seq("dst"))
-      .agg(coalesce(sum(size(array_intersect($"au", $"av")).cast("long")),
+      .agg(coalesce(sum(graft.functions.Vec.icountCol(s, $"au", $"av")),
         lit(0L)).as("n_triangles"))
     // one audit row assembled IN the plan (1-row aggregates cross-joined)
     // — no driver-side action
@@ -600,10 +606,12 @@ object GraphQueries {
         prIteration(edges, deg, cur).as("n")
           .join(cur.select($"u", $"r".as("r_prev")), "u")
           .select($"u", $"r", abs($"r" - $"r_prev").as("dr")))
-      // noAqe: 1-row driver sync over the already-materialized segment
-      // frame (see lpaConvergeCore)
-      delta = graft.operators.Materialize.noAqe(next.agg(max($"dr")))
-        .head.getDouble(0)
+      // AQE-planned (round-19 revert of the round-18 noAqe experiment —
+      // same rationale as bpeTrain's top-pair collect: the static plan's
+      // per-sync cost scales with the core count; the driver's paired
+      // runs had q82 at 0.44 scaling ratio, i.e. 2.3× slower at 32 cores
+      // than at 8, where the r17 AQE-planned sync scaled fine)
+      delta = next.agg(max($"dr")).head.getDouble(0)
       ranks = next.select($"u", $"r")
       iters += PrCheckEvery
     }
@@ -1119,6 +1127,11 @@ object GraphQueries {
        |SELECT u AS l_partkey, dist FROM d$WspRounds ORDER BY l_partkey""".stripMargin
   }
 
+  /** sortShared allowlist entry (OPTIMIZATION_r19.md): final-stage reuse
+    * under the deterministic output sort, applied ONLY where a paired
+    * 32-core A/B measured a win. */
+  private def shared(fn: Q): Q = graft.operators.Materialize.sortSharedQuery(fn)
+
   val queries: Map[String, Q] = Map(
     "q143_weighted_paths"   -> (q143WeightedPaths _),
     "q141_lpa_assign"       -> (q141LpaAssign _),
@@ -1127,7 +1140,7 @@ object GraphQueries {
     "q146_lpa_edge_churn"   -> (q146LpaEdgeChurn _),
     "q66_pagerank_step"     -> (q66PagerankStep _),
     "q72_pagerank_iters"    -> (q72PagerankIters _),
-    "q77_triangle_count"    -> (q77Triangles _),
+    "q77_triangle_count"    -> shared(q77Triangles _),
     "q79_bfs_hops"          -> (q79BfsHops _),
     "q82_pagerank_converge" -> (q82PagerankConverge _),
   )

@@ -142,15 +142,21 @@ object SimilarityQueries {
     * pins both ends). */
   /** Elementwise-mean centroid per `label`: per-position partial sums +
     * count in ONE shuffle, k×dim cells out (shared by q32 IVF and the q59
-    * Lloyd step). Column names: (c_label, centroid). */
-  def labelCentroids(emb: DataFrame, dim: Int = 64): DataFrame = {
-    val sums = (0 until dim).map(i =>
-      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s_$i"))
-    val aggCols = sums :+ count(lit(1)).as("s_cnt")
+    * Lloyd step). Column names: (c_label, centroid).
+    *
+    * Round-19: the per-dim fan of 64 `sum(element_at(...))` aggregates
+    * became ONE [[graft.functions.VecAggSumDouble]] — same float→double
+    * widening, same partial/merge tree, same per-element `sum/cnt`
+    * division, so centroid values are unchanged; the PLAN shrinks from
+    * 65 aggregate expressions to 2 (guide §7.3 plan-size cost — this
+    * subtree is re-optimized per AQE stage in every consumer loop). */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     emb.groupBy(col("label"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select(col("label").as("c_label"), array((0 until dim).map(i =>
-        col(s"s_$i") / col("s_cnt")): _*).as("centroid"))
+      .agg(graft.functions.VecAgg.sumDCol(s, col("embedding")).as("ssum"),
+        count(lit(1)).as("s_cnt"))
+      .select(col("label").as("c_label"),
+        transform(col("ssum"), v => v / col("s_cnt")).as("centroid"))
   }
 
   def ivfAnn(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
@@ -355,12 +361,17 @@ object SimilarityQueries {
 
   /** One row: per-dim corpus lo/hi (exact — min/max of float-cast-double).
     * Callers localCheckpoint it when more than one encode consumes it. */
-  private[graft] def sq8Stats(emb: DataFrame): DataFrame =
+  /** Round-19: 128 per-dim min/max aggregates → 2 elementwise array
+    * aggregates ([[graft.functions.VecAggMin]]/[[VecAggMax]] — exact,
+    * order-independent; float→double widening is the same cast). This
+    * 1-row frame sits under every SQ8/PQ/OPQ training chain, so the fan
+    * was re-planned once per AQE stage per consumer loop (guide §7.3). */
+  private[graft] def sq8Stats(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     emb.agg(
-      array((1 to EmbDim).map(d =>
-        min(element_at(col("embedding"), d).cast("double"))): _*).as("lo"),
-      array((1 to EmbDim).map(d =>
-        max(element_at(col("embedding"), d).cast("double"))): _*).as("hi"))
+      graft.functions.VecAgg.minCol(s, col("embedding")).as("lo"),
+      graft.functions.VecAgg.maxCol(s, col("embedding")).as("hi"))
+  }
 
   /** Affine per-dim 8-bit encode against broadcast corpus stats:
     * floor((x−lo)/(hi−lo)·255), constant-dim dims → code 0. The same
@@ -528,12 +539,15 @@ object SimilarityQueries {
     import s.implicits._
     val seeds = subcodes.where($"vec_id" < PqK)
       .select($"m", $"vec_id".cast("int").as("k"), $"sub".as("cent"))
-    val meanCols = (0 until PqSubDim).map(j =>
-      floor(sum(element_at($"sub", j + 1)) / count(lit(1))).cast("long").as(s"c_$j"))
+    // round-19: per-dim floor-mean fan → one elementwise long-sum
+    // aggregate + a transform over the PqSubDim cells (same long sums —
+    // associative-exact — same double division and floor per element)
     pqNearest(s, subcodes, seeds)
-      .groupBy($"m", $"k").agg(meanCols.head, meanCols.tail: _*)
+      .groupBy($"m", $"k")
+      .agg(graft.functions.VecAgg.sumLCol(s, $"sub").as("ssum"),
+        count(lit(1)).as("cnt"))
       .select($"m", $"k",
-        array((0 until PqSubDim).map(j => col(s"c_$j")): _*).as("cent"))
+        transform($"ssum", v => floor(v / $"cnt").cast("long")).as("cent"))
   }
 
   /** PQ-encode: (vec_id, pq[PqM]) with pq[m] = trained-centroid argmin,
@@ -1214,14 +1228,16 @@ object SimilarityQueries {
       .select($"vec_id", $"codes", $"k", isqd($"codes", $"cent").as("dd"))
       .withColumn("rn", row_number().over(wArgmin)).where($"rn" === 1)
       .select($"vec_id", $"codes", $"k")
-    val meanCols = (0 until EmbDim).map(j =>
-      floor(sum(element_at($"codes", j + 1)) / count(lit(1))).cast("long").as(s"c_$j"))
     var asg = assign(
       codes.where($"vec_id" < k).select($"vec_id".as("k"), $"codes".as("cent")))
     for (_ <- 2 to LearnedKmPasses) {
-      // empty centroids DROP from the codebook (q111's sparse-codebook rule)
-      val cb = asg.groupBy($"k").agg(meanCols.head, meanCols.tail: _*)
-        .select($"k", array((0 until EmbDim).map(j => col(s"c_$j")): _*).as("cent"))
+      // empty centroids DROP from the codebook (q111's sparse-codebook
+      // rule). Round-19: the 64-col floor-mean fan → one elementwise
+      // long-sum aggregate (pqTrainCodebook's rewrite; values unchanged)
+      val cb = asg.groupBy($"k")
+        .agg(graft.functions.VecAgg.sumLCol(s, $"codes").as("ssum"),
+          count(lit(1)).as("cnt"))
+        .select($"k", transform($"ssum", v => floor(v / $"cnt").cast("long")).as("cent"))
       asg = assign(cb)
     }
     asg.select($"vec_id", $"k".cast("long").as("label"))
@@ -2051,6 +2067,11 @@ object SimilarityQueries {
        |ORDER BY query_doc, rn""".stripMargin
   }
 
+  /** sortShared allowlist entry (OPTIMIZATION_r19.md): final-stage reuse
+    * under the deterministic output sort, applied ONLY where a paired
+    * 32-core A/B measured a win. */
+  private def shared(fn: Q): Q = graft.operators.Materialize.sortSharedQuery(fn)
+
   val queries: Map[String, Q] = Map(
     "q133_meanpool_ann"     -> (q133MeanPool _),
     "q131_maxsim_pruned"    -> (q131MaxSimPruned _),
@@ -2065,10 +2086,10 @@ object SimilarityQueries {
     "q110_semdedup"         -> (q110SemDedup _),
     "q102_hard_negatives"   -> (q102HardNegatives _),
     "q90_semantic_decontam" -> (q90SemanticDecontam _),
-    "q30_knn_bruteforce"    -> (q30KnnBruteForce _),
+    "q30_knn_bruteforce"    -> shared(q30KnnBruteForce _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
-    "q32_ivf_ann"           -> (q32IvfAnn _),
-    "q59_kmeans_assign"     -> (q59KmeansAssign _),
+    "q32_ivf_ann"           -> shared(q32IvfAnn _),
+    "q59_kmeans_assign"     -> shared(q59KmeansAssign _),
     "q95_sq8_ann"           -> (q95Sq8Ann _),
     "q111_pq_adc_ann"       -> (q111PqAdcAnn _),
     "q148_opq_ann"          -> (q148OpqAnn _),

@@ -63,7 +63,9 @@ object R18JobProbe {
       jobs.clear(); stageToJob.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      graft.operators.Materialize.sortShared(fn(spark, sfDir))
+      // the declared query verbatim (round 19: sortShared moved into the
+      // query layer, so allowlisted queries already carry it)
+      fn(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain
