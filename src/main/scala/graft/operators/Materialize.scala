@@ -157,8 +157,27 @@ object Materialize {
     * `eager = false` still truncates lineage per call (the many-iteration
     * requirement) but folds materialization into the next action instead
     * of costing a dedicated job; with AQE off the partitioning is known
-    * statically, so laziness does not cost the partitioning capture. */
-  def checkpointPartitioned(df: DataFrame, eager: Boolean = true): DataFrame = {
+    * statically, so laziness does not cost the partitioning capture.
+    *
+    * `parts` (round-19, guide §2 "make partitioning scale-adaptive"):
+    * because the companion plans with AQE OFF, every frame checkpointed
+    * here is otherwise frozen at `spark.sql.shuffle.partitions`
+    * (= the core count in the bench contract) partitions — and every
+    * downstream loop stage over it then schedules one task per core per
+    * round regardless of data size. R18JobProbe shows each such stage
+    * carrying a fixed per-task cost (~0.3–0.8 s of executorRunTime per
+    * 32-way tiny task at 32 cores, GC-free) that the 8-core run simply
+    * pays 4× less of — the driver's r18 paired runs measured the loop
+    * families 1.7–4× FASTER at 8 cores on identical code. Passing
+    * `parts = Some(n)` with n derived from the INPUT BYTES (the caller
+    * owns the estimate — [[graft.queries.GraphQueries.graphParts]])
+    * plans the frame at a data-proportional width instead: small inputs
+    * get few fat tasks regardless of cluster size, 100 TB inputs get
+    * the thousands of partitions their bytes demand. Co-partitioned
+    * callers must pass the SAME n for every frame of one family, or the
+    * exchange-free loop joins re-plant exchanges. */
+  def checkpointPartitioned(df: DataFrame, eager: Boolean = true,
+      parts: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val ns = noAqeSession(spark)
     // serialize conf-mirror + plan per companion: two threads of the
@@ -169,6 +188,9 @@ object Materialize {
       ns.conf.set("spark.sql.adaptive.enabled", "false")
       MirroredConfs.foreach(k =>
         spark.conf.getOption(k).foreach(ns.conf.set(k, _)))
+      // the caller's data-derived width overrides the mirrored global
+      // (AFTER the mirror loop — see the `parts` scaladoc above)
+      parts.foreach(n => ns.conf.set("spark.sql.shuffle.partitions", n.toString))
       // lazy inside the lock: the lock must cover conf-mirror + PLANNING
       // only — an eager checkpoint here would hold it for the whole
       // cluster job, serializing concurrent checkpoint calls

@@ -99,11 +99,45 @@ object GraphQueries {
     * GraphIngest table exists the same repartition+checkpoint runs over
     * the bucketed scan instead — one bucket-file read, zero basket
     * work. */
+  /** Data-proportional partition count for the graph family's
+    * checkpointed frames (guide §2 "make partitioning scale-adaptive"):
+    * derived from the INPUT bytes (lineitem, the table every co-purchase
+    * frame is a bounded derivation of), NOT from the core count. The
+    * companion session otherwise plans every checkpointed loop frame at
+    * `spark.sql.shuffle.partitions` = cores partitions, so each of the
+    * dozens of node-sized loop stages schedules one tiny task per core
+    * per round — a fixed cost that grows with the cluster while the
+    * work per task shrinks (the r18 driver's paired runs: the loop
+    * families 1.7–4× faster at 8 cores than at 32 on identical code;
+    * R18JobProbe: 0.3–0.8 s executorRunTime per tiny task, GC-free).
+    * One partition per `spark.graft.graphPartBytes` of input (default
+    * 1.5 MB — the measured optimum of a 2/7/14/32-partition sweep at
+    * sf0.1×32 cores: 36.2/26.8/29.1/41.4 s family totals; the constant
+    * is a conf so a cluster deployment can re-derive it per §1
+    * measurement) keeps local/small-SF frames at a handful of fat tasks
+    * while inputs grow their width linearly; the 1M cap bounds the
+    * M×R shuffle-block explosion (§2.2), past which partitions grow
+    * toward the 100 MB–1 GB §2.2 recommendation instead (at 100 TB of
+    * input the cap yields ~100 MB per partition). Every frame of the
+    * family uses the SAME number so the exchange-free loop joins stay
+    * co-partitioned. */
+  private[graft] def graphParts(s: SparkSession, dir: String): Int = {
+    val per = s.conf.getOption("spark.graft.graphPartBytes")
+      .flatMap(_.toLongOption).getOrElse(3L << 19)
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L }
+    math.max(1, math.min(1 << 20, (bytes / per).toInt))
+  }
+
   def weightedEdgesPartitioned(s: SparkSession, dir: String): DataFrame =
     edgeMemo.getOrBuild(s, dir) {
       import s.implicits._
       graft.operators.Materialize.checkpointPartitioned(
-        weightedEdgesSource(s, dir)._1.repartition($"u"))
+        weightedEdgesSource(s, dir)._1.repartition($"u"),
+        parts = Some(graphParts(s, dir)))
     }
 
   /** Per-(session, dir) memo of yesterday's per-round LPA label history
@@ -310,8 +344,9 @@ object GraphQueries {
     // deg inherits HashPartitioning(u) from the edges (its agg is
     // shuffle-free); keep that through its checkpoint so the contrib
     // join stays exchange-free on the deg side too
+    val gp = Some(graphParts(s, dir)) // family-wide width (co-partition)
     val deg = graft.operators.Materialize.checkpointPartitioned(
-      edges.groupBy($"u").agg(count(lit(1)).as("deg")))
+      edges.groupBy($"u").agg(count(lit(1)).as("deg")), parts = gp)
     var ranks = deg.select($"u", lit(1.0).as("r"))
     for (_ <- 1 to PrIters) {
       // lazy partitioned checkpoint: lineage still truncates per round
@@ -322,7 +357,7 @@ object GraphQueries {
       // A bare localCheckpoint under AQE captured UnknownPartitioning
       // here and silently re-planted a node-sized exchange per round.
       ranks = graft.operators.Materialize.checkpointPartitioned(
-        prIteration(edges, deg, ranks), eager = false)
+        prIteration(edges, deg, ranks), eager = false, parts = gp)
     }
     ranks.select($"u".as("l_partkey"), $"r".as("rank")).orderBy($"l_partkey")
   }
@@ -443,7 +478,7 @@ object GraphQueries {
       .select(
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"))
-      .repartition($"src"))
+      .repartition($"src"), parts = Some(graphParts(s, dir)))
     val adj = o.groupBy($"src")
       .agg(array_sort(collect_list($"dst")).as("nbrs"))
       .localCheckpoint()
@@ -588,8 +623,9 @@ object GraphQueries {
   def q82PagerankConverge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = copurchaseEdgesPartitioned(s, dir)
+    val gp = Some(graphParts(s, dir)) // family-wide width (co-partition)
     val deg = graft.operators.Materialize.checkpointPartitioned(
-      edges.groupBy($"u").agg(count(lit(1)).as("deg")))
+      edges.groupBy($"u").agg(count(lit(1)).as("deg")), parts = gp)
     var ranks = deg.select($"u", lit(1.0).as("r"))
     var iters = 0
     var delta = Double.MaxValue
@@ -601,11 +637,11 @@ object GraphQueries {
       var cur = ranks
       for (_ <- 1 until PrCheckEvery)
         cur = graft.operators.Materialize.checkpointPartitioned(
-          prIteration(edges, deg, cur), eager = false)
+          prIteration(edges, deg, cur), eager = false, parts = gp)
       val next = graft.operators.Materialize.checkpointPartitioned(
         prIteration(edges, deg, cur).as("n")
           .join(cur.select($"u", $"r".as("r_prev")), "u")
-          .select($"u", $"r", abs($"r" - $"r_prev").as("dr")))
+          .select($"u", $"r", abs($"r" - $"r_prev").as("dr")), parts = gp)
       // AQE-planned (round-19 revert of the round-18 noAqe experiment —
       // same rationale as bpeTrain's top-pair collect: the static plan's
       // per-sync cost scales with the core count; the driver's paired

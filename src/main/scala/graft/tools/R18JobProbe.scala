@@ -29,7 +29,7 @@ object R18JobProbe {
 
     case class Job(id: Int, t0: Long, var t1: Long = 0L,
       var stages: Int = 0, var tasks: Int = 0, var taskMs: Long = 0L,
-      var shuffleWrite: Long = 0L)
+      var gcMs: Long = 0L, var shuffleWrite: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
     val stageToJob = mutable.Map.empty[Int, Int]
     val listener = new SparkListener {
@@ -45,6 +45,7 @@ object R18JobProbe {
           j.stages += 1
           j.tasks += si.numTasks
           j.taskMs += si.taskMetrics.executorRunTime
+          j.gcMs += si.taskMetrics.jvmGCTime
           j.shuffleWrite += si.taskMetrics.shuffleWriteMetrics.bytesWritten
         }
       }
@@ -72,7 +73,7 @@ object R18JobProbe {
       spark.sparkContext.removeSparkListener(listener)
       println(f"===== $name wall=$wall%.3f s, ${jobs.size} jobs =====")
       jobs.values.foreach { j =>
-        println(f"[job ${j.id}%3d] wall=${(j.t1 - j.t0) / 1e3}%7.3f s stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskMs / 1e3}%8.3f s shufW=${j.shuffleWrite / 1024}%8d KB")
+        println(f"[job ${j.id}%3d] wall=${(j.t1 - j.t0) / 1e3}%7.3f s stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskMs / 1e3}%8.3f s gc=${j.gcMs / 1e3}%7.3f s shufW=${j.shuffleWrite / 1024}%8d KB")
       }
       val totalJobWall = jobs.values.map(j => j.t1 - j.t0).sum / 1e3
       val gaps = wall - totalJobWall

@@ -99,23 +99,32 @@ class PlanSpec extends SparkSuite {
     // whole iteration is the node-sized neighbor-sum on v.
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val edges = GraphQueries.copurchaseEdgesPartitioned(spark, sf0001)
-    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg")).localCheckpoint()
-    def iteration(e: org.apache.spark.sql.DataFrame) = {
-      val contrib = deg.select($"u",
-        floor((lit(1.0) / $"deg") * lit(1.0e12) + lit(0.5)).as("c"))
-      e.join(contrib, Seq("u")).groupBy($"v").agg(sum($"c").as("ns"))
-    }
-    // degree agg over the partitioned edges is itself shuffle-free
-    assert(countShuffles(edges.groupBy($"u").agg(count(lit(1)))) == 0)
-    assert(countShuffles(iteration(edges)) == 1)
-    // control: the same iteration over a LAYOUT-LESS edge frame (the
-    // mirrored union loses the memoized frame's HashPartitioning) with
-    // the real loop's shuffle_hash join re-shuffles the edges — at
-    // sf-test size an unhinted join would hide the re-shuffle behind a
-    // contrib broadcast, which the 100 TB loop never gets
-    val flat = GraphQueries.copurchaseEdges(spark, sf0001).hint("shuffle_hash")
-    assert(countShuffles(iteration(flat)) >= 2)
+    // round-19: the edge frame's width is data-derived (graphParts), so
+    // at sf0.001 it collapses to ONE partition and every downstream
+    // clustering is trivially satisfied — pin the MULTI-partition regime
+    // (the 100 TB shape) explicitly by shrinking the per-partition byte
+    // target for the duration of this build
+    GraphQueries.clearMemos(spark)
+    try withSQLConf("spark.graft.graphPartBytes" -> "16384") {
+      assert(GraphQueries.graphParts(spark, sf0001) > 1, "probe width")
+      val edges = GraphQueries.copurchaseEdgesPartitioned(spark, sf0001)
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg")).localCheckpoint()
+      def iteration(e: org.apache.spark.sql.DataFrame) = {
+        val contrib = deg.select($"u",
+          floor((lit(1.0) / $"deg") * lit(1.0e12) + lit(0.5)).as("c"))
+        e.join(contrib, Seq("u")).groupBy($"v").agg(sum($"c").as("ns"))
+      }
+      // degree agg over the partitioned edges is itself shuffle-free
+      assert(countShuffles(edges.groupBy($"u").agg(count(lit(1)))) == 0)
+      assert(countShuffles(iteration(edges)) == 1)
+      // control: the same iteration over a LAYOUT-LESS edge frame (the
+      // mirrored union loses the memoized frame's HashPartitioning) with
+      // the real loop's shuffle_hash join re-shuffles the edges — at
+      // sf-test size an unhinted join would hide the re-shuffle behind a
+      // contrib broadcast, which the 100 TB loop never gets
+      val flat = GraphQueries.copurchaseEdges(spark, sf0001).hint("shuffle_hash")
+      assert(countShuffles(iteration(flat)) >= 2)
+    } finally GraphQueries.clearMemos(spark) // drop the probe-width frame
   }
 
   test("q72 chained iterations: round N's REAL plan carries exactly one exchange") {
@@ -127,22 +136,29 @@ class PlanSpec extends SparkSuite {
     // neighbor-sum agg shuffles.
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val edges = GraphQueries.copurchaseEdgesPartitioned(spark, sf0001)
-    val deg = graft.operators.Materialize.checkpointPartitioned(
-      edges.groupBy($"u").agg(count(lit(1)).as("deg")))
-    var ranks = deg.select($"u", lit(1.0).as("r"))
-    for (_ <- 1 to 2)
-      ranks = graft.operators.Materialize.checkpointPartitioned(
-        GraphQueries.prIteration(edges, deg, ranks), eager = false)
-    assert(countShuffles(GraphQueries.prIteration(edges, deg, ranks)) == 1)
-    // and the full query's visible tail (last round behind its
-    // checkpoint) plants only the orderBy's range exchange
-    assert(countShuffles(GraphQueries.q72PagerankIters(spark, sf0001)) == 1)
-    // control: the same round-3 plan with the partitioning FORGOTTEN
-    // (same rows, re-wrapped without a declared layout) re-shuffles the
-    // rank side
-    val amnesiac = spark.createDataFrame(ranks.rdd, ranks.schema)
-    assert(countShuffles(GraphQueries.prIteration(edges, deg, amnesiac)) >= 2)
+    // multi-partition regime pinned explicitly (see the pagerank test
+    // above): at the data-derived width sf0.001 collapses to one
+    // partition, where exchange-freedom is trivial
+    GraphQueries.clearMemos(spark)
+    try withSQLConf("spark.graft.graphPartBytes" -> "16384") {
+      val edges = GraphQueries.copurchaseEdgesPartitioned(spark, sf0001)
+      val gp = Some(GraphQueries.graphParts(spark, sf0001)) // family width
+      val deg = graft.operators.Materialize.checkpointPartitioned(
+        edges.groupBy($"u").agg(count(lit(1)).as("deg")), parts = gp)
+      var ranks = deg.select($"u", lit(1.0).as("r"))
+      for (_ <- 1 to 2)
+        ranks = graft.operators.Materialize.checkpointPartitioned(
+          GraphQueries.prIteration(edges, deg, ranks), eager = false, parts = gp)
+      assert(countShuffles(GraphQueries.prIteration(edges, deg, ranks)) == 1)
+      // and the full query's visible tail (last round behind its
+      // checkpoint) plants only the orderBy's range exchange
+      assert(countShuffles(GraphQueries.q72PagerankIters(spark, sf0001)) == 1)
+      // control: the same round-3 plan with the partitioning FORGOTTEN
+      // (same rows, re-wrapped without a declared layout) re-shuffles the
+      // rank side
+      val amnesiac = spark.createDataFrame(ranks.rdd, ranks.schema)
+      assert(countShuffles(GraphQueries.prIteration(edges, deg, amnesiac)) >= 2)
+    } finally GraphQueries.clearMemos(spark)
   }
 
   test("q77 adjacency-intersection: no wedge rows, exactly 2 equi-joins") {
