@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components by iterative min-label propagation (the
@@ -43,14 +43,22 @@ object ConnectedComponents {
     while (changed && iter < maxIter) {
       val neighborMin = edges.join(comp, edges("v") === comp("id"))
         .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
+      // the convergence probe rides the checkpoint's own materialization
+      // job as an observed metric (round-19): the former follow-up
+      // `updated.where(comp < prev).isEmpty` job re-read the frame per
+      // iteration just to answer one boolean, doubling the loop's job
+      // count — and every job carries a fixed driver scheduling/planning
+      // cost that the multi-CC pipeline queries (q100/q117/q154) pay
+      // dozens of times. CollectMetrics aggregates exactly once per row
+      // inside the same action, so the decision is identical.
+      val obs = Observation()
       val updated = comp.join(neighborMin, comp("id") === neighborMin("u"), "left_outer")
         .select(comp("id"),
           least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"),
           comp("comp").as("prev"))
+        .observe(obs, count(when(col("comp") < col("prev"), true)).as("n_improved"))
         .localCheckpoint(true)
-      // existence probe, not a full count: the job stops at the first
-      // partition that yields an improved label
-      changed = !updated.where(col("comp") < col("prev")).isEmpty
+      changed = obs.get("n_improved").asInstanceOf[Long] > 0L
       comp = updated.select(col("id"), col("comp"))
       iter += 1
     }
@@ -80,13 +88,20 @@ object ConnectedComponents {
     * billions of edges; min-label when diameters are known-tiny. */
   def componentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    // canonical directed edges big→small, self-loops dropped
+    // canonical directed edges big→small, self-loops dropped. The edge
+    // count rides the checkpoint job as an observed metric (round-19):
+    // the fixpoint test below compares successive edge-set sizes, and
+    // observing each frame's count at materialization time removes the
+    // two dedicated count() jobs every iteration re-paid.
+    val obs0 = Observation()
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    var edgeCnt = obs0.get("n").asInstanceOf[Long]
     val nodes = edges.select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id")))
       .distinct()
@@ -115,10 +130,19 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // exact fixpoint test on the canonical distinct edge sets
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      val obs = Observation()
+      val next = smallStar(largeStar(edges))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val nextCnt = obs.get("n").asInstanceOf[Long]
+      // exact fixpoint test on the canonical distinct edge sets — the
+      // counts come from the observed metrics (no re-scan jobs); the
+      // set-equality except job still runs, but only on the candidate
+      // rounds where the counts match, exactly as the && short-circuited
+      // before
+      converged = nextCnt == edgeCnt && next.except(edges).isEmpty
       edges = next
+      edgeCnt = nextCnt
       iter += 1
     }
     // fixpoint edges are depth-1 stars root←member; roots label themselves

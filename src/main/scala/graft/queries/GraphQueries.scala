@@ -606,8 +606,10 @@ object GraphQueries {
     * rank frames are LAZY checkpoints (lineage truncates, blocks cache
     * on first compute, no dedicated job), the per-node adjacent delta of
     * the segment's final two vectors rides the segment frame through an
-    * exchange-free join (everything is HashPartitioning(u)), and one
-    * eager materialization per segment feeds a 1-row max to the driver.
+    * exchange-free join (everything is HashPartitioning(u)), and the
+    * 1-row max the driver syncs on is itself the action that
+    * materializes the segment frame's blocks (lazy checkpoint — one
+    * driver round-trip per segment, not two).
     * A convergence loop cannot avoid that driver round-trip — the stop
     * decision gates job submission — but it CAN amortize it: each test
     * costs a full replan + driver sync, so testing every round doubles
@@ -638,10 +640,16 @@ object GraphQueries {
       for (_ <- 1 until PrCheckEvery)
         cur = graft.operators.Materialize.checkpointPartitioned(
           prIteration(edges, deg, cur), eager = false, parts = gp)
+      // LAZY (round-19): the 1-row max sync below is the action that
+      // materializes this segment frame's blocks — an eager checkpoint
+      // here cost a dedicated job per segment on top of the sync job
+      // (2 driver round-trips per segment instead of 1); the delta agg
+      // reads the frame as it stores, and `ranks` re-reads the blocks
       val next = graft.operators.Materialize.checkpointPartitioned(
         prIteration(edges, deg, cur).as("n")
           .join(cur.select($"u", $"r".as("r_prev")), "u")
-          .select($"u", $"r", abs($"r" - $"r_prev").as("dr")), parts = gp)
+          .select($"u", $"r", abs($"r" - $"r_prev").as("dr")),
+        eager = false, parts = gp)
       // AQE-planned (round-19 revert of the round-18 noAqe experiment —
       // same rationale as bpeTrain's top-pair collect: the static plan's
       // per-sync cost scales with the core count; the driver's paired
