@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // measurement passthrough (A/B switches for spark confs without a
+  // build edit; inert when unset — the driver's runs never set it)
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.trim).filter(_.nonEmpty)
+    .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -1077,7 +1077,19 @@ object GraphQueries {
       val lprev =
         if (k == 1) lpaInit(full)
         else patched(k - 2)
-      val votes = full.join(cand, Seq("v"), "left_semi")
+      // candidate prune keyed on the SOURCE, then mirror-swapped: the
+      // edge frame is HashPartitioning(u), so a semi join on v would
+      // re-shuffle the whole corpus-sized frame EVERY round (R18JobProbe:
+      // the 20–25 MB shuffle writes in each q146 round — churn-
+      // independent, exactly what this operator exists to avoid). The
+      // mirrored frame is symmetric with each orientation exactly once,
+      // so {(u,v) ∈ E : v ∈ C} = swap({(u,v) ∈ E : u ∈ C}) row-for-row
+      // (guide §2.4 "remove shuffles outright"): prune exchange-free on
+      // u, swap columns, and only the churn-sized result shuffles into
+      // the label join.
+      val votes = full
+        .join(cand.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"), "left_semi")
+        .select($"v".as("u"), $"u".as("v"))
         .join(lprev.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
         .select($"v", $"lab")
         .unionByName(lprev.join(cand, Seq("v"), "left_semi")) // self-vote

@@ -67,7 +67,12 @@ object R18SortProbe {
         fn(spark, sfDir).queryExecution.analyzed match {
           case Sort(_, true, c, _) => c; case p => p
         })))
+      // expression sort keys (orderBy(md5(..)) — q56/q81) are not plain
+      // Attributes: fall back to NaN like the sort-free arm instead of
+      // crashing the probe run (ADVICE r18)
       val tCkpt = sortNode match {
+        case Some(s) if !s.order.forall(_.child.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Attribute]) => Double.NaN
         case Some(s) => best(3) {
           val base = GraftShim.ofRows(spark,
             fn(spark, sfDir).queryExecution.analyzed match {
